@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.GngParams
+import graft.queries.{QueryDef, Tables}
+import graft.streaming.GStream
+
+/** G-Stream clustering exposed through the driver contract: deterministic
+  * chunked training over `embeddings` (64-d vectors, `vec_id % K`
+  * micro-batches — FIXTURES.md §2 fixture roles). Model state is not
+  * SQL-expressible → rows-only checks.
+  */
+object GngQueries {
+  import QueryDef._
+
+  private val defaultChunks = 20
+
+  private def trained(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val pts = GStream.toPoints(Tables.embeddings(s, d), "embedding", "label", "vec_id")
+    GStream.fitChunked(pts, GngParams(), defaultChunks)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    // Final prototype table after 20 deterministic micro-batches.
+    rowsOnly("gng_prototypes") { (s, d) =>
+      val m = trained(s, d)
+      import s.implicits._
+      m.nodes.toSeq.zipWithIndex.map { case (p, i) =>
+        (i, p.id, m.clusterWeights(i), math.round(m.errors(i) * 1e4) / 1e4,
+          p.assignedIds.size, p.centroid.toSeq)
+      }.toDF("node_idx", "node_id", "weight", "error", "n_assigned", "centroid")
+        .orderBy(col("node_idx"))
+    },
+    // Final edge list (idiomatic snapshot of the adjacency/age matrices).
+    rowsOnly("gng_edges") { (s, d) =>
+      val m = trained(s, d)
+      import s.implicits._
+      val rows = m.edgeList
+      (if (rows.isEmpty) Seq((-1, -1, 0.0)) else rows)
+        .toDF("src", "dst", "age")
+        .orderBy(col("src"), col("dst"))
+    },
+    // Cluster assignment of every embedding under the final model.
+    rowsOnly("gng_assignments") { (s, d) =>
+      val m = trained(s, d)
+      import s.implicits._
+      val pts = GStream.toPoints(Tables.embeddings(s, d), "embedding", "label", "vec_id")
+      val bc = s.sparkContext.broadcast(m.centroids)
+      pts.map { p =>
+        val (b1, _, d1) = graft.operators.GngOps.twoNearest(p.features, bc.value)
+        (p.id, b1, math.round(math.sqrt(d1) * 1e4) / 1e4)
+      }.toDF("vec_id", "cluster", "dist")
+        .orderBy(col("vec_id"))
+    }
+  )
+}

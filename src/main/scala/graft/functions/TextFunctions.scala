@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expression surface for the training-data pipeline:
+  * normalization, tokenization, fingerprinting, language ID, quality
+  * scoring. Everything is built from codegen'd built-ins (no UDFs), so
+  * the operators distribute trivially and survive column pruning.
+  *
+  * Each operator has an ANSI-SQL twin in [[TextFunctions.Sql]] used by
+  * the DuckDB oracle — the two definitions are kept textually adjacent
+  * so the semantics cannot drift apart.
+  */
+object TextFunctions {
+
+  /** Canonical text normalization: lowercase, collapse every run of
+    * non-alphanumerics to a single space, trim. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Whitespace token count (runs of non-space). */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** Tokens of the normalized text. */
+  def tokens(text: Column): Column =
+    split(normalizeText(text), " ")
+
+  /** Content fingerprint: md5 of the normalized text — the exact-dedup key. */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+
+  /** Prefix fingerprint: md5 of the first `n` normalized chars — a cheap
+    * near-dup blocking key (documents sharing a long prefix collide). */
+  def prefixFingerprint(text: Column, n: Int): Column =
+    md5(substring(normalizeText(text), 1, n))
+
+  /** Stopword lists per language for the n-gram-free language-ID heuristic.
+    * Deliberately tiny and fixed: the operator contract is the heuristic
+    * itself, not linguistic accuracy. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans", "pour", "qui"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta", "men")
+  )
+
+  private def stopwordRegex(words: Seq[String]): String =
+    "\\b(" + words.mkString("|") + ")\\b"
+
+  /** Number of stopword hits for one language. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text), lit(stopwordRegex(words)), lit(0)))
+
+  /** Heuristic language ID: argmax of per-language stopword hit counts,
+    * ties broken by list order in [[langStopwords]]; "und" when no hits. */
+  def langId(text: Column): Column = {
+    val hits = langStopwords.map { case (lang, words) =>
+      lang -> stopwordHits(text, words)
+    }
+    // argmax with first-wins tie-break: lang i wins if hits(i) >= hits(j) for all j>i
+    // and hits(i) > hits(j) for all j<i — equivalently a left fold keeping strict max.
+    val zero: Column = lit("und")
+    val zeroHits: Column = lit(0)
+    val (bestLang, _) = hits.foldLeft((zero, zeroHits)) {
+      case ((bl, bh), (lang, h)) =>
+        (when(h > bh, lit(lang)).otherwise(bl), when(h > bh, h).otherwise(bh))
+    }
+    bestLang
+  }
+
+  /** Quality score in [0,1]:
+    *   0.4·min(1, chars/500) + 0.3·(1 − punct/chars) + 0.3·min(1, 10·stop/tokens)
+    * rounded to 4 decimals. Guards against zero-length via greatest(·,1). */
+  def qualityScore(text: Column): Column = {
+    val chars = greatest(length(text), lit(1)).cast("double")
+    val punct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val toks = greatest(tokenCount(text), lit(1)).cast("double")
+    val stop = stopwordHits(text, langStopwords.head._2).cast("double")
+    round(
+      least(chars / 500.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - punct / chars) * 0.3 +
+        least(stop * 10.0 / toks, lit(1.0)) * 0.3,
+      4)
+  }
+
+  /** Rolling polynomial fingerprint over normalized tokens:
+    * fold(h, tok) = (h*31 + crc32(tok)) mod 2^31-1. Deterministic across
+    * engines because crc32 is standardized (unlike murmur `hash`). */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => pmod(acc * 31L + crc32(t.cast("binary")), lit(2147483647L)))
+
+  /** DuckDB-dialect twins of every operator above. Used to build
+    * `SparkEntry.oracleSql`; kept here so a change to a Spark definition
+    * forces the reviewer past its SQL twin. */
+  object Sql {
+    def normalizeText(c: String): String =
+      s"trim(regexp_replace(lower($c), '[^a-z0-9]+', ' ', 'g'))"
+
+    def tokenCount(c: String): String =
+      s"CAST(len(regexp_extract_all($c, '\\S+')) AS INT)"
+
+    def fingerprint(c: String): String = s"md5(${normalizeText(c)})"
+
+    def prefixFingerprint(c: String, n: Int): String =
+      s"md5(substr(${normalizeText(c)}, 1, $n))"
+
+    def stopwordHits(c: String, words: Seq[String]): String =
+      s"CAST(len(regexp_extract_all(lower($c), '\\b(${words.mkString("|")})\\b')) AS INT)"
+
+    def langId(c: String): String = {
+      val hitExprs = langStopwords.map { case (lang, words) =>
+        lang -> stopwordHits(c, words)
+      }
+      // same left-fold strict-max semantics as the Column version
+      val init = ("'und'", "0")
+      val (bestLang, _) = hitExprs.foldLeft(init) { case ((bl, bh), (lang, h)) =>
+        (s"(CASE WHEN $h > $bh THEN '$lang' ELSE $bl END)",
+          s"(CASE WHEN $h > $bh THEN $h ELSE $bh END)")
+      }
+      bestLang
+    }
+
+    def qualityScore(c: String): String = {
+      val chars = s"CAST(greatest(length($c), 1) AS DOUBLE)"
+      val punct = s"CAST(len(regexp_extract_all($c, '[^a-zA-Z0-9\\s]')) AS DOUBLE)"
+      val toks = s"CAST(greatest(${tokenCount(c)}, 1) AS DOUBLE)"
+      val stop = s"CAST(${stopwordHits(c, langStopwords.head._2)} AS DOUBLE)"
+      s"round(least($chars / 500.0, 1.0) * 0.4 + (1.0 - $punct / $chars) * 0.3 + least($stop * 10.0 / $toks, 1.0) * 0.3, 4)"
+    }
+  }
+}

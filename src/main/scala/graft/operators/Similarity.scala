@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`array<float>`/
+  * `array<double>`).
+  *
+  *  - [[bruteForceKnn]]: exact top-k by cosine — one narrow scan +
+  *    TakeOrderedAndProject; the query vector rides the plan as a
+  *    literal, so no join, no shuffle. This is the correctness
+  *    baseline.
+  *  - [[lshBuckets]] / [[lshKnn]]: random-hyperplane LSH — the scale
+  *    path. Each vector gets a `nBits`-bit signature; candidates are
+  *    restricted to the query's bucket (and optionally neighboring
+  *    probes). At 100 TB the bucketed table is written once
+  *    (partitioned by signature) and each query touches 1/2^nBits of
+  *    the data.
+  *  - [[cosineNearDupPairs]]: embedding near-dup detection — LSH-bucket
+  *    self-join + exact cosine verify, never a full cross join.
+  *
+  * Hyperplanes are generated driver-side from a fixed seed → fully
+  * deterministic across runs and executors.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random unit-free hyperplanes (values in [-1,1]). */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(rng.nextDouble() * 2 - 1)
+  }
+
+  private def planeLit(p: Array[Double]): Column =
+    array(p.map(lit): _*)
+
+  /** Exact top-k rows by cosine similarity to `query`.
+    * Output: (idCol, score) — score rounded to 4 dp for stable ordering. */
+  def bruteForceKnn(df: DataFrame, embCol: Column, idCol: Column,
+      query: Array[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.select(
+        idCol.as("id"),
+        round(cosineSimilarity(asDouble(embCol), q), 4).as("score"))
+      .orderBy($"score".desc, $"id")
+      .limit(k)
+  }
+
+  /** nBits-bit LSH signature: bit i = sign(emb · plane_i). */
+  def lshSignature(embCol: Column, planes: Array[Array[Double]]): Column =
+    aggregate(
+      array(planes.zipWithIndex.map { case (p, i) =>
+        when(dot(asDouble(embCol), planeLit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }: _*),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** Attach an LSH bucket id to every row. */
+  def lshBuckets(df: DataFrame, embCol: Column, idCol: Column,
+      nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = firstDim(df, embCol)
+    val planes = hyperplanes(nBits, dim, seed)
+    df.select(idCol.as("id"), embCol.as("emb"),
+      lshSignature(embCol, planes).as("bucket"))
+  }
+
+  /** Approximate top-k: exact cosine ranking restricted to the query's
+    * LSH bucket (single-probe). Falls back to nothing if the bucket is
+    * empty — callers wanting guarantees use multiprobe or brute force. */
+  def lshKnn(df: DataFrame, embCol: Column, idCol: Column,
+      query: Array[Double], k: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nBits, query.length, seed)
+    val qSig = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (a, b) => a * b }.sum
+      if (d >= 0) 1L << i else 0L
+    }.reduce(_ | _)
+    val bucketed = lshBuckets(df, embCol, idCol, nBits, seed)
+    bucketed.filter($"bucket" === qSig)
+      .select($"id", round(cosineSimilarity(asDouble($"emb"), array(query.map(lit): _*)), 4).as("score"))
+      .orderBy($"score".desc, $"id")
+      .limit(k)
+  }
+
+  /** Embedding near-dup pairs: bucket self-join + exact cosine ≥ threshold.
+    * Bucket sizes concentrate around n/2^nBits → the self-join is skew-free
+    * and the exact verify runs on a tiny candidate set. */
+  def cosineNearDupPairs(df: DataFrame, embCol: Column, idCol: Column,
+      threshold: Double, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val bucketed = lshBuckets(df, embCol, idCol, nBits, seed)
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosineSimilarity(asDouble(col("a.emb")), asDouble(col("b.emb"))), 4).as("cosine"))
+      .filter($"cosine" >= threshold)
+  }
+
+  /** Read the embedding dimensionality from the first row (driver-side,
+    * one-row action — schema metadata, not data iteration). */
+  private def firstDim(df: DataFrame, embCol: Column): Int =
+    df.select(size(embCol)).head().getInt(0)
+
+  private implicit class Str(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

@@ -1,0 +1,391 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator surface (SURVEY.md §2: scans, projections,
+  * filters, joins, aggregations, windows, sorts/limits, set ops, scalar
+  * functions). The reference engine has almost none of these natively —
+  * Spark SQL provides them; these queries pin the semantics against the
+  * DuckDB oracle and double as the bench workload.
+  *
+  * Scale notes (100 TB thinking, verified via .explain in the specs):
+  *   - filters/projections sit directly on the parquet scan → pushed
+  *     down and pruned (PushedFilters / narrow ReadSchema);
+  *   - dimension joins (region/nation/part/supplier/customer) are
+  *     explicitly broadcast() — no shuffle of the fact table;
+  *   - aggregations are partial+final hash aggregates (map-side combine)
+  *     keyed on low-cardinality columns → tiny shuffles;
+  *   - windows partition on high-cardinality keys (suppkey/custkey) so
+  *     partitions stay small and spill-free at any SF.
+  */
+object RelationalQueries {
+  import QueryDef._
+
+  val all: Seq[QueryDef] = Seq(
+    // ---- aggregation -----------------------------------------------------
+    sql(
+      "q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
+          round(avg($"l_quantity"), 2).as("avg_qty"),
+          round(avg($"l_extendedprice"), 2).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // ---- filter + projection (parquet pushdown) --------------------------
+    sql(
+      "q02_filter_pushdown",
+      """SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty,
+        |       round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |WHERE l_quantity >= 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter($"l_quantity" >= 45 && $"l_returnflag" === "R")
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          round($"l_quantity", 2).as("qty"),
+          round($"l_extendedprice", 2).as("price"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // ---- join + aggregation (TPC-H Q3 shape) ------------------------------
+    sql(
+      "q03_top_revenue_orders",
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter($"o_orderdate" < lit("2000-01-01 00:00:00").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      l.join(broadcast(o.join(broadcast(c), $"c_custkey" === $"o_custkey")),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+
+    // ---- broadcast dimension join -----------------------------------------
+    sql(
+      "q04_brand_volume",
+      """SELECT p_brand,
+        |  round(sum(l_quantity), 2) AS total_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(round(sum($"l_quantity"), 2).as("total_qty"), count(lit(1)).as("n_lines"))
+        .orderBy($"p_brand")
+    },
+
+    // ---- multi-way join (TPC-H Q5 shape, region→nation→customer→orders→lineitem)
+    sql(
+      "q05_regional_revenue",
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, d) =>
+      val dims = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).join(broadcast(dims), $"o_custkey" === $"c_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"n_name")
+    },
+
+    // ---- semi join ---------------------------------------------------------
+    sql(
+      "q06_active_customers",
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_totalprice > 300000)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).filter($"o_totalprice" > 300000)
+      Tables.customer(s, d)
+        .join(o, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // ---- anti join ---------------------------------------------------------
+    sql(
+      "q07_inactive_customers",
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_nationkey")
+    },
+
+    // ---- window: ranking (top-n per group) ----------------------------------
+    sql(
+      "q08_top_orders_per_customer",
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy(round($"o_totalprice", 2).desc, $"o_orderkey")
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2)
+        .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 2).as("price"), $"rn")
+        .orderBy($"o_custkey", $"rn")
+    },
+
+    // ---- window: running aggregate ------------------------------------------
+    // NOTE: (l_suppkey, l_orderkey, l_linenumber) is not unique in the
+    // synthetic data, so the window input is pre-aggregated to a unique
+    // key — otherwise tied sort keys make the running sum nondeterministic
+    // across engines.
+    sql(
+      "q09_running_supplier_volume",
+      """WITH g AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |         min(l_shipdate) AS ship, round(sum(l_quantity), 2) AS qty
+        |  FROM lineitem GROUP BY l_suppkey, l_orderkey, l_linenumber)
+        |SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(qty) OVER (PARTITION BY l_suppkey
+        |    ORDER BY ship, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM g
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"ship", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .groupBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+        .agg(min($"l_shipdate").as("ship"), round(sum($"l_quantity"), 2).as("qty"))
+        .select(
+          $"l_suppkey", $"l_orderkey", $"l_linenumber",
+          round(sum($"qty").over(w), 2).as("running_qty"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    },
+
+    // ---- sort + limit --------------------------------------------------------
+    sql(
+      "q10_largest_orders",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |ORDER BY round(o_totalprice, 2) DESC, o_orderkey
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select($"o_orderkey", round($"o_totalprice", 2).as("price"))
+        .orderBy($"price".desc, $"o_orderkey")
+        .limit(10)
+    },
+
+    // ---- distinct --------------------------------------------------------------
+    sql(
+      "q11_distinct_flags",
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_linestatus")
+        .distinct()
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // ---- set ops: union / intersect / except ------------------------------------
+    sql(
+      "q12_union_nations",
+      """SELECT c_nationkey AS nkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nkey FROM supplier
+        |ORDER BY nkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select($"c_nationkey".as("nkey"))
+        .union(Tables.supplier(s, d).select($"s_nationkey".as("nkey")))
+        .distinct()
+        .orderBy($"nkey")
+    },
+    sql(
+      "q13_intersect_nations",
+      """SELECT c_nationkey AS nkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nkey FROM supplier
+        |ORDER BY nkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select($"c_nationkey".as("nkey"))
+        .intersect(Tables.supplier(s, d).select($"s_nationkey".as("nkey")))
+        .orderBy($"nkey")
+    },
+    sql(
+      "q14_except_nations",
+      """SELECT n_nationkey AS nkey FROM nation WHERE n_nationkey >= 20
+        |EXCEPT
+        |SELECT s_nationkey AS nkey FROM supplier
+        |ORDER BY nkey""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).filter($"n_nationkey" >= 20).select($"n_nationkey".as("nkey"))
+        .except(Tables.supplier(s, d).select($"s_nationkey".as("nkey")))
+        .orderBy($"nkey")
+    },
+
+    // ---- rollup ---------------------------------------------------------------
+    sql(
+      "q15_rollup_volume",
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("flag"),
+          coalesce($"l_linestatus", lit("ALL")).as("status"),
+          $"sum_qty")
+        .orderBy($"flag", $"status")
+    },
+
+    // ---- having ----------------------------------------------------------------
+    sql(
+      "q16_big_suppliers",
+      """SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING sum(l_quantity) > 14000
+        |ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy($"l_suppkey")
+        .agg(round(sum($"l_quantity"), 2).as("total_qty"), sum($"l_quantity").as("raw"))
+        .filter($"raw" > 14000)
+        .select($"l_suppkey", $"total_qty")
+        .orderBy($"l_suppkey")
+    },
+
+    // ---- count distinct ----------------------------------------------------------
+    sql(
+      "q17_distinct_parts_per_flag",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"))
+        .orderBy($"l_returnflag")
+    },
+
+    // ---- event-time bucketing (batch analogue of the streaming window) -----------
+    sql(
+      "q18_hourly_events",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour_ts, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+        .orderBy($"hour_ts", $"event_type")
+    },
+
+    // ---- top-k by frequency ---------------------------------------------------------
+    sql(
+      "q19_top_users",
+      """SELECT user_id, count(*) AS n_events
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY n_events DESC, user_id
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy($"n_events".desc, $"user_id")
+        .limit(20)
+    },
+
+    // ---- scalar expression surface ------------------------------------------------
+    sql(
+      "q20_scalar_functions",
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS pri_upper,
+        |  substr(o_orderstatus, 1, 1) AS status_c,
+        |  CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(month(o_orderdate) AS INT) AS order_month,
+        |  round(sqrt(o_totalprice), 4) AS price_sqrt,
+        |  CASE WHEN o_totalprice >= 250000 THEN 'big'
+        |       WHEN o_totalprice >= 100000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  CAST(length(o_orderpriority) AS INT) AS pri_len
+        |FROM orders
+        |WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter($"o_orderkey" < 1000)
+        .select(
+          $"o_orderkey",
+          upper($"o_orderpriority").as("pri_upper"),
+          substring($"o_orderstatus", 1, 1).as("status_c"),
+          year($"o_orderdate").as("order_year"),
+          month($"o_orderdate").as("order_month"),
+          round(sqrt($"o_totalprice"), 4).as("price_sqrt"),
+          when($"o_totalprice" >= 250000, "big")
+            .when($"o_totalprice" >= 100000, "mid")
+            .otherwise("small").as("bucket"),
+          length($"o_orderpriority").as("pri_len"))
+        .orderBy($"o_orderkey")
+    }
+  )
+
+  // sugar: $"..." without a SparkSession import at every use site
+  private implicit class Str(val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column =
+      col(sc.s(args: _*))
+  }
+}

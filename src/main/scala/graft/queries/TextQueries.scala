@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions.Sql
+import graft.operators.Dedup
+
+/** Text-analysis + dedup operator surface over `documents`
+  * (SURVEY.md north-star extensions: language-ID, quality scoring,
+  * token counting, fingerprinting, exact + MinHash/SimHash dedup).
+  * Oracles are generated from [[TextFunctions.Sql]] so Spark and DuckDB
+  * definitions stay in lockstep.
+  */
+object TextQueries {
+  import QueryDef._
+
+  val all: Seq[QueryDef] = Seq(
+    sql(
+      "t01_token_stats",
+      s"""SELECT doc_id, ${Sql.tokenCount("text")} AS n_tokens,
+         |  CAST(length(text) AS INT) AS n_chars_actual
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_actual"))
+        .orderBy(col("doc_id"))
+    },
+
+    sql(
+      "t02_fingerprint",
+      s"""SELECT doc_id, ${Sql.fingerprint("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    sql(
+      "t03_dedup_exact",
+      s"""SELECT fingerprint, keep_id, dup_count FROM (
+         |  SELECT ${Sql.fingerprint("text")} AS fingerprint,
+         |         CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |         count(*) AS dup_count
+         |  FROM documents GROUP BY 1)
+         |ORDER BY fingerprint""".stripMargin) { (s, d) =>
+      Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy(col("fingerprint"))
+    },
+
+    sql(
+      "t04_dedup_prefix_blocks",
+      s"""SELECT pfp, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_count
+         |FROM (SELECT doc_id, ${Sql.prefixFingerprint("text", 50)} AS pfp FROM documents)
+         |GROUP BY pfp HAVING count(*) > 1
+         |ORDER BY pfp""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.prefixFingerprint(col("text"), 50).as("pfp"))
+        .groupBy(col("pfp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+        .filter(col("dup_count") > 1)
+        .orderBy(col("pfp"))
+    },
+
+    sql(
+      "t05_lang_id",
+      s"""SELECT doc_id, ${Sql.langId("text")} AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    sql(
+      "t06_quality_score",
+      s"""SELECT doc_id, ${Sql.qualityScore("text")} AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Rolling-hash fingerprint: crc32-based; no DuckDB twin → rows-only.
+    rowsOnly("t07_rolling_fingerprint") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.rollingFingerprint(col("text")).as("rfp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // MinHash signatures (murmur3-based; not expressible in DuckDB) → rows-only.
+    rowsOnly("t08_minhash_signatures") { (s, d) =>
+      Dedup.minHashSignatures(Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy(col("id"))
+    },
+
+    // MinHash+LSH near-dup pairs → rows-only (driver checks rows>0).
+    rowsOnly("t09_minhash_neardup_pairs") { (s, d) =>
+      Dedup.minHashPairs(Tables.documents(s, d), col("text"), col("doc_id"),
+          threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash signatures → rows-only.
+    rowsOnly("t10_simhash") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simHash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact n-gram Jaccard on LSH candidate pairs (verify stage) → rows-only.
+    rowsOnly("t11_ngram_jaccard_pairs") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cand = Dedup.minHashCandidatePairs(docs, col("text"), col("doc_id"))
+      cand
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          Dedup.ngramJaccard(col("text_a"), col("text_b")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  )
+}
