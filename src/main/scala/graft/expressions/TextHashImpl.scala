@@ -1,0 +1,167 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text-hashing kernels backing the native expressions in
+  * [[TextHashExpressions]]. Each method makes a single scan over the
+  * input string — tokenization, shingling, and all k hash families are
+  * fused — replacing chains of interpreted higher-order-function
+  * expressions that re-derived the token/shingle arrays per hash family.
+  *
+  * All hashing is splitmix64-style (deterministic, seed-free), so results
+  * are identical across executors, runs, and partitionings. Methods are
+  * exposed on the companion class via static forwarders so generated
+  * (janino) code can call them directly.
+  */
+object TextHashImpl {
+
+  /** splitmix64 finalizer — strong 64-bit mix. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Tokens of the normalized text (lowercase, alnum runs), identical in
+    * semantics to `TextFunctions.tokens`: lowercase → collapse non-alnum
+    * runs → split. Single pass, no regex. */
+  def tokenize(s: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = Character.toLowerCase(s.charAt(i))
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.result()
+  }
+
+  /** 64-bit hashes of the word n-gram shingles of `s` (rolling window of
+    * per-token hashes combined polynomially, then mixed). Empty when the
+    * text has fewer than n tokens. */
+  def shingleHashes(s: String, n: Int): Array[Long] = {
+    val toks = tokenize(s)
+    if (toks.length < n) return Array.emptyLongArray
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = mix64(hashString(toks(i))); i += 1 }
+    val out = new Array[Long](toks.length - n + 1)
+    i = 0
+    while (i + n <= toks.length) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < n) { h = h * 31 + th(i + j); j += 1 }
+      out(i) = mix64(h)
+      i += 1
+    }
+    out
+  }
+
+  @inline private def hashString(t: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < t.length) { h = h * 31 + t.charAt(i); i += 1 }
+    h
+  }
+
+  /** k-wide MinHash signature over the n-gram shingle set: family j is
+    * the splitmix64 mix of (shingleHash ^ seed_j). Docs with < n tokens
+    * get the all-Long.MaxValue signature (empty set sentinel). */
+  def minHash(s: UTF8String, n: Int, k: Int): ArrayData = {
+    val hs = shingleHashes(s.toString, n)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var j = 0
+      while (j < k) {
+        val m = mix64(h ^ (j * 0xc2b2ae3d27d4eb4fL))
+        if (m < sig(j)) sig(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Per-band hashes of the MinHash signature (LSH banding), fused with
+    * the signature computation so one expression eval produces the
+    * explode-ready band array. */
+  def minHashBands(s: UTF8String, n: Int, k: Int, rowsPerBand: Int): ArrayData = {
+    val sig = minHash(s, n, k).toLongArray()
+    val nBands = k / rowsPerBand
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < rowsPerBand) { h = h * 31 + sig(b * rowsPerBand + j); j += 1 }
+      out(b) = mix64(h)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fraction of agreeing positions between two equal-width signatures —
+    * the unbiased MinHash estimate of Jaccard similarity. */
+  def sigAgreement(a: ArrayData, b: ArrayData): Double = {
+    val k = a.numElements()
+    var agree = 0
+    var i = 0
+    while (i < k) {
+      if (a.getLong(i) == b.getLong(i)) agree += 1
+      i += 1
+    }
+    agree.toDouble / k
+  }
+
+  /** Exact Jaccard similarity of the two texts' distinct n-gram shingle
+    * sets (hash-set based; collisions at 64 bits are negligible). */
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val ha = shingleHashes(a.toString, n)
+    val hb = shingleHashes(b.toString, n)
+    val sa = new java.util.HashSet[Long]()
+    var i = 0
+    while (i < ha.length) { sa.add(ha(i)); i += 1 }
+    val sb = new java.util.HashSet[Long]()
+    i = 0
+    while (i < hb.length) { sb.add(hb(i)); i += 1 }
+    if (sa.isEmpty && sb.isEmpty) return 0.0
+    var inter = 0
+    val it = sb.iterator()
+    while (it.hasNext) { if (sa.contains(it.next())) inter += 1 }
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** 64-bit SimHash over the tokens: bit i of the result is the sign of
+    * the sum over tokens of ±1 votes from bit i of the token's hash. */
+  def simHash(s: UTF8String): Long = {
+    val toks = tokenize(s.toString)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = mix64(hashString(toks(i)))
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+}
