@@ -48,7 +48,7 @@ def df_hash(df):
 fails = []
 for name in sorted(oracle):
     sql = oracle[name]
-    files = glob.glob(f"{OUT}/{name}/*.parquet")
+    files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
     if not files:
         fails.append((name, "no spark output"))
         continue
@@ -87,7 +87,7 @@ for name in sorted(oracle):
 
 rows_only = [n for n in sorted(x.split('/')[-1] for x in glob.glob(f"{OUT}/*") if '.' not in x.split('/')[-1]) if n not in oracle]
 for name in rows_only:
-    files = glob.glob(f"{OUT}/{name}/*.parquet")
+    files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
     n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
     status = "OK" if n > 0 else "EMPTY!"
     print(f"  {status:5s} {name} (rows-only, {n} rows)")

@@ -22,12 +22,16 @@ object GngQueries {
 
   val all: Seq[QueryDef] = Seq(
     // Final prototype table after 20 deterministic micro-batches.
+    // Centroid rendered as a CSV string (reference snapshot format,
+    // pointObj.scala:16-18) — also keeps the driver's pandas row-compare
+    // away from raw array cells (unhashable numpy.ndarray).
     rowsOnly("gng_prototypes") { (s, d) =>
       val m = trained(s, d)
       import s.implicits._
       m.nodes.toSeq.zipWithIndex.map { case (p, i) =>
         (i, p.id, m.clusterWeights(i), math.round(m.errors(i) * 1e4) / 1e4,
-          p.assignedIds.size, p.centroid.toSeq)
+          p.assignedIds.size,
+          p.centroid.map(v => math.round(v * 1e6) / 1e6).mkString(", "))
       }.toDF("node_idx", "node_id", "weight", "error", "n_assigned", "centroid")
         .orderBy(col("node_idx"))
     },

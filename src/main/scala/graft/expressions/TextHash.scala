@@ -1,0 +1,141 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftx
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-hash pipeline (MinHash /
+  * SimHash / shingle Jaccard), replacing the round-1 chains of
+  * interpreted higher-order functions (the old `Dedup.minHashArray`
+  * evaluated `transform(shingles, ...)` 16× per row, re-deriving the
+  * token and shingle arrays for every hash family — 157 s for 5 000
+  * docs at sf0.1).
+  *
+  * Each expression evaluates one [[TextHashImpl]] kernel: a single
+  * fused pass over the string. `doGenCode` emits a static call into
+  * the kernel, so the expressions participate in whole-stage codegen —
+  * no interpreted-eval island, no UDF serde boundary.
+  *
+  * Re-expresses (Spark-first) the hashing the reference computes with
+  * Breeze-side Scala (distance-based assignment aside, the reference
+  * has no text ops — these are the training-data-pipeline extensions
+  * from SURVEY.md §7.2.5).
+  */
+object TextHash {
+
+  /** `minhash_sig(text, n, k)` → array<bigint> signature; NULL for docs
+    * with fewer than n tokens (empty shingle set matches nothing). */
+  def minHashSig(text: Column, n: Int = 3, k: Int = 16): Column =
+    graftx.column(MinHashSig(graftx.expr(text), n, k))
+
+  /** `minhash_bands(text, n, k, rowsPerBand)` → array<bigint> of per-band
+    * hashes (LSH banding fused with signature computation); NULL for
+    * short docs — `posexplode` then emits no rows, which is exactly the
+    * "empty set joins nothing" semantics. */
+  def minHashBands(text: Column, n: Int = 3, k: Int = 16, rowsPerBand: Int = 4): Column =
+    graftx.column(MinHashBands(graftx.expr(text), n, k, rowsPerBand))
+
+  /** Fraction of agreeing positions of two equal-width signatures — the
+    * unbiased MinHash estimate of Jaccard similarity. */
+  def sigAgreement(a: Column, b: Column): Column =
+    graftx.column(SigAgreement(graftx.expr(a), graftx.expr(b)))
+
+  /** Exact Jaccard similarity of the two texts' distinct word-n-gram
+    * shingle sets. */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
+    graftx.column(NgramJaccard(graftx.expr(a), graftx.expr(b), n))
+
+  /** 64-bit SimHash over the normalized tokens. */
+  def simHash64(text: Column): Column =
+    graftx.column(SimHash64(graftx.expr(text)))
+}
+
+case class MinHashSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.minHash(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.TextHashImpl.minHash($c, $n, $k);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+case class MinHashBands(child: Expression, n: Int, k: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(k % rowsPerBand == 0, s"k=$k must be a multiple of rowsPerBand=$rowsPerBand")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.minHashBands(input.asInstanceOf[UTF8String], n, k, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.TextHashImpl.minHashBands($c, $n, $k, $rowsPerBand);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+case class SigAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "minhash_agreement"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashImpl.sigAgreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.TextHashImpl.sigAgreement($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
+case class NgramJaccard(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ngram_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHashImpl.ngramJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.TextHashImpl.ngramJaccard($a, $b, $n)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NgramJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.simHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.simHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

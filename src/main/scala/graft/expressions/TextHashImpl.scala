@@ -3,8 +3,8 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** One-pass text-hashing kernels backing the native expressions in
-  * [[TextHashExpressions]]. Each method makes a single scan over the
+/** One-pass text-hashing kernels backing the native Catalyst expressions
+  * in [[TextHash]]. Each method makes a single scan over the
   * input string — tokenization, shingling, and all k hash families are
   * fused — replacing chains of interpreted higher-order-function
   * expressions that re-derived the token/shingle arrays per hash family.
@@ -72,9 +72,12 @@ object TextHashImpl {
 
   /** k-wide MinHash signature over the n-gram shingle set: family j is
     * the splitmix64 mix of (shingleHash ^ seed_j). Docs with < n tokens
-    * get the all-Long.MaxValue signature (empty set sentinel). */
+    * have an empty shingle set and get a NULL signature — never a
+    * sentinel that would collide all short docs into every LSH bucket
+    * (Jaccard with an empty set is 0, so they match nothing). */
   def minHash(s: UTF8String, n: Int, k: Int): ArrayData = {
     val hs = shingleHashes(s.toString, n)
+    if (hs.isEmpty) return null
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var i = 0
@@ -95,7 +98,9 @@ object TextHashImpl {
     * the signature computation so one expression eval produces the
     * explode-ready band array. */
   def minHashBands(s: UTF8String, n: Int, k: Int, rowsPerBand: Int): ArrayData = {
-    val sig = minHash(s, n, k).toLongArray()
+    val sigData = minHash(s, n, k)
+    if (sigData == null) return null
+    val sig = sigData.toLongArray()
     val nBands = k / rowsPerBand
     val out = new Array[Long](nBands)
     var b = 0

@@ -125,6 +125,24 @@ object TextFunctions {
       bestLang
     }
 
+    /** Distinct word-n-gram shingle set of the normalized text as a
+      * DuckDB list — the twin of [[graft.expressions.TextHashImpl.shingleHashes]]
+      * semantics (the Spark side compares 64-bit shingle hashes; equal
+      * strings hash equal, distinct strings collide with negligible
+      * probability, so set sizes agree). */
+    def shingleSet(c: String, n: Int): String = {
+      val toks = s"string_split(${normalizeText(c)}, ' ')"
+      val gram = (0 until n).map(j => s"t[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+      s"(SELECT list_distinct(list_transform(generate_series(1, greatest(len(t) - ${n - 1}, 0)), i -> $gram)) FROM (SELECT $toks AS t) _sh)"
+    }
+
+    /** Jaccard of two DuckDB lists (already distinct), 4 dp; 0.0 when
+      * both are empty. */
+    def listJaccard(a: String, b: String): String =
+      s"""CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0
+         |     ELSE round(CAST(len(list_distinct(list_intersect($a, $b))) AS DOUBLE)
+         |                / len(list_distinct(list_concat($a, $b))), 4) END""".stripMargin
+
     def qualityScore(c: String): String = {
       val chars = s"CAST(greatest(length($c), 1) AS DOUBLE)"
       val punct = s"CAST(len(regexp_extract_all($c, '[^a-zA-Z0-9\\s]')) AS DOUBLE)"

@@ -54,11 +54,14 @@ object Similarity {
       }: _*),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
 
-  /** Attach an LSH bucket id to every row. */
+  /** Attach an LSH bucket id to every row. `dim` (embedding width) may
+    * be passed by callers that know it (e.g. from a query vector);
+    * otherwise it is probed from the first row — a `limit(1)` job, with
+    * a meaningful error on empty input. */
   def lshBuckets(df: DataFrame, embCol: Column, idCol: Column,
-      nBits: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = firstDim(df, embCol)
-    val planes = hyperplanes(nBits, dim, seed)
+      nBits: Int = 8, seed: Long = 42L, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else firstDim(df, embCol)
+    val planes = hyperplanes(nBits, d, seed)
     df.select(idCol.as("id"), embCol.as("emb"),
       lshSignature(embCol, planes).as("bucket"))
   }
@@ -73,7 +76,7 @@ object Similarity {
       val d = p.zip(query).map { case (a, b) => a * b }.sum
       if (d >= 0) 1L << i else 0L
     }.reduce(_ | _)
-    val bucketed = lshBuckets(df, embCol, idCol, nBits, seed)
+    val bucketed = lshBuckets(df, embCol, idCol, nBits, seed, dim = query.length)
     bucketed.filter($"bucket" === qSig)
       .select($"id", round(cosineSimilarity(asDouble($"emb"), array(query.map(lit): _*)), 4).as("score"))
       .orderBy($"score".desc, $"id")
@@ -95,10 +98,14 @@ object Similarity {
       .filter($"cosine" >= threshold)
   }
 
-  /** Read the embedding dimensionality from the first row (driver-side,
-    * one-row action — schema metadata, not data iteration). */
-  private def firstDim(df: DataFrame, embCol: Column): Int =
-    df.select(size(embCol)).head().getInt(0)
+  /** Probe the embedding dimensionality from the first row — a
+    * `limit(1)` Spark job (ArrayType carries no length in the schema).
+    * Callers that already know the width should pass `dim` instead. */
+  private def firstDim(df: DataFrame, embCol: Column): Int = {
+    val row = df.select(size(embCol)).limit(1).collect()
+    require(row.nonEmpty, "cannot infer embedding dim from an empty DataFrame; pass dim explicitly")
+    row(0).getInt(0)
+  }
 
   private implicit class Str(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -24,14 +24,16 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader
     * rejects. Read nanos as long (legacy conf) and convert to a regular
-    * microsecond timestamp (floor division — DuckDB truncates the same
-    * way when cast to TIMESTAMP). */
+    * microsecond timestamp. `div` is exact integer division — epoch
+    * nanos (~1.7e18) exceed double's 53-bit mantissa, so the float `/`
+    * operator would round ~12% of rows 1µs off versus DuckDB's integer
+    * truncation. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
     df.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

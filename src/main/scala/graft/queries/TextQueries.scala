@@ -88,9 +88,14 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
-    // MinHash signatures (murmur3-based; not expressible in DuckDB) → rows-only.
+    // MinHash signatures (splitmix64-based; not expressible in DuckDB)
+    // → rows-only. The signature is rendered as a CSV string: the
+    // driver's pandas compare sorts row values and crashes on raw
+    // array cells (unhashable numpy.ndarray).
     rowsOnly("t08_minhash_signatures") { (s, d) =>
       Dedup.minHashSignatures(Tables.documents(s, d), col("text"), col("doc_id"))
+        .select(col("id"),
+          array_join(col("minhash").cast("array<string>"), ",").as("minhash_csv"))
         .orderBy(col("id"))
     },
 
@@ -108,15 +113,27 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Exact n-gram Jaccard on LSH candidate pairs (verify stage) → rows-only.
-    rowsOnly("t11_ngram_jaccard_pairs") { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val cand = Dedup.minHashCandidatePairs(docs, col("text"), col("doc_id"))
-      cand
-        .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
-        .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+    // Exact n-gram Jaccard verify stage over deterministic blocking
+    // (prefix-fingerprint pairs — the t04 blocks) → full DuckDB oracle.
+    // The LSH-candidate variant of the same verify runs in t09.
+    sql(
+      "t11_ngram_jaccard_pairs",
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${Sql.prefixFingerprint("text", 50)} AS pfp,
+         |         ${Sql.shingleSet("text", 3)} AS s
+         |  FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  ${Sql.listJaccard("a.s", "b.s")} AS jaccard
+         |FROM sh a JOIN sh b ON a.pfp = b.pfp AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val keyed = Tables.documents(s, d).select(
+        col("doc_id"), col("text"),
+        TextFunctions.prefixFingerprint(col("text"), 50).as("pfp"))
+      keyed.select(col("pfp"), col("doc_id").as("id_a"), col("text").as("text_a"))
+        .join(keyed.select(col("pfp"), col("doc_id").as("id_b"), col("text").as("text_b")), "pfp")
+        .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          Dedup.ngramJaccard(col("text_a"), col("text_b")).as("jaccard"))
+          round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }
   )
