@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSupport
+
+/** DataFrame-level dedup pipeline: exact, MinHash-LSH block+verify,
+  * SimHash, n-gram Jaccard. */
+class DedupSpec extends AnyFunSuite with SparkTestSupport {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "The quick brown fox jumps over the lazy dog near the river bank today!"), // exact after normalize
+      (3L, "The quick brown fox jumps over the lazy dog near the river bank yesterday"), // near-dup
+      (4L, "Completely different content about quantum physics and machine learning models"),
+      (5L, "hi"), // < 3 tokens → empty shingle set
+      (6L, "ok"), // < 3 tokens
+      (7L, "")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups normalized-identical docs, keeps min id") {
+    val groups = Dedup.exact(docs, col("text"), col("doc_id"))
+      .filter(col("dup_count") > 1).collect()
+    assert(groups.length === 1)
+    assert(groups(0).getAs[Long]("keep_id") === 1L)
+    assert(groups(0).getAs[Long]("dup_count") === 2L)
+  }
+
+  test("minHashSignatures: NULL signature for short docs, k-wide otherwise") {
+    val sigs = Dedup.minHashSignatures(docs, col("text"), col("doc_id"), n = 3, k = 16)
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[Seq[Long]]("minhash"))).toMap
+    assert(sigs(1L).get.length === 16)
+    assert(sigs(5L).isEmpty && sigs(6L).isEmpty && sigs(7L).isEmpty)
+    assert(sigs(1L) === sigs(2L)) // normalization removes the "!"
+  }
+
+  test("minHashCandidatePairs finds near-dups, never pairs short docs (regression)") {
+    val pairs = Dedup.minHashCandidatePairs(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    // the round-1 sentinel bug paired every short/empty doc; must be gone
+    assert(!pairs.exists { case (a, b) => a >= 5L || b >= 5L })
+  }
+
+  test("minHashPairs estimates jaccard ≈ 1.0 for exact dup, filters by threshold") {
+    val pairs = Dedup.minHashPairs(docs, col("text"), col("doc_id"), threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("simHashSignatures: equal for identical docs, close for near-dups") {
+    val sigs = Dedup.simHashSignatures(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) < 12)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 12)
+  }
+
+  test("ngramJaccard column: 1.0 for normalized-equal, 0.0 for empty") {
+    import spark.implicits._
+    val out = docs.as("a").crossJoin(docs.as("b"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        Dedup.ngramJaccard(col("a.text"), col("b.text")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(out((5L, 6L)) === 0.0) // both empty shingle sets
+    assert(out((1L, 7L)) === 0.0)
+    assert(out((1L, 3L)) > 0.5 && out((1L, 3L)) < 1.0)
+    assert(out((1L, 4L)) < 0.1)
+  }
+}

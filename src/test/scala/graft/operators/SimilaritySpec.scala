@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSupport
+
+/** Embedding similarity search: brute-force kNN oracle, LSH bucketing,
+  * and the near-dup pair pipeline. */
+class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
+
+  // 2-D embeddings on the unit circle at known angles: cosine to a query
+  // along angle 0 is just cos(angle) — exact expected ranking.
+  private lazy val embs = {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0.0), (2L, 0.1), (3L, 0.5), (4L, 1.2),
+      (5L, 2.0), (6L, 2.8), (7L, math.Pi)
+    ).map { case (id, ang) => (id, Array(math.cos(ang).toFloat, math.sin(ang).toFloat)) }
+    rows.toDF("id", "emb")
+  }
+
+  private val query = Array(1.0, 0.0)
+
+  test("bruteForceKnn ranks by exact cosine, descending") {
+    val top3 = Similarity.bruteForceKnn(embs, col("emb"), col("id"), query, 3)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(top3 === Seq(1L, 2L, 3L))
+  }
+
+  test("bruteForceKnn scores match cos(angle) to 4dp") {
+    val scores = Similarity.bruteForceKnn(embs, col("emb"), col("id"), query, 7)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    assert(math.abs(scores(1L) - 1.0) < 1e-3)
+    assert(math.abs(scores(7L) - (-1.0)) < 1e-3)
+    assert(math.abs(scores(3L) - math.cos(0.5)) < 1e-3)
+  }
+
+  test("lshBuckets is deterministic and groups nearby vectors") {
+    val b1 = Similarity.lshBuckets(embs, col("emb"), col("id"), nBits = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
+    val b2 = Similarity.lshBuckets(embs, col("emb"), col("id"), nBits = 4, dim = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
+    assert(b1 === b2) // probed dim == passed dim
+    assert(b1(1L) === b1(2L)) // 0.1 rad apart → same halfspaces at 4 bits (seeded)
+  }
+
+  test("lshBuckets on empty input raises a meaningful error") {
+    val empty = embs.filter(col("id") > 100L)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshBuckets(empty, col("emb"), col("id"))
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("lshKnn returns a subset of brute-force candidates, correctly ranked") {
+    val lsh = Similarity.lshKnn(embs, col("emb"), col("id"), query, k = 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score"))
+    // single-probe: every returned row shares the query's bucket; ranking
+    // within the bucket must match exact cosine order
+    assert(lsh.map(_._2).toSeq === lsh.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+    assert(lsh.map(_._1).contains(1L)) // the query's own direction must bucket with it
+  }
+
+  test("cosineNearDupPairs finds close pairs above threshold, none across") {
+    val pairs = Similarity.cosineNearDupPairs(embs, col("emb"), col("id"), threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // cos(0.1) ≈ 0.995
+    assert(!pairs.exists { case (a, b) => a == 1L && b == 7L }) // antipodal
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import graft.SparkTestSupport
+import graft.model.{GngParams, Point}
+
+/** End-to-end G-Stream: batch (fitChunked) determinism and the
+  * Structured Streaming file-source path (trainStreaming), mirroring the
+  * reference's single JUnit test (batchStreamTest.scala:10-17) but with
+  * assertions. */
+class GStreamSpec extends AnyFunSuite with SparkTestSupport {
+
+  /** Two well-separated 2-D clusters; ids 1..n. */
+  private def clusterPoints(n: Int): Seq[Point] = {
+    val rng = new scala.util.Random(11)
+    (1 to n).map { i =>
+      val (cx, cy) = if (i % 2 == 0) (0.0, 0.0) else (100.0, 100.0)
+      Point(Array(cx + rng.nextGaussian(), cy + rng.nextGaussian()), i % 2, i.toLong)
+    }
+  }
+
+  test("fitChunked is deterministic and learns both cluster centers") {
+    import spark.implicits._
+    val pts = spark.createDataset(clusterPoints(400))
+    val params = GngParams()
+    val m1 = GStream.fitChunked(pts, params, nChunks = 10)
+    val m2 = GStream.fitChunked(pts, params, nChunks = 10)
+    assert(m1.nodeCount === m2.nodeCount)
+    assert(m1.prototypeLines === m2.prototypeLines)
+    // growth ran (kk=5,10): 2 + 2*3 = 8 nodes unless pruned
+    assert(m1.nodeCount > 2)
+    // some centroid near each cluster center
+    def nearest(cx: Double, cy: Double) = m1.nodes.map { p =>
+      math.hypot(p.centroid(0) - cx, p.centroid(1) - cy)
+    }.min
+    assert(nearest(0, 0) < 15.0)
+    assert(nearest(100, 100) < 15.0)
+  }
+
+  test("csvToPoints parses the reference CSV shape (features..., label, id)") {
+    import spark.implicits._
+    val df = Seq("1.5,2.5,0,7", "3.0,4.0,1,8").toDF("value")
+    val pts = GStream.csvToPoints(df).collect().sortBy(_.id)
+    assert(pts(0).features.toSeq === Seq(1.5, 2.5) && pts(0).label === 0 && pts(0).id === 7L)
+    assert(pts(1).features.toSeq === Seq(3.0, 4.0) && pts(1).label === 1 && pts(1).id === 8L)
+  }
+
+  test("trainStreaming consumes files as micro-batches and snapshots the model") {
+    val inDir = Files.createTempDirectory("gstream-in").toString
+    val outDir = Files.createTempDirectory("gstream-out").toString
+    val pts = clusterPoints(60)
+    val model = {
+      import spark.implicits._
+      GStream.bootstrap(spark.createDataset(pts.take(2)), GngParams(growEvery = 2))
+    }
+    // one file per micro-batch (maxFilesPerTrigger=1), written BEFORE the
+    // stream starts — the file source picks up pre-existing files too
+    pts.grouped(20).zipWithIndex.foreach { case (chunk, i) =>
+      val lines = chunk.map(p => s"${p.features(0)},${p.features(1)},${p.label},${p.id}")
+      Files.write(Paths.get(inDir, s"batch-$i.csv"),
+        String.join("\n", lines: _*).getBytes)
+    }
+    val q = GStream.trainStreaming(spark, inDir, model,
+      outDir = Some(outDir), snapshotEvery = 1, triggerMs = 50L)
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (model.nodes.isEmpty ||
+        !Files.exists(Paths.get(outDir, "Prototypes-3")) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    assert(Files.exists(Paths.get(outDir, "Prototypes-1")))
+    assert(Files.exists(Paths.get(outDir, "Prototypes-3")))
+    assert(model.nodeCount >= 2)
+    // snapshot contents parse back as centroids
+    val protoFile = Files.list(Paths.get(outDir, "Prototypes-3")).toArray
+      .map(_.toString).filter(_.contains("part-")).head
+    val lines = Files.readAllLines(Paths.get(protoFile))
+    assert(lines.size === model.nodeCount || lines.size > 0)
+  }
+}
