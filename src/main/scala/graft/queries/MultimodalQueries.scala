@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.queries.QueryDef.{rowsOnly, sql}
+
+/** Multimodal binary-column operators over the documents table.
+  *
+  * There is no binary fixture table, so each query synthesizes payloads
+  * deterministically from `documents`: a format magic chosen by
+  * `doc_id % 4` (JPEG / PNG / RIFF / none) prepended to the UTF-8 text
+  * bytes. Both engines build the identical blob, so metadata, format
+  * sniffing, and frame hashing are verified end-to-end through real
+  * byte plumbing; only the decoders themselves are stubs (see
+  * [[graft.operators.Multimodal]]).
+  */
+object MultimodalQueries {
+
+  /** Spark-side payload: unhex(magic) || text bytes. */
+  private val payloadExpr =
+    expr("concat(unhex(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'FFD8FF' " +
+      "WHEN 1 THEN '89504E47' WHEN 2 THEN '52494646' ELSE '' END), " +
+      "CAST(text AS BINARY))")
+
+  /** DuckDB-side payload — byte-identical to [[payloadExpr]]. */
+  private val payloadSql =
+    "unhex(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'FFD8FF' " +
+      "WHEN 1 THEN '89504E47' WHEN 2 THEN '52494646' ELSE '' END) || encode(text)"
+
+  private val modalityCase =
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'image' " +
+      "WHEN 2 THEN 'audio' ELSE 'text' END"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Typed metadata over binary payloads: length, fingerprint, sniffed
+    // format (magic bytes), declared modality.
+    sql(
+      "m01_binary_meta",
+      s"""WITH b AS (SELECT doc_id, $payloadSql AS payload FROM documents)
+         |SELECT doc_id, CAST(octet_length(payload) AS INT) AS byte_len,
+         |  md5(hex(payload)) AS fingerprint,
+         |  CASE WHEN starts_with(hex(payload), 'FFD8FF') THEN 'jpeg'
+         |       WHEN starts_with(hex(payload), '89504E47') THEN 'png'
+         |       WHEN starts_with(hex(payload), '47494638') THEN 'gif'
+         |       WHEN starts_with(hex(payload), '52494646') THEN 'riff'
+         |       WHEN starts_with(hex(payload), '25504446') THEN 'pdf'
+         |       ELSE 'bin' END AS format,
+         |  $modalityCase AS modality
+         |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.binaryMeta(
+          Tables.documents(s, d).withColumn("payload", payloadExpr),
+          col("payload"), col("doc_id"))
+        .select(col("id").as("doc_id"), col("byte_len"), col("fingerprint"),
+          col("format"),
+          expr(modalityCase).as("modality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Frame sampling: every 2nd 64-byte frame of each payload, with a
+    // frame content hash — the video/audio frame-extraction dataflow.
+    sql(
+      "m02_frame_sample",
+      s"""WITH b AS (SELECT doc_id, $payloadSql AS payload FROM documents),
+         |f AS (SELECT doc_id, hex(payload) AS h,
+         |        unnest(generate_series(0, octet_length(payload) - 1, 128)) AS off
+         |      FROM b WHERE octet_length(payload) > 0)
+         |SELECT doc_id, CAST(off / 64 AS INT) AS frame_idx,
+         |  md5(substring(h, off * 2 + 1, 128)) AS frame_hash
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      Multimodal.frameSample(
+          Tables.documents(s, d).withColumn("payload", payloadExpr),
+          col("payload"), col("doc_id"), frameBytes = 64, every = 2)
+        .select(col("id").as("doc_id"), col("frame_idx"), col("frame_hash"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // STUB image decode + resize metadata for image-modality payloads.
+    sql(
+      "m03_image_decode",
+      s"""WITH b AS (SELECT doc_id, $payloadSql AS payload FROM documents
+         |           WHERE CAST(doc_id % 4 AS INT) IN (0, 1)),
+         |d AS (SELECT doc_id, octet_length(payload) AS len FROM b)
+         |SELECT doc_id,
+         |  CAST(16 + len % 240 AS INT) AS width,
+         |  CAST(16 + (len // 7) % 240 AS INT) AS height,
+         |  CAST(1 + len % 3 AS INT) AS channels,
+         |  CAST(224 * 224 * (1 + len % 3) AS INT) AS resized_est_bytes
+         |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .filter(expr("CAST(doc_id % 4 AS INT) IN (0, 1)"))
+        .withColumn("payload", payloadExpr)
+        .withColumn("meta", Multimodal.decodeImageStub(col("payload")))
+        .withColumn("resized", Multimodal.resizeStub(col("meta"), 224, 224))
+      docs.select(
+          col("doc_id"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.channels").as("channels"),
+          col("resized.est_bytes").as("resized_est_bytes"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Byte-level feature embedding (kernel expression) → rendered as CSV
+    // (kernel not expressible in DuckDB → rows-only). The features feed
+    // the Similarity stack; m05 exercises that composition.
+    rowsOnly("m04_binary_features") { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("payload", payloadExpr)
+        .select(col("doc_id"),
+          Multimodal.extractFeatures(col("payload"), dim = 16).as("f"))
+        .filter(col("f").isNotNull)
+        .select(col("doc_id"),
+          array_join(expr("transform(f, x -> CAST(x AS STRING))"), ",").as("features_csv"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Multimodal near-dup: binary features → LSH bucket self-join +
+    // exact cosine (reuses Similarity.cosineNearDupPairs end-to-end).
+    rowsOnly("m05_binary_neardup") { (s, d) =>
+      // 64-dim sketch: random-pair cosine noise ~1/√64 ≈ 0.125, so the
+      // 0.95 threshold only passes genuinely shared-content payloads
+      val feats = Tables.documents(s, d)
+        .withColumn("payload", payloadExpr)
+        .select(col("doc_id"),
+          Multimodal.extractFeatures(col("payload"), dim = 64).as("emb"))
+        .filter(col("emb").isNotNull)
+      graft.operators.Similarity
+        .cosineNearDupPairs(feats, col("emb"), col("doc_id"), threshold = 0.95, nBits = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  )
+}
