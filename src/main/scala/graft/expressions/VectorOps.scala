@@ -1,0 +1,112 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftx
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for dense-vector math over
+  * `array<double>`: single fused loop per row inside whole-stage codegen,
+  * replacing interpreted `zip_with`/`aggregate` higher-order-function
+  * chains (which evaluate a lambda per element per row — the dominant
+  * cost in LSH-verify joins like v05, where each of ~n²/2^bits candidate
+  * pairs evaluates a 64-dim cosine).
+  *
+  * Semantics identical to the HOF forms in
+  * [[graft.functions.VectorFunctions]] (which delegate here): positions
+  * are paired by index; inputs must be equal-length. */
+object VectorOps {
+  def dot(a: Column, b: Column): Column =
+    graftx.column(DotProduct(graftx.expr(a), graftx.expr(b)))
+  def squaredDistance(a: Column, b: Column): Column =
+    graftx.column(SquaredDistance(graftx.expr(a), graftx.expr(b)))
+  def cosineSimilarity(a: Column, b: Column): Column =
+    graftx.column(CosineSimilarity(graftx.expr(a), graftx.expr(b)))
+  def norm2(a: Column): Column =
+    graftx.column(L2Norm(graftx.expr(a)))
+}
+
+object VectorOpsImpl {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+  def squaredDistance(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val t = a.getDouble(i) - b.getDouble(i); s += t * t; i += 1 }
+    s
+  }
+  /** a·b / (‖a‖‖b‖) in one pass; NaN when either norm is 0 (same as the
+    * HOF form's 0/0). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+  def norm2(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+}
+
+sealed abstract class VectorBinary extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  protected def implName: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.VectorOpsImpl.$implName($a, $b)")
+}
+
+case class DotProduct(left: Expression, right: Expression) extends VectorBinary {
+  override def prettyName: String = "vec_dot"
+  override protected def implName: String = "dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOpsImpl.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+case class SquaredDistance(left: Expression, right: Expression) extends VectorBinary {
+  override def prettyName: String = "vec_squared_distance"
+  override protected def implName: String = "squaredDistance"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOpsImpl.squaredDistance(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SquaredDistance =
+    copy(left = l, right = r)
+}
+
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinary {
+  override def prettyName: String = "vec_cosine_similarity"
+  override protected def implName: String = "cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOpsImpl.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+case class L2Norm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm2"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOpsImpl.norm2(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expressions.VectorOpsImpl.norm2($a)")
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+}

@@ -33,27 +33,25 @@ object VectorFunctions {
   def vecAxpy(s: Column, x: Column, y: Column): Column =
     zip_with(x, y, (xi, yi) => s * xi + yi)
 
-  /** Dot product Σ aᵢ·bᵢ. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product Σ aᵢ·bᵢ — native codegen'd kernel
+    * ([[graft.expressions.VectorOps]]); expects array<double>. */
+  def dot(a: Column, b: Column): Column = graft.expressions.VectorOps.dot(a, b)
 
   /** Squared Euclidean distance Σ (aᵢ−bᵢ)²
-    * (reference breeze.squaredDistance, used batchStreamModel.scala:115,342). */
+    * (reference breeze.squaredDistance, used batchStreamModel.scala:115,342);
+    * native codegen'd kernel. */
   def squaredDistance(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.expressions.VectorOps.squaredDistance(a, b)
 
   /** Euclidean distance (reference batchStreamModel.scala:129-139). */
   def euclideanDistance(a: Column, b: Column): Column = sqrt(squaredDistance(a, b))
 
-  /** L2 norm. */
-  def norm2(a: Column): Column = sqrt(dot(a, a))
+  /** L2 norm — native codegen'd kernel. */
+  def norm2(a: Column): Column = graft.expressions.VectorOps.norm2(a)
 
-  /** Cosine similarity a·b / (‖a‖‖b‖). */
+  /** Cosine similarity a·b / (‖a‖‖b‖) — one fused pass over both arrays. */
   def cosineSimilarity(a: Column, b: Column): Column =
-    dot(a, b) / (norm2(a) * norm2(b))
+    graft.expressions.VectorOps.cosineSimilarity(a, b)
 
   /** SOM neighborhood kernel exp(-‖a−b‖²/T)
     * (reference `kNeighborSOM`, batchStreamModel.scala:341-343). */

@@ -57,17 +57,22 @@ object GStream {
     * Faithful to the streaming loop (kk = 1-based non-empty batch
     * counter) but reproducible — used by tests, Verify and Bench. */
   def fitChunked(points: Dataset[Point], params: GngParams, nChunks: Int): GngModel = {
-    val model = bootstrap(points, params)
-    var kk = 0
-    for (c <- 0 until nChunks) {
-      val chunk = points.filter(col("id") % nChunks === c)
-      val stats = GngOps.assignAggregate(chunk, model.centroids)
-      if (stats.nonEmpty) { // P4 empty-batch guard (batchStream.scala:87)
-        kk += 1
-        model.update(stats, kk)
+    // One parquet read for the whole loop: each of the nChunks passes
+    // filters the cached points instead of re-scanning the source.
+    val cached = points.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = bootstrap(cached, params)
+      var kk = 0
+      for (c <- 0 until nChunks) {
+        val chunk = cached.filter(col("id") % nChunks === c)
+        val stats = GngOps.assignAggregate(chunk, model.centroids)
+        if (stats.nonEmpty) { // P4 empty-batch guard (batchStream.scala:87)
+          kk += 1
+          model.update(stats, kk)
+        }
       }
-    }
-    model
+      model
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Streaming training: file-source text stream of the reference's CSV
