@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingRelational
+import graft.queries.QueryDef.sql
+
+/** Structured Streaming operators surfaced through the driver contract:
+  * each query runs its streaming transform one-shot over the bounded
+  * events table ([[StreamingRelational.oneShot]]) and must hash-match
+  * the batch SQL oracle — streaming/batch parity is the correctness
+  * claim. */
+object StreamingQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Watermarked tumbling window (1h) per event type.
+    sql(
+      "s01_stream_hourly_type",
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, d) =>
+      StreamingRelational.oneShot(s,
+          StreamingRelational.hourlyTypeCounts(StreamingRelational.eventsStream(s, d)))
+        .orderBy(col("hour"), col("event_type"))
+    },
+
+    // Event-time session windows (30 min gap) per user. Spark's
+    // session_window merges an event landing EXACTLY gap after the
+    // previous one (merge on next.start <= prev.end), so the oracle
+    // splits only on a strictly greater gap.
+    sql(
+      "s02_stream_sessions",
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      StreamingRelational.oneShot(s,
+          StreamingRelational.userSessions(StreamingRelational.eventsStream(s, d)))
+        .orderBy(col("user_id"), col("session_start"))
+    }
+  )
+}

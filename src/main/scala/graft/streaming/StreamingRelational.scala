@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+
+/** Relational Structured Streaming surface: watermarked event-time
+  * windows, session windows, and custom keyed state — the streaming
+  * capabilities the reference's DStream loop lacks (SURVEY §2.9: "no
+  * watermarks, no event-time" — the new engine inherits them from
+  * Structured Streaming).
+  *
+  * Each transform is defined on an unbounded stream; [[oneShot]] runs it
+  * over a bounded file source with `Trigger.AvailableNow` into a memory
+  * sink, so the same code is verifiable against a batch SQL oracle and
+  * deployable against a real stream unchanged.
+  *
+  * Scale notes: streaming aggregation state is partitioned by group key
+  * across executors (RocksDB/HDFS state store in production); the
+  * watermark bounds state size for append-mode windows. The memory sink
+  * + complete mode here is test harnessing, not the production sink.
+  */
+object StreamingRelational {
+
+  private val memId = new AtomicLong(0)
+
+  /** Run a streaming transform over bounded input and return the final
+    * result table (memory sink, AvailableNow). `complete` mode emits
+    * every window — including those the watermark has not finalized at
+    * end-of-stream — which is what makes the result comparable to the
+    * batch oracle. */
+  def oneShot(spark: SparkSession, streamed: DataFrame,
+      mode: String = "complete"): DataFrame = {
+    val name = s"graft_mem_${memId.incrementAndGet()}"
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** The events table as a stream (same nanos→micros conversion as
+    * [[graft.queries.Tables.events]]). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source requires a directory: stream the sf dir,
+    // glob-filtered to the events table
+    spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregation: events per (hour, type)
+    * with summed value. The 1-hour watermark bounds append-mode state;
+    * under complete mode (verification) it is declared but not dropping. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Session windows per user: events closer than `gap` merge into one
+    * session (Spark `session_window`; sessions merge while
+    * next.ts < prev.ts + gap — i.e. a gap ≥ `gap` starts a new session). */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Custom keyed state via `mapGroupsWithState`: running per-user
+    * (count, value sum) across micro-batches — the keyed analogue of the
+    * reference's single global model state (SURVEY §2.9 T2 maps the
+    * global case to foreachBatch; this is the `KeyValueGroupedDataset`
+    * path for state that IS keyed). Emits the updated snapshot per key
+    * per batch (update output mode). */
+  def runningUserStats(events: Dataset[(Long, Double)]): Dataset[(Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (c0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var c = c0
+          var s = s0
+          rows.foreach { r => c += 1; s += r._2 }
+          state.update((c, s))
+          (userId, c, math.round(s * 100.0) / 100.0)
+      }
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+import graft.SparkTestSupport
+
+/** Structured Streaming relational ops: streaming/batch parity for
+  * windows and sessions, and multi-batch keyed state via
+  * mapGroupsWithState. */
+class StreamingRelationalSpec extends AnyFunSuite with SparkTestSupport {
+
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def eventsDf(rows: (Int, Long, String, Double)*) = {
+    import spark.implicits._
+    rows.toSeq.map { case (m, u, t, v) => (ts(m), u, t, v) }
+      .toDF("ts", "user_id", "event_type", "value")
+  }
+
+  test("hourlyTypeCounts (streamed) equals batch groupBy") {
+    import spark.implicits._
+    val data = Seq(
+      (5, 1L, "click", 1.0), (25, 1L, "click", 2.0), (61, 1L, "click", 4.0),
+      (10, 2L, "view", 8.0), (70, 2L, "view", 16.0), (130, 2L, "view", 32.0))
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    mem.addData(data.take(3).map { case (m, u, t, v) => (ts(m), u, t, v) })
+    mem.addData(data.drop(3).map { case (m, u, t, v) => (ts(m), u, t, v) })
+    val streamed = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+    val out = StreamingRelational.oneShot(spark,
+      StreamingRelational.hourlyTypeCounts(streamed))
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val expected = eventsDf(data: _*)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === expected.toSeq)
+  }
+
+  test("userSessions merges events within gap (inclusive), splits beyond it") {
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    // user 1: events at 0, 20, 39 min (one session: gaps 20, 19 < 30)
+    //         then 90 min (new session: gap 51)
+    // user 2: events at 0, 30 min — gap EXACTLY 30 → session_window
+    //         MERGES (next.start == prev.end; split requires gap > 30)
+    mem.addData(Seq((ts(0), 1L, 1.0), (ts(20), 1L, 2.0), (ts(39), 1L, 4.0),
+      (ts(90), 1L, 8.0), (ts(0), 2L, 1.0), (ts(30), 2L, 2.0)))
+    val streamed = mem.toDF.toDF("ts", "user_id", "value")
+    val out = StreamingRelational.userSessions(streamed, "30 minutes")
+    val rows = StreamingRelational.oneShot(spark, out)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events")))
+    assert(rows.toSeq === Seq(
+      (1L, ts(0), ts(39), 3L),
+      (1L, ts(90), ts(90), 1L),
+      (2L, ts(0), ts(30), 2L)))
+  }
+
+  test("runningUserStats accumulates keyed state across micro-batches") {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double)]
+    mem.addData(Seq((1L, 1.0), (1L, 2.0), (2L, 10.0)))
+    val q = StreamingRelational.runningUserStats(mem.toDS())
+      .toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName("running_stats")
+      .outputMode("update").trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      q.processAllAvailable()
+      mem.addData(Seq((1L, 4.0), (2L, 20.0), (3L, 100.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode: take the LAST emitted row per user (final state)
+    val finalRows = spark.table("running_stats")
+      .groupBy("user_id").agg(max(struct(col("n"), col("total"))).as("s"))
+      .select(col("user_id"), col("s.n"), col("s.total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(finalRows === Set((1L, 3L, 7.0), (2L, 2L, 30.0), (3L, 1L, 100.0)))
+  }
+}
