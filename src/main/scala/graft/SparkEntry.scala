@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{MultimodalQueries, QueryDef, RelationalQueries, StreamingQueries, TextQueries, VectorQueries}
+import graft.queries.{JoinQueries, MultimodalQueries, QueryDef, RelationalQueries, StreamingQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ object SparkEntry {
   /** All registered operator queries, in declaration order. */
   def queryDefs: Seq[QueryDef] =
     RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      MultimodalQueries.all ++ StreamingQueries.all ++ GngQueries.all
+      MultimodalQueries.all ++ StreamingQueries.all ++ JoinQueries.all ++
+      GngQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

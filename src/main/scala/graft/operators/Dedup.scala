@@ -86,6 +86,32 @@ object Dedup {
   def simHashSignatures(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
     df.select(idCol.as("id"), simHash64(textCol).as("simhash"))
 
+  /** SimHash near-dup pairs within `maxHamming` bits: band each 64-bit
+    * signature into four 16-bit chunks — by pigeonhole, any pair within
+    * hamming distance ≤ 3 agrees on at least one whole band — self-join
+    * on (band, chunk) buckets, then verify with the exact popcount of
+    * the XOR. Same block+verify shape as MinHash-LSH: candidates are
+    * bucket-mates only, never the O(n²) cross join. */
+  def simHashPairs(df: DataFrame, textCol: Column, idCol: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simHashSignatures(df, textCol, idCol)
+    val banded = sigs.select($"id", $"simhash",
+      posexplode(array((0 until 4).map { b =>
+        shiftright($"simhash", b * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("band", "chunk")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter($"hamming" <= maxHamming)
+      .select($"id_a", $"id_b", $"hamming")
+  }
+
   /** Exact n-gram Jaccard similarity of two text columns (distinct
     * word-n-gram shingle sets; 0.0 when both sets are empty). */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =

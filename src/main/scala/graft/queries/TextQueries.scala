@@ -135,6 +135,33 @@ object TextQueries {
         .select(col("id_a"), col("id_b"),
           round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash banded near-dup pairs (hamming ≤ 3 via 4×16-bit bands +
+    // popcount verify) → rows-only (signature kernel not in DuckDB).
+    rowsOnly("t12_simhash_neardup_pairs") { (s, d) =>
+      Dedup.simHashPairs(Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // BPE-ish subword token estimate: letter runs + digit runs + each
+    // punctuation mark (the common pre-tokenizer shape), with chars per
+    // token — the sizing statistic an LLM-data pipeline budgets by.
+    sql(
+      "t13_bpe_token_estimate",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n_bpe_tokens,
+         |  round(CAST(length(text) AS DOUBLE)
+         |        / greatest(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')), 1), 2) AS chars_per_token
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pat = lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")
+      val nTok = size(regexp_extract_all(col("text"), pat, lit(0)))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          nTok.as("n_bpe_tokens"),
+          round(length(col("text")).cast("double") /
+            greatest(nTok, lit(1)), 2).as("chars_per_token"))
+        .orderBy(col("doc_id"))
     }
   )
 }
