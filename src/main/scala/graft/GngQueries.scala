@@ -21,7 +21,9 @@ object GngQueries {
     * once and snapshots many views of the same model). */
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, graft.model.GngModel]()
 
-  private def trained(s: org.apache.spark.sql.SparkSession, d: String) =
+  /** Shared trained model per data dir (also the IVF coarse quantizer
+    * for v06). */
+  def trained(s: org.apache.spark.sql.SparkSession, d: String): graft.model.GngModel =
     cache.computeIfAbsent(d, _ => {
       val pts = GStream.toPoints(Tables.embeddings(s, d), "embedding", "label", "vec_id")
       GStream.fitChunked(pts, GngParams(), defaultChunks)

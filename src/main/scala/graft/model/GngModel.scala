@@ -283,4 +283,23 @@ final class GngModel(val params: GngParams, val dim: Int) extends Serializable {
       j <- (i + 1) until nodes.length
       if edges(i)(j) == 1
     } yield (i, j, ages(i)(j))).toSeq
+
+  /** Checkpoint the full model state (the reference has no model
+    * recovery — SURVEY §7.4.7 adds it so a foreachBatch loop can restart
+    * from the last completed batch). Plain Java serialization: the model
+    * is a few KB of driver state, not data. */
+  def save(path: java.nio.file.Path): Unit = {
+    val out = new java.io.ObjectOutputStream(
+      java.nio.file.Files.newOutputStream(path))
+    try out.writeObject(this) finally out.close()
+  }
+}
+
+object GngModel {
+  /** Restore a checkpointed model (inverse of [[GngModel.save]]). */
+  def load(path: java.nio.file.Path): GngModel = {
+    val in = new java.io.ObjectInputStream(
+      java.nio.file.Files.newInputStream(path))
+    try in.readObject().asInstanceOf[GngModel] finally in.close()
+  }
 }

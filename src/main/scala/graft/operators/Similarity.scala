@@ -83,19 +83,76 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding near-dup pairs: bucket self-join + exact cosine ≥ threshold.
-    * Bucket sizes concentrate around n/2^nBits → the self-join is skew-free
-    * and the exact verify runs on a tiny candidate set. */
+  /** Embedding near-dup pairs: multi-band LSH blocking + exact cosine
+    * verify. Each vector gets `nBands` independent `nBits`-bit
+    * signatures; candidates are pairs sharing ANY band's bucket — union
+    * of bands drives recall to 1−(1−p^nBits)^nBands for per-hyperplane
+    * agreement p = 1−θ/π (a single table at practical widths misses
+    * most true pairs: e.g. 10 bits alone recalls only ~34% of
+    * 0.95-cosine pairs; 6 bits × 6 bands recalls ~99%). Bucket sizes
+    * stay ~n/2^nBits per band, so the self-join is bounded and
+    * skew-free; `distinct` dedups candidates before the exact verify. */
   def cosineNearDupPairs(df: DataFrame, embCol: Column, idCol: Column,
-      threshold: Double, nBits: Int = 8, seed: Long = 42L): DataFrame = {
-    val bucketed = lshBuckets(df, embCol, idCol, nBits, seed)
-    val a = bucketed.as("a")
-    val b = bucketed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosineSimilarity(asDouble(col("a.emb")), asDouble(col("b.emb"))), 4).as("cosine"))
+      threshold: Double, nBits: Int = 6, nBands: Int = 6,
+      seed: Long = 42L, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else firstDim(df, embCol)
+    val planes = hyperplanes(nBits * nBands, d, seed)
+    val banded = df.select(
+        idCol.as("id"), embCol.as("emb"),
+        posexplode(array((0 until nBands).map { b =>
+          lshSignature(embCol, planes.slice(b * nBits, (b + 1) * nBits))
+        }: _*)).as(Seq("band", "sig")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.emb").as("emb_a"), col("b.emb").as("emb_b"))
+      .distinct()
+    cand.select(
+        $"id_a", $"id_b",
+        round(cosineSimilarity(asDouble($"emb_a"), asDouble($"emb_b")), 4).as("cosine"))
       .filter($"cosine" >= threshold)
+  }
+
+  /** IVF (inverted-file) index: assign every vector to its nearest
+    * coarse centroid — (id, emb, list) where `list` is the centroid
+    * index. At scale the table is written partitioned by `list`, so a
+    * query scans only the probed lists' partitions instead of 1/2^bits
+    * random buckets (LSH) or everything (brute force). Centroids can
+    * come from any coarse quantizer — e.g. the prototypes of a trained
+    * [[graft.model.GngModel]] (G-Stream doubles as the IVF trainer). */
+  def ivfIndex(df: DataFrame, embCol: Column, idCol: Column,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assign = org.apache.spark.sql.functions.udf { (emb: Seq[Double]) =>
+      graft.operators.GngOps.twoNearest(emb.toArray, bc.value)._1
+    }
+    df.select(idCol.as("id"), embCol.as("emb"),
+      assign(asDouble(embCol)).as("list"))
+  }
+
+  /** IVF approximate kNN: rank by exact cosine within the `nProbe`
+    * lists whose centroids are nearest the query. Recall grows with
+    * nProbe; nProbe = number of lists gives exact brute force. */
+  def ivfKnn(df: DataFrame, embCol: Column, idCol: Column,
+      centroids: Array[Array[Double]], query: Array[Double],
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val probed = centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < c.length) { val t = query(j) - c(j); d += t * t; j += 1 }
+      (d, i)
+    }.sortBy(_._1).take(nProbe).map(_._2)
+    ivfIndex(df, embCol, idCol, centroids)
+      .filter(col("list").isin(probed.toSeq: _*))
+      .select($"id", round(cosineSimilarity(asDouble($"emb"),
+        array(query.map(lit): _*)), 4).as("score"))
+      .orderBy($"score".desc, $"id")
+      .limit(k)
   }
 
   /** Probe the embedding dimensionality from the first row — a

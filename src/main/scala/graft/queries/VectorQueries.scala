@@ -62,11 +62,24 @@ object VectorQueries {
     // Threshold calibrated to the synthetic embeddings (max pairwise
     // cosine ≈ 0.51, p99 ≈ 0.29): 0.2 with 3-bit buckets yields a
     // small but non-empty pair set at every SF.
+    // Single band of 3 bits: this is a low-threshold (0.2) demo over
+    // near-orthogonal synthetic vectors, where banding cannot be tight;
+    // real near-dup thresholds (≥0.9) use the multi-band default (m05).
     rowsOnly("v05_cosine_neardup") { (s, d) =>
       Similarity.cosineNearDupPairs(
           Tables.embeddings(s, d), col("embedding"), col("vec_id"),
-          threshold = 0.2, nBits = 3)
+          threshold = 0.2, nBits = 3, nBands = 1)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // IVF approximate kNN: the trained G-Stream prototypes double as the
+    // coarse quantizer; rank within the 2 probed lists → rows-only
+    // (centroids come from the model, not SQL).
+    rowsOnly("v06_knn_ivf") { (s, d) =>
+      Similarity.ivfKnn(
+        Tables.embeddings(s, d), col("embedding"), col("vec_id"),
+        graft.GngQueries.trained(s, d).centroids,
+        queryVector(s, d), k = 10, nProbe = 2)
     }
   )
 }

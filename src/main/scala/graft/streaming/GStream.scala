@@ -86,7 +86,8 @@ object GStream {
       separator: String = ",",
       outDir: Option[String] = None,
       snapshotEvery: Int = 10,
-      triggerMs: Long = 100L): StreamingQuery = {
+      triggerMs: Long = 100L,
+      modelCheckpoint: Option[String] = None): StreamingQuery = {
     import spark.implicits._
     val raw = spark.readStream.option("maxFilesPerTrigger", 1).text(inputDir)
     val sepRe = java.util.regex.Pattern.quote(separator)
@@ -109,6 +110,17 @@ object GStream {
           model.update(stats, kk)
           outDir.foreach { dir =>
             if (kk == 1 || kk % snapshotEvery == 0) writeSnapshots(spark, dir, model, kk)
+          }
+          // §7.4.7: model recovery point per completed batch (write tmp,
+          // atomic move, so a crash never leaves a torn checkpoint)
+          modelCheckpoint.foreach { dir =>
+            val d = java.nio.file.Paths.get(dir)
+            java.nio.file.Files.createDirectories(d)
+            val tmp = d.resolve(s"model-$kk.bin.tmp")
+            model.save(tmp)
+            java.nio.file.Files.move(tmp, d.resolve("model-latest.bin"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           }
         }
       }

@@ -102,6 +102,27 @@ class GngModelSpec extends AnyFunSuite {
     assert(m.nodeCount === 3)
   }
 
+  test("save/load round-trips the full model state (SURVEY §7.4.7)") {
+    val m = freshModel(GngParams(growEvery = 1, nbNodesToAdd = 1))
+    m.errors(0) = 8.0; m.errors(1) = 4.0
+    m.update(GngOps.assignAggregateLocal(Seq(p(2, 0, 10)), m.centroids), 1)
+    val f = java.nio.file.Files.createTempFile("gng-model", ".bin")
+    m.save(f)
+    val m2 = GngModel.load(f)
+    assert(m2.nodeCount === m.nodeCount)
+    assert(m2.prototypeLines === m.prototypeLines)
+    assert(m2.edgeLines === m.edgeLines)
+    assert(m2.weightLines === m.weightLines)
+    assert(m2.errors.toSeq === m.errors.toSeq)
+    assert(m2.nodes.map(_.assignedIds).toSeq === m.nodes.map(_.assignedIds).toSeq)
+    // the restored model keeps evolving identically
+    val stats = GngOps.assignAggregateLocal(Seq(p(3, 0, 11)), m.centroids)
+    m.update(stats, 2)
+    m2.update(stats, 2)
+    assert(m2.prototypeLines === m.prototypeLines)
+    java.nio.file.Files.delete(f)
+  }
+
   test("snapshot renderers match the reference formats") {
     val m = freshModel()
     assert(m.prototypeLines === Seq("0.0, 0.0", "10.0, 0.0"))

@@ -61,6 +61,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
     assert(lsh.map(_._1).contains(1L)) // the query's own direction must bucket with it
   }
 
+  test("ivfIndex assigns each vector to its nearest centroid list") {
+    val cents = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
+    val lists = Similarity.ivfIndex(embs, col("emb"), col("id"), cents)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("list")).toMap
+    // angles < π/2 → centroid 0; angles > π/2 → centroid 1
+    assert(lists(1L) === 0 && lists(2L) === 0 && lists(3L) === 0 && lists(4L) === 0)
+    assert(lists(5L) === 1 && lists(6L) === 1 && lists(7L) === 1)
+  }
+
+  test("ivfKnn with all lists probed equals brute force; 1 probe stays in-list") {
+    val cents = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
+    val brute = Similarity.bruteForceKnn(embs, col("emb"), col("id"), query, 4)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val full = Similarity.ivfKnn(embs, col("emb"), col("id"), cents, query, 4, nProbe = 2)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(full === brute)
+    val oneProbe = Similarity.ivfKnn(embs, col("emb"), col("id"), cents, query, 4, nProbe = 1)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(oneProbe === Seq(1L, 2L, 3L, 4L)) // exactly list 0, ranked
+  }
+
   test("cosineNearDupPairs finds close pairs above threshold, none across") {
     val pairs = Similarity.cosineNearDupPairs(embs, col("emb"), col("id"), threshold = 0.99)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
