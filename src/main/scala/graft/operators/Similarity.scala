@@ -46,13 +46,27 @@ object Similarity {
       .limit(k)
   }
 
-  /** nBits-bit LSH signature: bit i = sign(emb · plane_i). */
-  def lshSignature(embCol: Column, planes: Array[Array[Double]]): Column =
+  /** nBits-bit LSH signature: bit i = sign(emb · plane_i − offset_i).
+    * A zero offset is classic hyperplane LSH; passing
+    * offset_i = mean · plane_i centers the space so a dominant common
+    * direction (e.g. shared n-grams across all text sketches) doesn't
+    * funnel the whole corpus into a few buckets. */
+  def lshSignature(embCol: Column, planes: Array[Array[Double]],
+      offsets: Array[Double] = null): Column =
     aggregate(
       array(planes.zipWithIndex.map { case (p, i) =>
-        when(dot(asDouble(embCol), planeLit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+        val off = if (offsets == null) 0.0 else offsets(i)
+        when(dot(asDouble(embCol), planeLit(p)) >= off, shiftleft(lit(1L), i)).otherwise(lit(0L))
       }: _*),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** Elementwise corpus mean of the embedding column — one narrow agg
+    * pass; the driver receives `dim` doubles. */
+  def meanVector(df: DataFrame, embCol: Column, dim: Int): Array[Double] = {
+    val row = df.select((0 until dim).map(i =>
+      avg(asDouble(embCol).getItem(i))): _*).head()
+    Array.tabulate(dim)(i => if (row.isNullAt(i)) 0.0 else row.getDouble(i))
+  }
 
   /** Attach an LSH bucket id to every row. `dim` (embedding width) may
     * be passed by callers that know it (e.g. from a query vector);
@@ -94,26 +108,38 @@ object Similarity {
     * skew-free; `distinct` dedups candidates before the exact verify. */
   def cosineNearDupPairs(df: DataFrame, embCol: Column, idCol: Column,
       threshold: Double, nBits: Int = 6, nBands: Int = 6,
-      seed: Long = 42L, dim: Int = -1): DataFrame = {
+      seed: Long = 42L, dim: Int = -1, centered: Boolean = true): DataFrame = {
     val d = if (dim > 0) dim else firstDim(df, embCol)
     val planes = hyperplanes(nBits * nBands, d, seed)
+    // centered bucketing: correlated corpora (all docs share common
+    // content directions) otherwise crowd into a handful of buckets and
+    // the self-join degenerates toward O(n²)
+    val offsets =
+      if (!centered) null
+      else {
+        val m = meanVector(df, embCol, d)
+        planes.map(p => p.zip(m).map { case (a, b) => a * b }.sum)
+      }
     val banded = df.select(
         idCol.as("id"), embCol.as("emb"),
         posexplode(array((0 until nBands).map { b =>
-          lshSignature(embCol, planes.slice(b * nBits, (b + 1) * nBits))
+          lshSignature(embCol, planes.slice(b * nBits, (b + 1) * nBits),
+            if (offsets == null) null else offsets.slice(b * nBits, (b + 1) * nBits))
         }: _*)).as(Seq("band", "sig")))
     val a = banded.as("a")
     val b = banded.as("b")
-    val cand = a.join(b,
+    // verify-then-dedup: the cosine kernel is cheap per candidate, so
+    // evaluating it per banded match and grouping the (id_a, id_b,
+    // cosine) triples shuffles only 3 scalars per pair — dedup BEFORE
+    // verify would shuffle both embedding arrays per candidate instead
+    a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.emb").as("emb_a"), col("b.emb").as("emb_b"))
-      .distinct()
-    cand.select(
-        $"id_a", $"id_b",
-        round(cosineSimilarity(asDouble($"emb_a"), asDouble($"emb_b")), 4).as("cosine"))
+        round(cosineSimilarity(asDouble(col("a.emb")), asDouble(col("b.emb"))), 4).as("cosine"))
       .filter($"cosine" >= threshold)
+      .groupBy($"id_a", $"id_b")
+      .agg(first($"cosine").as("cosine"))
   }
 
   /** IVF (inverted-file) index: assign every vector to its nearest

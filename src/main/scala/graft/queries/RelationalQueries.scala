@@ -380,6 +380,74 @@ object RelationalQueries {
             .otherwise("small").as("bucket"),
           length($"o_orderpriority").as("pri_len"))
         .orderBy($"o_orderkey")
+    },
+
+    // ---- cube ------------------------------------------------------------------
+    sql(
+      "q21_cube_volume",
+      """SELECT coalesce(event_type, 'ALL') AS etype,
+        |       coalesce(CAST(bucket AS VARCHAR), 'ALL') AS ubucket,
+        |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |FROM (SELECT event_type, CAST(user_id % 3 AS INT) AS bucket, value FROM events)
+        |GROUP BY CUBE(event_type, bucket)
+        |ORDER BY etype, ubucket""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select($"event_type", ($"user_id" % 3).cast("int").as("bucket"), $"value")
+        .cube($"event_type", $"bucket")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+        .select(
+          coalesce($"event_type", lit("ALL")).as("etype"),
+          coalesce($"bucket".cast("string"), lit("ALL")).as("ubucket"),
+          $"n", $"total")
+        .orderBy($"etype", $"ubucket")
+    },
+
+    // ---- pivot -----------------------------------------------------------------
+    sql(
+      "q22_pivot_event_types",
+      """SELECT CAST(user_id % 10 AS INT) AS ubucket,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY ubucket""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(($"user_id" % 10).cast("int").as("ubucket"), $"event_type")
+        .groupBy($"ubucket")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy($"ubucket")
+    },
+
+    // ---- semi-structured (JSON) -------------------------------------------------
+    sql(
+      "q23_json_props",
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 2) AS k_avg
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val k = get_json_object($"props", "$.k").cast("int")
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(sum(k).as("k_sum"), round(avg(k), 2).as("k_avg"))
+        .orderBy($"event_type")
+    },
+
+    // ---- skew-resistant aggregation ----------------------------------------------
+    // Salted two-phase count+sum: identical results to the direct
+    // groupBy (the oracle IS the direct groupBy) with the shuffle
+    // spread over (key, salt) first — the hot-key-safe layout at 100 TB.
+    sql(
+      "q24_salted_user_stats",
+      """SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 2) AS total
+        |FROM events GROUP BY user_id ORDER BY key""".stripMargin) { (s, d) =>
+      graft.operators.Skew
+        .saltedCountSum(Tables.events(s, d), $"user_id", $"value", saltBuckets = 16)
+        .select($"key", $"n", round($"total", 2).as("total"))
+        .orderBy($"key")
     }
   )
 
