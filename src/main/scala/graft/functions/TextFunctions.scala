@@ -72,7 +72,12 @@ object TextFunctions {
 
   /** Quality score in [0,1]:
     *   0.4·min(1, chars/500) + 0.3·(1 − punct/chars) + 0.3·min(1, 10·stop/tokens)
-    * rounded to 4 decimals. Guards against zero-length via greatest(·,1). */
+    * rounded to 4 decimals. Guards against zero-length via greatest(·,1).
+    * The +1e-9 nudge before rounding pushes knife's-edge values (x.xxxx5
+    * exactly, e.g. 0.86445) off the half-way boundary the same way in
+    * both engines — Spark rounds the exact binary value (BigDecimal
+    * HALF_UP) while DuckDB scales-then-rounds, and they disagree only
+    * within ~1e-12 of the boundary. */
   def qualityScore(text: Column): Column = {
     val chars = greatest(length(text), lit(1)).cast("double")
     val punct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
@@ -81,7 +86,7 @@ object TextFunctions {
     round(
       least(chars / 500.0, lit(1.0)) * 0.4 +
         (lit(1.0) - punct / chars) * 0.3 +
-        least(stop * 10.0 / toks, lit(1.0)) * 0.3,
+        least(stop * 10.0 / toks, lit(1.0)) * 0.3 + 1e-9,
       4)
   }
 
@@ -148,7 +153,7 @@ object TextFunctions {
       val punct = s"CAST(len(regexp_extract_all($c, '[^a-zA-Z0-9\\s]')) AS DOUBLE)"
       val toks = s"CAST(greatest(${tokenCount(c)}, 1) AS DOUBLE)"
       val stop = s"CAST(${stopwordHits(c, langStopwords.head._2)} AS DOUBLE)"
-      s"round(least($chars / 500.0, 1.0) * 0.4 + (1.0 - $punct / $chars) * 0.3 + least($stop * 10.0 / $toks, 1.0) * 0.3, 4)"
+      s"round(least($chars / 500.0, 1.0) * 0.4 + (1.0 - $punct / $chars) * 0.3 + least($stop * 10.0 / $toks, 1.0) * 0.3 + 1e-9, 4)"
     }
   }
 }

@@ -448,6 +448,39 @@ object RelationalQueries {
         .saltedCountSum(Tables.events(s, d), $"user_id", $"value", saltBuckets = 16)
         .select($"key", $"n", round($"total", 2).as("total"))
         .orderBy($"key")
+    },
+
+    // ---- deterministic sampling --------------------------------------------------
+    // Hash-based 1/16 sample: reproducible across engines, runs, and
+    // partitionings (unlike seed-based RNG sampling) — the right
+    // primitive for auditable training-data subsets.
+    sql(
+      "q25_hash_sample",
+      """SELECT event_id, user_id, event_type
+        |FROM events
+        |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(substring(md5($"event_id".cast("string").cast("binary")), 1, 1) === "0")
+        .select($"event_id", $"user_id", $"event_type")
+        .orderBy($"event_id")
+    },
+
+    // ---- exact quantiles ---------------------------------------------------------
+    sql(
+      "q26_value_quantiles",
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy($"event_type")
     }
   )
 
