@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.expressions._
+
+/** Spark session extension registering the engine's native expressions
+  * as SQL functions, so the custom kernels are first-class in
+  * `spark.sql(...)` (not just the Scala DSL):
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT vec_cosine(a, b), minhash_sig(text, 3, 16) FROM t")
+  * }}}
+  *
+  * Or via config (no code change):
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** Register the same functions on an already-built session (for
+    * notebooks/REPLs where the builder is out of reach). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+
+  private def intArg(e: Expression, name: String, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be an integer literal, got $other")
+  }
+
+  /** (name, info, builder) for every native kernel expression. */
+  val registrations: Seq[(String, ExpressionInfo, FunctionBuilder)] = Seq(
+    ("vec_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("vec_cosine",
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    ("vec_squared_distance",
+      new ExpressionInfo(classOf[SquaredDistance].getName, "vec_squared_distance"),
+      (args: Seq[Expression]) => SquaredDistance(args(0), args(1))),
+    ("vec_norm2",
+      new ExpressionInfo(classOf[L2Norm].getName, "vec_norm2"),
+      (args: Seq[Expression]) => L2Norm(args(0))),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0),
+        intArg(args(1), "n", "minhash_sig"), intArg(args(2), "k", "minhash_sig"))),
+    ("minhash_bands",
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (args: Seq[Expression]) => MinHashBands(args(0),
+        intArg(args(1), "n", "minhash_bands"), intArg(args(2), "k", "minhash_bands"),
+        intArg(args(3), "rowsPerBand", "minhash_bands"))),
+    ("minhash_agreement",
+      new ExpressionInfo(classOf[SigAgreement].getName, "minhash_agreement"),
+      (args: Seq[Expression]) => SigAgreement(args(0), args(1))),
+    ("ngram_jaccard",
+      new ExpressionInfo(classOf[NgramJaccard].getName, "ngram_jaccard"),
+      (args: Seq[Expression]) => NgramJaccard(args(0), args(1),
+        intArg(args(2), "n", "ngram_jaccard"))),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    ("binary_features",
+      new ExpressionInfo(classOf[BinaryFeaturesExpr].getName, "binary_features"),
+      (args: Seq[Expression]) => BinaryFeaturesExpr(args(0),
+        intArg(args(1), "dim", "binary_features")))
+  )
+}

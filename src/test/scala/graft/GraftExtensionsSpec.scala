@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** The SQL surface of the native kernels: the GraftExtensions
+  * registrations applied to the shared test session (the builder path —
+  * `withExtensions` / `spark.sql.extensions` — runs the identical
+  * registration list at session build time). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("vector kernels callable from SQL") {
+    val row = spark.sql(
+      """SELECT vec_dot(array(1d,2d,3d), array(4d,5d,6d)) AS d,
+        |  round(vec_cosine(array(1d,0d), array(1d,0d)), 4) AS c,
+        |  vec_squared_distance(array(3d,4d), array(0d,0d)) AS sq,
+        |  vec_norm2(array(3d,4d)) AS n""".stripMargin).head()
+    assert(row.getDouble(0) === 32.0)
+    assert(row.getDouble(1) === 1.0)
+    assert(row.getDouble(2) === 25.0)
+    assert(row.getDouble(3) === 5.0)
+  }
+
+  test("text-hash kernels callable from SQL") {
+    val row = spark.sql(
+      """SELECT size(minhash_sig('a b c d e', 3, 16)) AS sig_len,
+        |  minhash_sig('hi', 3, 16) AS null_sig,
+        |  ngram_jaccard('a b c d', 'b c d e', 3) AS j,
+        |  simhash64('alpha beta gamma') AS sh,
+        |  size(binary_features(CAST('some payload bytes' AS BINARY), 8)) AS bf""".stripMargin)
+      .head()
+    assert(row.getInt(0) === 16)
+    assert(row.isNullAt(1))
+    assert(math.abs(row.getDouble(2) - 1.0 / 3.0) < 1e-9)
+    assert(row.getLong(3) !== 0L)
+    assert(row.getInt(4) === 8)
+  }
+
+  test("non-literal config args are rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig('a b c', 1 + 2, 16)").head()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
