@@ -106,6 +106,14 @@ object Similarity {
     * 0.95-cosine pairs; 6 bits × 6 bands recalls ~99%). Bucket sizes
     * stay ~n/2^nBits per band, so the self-join is bounded and
     * skew-free; `distinct` dedups candidates before the exact verify. */
+  /** `centered` trade-off: centering balances buckets on correlated
+    * corpora (without it the self-join degenerates toward O(n²) on hot
+    * buckets), but vectors lying CLOSE to the corpus mean become
+    * near-zero after centering and their bucket bits turn effectively
+    * random — near-dup pairs in that region can be missed. Set
+    * `centered = false` for small/uncorrelated corpora, or block with
+    * MinHash over content shingles (Dedup) when recall must not depend
+    * on position relative to the mean. */
   def cosineNearDupPairs(df: DataFrame, embCol: Column, idCol: Column,
       threshold: Double, nBits: Int = 6, nBands: Int = 6,
       seed: Long = 42L, dim: Int = -1, centered: Boolean = true): DataFrame = {

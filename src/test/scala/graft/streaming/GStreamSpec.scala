@@ -27,7 +27,15 @@ class GStreamSpec extends AnyFunSuite with SparkTestSupport {
     val m1 = GStream.fitChunked(pts, params, nChunks = 10)
     val m2 = GStream.fitChunked(pts, params, nChunks = 10)
     assert(m1.nodeCount === m2.nodeCount)
-    assert(m1.prototypeLines === m2.prototypeLines)
+    // ε-compare: treeAggregate partial-merge order varies run to run, so
+    // centroid BITS may differ by an ulp (SURVEY §7.4.2); the graph
+    // structure and values must agree to float tolerance
+    m1.nodes.zip(m2.nodes).foreach { case (a, b) =>
+      a.centroid.zip(b.centroid).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, s"centroid drift: $x vs $y")
+      }
+    }
+    assert(m1.edgeLines === m2.edgeLines)
     // growth ran (kk=5,10): 2 + 2*3 = 8 nodes unless pruned
     assert(m1.nodeCount > 2)
     // some centroid near each cluster center
