@@ -64,6 +64,26 @@ object GngQueries {
         (p.id, b1, math.round(math.sqrt(d1) * 1e4) / 1e4)
       }.toDF("vec_id", "cluster", "dist")
         .orderBy(col("vec_id"))
+    },
+    // Clustering quality vs the ground-truth labels the reference keeps
+    // "for evaluation" (pointObj.scala:13, SURVEY §1.1): per-cluster
+    // majority-label purity — the distributable evaluation the papers
+    // report NMI/Rand for.
+    rowsOnly("gng_purity") { (s, d) =>
+      val m = trained(s, d)
+      import s.implicits._
+      val pts = GStream.toPoints(Tables.embeddings(s, d), "embedding", "label", "vec_id")
+      val bc = s.sparkContext.broadcast(m.centroids)
+      val assigned = pts.map { p =>
+        (graft.operators.GngOps.twoNearest(p.features, bc.value)._1, p.label)
+      }.toDF("cluster", "label")
+      val perCluster = assigned.groupBy(col("cluster"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("cluster"))
+        .agg(max(col("n")).as("majority"), sum(col("n")).as("total"))
+      perCluster.agg(
+          round(sum(col("majority")).cast("double") / sum(col("total")), 4).as("purity"),
+          count(lit(1)).as("n_clusters"))
     }
   )
 }

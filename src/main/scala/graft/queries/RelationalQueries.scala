@@ -481,6 +481,45 @@ object RelationalQueries {
           round(expr("percentile(value, 0.9)"), 4).as("p90"),
           round(expr("percentile(value, 0.99)"), 4).as("p99"))
         .orderBy($"event_type")
+    },
+
+    // ---- analytic window functions ------------------------------------------------
+    sql(
+      "q27_window_analytics",
+      """SELECT event_id,
+        |  lag(event_id) OVER w AS prev_event,
+        |  lead(event_id) OVER w AS next_event,
+        |  CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS value_rank,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wr = Window.partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+      Tables.events(s, d)
+        .select(
+          $"event_id",
+          lag($"event_id", 1).over(w).as("prev_event"),
+          lead($"event_id", 1).over(w).as("next_event"),
+          rank().over(wr).cast("long").as("value_rank"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy($"event_id")
+    },
+
+    // ---- ordered array aggregation ------------------------------------------------
+    sql(
+      "q28_array_agg",
+      """SELECT user_id,
+        |  list_aggregate(list_sort(list(DISTINCT event_type)), 'string_agg', ',') AS types,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(
+          array_join(sort_array(collect_set($"event_type")), ",").as("types"),
+          countDistinct($"event_type").as("n_types"))
+        .orderBy($"user_id")
     }
   )
 
