@@ -60,12 +60,27 @@ object Similarity {
       }: _*),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
 
-  /** Elementwise corpus mean of the embedding column — one narrow agg
-    * pass; the driver receives `dim` doubles. */
+  /** Elementwise corpus mean of the embedding column — one fused
+    * treeAggregate pass (dim separate avg() columns are ~dim× slower). */
   def meanVector(df: DataFrame, embCol: Column, dim: Int): Array[Double] = {
-    val row = df.select((0 until dim).map(i =>
-      avg(asDouble(embCol).getItem(i))): _*).head()
-    Array.tabulate(dim)(i => if (row.isNullAt(i)) 0.0 else row.getDouble(i))
+    val (sum, n) = df.select(asDouble(embCol)).rdd
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[Double](0))
+      .treeAggregate((new Array[Double](dim), 0L))(
+        seqOp = { case ((s, c), v) =>
+          if (v == null) (s, c)
+          else {
+            var i = 0
+            val m = math.min(dim, v.length)
+            while (i < m) { s(i) += v(i); i += 1 }
+            (s, c + 1)
+          }
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var i = 0
+          while (i < dim) { s1(i) += s2(i); i += 1 }
+          (s1, c1 + c2)
+        })
+    if (n == 0) new Array[Double](dim) else sum.map(_ / n)
   }
 
   /** Attach an LSH bucket id to every row. `dim` (embedding width) may
@@ -114,8 +129,14 @@ object Similarity {
     * `centered = false` for small/uncorrelated corpora, or block with
     * MinHash over content shingles (Dedup) when recall must not depend
     * on position relative to the mean. */
+  /** Band sizing: expected bucket occupancy is n/2^nBits PER BAND, and
+    * candidate volume grows with the SQUARE of occupancy — nBits must
+    * scale with log2(corpus size) (12 bits ≈ 1 doc/bucket at n=5k; the
+    * old 6-bit default put ~80 docs per bucket and generated 1.3M
+    * candidates from 5k docs). Recall at per-plane agreement p is
+    * 1−(1−p^nBits)^nBands: 12×14 ≈ 0.99 at cosine 0.95. */
   def cosineNearDupPairs(df: DataFrame, embCol: Column, idCol: Column,
-      threshold: Double, nBits: Int = 6, nBands: Int = 6,
+      threshold: Double, nBits: Int = 12, nBands: Int = 14,
       seed: Long = 42L, dim: Int = -1, centered: Boolean = true): DataFrame = {
     val d = if (dim > 0) dim else firstDim(df, embCol)
     val planes = hyperplanes(nBits * nBands, d, seed)
@@ -128,26 +149,31 @@ object Similarity {
         val m = meanVector(df, embCol, d)
         planes.map(p => p.zip(m).map { case (a, b) => a * b }.sum)
       }
+    // the banded self-join carries ONLY (id, band, sig) — never the
+    // embedding arrays (shipping a 64-double vector through a 6-way
+    // explode + shuffle multiplies I/O by nBands; candidates are orders
+    // of magnitude fewer than banded rows, so attaching embeddings to
+    // the deduped candidate pairs afterwards is strictly cheaper)
     val banded = df.select(
-        idCol.as("id"), embCol.as("emb"),
+        idCol.as("id"),
         posexplode(array((0 until nBands).map { b =>
           lshSignature(embCol, planes.slice(b * nBits, (b + 1) * nBits),
             if (offsets == null) null else offsets.slice(b * nBits, (b + 1) * nBits))
         }: _*)).as(Seq("band", "sig")))
     val a = banded.as("a")
     val b = banded.as("b")
-    // verify-then-dedup: the cosine kernel is cheap per candidate, so
-    // evaluating it per banded match and grouping the (id_a, id_b,
-    // cosine) triples shuffles only 3 scalars per pair — dedup BEFORE
-    // verify would shuffle both embedding arrays per candidate instead
-    a.join(b,
+    val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosineSimilarity(asDouble(col("a.emb")), asDouble(col("b.emb"))), 4).as("cosine"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val embs = df.select(idCol.as("id"), asDouble(embCol).as("emb"))
+    cand
+      .join(embs.select($"id".as("id_a"), $"emb".as("emb_a")), "id_a")
+      .join(embs.select($"id".as("id_b"), $"emb".as("emb_b")), "id_b")
+      .select($"id_a", $"id_b",
+        round(cosineSimilarity($"emb_a", $"emb_b"), 4).as("cosine"))
       .filter($"cosine" >= threshold)
-      .groupBy($"id_a", $"id_b")
-      .agg(first($"cosine").as("cosine"))
   }
 
   /** IVF (inverted-file) index: assign every vector to its nearest

@@ -119,12 +119,16 @@ object MultimodalQueries {
     // exact cosine (reuses Similarity.cosineNearDupPairs end-to-end).
     rowsOnly("m05_binary_neardup") { (s, d) =>
       // 64-dim sketch: random-pair cosine noise ~1/√64 ≈ 0.125, so the
-      // 0.95 threshold only passes genuinely shared-content payloads
+      // 0.95 threshold only passes genuinely shared-content payloads.
+      // cache(): the LSH stage references the emb column from ~36 dot
+      // expressions; without materialization Catalyst collapses the
+      // projection and re-runs the byte-sketch kernel per reference.
       val feats = Tables.documents(s, d)
         .withColumn("payload", payloadExpr)
         .select(col("doc_id"),
           Multimodal.extractFeatures(col("payload"), dim = 64).as("emb"))
         .filter(col("emb").isNotNull)
+        .cache()
       // multi-band LSH (6 bits × 6 bands): ~99% recall at cosine 0.95
       // with candidates bounded per band — a single wider table either
       // misses most true pairs or floods the verify stage
