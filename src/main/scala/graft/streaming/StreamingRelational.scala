@@ -81,6 +81,30 @@ object StreamingRelational {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: first occurrence per key wins; the
+    * watermark bounds the dedup state (keys older than the watermark
+    * are dropped from state — the streaming twin of [[graft.operators.Dedup.exact]]). */
+  def streamingDedup(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Watermarked stream-stream inner join: for each left event, right
+    * events of the same user within [left.ts − window, left.ts]. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can expire join state — the unbounded-state
+    * trap of naive stream joins is structurally avoided. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      window: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", "1 hour").as("l")
+    val r = right.withWatermark("ts", "1 hour").as("r")
+    l.join(r,
+      col("l.user_id") === col("r.user_id") &&
+        col("r.ts").between(
+          col("l.ts") - expr(s"INTERVAL $window"), col("l.ts")))
+  }
+
   /** Custom keyed state via `mapGroupsWithState`: running per-user
     * (count, value sum) across micro-batches — the keyed analogue of the
     * reference's single global model state (SURVEY §2.9 T2 maps the

@@ -65,6 +65,44 @@ class StreamingRelationalSpec extends AnyFunSuite with SparkTestSupport {
       (2L, ts(0), ts(30), 2L)))
   }
 
+  test("streamingDedup keeps the first occurrence per key") {
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    mem.addData(Seq((ts(0), 1L, "first"), (ts(5), 1L, "dup"), (ts(10), 2L, "only")))
+    mem.addData(Seq((ts(15), 1L, "dup2"), (ts(20), 3L, "new")))
+    val streamed = mem.toDF.toDF("ts", "key", "tag")
+    val name = "dedup_out"
+    val q = StreamingRelational.streamingDedup(streamed, "ts", Seq("key"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table(name).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[String]("tag")).toMap
+    assert(rows === Map(1L -> "first", 2L -> "only", 3L -> "new"))
+  }
+
+  test("stream-stream join bounds matches to the event-time window") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Long)]
+    // user 1: click at 0 and 100; purchase at 20 (matches click@0 within
+    // 30m; click@100 is 80m later — out of window)
+    clicks.addData(Seq((ts(0), 1L, 500L), (ts(100), 1L, 501L), (ts(0), 2L, 502L)))
+    buys.addData(Seq((ts(20), 1L, 900L), (ts(200), 2L, 901L)))
+    val l = buys.toDF.toDF("ts", "user_id", "buy_id")
+    val r = clicks.toDF.toDF("ts", "user_id", "click_id")
+    val name = "ssj_out"
+    val q = StreamingRelational.streamStreamJoin(l, r, "30 minutes")
+      .select(col("l.user_id"), col("buy_id"), col("click_id"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("buy_id"), r.getAs[Long]("click_id"))).toSet
+    // only purchase 900 matches click 500 (20 min prior, same user)
+    assert(rows === Set((1L, 900L, 500L)))
+  }
+
   test("runningUserStats accumulates keyed state across micro-batches") {
     import spark.implicits._
     val mem = MemoryStream[(Long, Double)]
