@@ -52,6 +52,26 @@ object TextHash {
   /** 64-bit SimHash over the normalized tokens. */
   def simHash64(text: Column): Column =
     graftx.column(SimHash64(graftx.expr(text)))
+
+  /** Canonical text normalization (lowercase, collapse non-alnum runs,
+    * trim) — single-pass kernel replacing the regexp_replace chain. */
+  def normalizeText(text: Column): Column =
+    graftx.column(NormalizeText(graftx.expr(text)))
+}
+
+case class NormalizeText(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
 }
 
 case class MinHashSig(child: Expression, n: Int, k: Int)

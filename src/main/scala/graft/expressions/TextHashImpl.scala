@@ -42,6 +42,27 @@ object TextHashImpl {
     out.result()
   }
 
+  /** Canonical normalization: lowercase, collapse non-alphanumeric runs
+    * to single spaces, trim — byte-for-byte the semantics of
+    * `trim(regexp_replace(lower(s), "[^a-z0-9]+", " "))` in one pass
+    * (no regex engine, no intermediate strings). */
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < str.length) {
+      val c = Character.toLowerCase(str.charAt(i))
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      } else pendingSpace = true
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** 64-bit hashes of the word n-gram shingles of `s` (rolling window of
     * per-token hashes combined polynomially, then mixed). Empty when the
     * text has fewer than n tokens. */

@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Canonical text normalization: lowercase, collapse every run of
-    * non-alphanumerics to a single space, trim. */
+    * non-alphanumerics to a single space, trim. Runs as a single-pass
+    * native kernel ([[graft.expressions.TextHash.normalizeText]]) with
+    * semantics identical to
+    * `trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))` — the form
+    * the DuckDB oracle still uses, so every oracled query verifies the
+    * equivalence. */
   def normalizeText(text: Column): Column =
-    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    graft.expressions.TextHash.normalizeText(text)
 
   /** Whitespace token count (runs of non-space). */
   def tokenCount(text: Column): Column =
