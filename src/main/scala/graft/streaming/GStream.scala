@@ -87,9 +87,18 @@ object GStream {
       outDir: Option[String] = None,
       snapshotEvery: Int = 10,
       triggerMs: Long = 100L,
-      modelCheckpoint: Option[String] = None): StreamingQuery = {
+      modelCheckpoint: Option[String] = None,
+      excludeFiles: Seq[String] = Nil): StreamingQuery = {
     import spark.implicits._
-    val raw = spark.readStream.option("maxFilesPerTrigger", 1).text(inputDir)
+    // excludeFiles keeps bootstrap/seed files out of the stream (the
+    // reference's textFileStream only saw files created after start —
+    // batchStreamRun.scala:40; the structured file source reads
+    // pre-existing files too, so the seed is excluded by name)
+    var raw = spark.readStream.option("maxFilesPerTrigger", 1).text(inputDir)
+    if (excludeFiles.nonEmpty) {
+      val fn = input_file_name()
+      raw = raw.filter(!excludeFiles.map(e => fn.endsWith(e)).reduce(_ || _))
+    }
     val sepRe = java.util.regex.Pattern.quote(separator)
     val pts = raw
       .select(split(col("value"), sepRe).cast("array<double>").as("arr"))

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import graft.SparkTestSupport
+
+/** The reference-compatible CLI wiring: seed from nodes2.txt, stream
+  * files arriving AFTER start (textFileStream parity via modifiedAfter),
+  * snapshot + model checkpoint under dirSortie. */
+class GStreamRunSpec extends AnyFunSuite with SparkTestSupport {
+
+  test("start(): seeds from nodes2.txt, trains on post-start files, snapshots") {
+    val dirData = Files.createTempDirectory("gsr-in").toString
+    val dirSortie = Files.createTempDirectory("gsr-out").toString
+    // the reference's seed fixture shape: 2 CSV rows, last two cols label+id
+    Files.write(Paths.get(dirData, "nodes2.txt"), "122,199,1,1\n243,434,2,2".getBytes)
+
+    val q = GStreamRun.start(spark, dirData, dirSortie, ",",
+      decayFactor = 0.9, lambdaAge = 1.2, nbNodesToAdd = 3, nbWind = 9)
+    try {
+      Thread.sleep(1500) // ensure batch files are strictly newer than start
+      val rng = new scala.util.Random(5)
+      for (b <- 0 until 3) {
+        val lines = (1 to 50).map { i =>
+          val (cx, cy) = if (i % 2 == 0) (120.0, 200.0) else (240.0, 430.0)
+          f"${cx + rng.nextGaussian()}%.3f,${cy + rng.nextGaussian()}%.3f,${i % 2},${b * 50 + i}"
+        }
+        Files.write(Paths.get(dirData, s"batch-$b.csv"), lines.mkString("\n").getBytes)
+        Thread.sleep(300)
+      }
+      val deadline = System.currentTimeMillis() + 60000
+      // Weights is the LAST structure writeSnapshots emits, and the model
+      // checkpoint follows it — waiting on anything earlier races stop()
+      def done = Files.exists(Paths.get(dirSortie, "Weights-3")) &&
+        Files.exists(Paths.get(dirSortie, "_model", "model-latest.bin"))
+      while (!done && System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(done, "expected Weights-3 snapshot and model checkpoint")
+    } finally q.stop()
+
+    // restored checkpoint matches the live model
+    val restored = graft.model.GngModel.load(
+      Paths.get(dirSortie, "_model", "model-latest.bin"))
+    assert(restored.nodeCount >= 2)
+    // snapshots exist from the first batch (kk=1) and every nbWind/9=1
+    assert(Files.exists(Paths.get(dirSortie, "Prototypes-1")))
+    assert(Files.exists(Paths.get(dirSortie, "Edges-2")))
+    assert(Files.exists(Paths.get(dirSortie, "Weights-3")))
+  }
+}
