@@ -96,13 +96,17 @@ object TextFunctions {
   }
 
   /** Rolling polynomial fingerprint over normalized tokens:
-    * fold(h, tok) = (h*31 + crc32(tok)) mod 2^31-1. Deterministic across
-    * engines because crc32 is standardized (unlike murmur `hash`). */
+    * fold(h, tok) = (h*31 + tokHash) mod 2^31-1, where tokHash is the
+    * first 32 bits of md5(token) — md5 is standardized, so the fold is
+    * bit-identical across engines and the DuckDB oracle reproduces it
+    * exactly (crc32/murmur are not available/portable there). */
   def rollingFingerprint(text: Column): Column =
     aggregate(
       tokens(text),
       lit(0L),
-      (acc, t) => pmod(acc * 31L + crc32(t.cast("binary")), lit(2147483647L)))
+      (acc, t) => pmod(
+        acc * 31L + conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"),
+        lit(2147483647L)))
 
   /** DuckDB-dialect twins of every operator above. Used to build
     * `SparkEntry.oracleSql`; kept here so a change to a Spark definition
@@ -152,6 +156,13 @@ object TextFunctions {
       s"""CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0
          |     ELSE round(CAST(len(list_distinct(list_intersect($a, $b))) AS DOUBLE)
          |                / len(list_distinct(list_concat($a, $b))), 4) END""".stripMargin
+
+    /** DuckDB twin of [[TextFunctions.rollingFingerprint]]. */
+    def rollingFingerprint(c: String): String = {
+      val toks = s"string_split(${normalizeText(c)}, ' ')"
+      val hashes = s"list_transform($toks, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))"
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $hashes), (h, x) -> (h * 31 + x) % 2147483647)"
+    }
 
     def qualityScore(c: String): String = {
       val chars = s"CAST(greatest(length($c), 1) AS DOUBLE)"

@@ -81,8 +81,11 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Rolling-hash fingerprint: crc32-based; no DuckDB twin → rows-only.
-    rowsOnly("t07_rolling_fingerprint") { (s, d) =>
+    // Rolling-hash fingerprint (md5-token fold — bit-identical twin).
+    sql(
+      "t07_rolling_fingerprint",
+      s"""SELECT doc_id, ${Sql.rollingFingerprint("text")} AS rfp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextFunctions.rollingFingerprint(col("text")).as("rfp"))
         .orderBy(col("doc_id"))
