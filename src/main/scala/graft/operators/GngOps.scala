@@ -92,7 +92,13 @@ object GngOps {
     val sc = points.sparkSession.sparkContext
     val bc = sc.broadcast(centroids)
     try {
-      points.rdd
+      val rdd = points.rdd
+      // the depth-2 funnel exists to keep 10⁴-partition clusters from
+      // merging every partial on the driver — but it costs one extra
+      // stage per micro-batch, which is pure overhead when there are
+      // only a handful of partitions (local mode / small batches)
+      val depth = if (rdd.getNumPartitions > 16) 2 else 1
+      rdd
         .treeAggregate(new Acc(n, dim))(
           seqOp = (acc, p) => {
             val (b1, b2, d1) = twoNearest(p.features, bc.value)
@@ -100,7 +106,7 @@ object GngOps {
             acc
           },
           combOp = (a, b) => a.merge(b),
-          depth = 2)
+          depth = depth)
         .result
     } finally bc.destroy()
   }
