@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression gates: the properties that make these
+  * queries scale are asserted, not just eyeballed — losing a pushdown,
+  * a broadcast, or a take-ordered to a refactor fails the suite. */
+class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"))
+    // pruned read schema — far fewer than lineitem's 16 columns
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(read.count(_ == ',') <= 5, s"expected <=5 commas (pruned): $read")
+  }
+
+  test("q05: all dimension joins broadcast; no sort-merge join") {
+    val p = plan("q05_regional_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("v02: brute-force kNN is scan + TakeOrderedAndProject, no shuffle") {
+    val p = plan("v02_knn_bruteforce")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange"), "top-k must not shuffle")
+  }
+
+  // formatted plans render every node twice (tree + detail section);
+  // count detail headers "(n) NodeName" for exact node counts
+  private def nodeCount(p: String, node: String): Int =
+    s"""\\(\\d+\\) $node""".r.findAllIn(p).size
+
+  test("a01: as-of join costs exactly one shuffle before the output sort") {
+    val p = plan("a01_asof_signup")
+    val exchanges = nodeCount(p, "Exchange")
+    // one Exchange for the window (by key) + one for the final orderBy
+    assert(exchanges <= 2, s"as-of join should shuffle once (+output sort), saw $exchanges:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)]"))
+  }
+
+  test("q01: aggregation is partial+final (two HashAggregates)") {
+    val p = plan("q01_pricing_summary")
+    assert(nodeCount(p, "HashAggregate") >= 2)
+  }
+
+  test("t02: native normalize keeps the text pipeline in one codegen stage") {
+    val p = plan("t02_fingerprint")
+    assert(p.contains("normalize_text") || p.contains("md5"))
+    assert(!p.contains("BatchEvalPython"))
+  }
+}
