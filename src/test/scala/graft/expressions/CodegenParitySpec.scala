@@ -1,0 +1,85 @@
+package graft.expressions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkTestSupport
+
+/** Codegen ↔ interpreted parity for every native expression: a buggy
+  * `doGenCode` produces results that silently diverge from
+  * `nullSafeEval` — this gate evaluates each kernel under whole-stage
+  * codegen AND with codegen fully disabled and requires identical
+  * output. */
+class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
+
+  private def withCodegen[T](on: Boolean)(f: => T): T = {
+    val ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val fm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.wholeStage", on.toString)
+    spark.conf.set("spark.sql.codegen.factoryMode", if (on) "CODEGEN_ONLY" else "NO_CODEGEN")
+    try f
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", ws)
+      spark.conf.set("spark.sql.codegen.factoryMode", fm)
+    }
+  }
+
+  private def bothWays(build: => DataFrame): (Seq[Row], Seq[Row]) = {
+    val gen = withCodegen(on = true)(build.collect().toSeq)
+    val interp = withCodegen(on = false)(build.collect().toSeq)
+    (gen, interp)
+  }
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "Short"), (3L, ""), (4L, "a b c d e f g h i j k l m n"))
+      .toDF("id", "text")
+  }
+
+  private lazy val vecs = {
+    import spark.implicits._
+    Seq((1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (2L, Seq(0.0, 0.0, 0.0), Seq(1.0, -1.0, 0.5)))
+      .toDF("id", "a", "b")
+  }
+
+  test("TextHash expressions: codegen == interpreted") {
+    val (g, i) = bothWays(docs.select(col("id"),
+      TextHash.minHashSig(col("text"), 3, 16),
+      TextHash.minHashBands(col("text"), 3, 16, 4),
+      TextHash.simHash64(col("text")),
+      TextHash.normalizeText(col("text")),
+      TextHash.ngramJaccard(col("text"), lit("the quick brown fox"), 3)))
+    assert(g === i)
+  }
+
+  test("VectorOps expressions: codegen == interpreted") {
+    val (g, i) = bothWays(vecs.select(col("id"),
+      graft.expressions.VectorOps.dot(col("a"), col("b")),
+      graft.expressions.VectorOps.squaredDistance(col("a"), col("b")),
+      graft.expressions.VectorOps.norm2(col("a")),
+      // cosine of the zero vector is NaN — NaN != NaN under Row equality,
+      // so compare the well-defined row only for cosine
+      when(col("id") === 1L,
+        graft.expressions.VectorOps.cosineSimilarity(col("a"), col("b")))))
+    assert(g === i)
+  }
+
+  test("BinaryFeatures expression: codegen == interpreted") {
+    import spark.implicits._
+    val bins = Seq((1L, Option("payload bytes here".getBytes)),
+      (2L, Option(Array.emptyByteArray)), (3L, None)).toDF("id", "payload")
+    val (g, i) = bothWays(bins.select(col("id"),
+      BinaryFeatures(col("payload"), 8)))
+    assert(g === i)
+  }
+
+  test("SigAgreement: codegen == interpreted") {
+    val (g, i) = bothWays(docs.filter(length(col("text")) > 10).select(
+      TextHash.sigAgreement(
+        TextHash.minHashSig(col("text"), 3, 16),
+        TextHash.minHashSig(lit("the quick brown fox jumps high"), 3, 16))))
+    assert(g === i)
+  }
+}
