@@ -65,6 +65,29 @@ object GngQueries {
       }.toDF("vec_id", "cluster", "dist")
         .orderBy(col("vec_id"))
     },
+    // The BASELINE.md metric, measured directly: reference-shaped
+    // micro-batches (200 2-D points per batch, 92 batches — the DS1-200
+    // run) through the full assign+aggregate+update path. BASELINE
+    // target: mean ≤ ~120 ms/batch (2× the reference's 58 ms).
+    rowsOnly("gng_throughput") { (s, d) =>
+      import s.implicits._
+      val n = 92 * 200
+      // deterministic 2-D two-cluster stream, DS1-like scatter
+      val pts = s.range(n).map { i =>
+        val c = if (i % 2 == 0) (120.0, 200.0) else (240.0, 430.0)
+        graft.model.Point(Array(
+          c._1 + 15 * math.sin(i * 0.37), c._2 + 15 * math.cos(i * 0.73)),
+          (i % 2).toInt, i)
+      }
+      val t0 = System.nanoTime()
+      val model = GStream.fitChunked(pts, GngParams(), nChunks = 92)
+      val totalMs = (System.nanoTime() - t0) / 1e6
+      Seq((92, 200, math.round(totalMs / 92.0 * 10) / 10.0,
+        math.round(n / (totalMs / 1000.0)), model.nodeCount))
+        .toDF("batches", "points_per_batch", "mean_ms_per_batch",
+          "points_per_sec", "final_nodes")
+    },
+
     // Clustering quality vs the ground-truth labels the reference keeps
     // "for evaluation" (pointObj.scala:13, SURVEY §1.1): per-cluster
     // majority-label purity — the distributable evaluation the papers

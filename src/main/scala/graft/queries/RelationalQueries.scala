@@ -483,6 +483,21 @@ object RelationalQueries {
         .orderBy($"event_type")
     },
 
+    // HLL approximate distinct vs exact — sketch internals differ per
+    // engine so rows-only; the spec asserts relative error < 5% and the
+    // output carries both counts for inspection.
+    QueryDef.rowsOnly("q29_approx_distinct") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          approx_count_distinct($"user_id").as("approx_users"),
+          countDistinct($"user_id").as("exact_users"))
+        .select($"event_type", $"approx_users", $"exact_users",
+          round(abs($"approx_users" - $"exact_users").cast("double") /
+            greatest($"exact_users", lit(1L)), 4).as("rel_err"))
+        .orderBy($"event_type")
+    },
+
     // ---- analytic window functions ------------------------------------------------
     sql(
       "q27_window_analytics",
