@@ -46,4 +46,42 @@ class GStreamRunSpec extends AnyFunSuite with SparkTestSupport {
     assert(Files.exists(Paths.get(dirSortie, "Edges-2")))
     assert(Files.exists(Paths.get(dirSortie, "Weights-3")))
   }
+
+  test("a restarted stream resumes training from the model checkpoint") {
+    val dirData = Files.createTempDirectory("gsr2-in").toString
+    val outDir = Files.createTempDirectory("gsr2-out").toString
+    val ckpt = s"$outDir/_model"
+    import spark.implicits._
+    def batch(b: Int): Unit = {
+      val lines = (1 to 40).map { i =>
+        val (cx, cy) = if (i % 2 == 0) (0.0, 0.0) else (80.0, 80.0)
+        f"${cx + (i % 9)}%.1f,${cy + (i % 7)}%.1f,${i % 2},${b * 100 + i}"
+      }
+      Files.write(Paths.get(dirData, s"b$b.csv"), lines.mkString("\n").getBytes)
+    }
+    // phase 1: fresh model, two batches
+    batch(0); batch(1)
+    val seed = GStream.csvToPoints(spark.createDataset(Seq("0,0,0,1", "80,80,1,2")).toDF("value"))
+    val m1 = GStream.bootstrap(seed, graft.model.GngParams())
+    val q1 = GStream.trainStreaming(spark, dirData, m1,
+      modelCheckpoint = Some(ckpt), triggerMs = 50L)
+    val deadline1 = System.currentTimeMillis() + 30000
+    while (!Files.exists(Paths.get(ckpt, "model-latest.bin")) &&
+      System.currentTimeMillis() < deadline1) Thread.sleep(200)
+    q1.processAllAvailable(); q1.stop()
+    val afterPhase1 = graft.model.GngModel.load(Paths.get(ckpt, "model-latest.bin"))
+    val idsPhase1 = afterPhase1.nodes.flatMap(_.assignedIds).toSet
+
+    // phase 2: RESTART from the checkpoint, new files arrive
+    batch(2); batch(3)
+    val q2 = GStream.trainStreaming(spark, dirData, afterPhase1,
+      modelCheckpoint = Some(ckpt), triggerMs = 50L,
+      excludeFiles = Seq("b0.csv", "b1.csv")) // already-consumed batches
+    q2.processAllAvailable(); q2.stop()
+    // the restored-and-resumed model absorbed phase-2 ids on top of phase-1 state
+    val idsPhase2 = afterPhase1.nodes.flatMap(_.assignedIds).toSet
+    assert(idsPhase1.nonEmpty)
+    assert((idsPhase2 -- idsPhase1).exists(_ >= 200L), "expected phase-2 point ids assigned")
+    assert(idsPhase1.subsetOf(idsPhase2 + 1L + 2L), "phase-1 history preserved")
+  }
 }
