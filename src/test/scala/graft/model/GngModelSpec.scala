@@ -102,6 +102,22 @@ class GngModelSpec extends AnyFunSuite {
     assert(m.nodeCount === 3)
   }
 
+  test("update ignores stats for node indices beyond the current graph") {
+    val m = freshModel()
+    // stats addressed to node 5 (does not exist) and a votes array wider
+    // than the graph: both must be ignored/clamped, not crash — this is
+    // the restart/late-stats hazard (stats computed against an older,
+    // larger model)
+    val wideVotes = Array(0L, 3L, 0L, 0L, 7L)
+    val stale = Array(
+      5 -> graft.model.NodeStats(wideVotes, 1.0, Array(1.0, 1.0), 1L, Set(99L)),
+      0 -> graft.model.NodeStats(wideVotes, 2.0, Array(2.0, 0.0), 1L, Set(50L)))
+    m.update(stale, 1)
+    assert(m.nodeCount === 2)
+    assert(m.nodes(0).assignedIds.contains(50L))
+    assert(!m.nodes.exists(_.assignedIds.contains(99L)))
+  }
+
   test("save/load round-trips the full model state (SURVEY §7.4.7)") {
     val m = freshModel(GngParams(growEvery = 1, nbNodesToAdd = 1))
     m.errors(0) = 8.0; m.errors(1) = 4.0

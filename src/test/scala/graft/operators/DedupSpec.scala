@@ -61,6 +61,26 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 12)
   }
 
+  test("simHashPairs: pigeonhole finds every pair within hamming 3") {
+    import spark.implicits._
+    // near-identical long docs differ by a couple of tokens → tiny
+    // hamming distance; unrelated docs are far
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, (100 to 160).map(i => s"zz$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simHashSignatures(d, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h12 = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    val pairs = Dedup.simHashPairs(d, col("text"), col("doc_id"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (h12 <= 3) assert(pairs === Set((1L, 2L))) // guaranteed by pigeonhole
+    else assert(!pairs.contains((1L, 2L)))        // correctly filtered by verify
+    assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
   test("ngramJaccard column: 1.0 for normalized-equal, 0.0 for empty") {
     import spark.implicits._
     val out = docs.as("a").crossJoin(docs.as("b"))
