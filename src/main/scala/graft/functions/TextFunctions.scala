@@ -108,6 +108,25 @@ object TextFunctions {
         acc * 31L + conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"),
         lit(2147483647L)))
 
+  /** Redaction patterns for pre-training cleanup: plain character-class
+    * regexes with identical semantics in Java (Spark) and RE2 (DuckDB).
+    * Applied in order; each match is replaced by its tag. */
+  val redactionPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+" -> "<EMAIL>",
+    "https?://[^ \\t\\n]+" -> "<URL>",
+    "[0-9][0-9 .-]{7,}[0-9]" -> "<NUM>")
+
+  /** Redact emails / URLs / long number runs (phone-like) — the
+    * standard PII scrub before text enters a training corpus. */
+  def redact(text: Column): Column =
+    redactionPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** Count of redactions a pattern would make. */
+  def redactionCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** DuckDB-dialect twins of every operator above. Used to build
     * `SparkEntry.oracleSql`; kept here so a change to a Spark definition
     * forces the reviewer past its SQL twin. */
@@ -156,6 +175,18 @@ object TextFunctions {
       s"""CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0
          |     ELSE round(CAST(len(list_distinct(list_intersect($a, $b))) AS DOUBLE)
          |                / len(list_distinct(list_concat($a, $b))), 4) END""".stripMargin
+
+    /** DuckDB twin of [[TextFunctions.redact]] (regexp_replace with the
+      * 'g' flag — Spark's regexp_replace is global by default). DuckDB
+      * string literals keep backslashes verbatim, so the Java-side
+      * pattern strings pass through unchanged. */
+    def redact(c: String): String =
+      redactionPatterns.foldLeft(c) { case (e, (pat, tag)) =>
+        s"regexp_replace($e, '$pat', '$tag', 'g')"
+      }
+
+    def redactionCount(c: String, pattern: String): String =
+      s"CAST(len(regexp_extract_all($c, '$pattern')) AS INT)"
 
     /** DuckDB twin of [[TextFunctions.rollingFingerprint]]. */
     def rollingFingerprint(c: String): String = {

@@ -140,6 +140,27 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // PII redaction: emails/URLs/number runs tagged out before text
+    // enters a corpus; output carries per-pattern counts + the redacted
+    // text fingerprint so the scrub is verifiable end-to-end.
+    sql(
+      "t14_redact",
+      s"""SELECT doc_id,
+         |  ${Sql.redactionCount("text", TextFunctions.redactionPatterns(0)._1)} AS n_emails,
+         |  ${Sql.redactionCount("text", TextFunctions.redactionPatterns(1)._1)} AS n_urls,
+         |  ${Sql.redactionCount("text", TextFunctions.redactionPatterns(2)._1)} AS n_nums,
+         |  md5(${Sql.redact("text")}) AS redacted_fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          TextFunctions.redactionCount(col("text"), TextFunctions.redactionPatterns(0)._1).as("n_emails"),
+          TextFunctions.redactionCount(col("text"), TextFunctions.redactionPatterns(1)._1).as("n_urls"),
+          TextFunctions.redactionCount(col("text"), TextFunctions.redactionPatterns(2)._1).as("n_nums"),
+          md5(TextFunctions.redact(col("text")).cast("binary")).as("redacted_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // SimHash banded near-dup pairs (hamming ≤ 3 via 4×16-bit bands +
     // popcount verify) → rows-only (signature kernel not in DuckDB).
     rowsOnly("t12_simhash_neardup_pairs") { (s, d) =>

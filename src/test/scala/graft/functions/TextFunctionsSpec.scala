@@ -59,6 +59,15 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestSupport {
     assert(gs >= 0.0 && gs <= 1.0 && bs >= 0.0 && bs <= 1.0)
   }
 
+  test("redact tags emails, URLs, and number runs; clean text untouched") {
+    assert(evalText("mail me at jo.doe+x@example.org today",
+      TextFunctions.redact) === "mail me at <EMAIL> today")
+    assert(evalText("see https://example.com/a?b=1 and http://x.io",
+      TextFunctions.redact) === "see <URL> and <URL>")
+    assert(evalText("call 555-123-4567 now", TextFunctions.redact) === "call <NUM> now")
+    assert(evalText("nothing to hide 42", TextFunctions.redact) === "nothing to hide 42")
+  }
+
   test("rollingFingerprint is deterministic and order-sensitive") {
     val a = evalText("alpha beta gamma", TextFunctions.rollingFingerprint)
     val b = evalText("alpha beta gamma", TextFunctions.rollingFingerprint)
