@@ -140,6 +140,52 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Corpus-level term weighting: TF-IDF with smoothed IDF
+    // ln((N+1)/(df+1)), top-3 terms per doc (ties broken by term).
+    // Unlike the per-row text ops, this is a genuinely distributed
+    // two-stage pipeline: per-doc term counts join corpus document
+    // frequencies (both keyed shuffles with map-side partial agg).
+    sql(
+      "t15_tfidf_top_terms",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(${Sql.normalizeText("text")}, ' ')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+         |  GROUP BY doc_id, term),
+         |df AS (
+         |  SELECT term, count(DISTINCT doc_id) AS dfreq FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    round(tf.tf * ln((n.n + 1.0) / (df.dfreq + 1.0)), 6) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, term, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+         |  FROM scored)
+         |SELECT doc_id, CAST(rk AS INT) AS rk, term, tfidf
+         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val tf = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("dfreq"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfreq, "term")
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log((lit(n) + 1.0) / (col("dfreq") + 1.0)), 6).as("tfidf"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
     // PII redaction: emails/URLs/number runs tagged out before text
     // enters a corpus; output carries per-pattern counts + the redacted
     // text fingerprint so the scrub is verifiable end-to-end.
