@@ -52,11 +52,26 @@ object GStream {
     new GngModel(params, dim).init2Nodes(first2(0), first2(1))
   }
 
+  /** Inputs at or below this many rows take the driver-local update path
+    * (no per-batch Spark job). The GNG stats step is O(rows × nodes ×
+    * dim) driver work — trivially cheap at this size — while a Spark job
+    * costs fixed scheduling per micro-batch (the round-2 measured
+    * bottleneck: 92 jobs ≈ 100+ ms each of pure overhead). Above the
+    * threshold the distributed path is identical in semantics
+    * (GngOpsSpec proves the two paths equal). */
+  val localPathMaxRows: Int = 100000
+
   /** Deterministic batch-mode training: chunk `points` into `nChunks`
     * micro-batches by `id % nChunks` and run the full update per chunk.
     * Faithful to the streaming loop (kk = 1-based non-empty batch
     * counter) but reproducible — used by tests, Verify and Bench. */
   def fitChunked(points: Dataset[Point], params: GngParams, nChunks: Int): GngModel = {
+    // Probe: if the whole input fits on the driver, run the entire chunk
+    // loop locally — ONE Spark job total instead of one per chunk.
+    // CollectLimitExec scans partitions incrementally, so on a genuinely
+    // large input the probe reads ~localPathMaxRows rows and bails.
+    val probe = points.limit(localPathMaxRows + 1).collect()
+    if (probe.length <= localPathMaxRows) return fitChunkedLocal(probe, params, nChunks)
     // One parquet read for the whole loop: each of the nChunks passes
     // filters the cached points instead of re-scanning the source.
     val cached = points.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -75,6 +90,41 @@ object GStream {
     } finally cached.unpersist(blocking = false)
   }
 
+  /** Driver-local twin of [[fitChunked]]: same bootstrap (first two
+    * points by ascending id), same `id % nChunks` chunking, same update
+    * loop, but via [[GngOps.assignAggregateLocal]] — zero Spark jobs. */
+  def fitChunkedLocal(points: Array[Point], params: GngParams, nChunks: Int): GngModel = {
+    require(points.length >= 2, "need at least 2 points to bootstrap")
+    val byId = points.sortBy(_.id)
+    val model = new GngModel(params, byId(0).features.length)
+      .init2Nodes(byId(0), byId(1))
+    var kk = 0
+    for (c <- 0 until nChunks) {
+      // plain `%` (not floorMod) — same remainder semantics as the
+      // distributed path's `col("id") % nChunks`
+      val chunk = points.filter(p => p.id % nChunks == c)
+      val stats = GngOps.assignAggregateLocal(chunk, model.centroids)
+      if (stats.nonEmpty) {
+        kk += 1
+        model.update(stats, kk)
+      }
+    }
+    model
+  }
+
+  /** Reference snapshot cadence (batchStream.scala:95): checkpoint at
+    * kk ∈ {1} ∪ {i·⌊nbWind/9⌋ : i = 1..8} ∪
+    * {kk > 8·⌊nbWind/9⌋+10 ∧ kk ≡ 0 (mod 10)} ∪ {kk ≥ nbWind−2}.
+    * For the reference test run (nbWind = 91, 92 non-empty batches) this
+    * is exactly the committed golden dirs {1,10,20,…,80,89,90,91,92}. */
+  def referenceCadence(nbWind: Int)(kk: Int): Boolean = {
+    val step = nbWind / 9
+    kk == 1 ||
+      (step > 0 && kk % step == 0 && kk / step >= 1 && kk / step <= 8) ||
+      (kk > 8 * step + 10 && kk % 10 == 0) ||
+      kk >= nbWind - 2
+  }
+
   /** Streaming training: file-source text stream of the reference's CSV
     * shape → foreachBatch update → optional snapshots.
     * Mirrors batchStreamRun wiring: 100 ms trigger, snapshot dirs
@@ -88,16 +138,19 @@ object GStream {
       snapshotEvery: Int = 10,
       triggerMs: Long = 100L,
       modelCheckpoint: Option[String] = None,
-      excludeFiles: Seq[String] = Nil): StreamingQuery = {
+      excludeFiles: Seq[String] = Nil,
+      snapshotAt: Option[Int => Boolean] = None): StreamingQuery = {
     import spark.implicits._
     // excludeFiles keeps bootstrap/seed files out of the stream (the
     // reference's textFileStream only saw files created after start —
     // batchStreamRun.scala:40; the structured file source reads
-    // pre-existing files too, so the seed is excluded by name)
+    // pre-existing files too, so the seed is excluded by name).
+    // Matches are anchored at the path separator so excluding
+    // "nodes2.txt" does not also drop e.g. "my-nodes2.txt".
     var raw = spark.readStream.option("maxFilesPerTrigger", 1).text(inputDir)
     if (excludeFiles.nonEmpty) {
       val fn = input_file_name()
-      raw = raw.filter(!excludeFiles.map(e => fn.endsWith(e)).reduce(_ || _))
+      raw = raw.filter(!excludeFiles.map(e => fn.endsWith("/" + e)).reduce(_ || _))
     }
     val sepRe = java.util.regex.Pattern.quote(separator)
     val pts = raw
@@ -109,16 +162,32 @@ object GStream {
       .as[Point]
 
     var kk = 0
+    // cumulative per-batch update milliseconds, ring-buffered at 100
+    // entries — the reference's timeUpdates telemetry, its ONLY
+    // published baseline numbers (batchStream.scala:84,88,92-93;
+    // golden conf/test/results/DS1-200-3/timeUpdates-92)
+    val timeUpdates = scala.collection.mutable.ArrayBuffer[Long](0L)
+    val doSnapshot: Int => Boolean =
+      snapshotAt.getOrElse(k => k == 1 || k % snapshotEvery == 0)
     pts.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: Dataset[Point], _: Long) =>
-        val stats = GngOps.assignAggregate(batch, model.centroids)
+        val t0 = System.currentTimeMillis()
+        // small batches (the common micro-batch case) collect + update
+        // locally — no Spark job beyond the probe; the limit-probe IS
+        // the whole batch when it comes back under the threshold
+        val probe = batch.limit(localPathMaxRows + 1).collect()
+        val stats =
+          if (probe.length <= localPathMaxRows) GngOps.assignAggregateLocal(probe, model.centroids)
+          else GngOps.assignAggregate(batch, model.centroids)
         if (stats.nonEmpty) {
           kk += 1
           model.update(stats, kk)
+          timeUpdates += timeUpdates.last + (System.currentTimeMillis() - t0)
+          if (timeUpdates.length > 100) timeUpdates.remove(0)
           outDir.foreach { dir =>
-            if (kk == 1 || kk % snapshotEvery == 0) writeSnapshots(spark, dir, model, kk)
+            if (doSnapshot(kk)) writeSnapshots(spark, dir, model, kk, timeUpdates.toSeq)
           }
           // §7.4.7: model recovery point per completed batch (write tmp,
           // atomic move, so a crash never leaves a torn checkpoint)
@@ -137,8 +206,11 @@ object GStream {
   }
 
   /** Snapshot sink — reference on-disk layout (batchStream.scala:97-101):
-    * one directory per structure per checkpoint. */
-  def writeSnapshots(spark: SparkSession, dir: String, model: GngModel, kk: Int): Unit = {
+    * one directory per structure per checkpoint, timeUpdates last
+    * (cumulative per-batch update ms — the reference's telemetry
+    * family and the golden baseline's only published numbers). */
+  def writeSnapshots(spark: SparkSession, dir: String, model: GngModel, kk: Int,
+      timeUpdates: Seq[Long] = Nil): Unit = {
     import spark.implicits._
     def write(lines: Seq[String], name: String): Unit =
       (if (lines.isEmpty) Seq("") else lines).toDF("value")
@@ -147,5 +219,6 @@ object GStream {
     write(model.outdatedLines, "OutdatedProtos")
     write(model.edgeLines, "Edges")
     write(model.weightLines, "Weights")
+    write(timeUpdates.map(_.toString), "timeUpdates")
   }
 }

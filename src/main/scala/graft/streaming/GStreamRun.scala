@@ -13,7 +13,8 @@ import graft.model.GngParams
   * static seed scan, batchStreamRun.scala:37), streams CSV files
   * appearing in `dirData` as micro-batches at the reference's 100 ms
   * trigger (:32-33), trains G-Stream, and writes
-  * Prototypes/OutdatedProtos/Edges/Weights snapshots under `dirSortie`
+  * Prototypes/OutdatedProtos/Edges/Weights/timeUpdates snapshots under
+  * `dirSortie` at the reference's exact checkpoint cadence
   * (batchStream.scala:95-101). A user of the reference runs this main
   * with their existing arguments unchanged; `DSname` and `nbWind` keep
   * their reference roles (output labeling / total-window count used for
@@ -49,11 +50,11 @@ object GStreamRun {
     val seed = GStream.csvToPoints(
       spark.read.text(s"$dirData/nodes2.txt").limit(2), separator)
     val model = GStream.bootstrap(seed, params)
-    // snapshot cadence ~ reference kk ∈ {1, nbWind/9 multiples, ...}
-    // simplified to every max(1, nbWind/9) batches (batchStream.scala:95)
+    // reference-exact snapshot cadence (batchStream.scala:95):
+    // kk ∈ {1, ⌊nbWind/9⌋·{1..8}, every 10th past 8⌊nbWind/9⌋+10, ≥nbWind−2}
     GStream.trainStreaming(spark, dirData, model, separator,
       outDir = Some(dirSortie),
-      snapshotEvery = math.max(1, nbWind / 9),
+      snapshotAt = Some(GStream.referenceCadence(nbWind)),
       modelCheckpoint = Some(s"$dirSortie/_model"),
       // the seed file is never re-ingested as a batch (textFileStream
       // parity for the one pre-existing file the reference layout has)

@@ -29,22 +29,50 @@ class GStreamRunSpec extends AnyFunSuite with SparkTestSupport {
         Thread.sleep(300)
       }
       val deadline = System.currentTimeMillis() + 60000
-      // Weights is the LAST structure writeSnapshots emits, and the model
-      // checkpoint follows it — waiting on anything earlier races stop()
-      def done = Files.exists(Paths.get(dirSortie, "Weights-3")) &&
+      // timeUpdates is the LAST structure writeSnapshots emits; wait for
+      // its _SUCCESS commit marker (the bare dir appears while the write
+      // job is still in flight, and model-latest.bin already exists from
+      // batch 1) — anything earlier races stop()
+      def done = Files.exists(Paths.get(dirSortie, "timeUpdates-3", "_SUCCESS")) &&
         Files.exists(Paths.get(dirSortie, "_model", "model-latest.bin"))
       while (!done && System.currentTimeMillis() < deadline) Thread.sleep(250)
-      assert(done, "expected Weights-3 snapshot and model checkpoint")
+      assert(done, "expected timeUpdates-3 snapshot and model checkpoint")
     } finally q.stop()
+
+    // timeUpdates: cumulative per-batch update ms, leading 0 sentinel
+    // (reference batchStream.scala:84,92 — golden timeUpdates-92 shape)
+    val tu = Files.list(Paths.get(dirSortie, "timeUpdates-3")).toArray
+      .map(_.toString)
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("part-"))
+      .filterNot(_.endsWith(".crc")).sorted
+      .flatMap(p => scala.io.Source.fromFile(p).getLines().toSeq)
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    assert(tu.length === 4, s"expected 0 + 3 cumulative entries, got ${tu.toSeq}")
+    assert(tu.head === 0L)
+    assert(tu.toSeq === tu.toSeq.sorted, "cumulative ms must be non-decreasing")
 
     // restored checkpoint matches the live model
     val restored = graft.model.GngModel.load(
       Paths.get(dirSortie, "_model", "model-latest.bin"))
     assert(restored.nodeCount >= 2)
-    // snapshots exist from the first batch (kk=1) and every nbWind/9=1
+    // snapshots exist from the first batch (kk=1) and every batch
+    // (nbWind=9 → step 1 → the {1..8}·step branch fires each kk)
     assert(Files.exists(Paths.get(dirSortie, "Prototypes-1")))
     assert(Files.exists(Paths.get(dirSortie, "Edges-2")))
     assert(Files.exists(Paths.get(dirSortie, "Weights-3")))
+  }
+
+  test("referenceCadence(91) reproduces the committed golden checkpoint set") {
+    // reference batchStream.scala:95 with the DS1-200 run's nbWind=91 and
+    // 92 non-empty batches — golden dirs conf/test/results/DS1-200-3/*
+    val kks = (1 to 92).filter(GStream.referenceCadence(91))
+    assert(kks === Seq(1, 10, 20, 30, 40, 50, 60, 70, 80, 89, 90, 91, 92))
+  }
+
+  test("referenceCadence small-nbWind degenerate cases snapshot every late batch") {
+    // nbWind < 9 → step 0: only the kk==1 / %10 / >=nbWind-2 branches
+    val kks = (1 to 12).filter(GStream.referenceCadence(5))
+    assert(kks === Seq(1, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
   }
 
   test("a restarted stream resumes training from the model checkpoint") {
