@@ -42,6 +42,16 @@ object GraftExtensions {
       s"$fn: $name must be an integer literal, got $other")
   }
 
+  /** A foldable `array<array<double>>` argument (e.g.
+    * `array(array(1.0, 2.0), array(3.0, 4.0))`) evaluated at plan-build
+    * time into the plain matrix the kernel wants. */
+  private def matrixArg(e: Expression, name: String, fn: String): Array[Array[Double]] = {
+    require(e.foldable, s"$fn: $name must be a foldable array<array<double>> literal")
+    val ad = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(ad != null, s"$fn: $name must not be null")
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+
   /** (name, info, builder) for every native kernel expression. */
   val registrations: Seq[(String, ExpressionInfo, FunctionBuilder)] = Seq(
     ("vec_dot",
@@ -56,6 +66,10 @@ object GraftExtensions {
     ("vec_norm2",
       new ExpressionInfo(classOf[L2Norm].getName, "vec_norm2"),
       (args: Seq[Expression]) => L2Norm(args(0))),
+    ("nearest_centroid",
+      new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+      (args: Seq[Expression]) => NearestCentroid(args(0),
+        matrixArg(args(1), "centroids", "nearest_centroid"))),
     ("minhash_sig",
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => MinHashSig(args(0),

@@ -26,14 +26,18 @@ object TextHashImpl {
 
   /** Tokens of the normalized text (lowercase, alnum runs), identical in
     * semantics to `TextFunctions.tokens`: lowercase → collapse non-alnum
-    * runs → split. Single pass, no regex. */
+    * runs → split. Lowercasing uses the full-string mapping (same
+    * one-to-many behavior as SQL `lower()`: e.g. U+0130 'İ' → "i" +
+    * combining dot, not a bare 'i'), so the kernel and the regex/oracle
+    * twin agree beyond ASCII too. */
   def tokenize(s: String): Array[String] = {
+    val str = s.toLowerCase
     val out = Array.newBuilder[String]
     val sb = new java.lang.StringBuilder()
     var i = 0
-    val len = s.length
+    val len = str.length
     while (i < len) {
-      val c = Character.toLowerCase(s.charAt(i))
+      val c = str.charAt(i)
       if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
       else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
       i += 1
@@ -45,14 +49,14 @@ object TextHashImpl {
   /** Canonical normalization: lowercase, collapse non-alphanumeric runs
     * to single spaces, trim — byte-for-byte the semantics of
     * `trim(regexp_replace(lower(s), "[^a-z0-9]+", " "))` in one pass
-    * (no regex engine, no intermediate strings). */
+    * over the lowercased string (full-string mapping, see [[tokenize]]). */
   def normalize(s: UTF8String): UTF8String = {
-    val str = s.toString
+    val str = s.toString.toLowerCase
     val sb = new java.lang.StringBuilder(str.length)
     var pendingSpace = false
     var i = 0
     while (i < str.length) {
-      val c = Character.toLowerCase(str.charAt(i))
+      val c = str.charAt(i)
       if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
         if (pendingSpace && sb.length > 0) sb.append(' ')
         pendingSpace = false
@@ -136,8 +140,13 @@ object TextHashImpl {
   }
 
   /** Fraction of agreeing positions between two equal-width signatures —
-    * the unbiased MinHash estimate of Jaccard similarity. */
+    * the unbiased MinHash estimate of Jaccard similarity. Unequal widths
+    * are an error (an UnsafeArrayData shorter `b` would otherwise be
+    * read out of bounds — silently wrong, not a crash). */
   def sigAgreement(a: ArrayData, b: ArrayData): Double = {
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"minhash_agreement: signature width mismatch (${a.numElements()} vs ${b.numElements()})")
     val k = a.numElements()
     var agree = 0
     var i = 0

@@ -26,10 +26,25 @@ object VectorOps {
     graftx.column(CosineSimilarity(graftx.expr(a), graftx.expr(b)))
   def norm2(a: Column): Column =
     graftx.column(L2Norm(graftx.expr(a)))
+  /** Index of the nearest centroid (squared Euclidean, lowest-index
+    * tie-break — same winner as [[graft.operators.GngOps.twoNearest]]). */
+  def nearestCentroid(a: Column, centroids: Array[Array[Double]]): Column =
+    graftx.column(NearestCentroid(graftx.expr(a), centroids))
 }
 
 object VectorOpsImpl {
+  /** Ragged inputs are an error, not a silent wrong answer: with
+    * UnsafeArrayData a too-short side would be read out of bounds via
+    * Platform memory access. Null array elements are likewise rejected
+    * by construction — all kernels take `array<double>` containing no
+    * nulls (cast/transform upstream turns null slots into errors or
+    * drops them before the kernel). */
+  private def checkLengths(a: ArrayData, b: ArrayData, fn: String): Unit =
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"$fn: array length mismatch (${a.numElements()} vs ${b.numElements()})")
   def dot(a: ArrayData, b: ArrayData): Double = {
+    checkLengths(a, b, "vec_dot")
     val n = a.numElements()
     var s = 0.0
     var i = 0
@@ -37,6 +52,7 @@ object VectorOpsImpl {
     s
   }
   def squaredDistance(a: ArrayData, b: ArrayData): Double = {
+    checkLengths(a, b, "vec_squared_distance")
     val n = a.numElements()
     var s = 0.0
     var i = 0
@@ -46,6 +62,7 @@ object VectorOpsImpl {
   /** a·b / (‖a‖‖b‖) in one pass; NaN when either norm is 0 (same as the
     * HOF form's 0/0). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
+    checkLengths(a, b, "vec_cosine_similarity")
     val n = a.numElements()
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
@@ -55,6 +72,28 @@ object VectorOpsImpl {
       i += 1
     }
     ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+  /** Arg-min squared distance over the (broadcast-referenced) centroid
+    * matrix; strict `<` keeps the lowest index on ties — the same
+    * winner as GngOps.twoNearest's bmu1, so an IVF index built here is
+    * consistent with the G-Stream assignment that trained it. */
+  def nearestCentroid(a: ArrayData, cents: Array[Array[Double]]): Int = {
+    val v = a.toDoubleArray()
+    var best = -1
+    var bd = Double.PositiveInfinity
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      if (c.length != v.length)
+        throw new IllegalArgumentException(
+          s"nearest_centroid: vector length ${v.length} != centroid length ${c.length}")
+      var d = 0.0
+      var k = 0
+      while (k < c.length) { val t = v(k) - c(k); d += t * t; k += 1 }
+      if (d < bd) { bd = d; best = i }
+      i += 1
+    }
+    best
   }
   def norm2(a: ArrayData): Double = {
     val n = a.numElements()
@@ -98,6 +137,25 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     VectorOpsImpl.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
+}
+
+/** Nearest-centroid assignment with the centroid matrix carried as a
+  * plan constant (codegen references it via `addReferenceObj` — no
+  * per-row literal array traversal, no serde). The IVF scale path:
+  * one codegen'd narrow pass tags every row with its inverted list. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOpsImpl.nearestCentroid(a.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.VectorOpsImpl.nearestCentroid($a, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
 }
 
 case class L2Norm(child: Expression) extends UnaryExpression {

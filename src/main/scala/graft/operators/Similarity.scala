@@ -184,16 +184,12 @@ object Similarity {
     * come from any coarse quantizer — e.g. the prototypes of a trained
     * [[graft.model.GngModel]] (G-Stream doubles as the IVF trainer). */
   def ivfIndex(df: DataFrame, embCol: Column, idCol: Column,
-      centroids: Array[Array[Double]]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assign = org.apache.spark.sql.functions.udf { (emb: Seq[Double]) =>
-      graft.operators.GngOps.twoNearest(emb.toArray, bc.value)._1
-    }
+      centroids: Array[Array[Double]]): DataFrame =
+    // codegen'd kernel, not a Scala UDF: assignment stays inside
+    // whole-stage codegen with zero per-row serde — this is the pass
+    // that touches every row of the 100 TB table
     df.select(idCol.as("id"), embCol.as("emb"),
-      assign(asDouble(embCol)).as("list"))
-  }
+      graft.expressions.VectorOps.nearestCentroid(asDouble(embCol), centroids).as("list"))
 
   /** IVF approximate kNN: rank by exact cosine within the `nProbe`
     * lists whose centroids are nearest the query. Recall grows with

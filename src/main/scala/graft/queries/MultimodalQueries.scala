@@ -129,13 +129,17 @@ object MultimodalQueries {
           Multimodal.extractFeatures(col("payload"), dim = 64).as("emb"))
         .filter(col("emb").isNotNull)
         .cache()
-      // multi-band LSH (6 bits × 6 bands): ~99% recall at cosine 0.95
-      // with candidates bounded per band — a single wider table either
-      // misses most true pairs or floods the verify stage
-      graft.operators.Similarity
+      // multi-band LSH at cosineNearDupPairs defaults (12 bits × 14
+      // bands): ~99% recall at cosine 0.95 with candidates bounded per
+      // band — a single wider table either misses most true pairs or
+      // floods the verify stage
+      val pairs = graft.operators.Similarity
         .cosineNearDupPairs(feats, col("emb"), col("doc_id"), threshold = 0.95,
           dim = 64)
         .orderBy(col("id_a"), col("id_b"))
+        .localCheckpoint(eager = true) // materialize, then release the cache
+      feats.unpersist(blocking = false)
+      pairs
     }
   )
 }

@@ -42,6 +42,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(4) === 8)
   }
 
+  test("nearest_centroid callable from SQL with a literal centroid matrix") {
+    val row = spark.sql(
+      """SELECT nearest_centroid(array(4d,4d), array(array(0d,0d), array(5d,5d))) AS a,
+        |  nearest_centroid(array(0d,1d), array(array(0d,0d), array(5d,5d))) AS b""".stripMargin)
+      .head()
+    assert(row.getInt(0) === 1)
+    assert(row.getInt(1) === 0)
+  }
+
   test("non-literal config args are rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_sig('a b c', 1 + 2, 16)").head()

@@ -60,4 +60,10 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(p.contains("normalize_text") || p.contains("md5"))
     assert(!p.contains("BatchEvalPython"))
   }
+
+  test("v06: IVF assignment is a codegen'd kernel, not a Scala UDF") {
+    val p = plan("v06_knn_ivf")
+    assert(!p.contains("ScalaUDF"), s"ivf assignment must not be a UDF:\n$p")
+    assert(p.contains("nearest_centroid"))
+  }
 }

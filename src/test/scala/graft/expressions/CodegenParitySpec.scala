@@ -75,6 +75,29 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
     assert(g === i)
   }
 
+  test("NearestCentroid: codegen == interpreted, GngOps-consistent winner") {
+    val cents = Array(Array(0.0, 0.0, 0.0), Array(5.0, 5.0, 5.0))
+    val (g, i) = bothWays(vecs.select(col("id"),
+      graft.expressions.VectorOps.nearestCentroid(col("a"), cents)))
+    assert(g === i)
+    // same winner as the GNG assignment kernel (strict <, lowest index)
+    g.foreach { r =>
+      val emb = if (r.getLong(0) == 1L) Array(1.0, 2.0, 3.0) else Array(0.0, 0.0, 0.0)
+      assert(r.getInt(1) === graft.operators.GngOps.twoNearest(emb, cents)._1)
+    }
+  }
+
+  test("vector kernels reject ragged (length-mismatched) inputs") {
+    import spark.implicits._
+    val ragged = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      ragged.select(graft.expressions.VectorOps.dot(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("length mismatch")), s"got: ${msgs(e)}")
+  }
+
   test("SigAgreement: codegen == interpreted") {
     val (g, i) = bothWays(docs.filter(length(col("text")) > 10).select(
       TextHash.sigAgreement(
