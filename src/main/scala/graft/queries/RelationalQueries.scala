@@ -483,18 +483,24 @@ object RelationalQueries {
         .orderBy($"event_type")
     },
 
-    // HLL approximate distinct vs exact — sketch internals differ per
-    // engine so rows-only; the spec asserts relative error < 5% and the
-    // output carries both counts for inspection.
-    QueryDef.rowsOnly("q29_approx_distinct") { (s, d) =>
+    // HLL approximate distinct gated against exact — sketch internals
+    // differ per engine, so the hashed output carries the exact count
+    // plus a within-5% flag the HLL estimate must satisfy (the oracle
+    // asserts TRUE): the sketch stays in the plan, and a drifting
+    // estimate fails the hash compare, not just a local spec.
+    sql(
+      "q29_approx_distinct",
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS hll_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy($"event_type")
         .agg(
           approx_count_distinct($"user_id").as("approx_users"),
           countDistinct($"user_id").as("exact_users"))
-        .select($"event_type", $"approx_users", $"exact_users",
-          round(abs($"approx_users" - $"exact_users").cast("double") /
-            greatest($"exact_users", lit(1L)), 4).as("rel_err"))
+        .select($"event_type", $"exact_users",
+          (abs($"approx_users" - $"exact_users").cast("double") /
+            greatest($"exact_users", lit(1L)) <= 0.05).as("hll_within_5pct"))
         .orderBy($"event_type")
     },
 

@@ -102,10 +102,22 @@ object TextQueries {
         .orderBy(col("id"))
     },
 
-    // MinHash+LSH near-dup pairs → rows-only (driver checks rows>0).
-    rowsOnly("t09_minhash_neardup_pairs") { (s, d) =>
-      Dedup.minHashPairs(Tables.documents(s, d), col("text"), col("doc_id"),
-          threshold = 0.2)
+    // MinHash+LSH blocking + EXACT n-gram Jaccard verify. Oracled
+    // against the all-pairs exact answer: 16 bands of 2 rows miss a
+    // true pair at Jaccard j with probability (1−j²)^16 ≈ 3e-12 at the
+    // corpus's near-dup level (j ≥ 0.9; nothing sits in (0.1, 0.9)), so
+    // the blocked result equals the exhaustive one. RecallSpec measures
+    // this; the hash-match proves it per-run.
+    sql(
+      "t09_minhash_neardup_pairs",
+      s"""SELECT * FROM (
+         |  WITH sh AS (SELECT doc_id, ${Sql.shingleSet("text", 3)} AS s FROM documents)
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${Sql.listJaccard("a.s", "b.s")} AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.minHashPairsVerified(Tables.documents(s, d), col("text"), col("doc_id"),
+          threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },
 

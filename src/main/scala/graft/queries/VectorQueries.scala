@@ -18,6 +18,27 @@ object VectorQueries {
       .select(asDouble(col("embedding")))
       .head().getSeq[Double](0).toArray
 
+  /** The embeddings table is 64-wide at every SF (FIXTURES.md §2). */
+  private val EmbDim = 64
+
+  /** DuckDB twin of the LSH signature: the hyperplanes for a fixed
+    * (nBits, dim, seed) are deterministic constants
+    * ([[Similarity.hyperplanes]] — java.util.Random's spec-fixed LCG),
+    * so they inline into the oracle SQL verbatim. The dot product is an
+    * explicit left-associated sum — the same sequential accumulation
+    * order as the codegen'd kernel — so both engines compute
+    * bit-identical doubles and bucket bits can't flake. Double.toString
+    * round-trips exactly and DuckDB parses it back to the same bits. */
+  private def dotSql(vec: String, plane: Array[Double]): String =
+    plane.zipWithIndex
+      .map { case (p, i) => s"$vec[${i + 1}] * ($p)" }
+      .mkString(" + ")
+
+  private def sigSql(vec: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotSql(vec, p)} >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
   val all: Seq[QueryDef] = Seq(
     sql(
       "v01_vec_norm",
@@ -42,33 +63,62 @@ object VectorQueries {
         queryVector(s, d), 10)
     },
 
-    // LSH-bucketed kNN (bucket membership depends on seeded hyperplanes;
-    // not expressible in DuckDB) → rows-only.
-    rowsOnly("v03_knn_lsh") { (s, d) =>
+    // LSH-bucketed kNN: exact cosine ranking restricted to the query's
+    // bucket. Fully oracled — the seeded hyperplanes inline into the
+    // DuckDB SQL as constants (see sigSql).
+    sql(
+      "v03_knn_lsh", {
+        val planes = Similarity.hyperplanes(4, EmbDim)
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |s AS (SELECT vec_id, v, ${sigSql("v", planes)} AS bucket FROM e)
+           |SELECT s.vec_id AS id,
+           |  round(list_cosine_similarity(s.v, (SELECT v FROM s WHERE vec_id = 0)), 4) AS score
+           |FROM s WHERE s.bucket = (SELECT bucket FROM s WHERE vec_id = 0)
+           |ORDER BY score DESC, id LIMIT 10""".stripMargin
+      }) { (s, d) =>
       Similarity.lshKnn(
         Tables.embeddings(s, d), col("embedding"), col("vec_id"),
         queryVector(s, d), 10, nBits = 4)
     },
 
     // LSH bucket histogram: shows the signature computation + distribution.
-    rowsOnly("v04_lsh_buckets") { (s, d) =>
+    sql(
+      "v04_lsh_buckets", {
+        val planes = Similarity.hyperplanes(4, EmbDim)
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+           |SELECT ${sigSql("v", planes)} AS bucket, count(*) AS n
+           |FROM e GROUP BY 1 ORDER BY bucket""".stripMargin
+      }) { (s, d) =>
       Similarity.lshBuckets(Tables.embeddings(s, d), col("embedding"), col("vec_id"), nBits = 4)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))
     },
 
-    // Embedding cosine near-dup pairs via LSH self-join → rows-only.
+    // Embedding cosine near-dup pairs via LSH self-join + exact verify.
     // Threshold calibrated to the synthetic embeddings (max pairwise
     // cosine ≈ 0.51, p99 ≈ 0.29): 0.2 with 3-bit buckets yields a
     // small but non-empty pair set at every SF.
     // Single band of 3 bits: this is a low-threshold (0.2) demo over
     // near-orthogonal synthetic vectors, where banding cannot be tight;
     // real near-dup thresholds (≥0.9) use the multi-band default (m05).
-    rowsOnly("v05_cosine_neardup") { (s, d) =>
+    // Uncentered (synthetic corpus has no dominant shared direction) so
+    // the oracle is the exact LSH twin: same inlined planes, same
+    // bucket self-join, same exact-cosine verify.
+    sql(
+      "v05_cosine_neardup", {
+        val planes = Similarity.hyperplanes(3, EmbDim)
+        s"""SELECT * FROM (
+           |  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |  s AS (SELECT vec_id, v, ${sigSql("v", planes)} AS sig FROM e)
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+           |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+           |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin
+      }) { (s, d) =>
       Similarity.cosineNearDupPairs(
           Tables.embeddings(s, d), col("embedding"), col("vec_id"),
-          threshold = 0.2, nBits = 3, nBands = 1)
+          threshold = 0.2, nBits = 3, nBands = 1, centered = false)
         .orderBy(col("id_a"), col("id_b"))
     },
 
