@@ -69,23 +69,61 @@ object GngQueries {
     // micro-batches (200 2-D points per batch, 92 batches — the DS1-200
     // run) through the full assign+aggregate+update path. BASELINE
     // target: mean ≤ ~120 ms/batch (2× the reference's 58 ms).
+    // Two measurements side by side:
+    //  - chunked: fitChunked wall-clock / 92 (everything, incl. setup);
+    //  - streaming: trainStreaming over 92 arriving CSV files, per-batch
+    //    update ms from the foreachBatch telemetry — the same
+    //    update-path-only quantity the reference's timeUpdates goldens
+    //    record (batchStream.scala:88,92), so it's the apples-to-apples
+    //    number against the 58 ms baseline, including trigger/commit
+    //    machinery around it.
     rowsOnly("gng_throughput") { (s, d) =>
       import s.implicits._
       val n = 92 * 200
       // deterministic 2-D two-cluster stream, DS1-like scatter
-      val pts = s.range(n).map { i =>
+      val local = (0L until n).map { i =>
         val c = if (i % 2 == 0) (120.0, 200.0) else (240.0, 430.0)
         graft.model.Point(Array(
           c._1 + 15 * math.sin(i * 0.37), c._2 + 15 * math.cos(i * 0.73)),
           (i % 2).toInt, i)
       }
+      val pts = s.createDataset(local)
       val t0 = System.nanoTime()
       val model = GStream.fitChunked(pts, GngParams(), nChunks = 92)
-      val totalMs = (System.nanoTime() - t0) / 1e6
-      Seq((92, 200, math.round(totalMs / 92.0 * 10) / 10.0,
-        math.round(n / (totalMs / 1000.0)), model.nodeCount))
-        .toDF("batches", "points_per_batch", "mean_ms_per_batch",
-          "points_per_sec", "final_nodes")
+      val chunkedTotalMs = (System.nanoTime() - t0) / 1e6
+
+      // streaming variant: the same points as 92 files arriving in order
+      val dir = java.nio.file.Files.createTempDirectory("gng-stream-bench")
+      try {
+        for (b <- 0 until 92) {
+          val lines = local.filter(_.id % 92 == b).map(p =>
+            f"${p.features(0)}%.10f,${p.features(1)}%.10f,${p.label},${p.id}")
+          java.nio.file.Files.write(dir.resolve(f"batch-$b%03d.csv"),
+            lines.mkString("\n").getBytes)
+        }
+        val byId = local.sortBy(_.id)
+        val sModel = new graft.model.GngModel(GngParams(), 2)
+          .init2Nodes(byId(0), byId(1))
+        var streamBatches = 0
+        var streamUpdMs = 0L
+        val q = GStream.trainStreaming(s, dir.toString, sModel,
+          triggerMs = 1L,
+          onBatch = (_, ms) => { streamBatches += 1; streamUpdMs += ms })
+        try { q.processAllAvailable() } finally q.stop()
+        Seq((92, 200,
+          math.round(chunkedTotalMs / 92.0 * 10) / 10.0,
+          math.round(n / (chunkedTotalMs / 1000.0)), model.nodeCount,
+          streamBatches,
+          math.round(streamUpdMs.toDouble / math.max(streamBatches, 1) * 10) / 10.0,
+          sModel.nodeCount))
+          .toDF("batches", "points_per_batch", "mean_ms_per_batch",
+            "points_per_sec", "final_nodes",
+            "stream_batches", "stream_mean_update_ms", "stream_final_nodes")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     },
 
     // Clustering quality vs the ground-truth labels the reference keeps

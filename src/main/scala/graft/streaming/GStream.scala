@@ -139,7 +139,8 @@ object GStream {
       triggerMs: Long = 100L,
       modelCheckpoint: Option[String] = None,
       excludeFiles: Seq[String] = Nil,
-      snapshotAt: Option[Int => Boolean] = None): StreamingQuery = {
+      snapshotAt: Option[Int => Boolean] = None,
+      onBatch: (Int, Long) => Unit = (_, _) => ()): StreamingQuery = {
     import spark.implicits._
     // excludeFiles keeps bootstrap/seed files out of the stream (the
     // reference's textFileStream only saw files created after start —
@@ -184,8 +185,10 @@ object GStream {
         if (stats.nonEmpty) {
           kk += 1
           model.update(stats, kk)
-          timeUpdates += timeUpdates.last + (System.currentTimeMillis() - t0)
+          val updateMs = System.currentTimeMillis() - t0
+          timeUpdates += timeUpdates.last + updateMs
           if (timeUpdates.length > 100) timeUpdates.remove(0)
+          onBatch(kk, updateMs) // per-batch telemetry (bench/monitoring)
           outDir.foreach { dir =>
             if (doSnapshot(kk)) writeSnapshots(spark, dir, model, kk, timeUpdates.toSeq)
           }
