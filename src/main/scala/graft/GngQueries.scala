@@ -96,8 +96,13 @@ object GngQueries {
       val dir = java.nio.file.Files.createTempDirectory("gng-stream-bench")
       try {
         for (b <- 0 until 92) {
+          // Locale.ROOT: f"%.10f" under a comma-decimal locale would
+          // render '120,0000000000', null out the comma-split parse,
+          // and train the bench on garbage.
           val lines = local.filter(_.id % 92 == b).map(p =>
-            f"${p.features(0)}%.10f,${p.features(1)}%.10f,${p.label},${p.id}")
+            String.format(java.util.Locale.ROOT, "%.10f,%.10f,%d,%d",
+              Double.box(p.features(0)), Double.box(p.features(1)),
+              Int.box(p.label), Long.box(p.id)))
           java.nio.file.Files.write(dir.resolve(f"batch-$b%03d.csv"),
             lines.mkString("\n").getBytes)
         }

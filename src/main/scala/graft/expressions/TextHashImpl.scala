@@ -29,9 +29,11 @@ object TextHashImpl {
     * runs → split. Lowercasing uses the full-string mapping (same
     * one-to-many behavior as SQL `lower()`: e.g. U+0130 'İ' → "i" +
     * combining dot, not a bare 'i'), so the kernel and the regex/oracle
-    * twin agree beyond ASCII too. */
+    * twin agree beyond ASCII too. Locale.ROOT pins the mapping: under
+    * tr/az default locales 'I' would lowercase to dotless 'ı' and be
+    * dropped, silently diverging from the locale-independent oracle. */
   def tokenize(s: String): Array[String] = {
-    val str = s.toLowerCase
+    val str = s.toLowerCase(java.util.Locale.ROOT)
     val out = Array.newBuilder[String]
     val sb = new java.lang.StringBuilder()
     var i = 0
@@ -49,9 +51,10 @@ object TextHashImpl {
   /** Canonical normalization: lowercase, collapse non-alphanumeric runs
     * to single spaces, trim — byte-for-byte the semantics of
     * `trim(regexp_replace(lower(s), "[^a-z0-9]+", " "))` in one pass
-    * over the lowercased string (full-string mapping, see [[tokenize]]). */
+    * over the lowercased string (full-string mapping and Locale.ROOT
+    * pinning, see [[tokenize]]). */
   def normalize(s: UTF8String): UTF8String = {
-    val str = s.toString.toLowerCase
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
     val sb = new java.lang.StringBuilder(str.length)
     var pendingSpace = false
     var i = 0

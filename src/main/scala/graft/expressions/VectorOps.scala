@@ -78,6 +78,10 @@ object VectorOpsImpl {
     * winner as GngOps.twoNearest's bmu1, so an IVF index built here is
     * consistent with the G-Stream assignment that trained it. */
   def nearestCentroid(a: ArrayData, cents: Array[Array[Double]]): Int = {
+    if (cents.isEmpty)
+      throw new IllegalArgumentException(
+        "nearest_centroid: empty centroid matrix (untrained model?) — " +
+          "every row would silently land in list -1")
     val v = a.toDoubleArray()
     var best = -1
     var bd = Double.PositiveInfinity

@@ -113,17 +113,18 @@ object GStream {
   }
 
   /** Reference snapshot cadence (batchStream.scala:95): checkpoint at
-    * kk ∈ {1} ∪ {i·⌊nbWind/9⌋ : i = 1..8} ∪
-    * {kk > 8·⌊nbWind/9⌋+10 ∧ kk ≡ 0 (mod 10)} ∪ {kk ≥ nbWind−2}.
-    * For the reference test run (nbWind = 91, 92 non-empty batches) this
-    * is exactly the committed golden dirs {1,10,20,…,80,89,90,91,92}. */
-  def referenceCadence(nbWind: Int)(kk: Int): Boolean = {
-    val step = nbWind / 9
+    * kk ∈ {1} ∪ {⌊i·nbWind/9⌋ : i = 1..8} ∪
+    * {kk > ⌊8·nbWind/9⌋+10 ∧ kk ≡ 0 (mod 10)} ∪ {kk ≥ nbWind−2}.
+    * The reference's `kk == i*nbWind/9` is left-associative integer
+    * division — floor of the PRODUCT, not i times ⌊nbWind/9⌋; the two
+    * coincide for nbWind ≡ 0,1 (mod 9) (e.g. the nbWind = 91 golden,
+    * marks {1,10,20,…,80,89,90,91,92}) but diverge otherwise (nbWind =
+    * 92 → marks 51/61/71/81, not 50/60/70/80). */
+  def referenceCadence(nbWind: Int)(kk: Int): Boolean =
     kk == 1 ||
-      (step > 0 && kk % step == 0 && kk / step >= 1 && kk / step <= 8) ||
-      (kk > 8 * step + 10 && kk % 10 == 0) ||
+      (1 to 8).exists(i => kk == i * nbWind / 9) ||
+      (kk > 8 * nbWind / 9 + 10 && kk % 10 == 0) ||
       kk >= nbWind - 2
-  }
 
   /** Streaming training: file-source text stream of the reference's CSV
     * shape → foreachBatch update → optional snapshots.

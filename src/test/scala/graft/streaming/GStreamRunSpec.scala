@@ -69,10 +69,18 @@ class GStreamRunSpec extends AnyFunSuite with SparkTestSupport {
     assert(kks === Seq(1, 10, 20, 30, 40, 50, 60, 70, 80, 89, 90, 91, 92))
   }
 
+  test("referenceCadence matches the reference's left-assoc division for nbWind%9>=2") {
+    // reference `kk == i*nbWind/9` floors the PRODUCT: nbWind=92 →
+    // marks 10,20,30,40,51,61,71,81 (NOT 50/60/70/80 = i*floor(92/9))
+    val kks = (1 to 93).filter(GStream.referenceCadence(92))
+    assert(kks === Seq(1, 10, 20, 30, 40, 51, 61, 71, 81, 90, 91, 92, 93))
+  }
+
   test("referenceCadence small-nbWind degenerate cases snapshot every late batch") {
-    // nbWind < 9 → step 0: only the kk==1 / %10 / >=nbWind-2 branches
+    // nbWind=5: ⌊i·5/9⌋ marks {1,2,3,4} (reference would too — e.g.
+    // kk=2 == 4*5/9), then kk>=nbWind-2 covers everything from 3 up
     val kks = (1 to 12).filter(GStream.referenceCadence(5))
-    assert(kks === Seq(1, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+    assert(kks === Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
   }
 
   test("a restarted stream resumes training from the model checkpoint") {
