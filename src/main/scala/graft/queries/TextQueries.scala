@@ -180,7 +180,10 @@ object TextQueries {
          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val n = docs.count()
+      // corpus size N joins in as a broadcast 1-row aggregate — computed
+      // inside the one job, not a separate driver-side count() pass, and
+      // the plan stays reusable (N is not baked in as a literal)
+      val nDf = docs.agg(count(lit(1)).as("n_docs"))
       val tf = docs
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
         .filter(col("term") =!= "")
@@ -190,8 +193,9 @@ object TextQueries {
         .agg(countDistinct(col("doc_id")).as("dfreq"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
       tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDf))
         .select(col("doc_id"), col("term"),
-          round(col("tf") * log((lit(n) + 1.0) / (col("dfreq") + 1.0)), 6).as("tfidf"))
+          round(col("tf") * log((col("n_docs") + 1.0) / (col("dfreq") + 1.0)), 6).as("tfidf"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
