@@ -20,8 +20,13 @@ object StreamingQueries {
         |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, d) =>
+      // append mode: the sentinel drives the watermark past every real
+      // window, the final no-data batch flushes them, and each window
+      // crosses the sink exactly once (complete mode rewrote the whole
+      // result per trigger — a driver-side scale-killer)
       StreamingRelational.oneShot(s,
-          StreamingRelational.hourlyTypeCounts(StreamingRelational.eventsStream(s, d)))
+          StreamingRelational.hourlyTypeCounts(
+            StreamingRelational.eventsStreamWithSentinel(s, d)))
         .orderBy(col("hour"), col("event_type"))
     },
 
@@ -46,8 +51,12 @@ object StreamingQueries {
         |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      // append + sentinel (see s01): sessions finalize once the
+      // watermark passes session_end + gap; the sentinel's own session
+      // never finalizes and never reaches the sink
       StreamingRelational.oneShot(s,
-          StreamingRelational.userSessions(StreamingRelational.eventsStream(s, d)))
+          StreamingRelational.userSessions(
+            StreamingRelational.eventsStreamWithSentinel(s, d)))
         .orderBy(col("user_id"), col("session_start"))
     }
   )

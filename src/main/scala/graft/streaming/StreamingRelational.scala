@@ -26,12 +26,14 @@ object StreamingRelational {
   private val memId = new AtomicLong(0)
 
   /** Run a streaming transform over bounded input and return the final
-    * result table (memory sink, AvailableNow). `complete` mode emits
-    * every window — including those the watermark has not finalized at
-    * end-of-stream — which is what makes the result comparable to the
-    * batch oracle. */
+    * result table (memory sink, AvailableNow). The scale-sane mode is
+    * `append` over [[eventsStreamWithSentinel]]: each finalized window
+    * crosses the sink exactly once. `complete` re-emits the entire
+    * result every trigger — at scale that rewrite is a driver-side
+    * bottleneck — and remains only as a fallback oracle harness for
+    * transforms without a watermark. */
   def oneShot(spark: SparkSession, streamed: DataFrame,
-      mode: String = "complete"): DataFrame = {
+      mode: String = "append"): DataFrame = {
     val name = s"graft_mem_${memId.incrementAndGet()}"
     val q = streamed.writeStream
       .format("memory")
@@ -41,6 +43,30 @@ object StreamingRelational {
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** [[eventsStream]] unioned with a one-row sentinel stream whose
+    * event time is far beyond any real event. Once the sentinel batch
+    * commits, the watermark passes every real window's end, and the
+    * final no-data micro-batch (noDataMicroBatches, on by default)
+    * flushes them all to an APPEND sink — so watermarked aggregations
+    * are verifiable against the batch oracle without complete mode's
+    * rewrite-everything-per-trigger memory sink. The sentinel's own
+    * window stays beyond the watermark and is never emitted.
+    *
+    * `sentinelTs` must exceed max(event ts) + watermark delay + any
+    * window gap; the default is decades past the test corpus. */
+  def eventsStreamWithSentinel(spark: SparkSession, dir: String,
+      sentinelTs: java.sql.Timestamp = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sentinel")
+    Seq((-1L, sentinelTs, -1L, "__sentinel__", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(tmp.toString)
+    val sentinel = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(tmp.toString)
+    eventsStream(spark, dir).unionByName(sentinel)
   }
 
   /** The events table as a stream (same nanos→micros conversion as
@@ -80,6 +106,23 @@ object StreamingRelational {
         round(sum(col("value")), 2).as("total_value"))
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("total_value"))
+
+  /** Production sink: append-mode parquet files with a streaming
+    * checkpoint — the relational twin of the GNG snapshot discipline
+    * ([[GStream.writeSnapshots]]). The checkpoint makes restarts
+    * exactly-once: a re-start with the same checkpointLocation replays
+    * nothing already committed and appends nothing twice. Use with the
+    * watermarked transforms above; the watermark bounds both state and
+    * the set of windows finalized into files. */
+  def toParquetSink(df: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
 
   /** Streaming exact dedup: first occurrence per key wins; the
     * watermark bounds the dedup state (keys older than the watermark

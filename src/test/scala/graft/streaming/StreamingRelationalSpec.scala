@@ -33,7 +33,7 @@ class StreamingRelationalSpec extends AnyFunSuite with SparkTestSupport {
     mem.addData(data.drop(3).map { case (m, u, t, v) => (ts(m), u, t, v) })
     val streamed = mem.toDF.toDF("ts", "user_id", "event_type", "value")
     val out = StreamingRelational.oneShot(spark,
-      StreamingRelational.hourlyTypeCounts(streamed))
+      StreamingRelational.hourlyTypeCounts(streamed), mode = "complete")
       .orderBy("hour", "event_type")
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     val expected = eventsDf(data: _*)
@@ -55,7 +55,7 @@ class StreamingRelationalSpec extends AnyFunSuite with SparkTestSupport {
       (ts(90), 1L, 8.0), (ts(0), 2L, 1.0), (ts(30), 2L, 2.0)))
     val streamed = mem.toDF.toDF("ts", "user_id", "value")
     val out = StreamingRelational.userSessions(streamed, "30 minutes")
-    val rows = StreamingRelational.oneShot(spark, out)
+    val rows = StreamingRelational.oneShot(spark, out, mode = "complete")
       .orderBy("user_id", "session_start")
       .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
         r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events")))
@@ -63,6 +63,58 @@ class StreamingRelationalSpec extends AnyFunSuite with SparkTestSupport {
       (1L, ts(0), ts(39), 3L),
       (1L, ts(90), ts(90), 1L),
       (2L, ts(0), ts(30), 2L)))
+  }
+
+  test("append mode + sentinel emits every finalized window exactly once, sentinel never") {
+    import spark.implicits._
+    val data = Seq(
+      (5, 1L, "click", 1.0), (25, 1L, "click", 2.0), (61, 1L, "click", 4.0),
+      (10, 2L, "view", 8.0), (70, 2L, "view", 16.0), (130, 2L, "view", 32.0))
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    mem.addData(data.map { case (m, u, t, v) => (ts(m), u, t, v) })
+    // sentinel far past max ts + watermark: drives the watermark over
+    // every real window's end so append mode flushes them all
+    mem.addData(Seq((Timestamp.valueOf("2100-01-01 00:00:00"), -1L, "__sentinel__", 0.0)))
+    val streamed = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+    val out = StreamingRelational.oneShot(spark,
+      StreamingRelational.hourlyTypeCounts(streamed), mode = "append")
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val expected = eventsDf(data: _*)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // all real windows present exactly once; the sentinel's own
+    // (unfinalized) window is absent
+    assert(out.toSeq === expected.toSeq)
+    assert(!out.exists(_._2 == "__sentinel__"))
+  }
+
+  test("toParquetSink writes finalized windows; checkpointed restart appends nothing") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("sr-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sr-ckpt").toString
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    mem.addData(Seq((ts(5), 1L, "click", 1.0), (ts(25), 1L, "click", 2.0),
+      (ts(10), 2L, "view", 8.0)))
+    mem.addData(Seq((Timestamp.valueOf("2100-01-01 00:00:00"), -1L, "__sentinel__", 0.0)))
+    def run(): Unit = {
+      val streamed = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+      val q = StreamingRelational.toParquetSink(
+        StreamingRelational.hourlyTypeCounts(streamed), outDir, ckpt)
+      q.awaitTermination()
+    }
+    run()
+    val first = spark.read.parquet(outDir)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(first.toSet === Set(
+      (ts(0), "click", 2L, 3.0),
+      (ts(0), "view", 1L, 8.0)))
+    // exactly-once resume: same checkpoint, no new data -> no new rows
+    run()
+    val second = spark.read.parquet(outDir).count()
+    assert(second === first.length.toLong)
   }
 
   test("streamingDedup keeps the first occurrence per key") {
