@@ -52,6 +52,14 @@ object GraftExtensions {
     Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
   }
 
+  /** A foldable `array<double>` argument evaluated at plan-build time. */
+  private def vectorArg(e: Expression, name: String, fn: String): Array[Double] = {
+    require(e.foldable, s"$fn: $name must be a foldable array<double> literal")
+    val ad = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(ad != null, s"$fn: $name must not be null")
+    ad.toDoubleArray()
+  }
+
   /** (name, info, builder) for every native kernel expression. */
   val registrations: Seq[(String, ExpressionInfo, FunctionBuilder)] = Seq(
     ("vec_dot",
@@ -89,6 +97,12 @@ object GraftExtensions {
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args(0))),
+    ("lsh_bands",
+      new ExpressionInfo(classOf[LshBandSignatures].getName, "lsh_bands"),
+      (args: Seq[Expression]) => LshBandSignatures(args(0),
+        matrixArg(args(1), "planes", "lsh_bands"),
+        vectorArg(args(2), "offsets", "lsh_bands"),
+        intArg(args(3), "nbits", "lsh_bands"))),
     ("binary_features",
       new ExpressionInfo(classOf[BinaryFeaturesExpr].getName, "binary_features"),
       (args: Seq[Expression]) => BinaryFeaturesExpr(args(0),

@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftx
 import org.apache.spark.sql.types._
 
@@ -30,6 +30,11 @@ object VectorOps {
     * tie-break — same winner as [[graft.operators.GngOps.twoNearest]]). */
   def nearestCentroid(a: Column, centroids: Array[Array[Double]]): Column =
     graftx.column(NearestCentroid(graftx.expr(a), centroids))
+  /** All LSH band signatures in one fused pass (see [[LshBandSignatures]]).
+    * `offsets` empty = classic (uncentered) hyperplane LSH. */
+  def lshBandSignatures(a: Column, planes: Array[Array[Double]],
+      offsets: Array[Double], nBits: Int): Column =
+    graftx.column(LshBandSignatures(graftx.expr(a), planes, offsets, nBits))
 }
 
 object VectorOpsImpl {
@@ -99,6 +104,41 @@ object VectorOpsImpl {
     }
     best
   }
+  /** All `planes.length / nBits` LSH band signatures in ONE pass over
+    * the embedding: band b's bit i is sign(v · planes(b·nBits+i) −
+    * offset(b·nBits+i)) — bit-identical to evaluating
+    * [[graft.operators.Similarity.lshSignature]] per band (same
+    * left-associated dot accumulation the inlined DuckDB oracles use),
+    * but one expression eval instead of nBands×nBits separate `dot`
+    * calls per row. `offsets` empty = uncentered (all-zero offsets). */
+  def lshBands(a: ArrayData, planes: Array[Array[Double]],
+      offsets: Array[Double], nBits: Int): ArrayData = {
+    val v = a.toDoubleArray()
+    val nBands = planes.length / nBits
+    val out = new Array[Long](nBands)
+    var idx = 0
+    var b = 0
+    while (b < nBands) {
+      var sig = 0L
+      var i = 0
+      while (i < nBits) {
+        val p = planes(idx)
+        if (p.length != v.length)
+          throw new IllegalArgumentException(
+            s"lsh_bands: vector length ${v.length} != plane length ${p.length}")
+        var d = 0.0
+        var k = 0
+        while (k < p.length) { d += v(k) * p(k); k += 1 }
+        val off = if (offsets.length == 0) 0.0 else offsets(idx)
+        if (d >= off) sig |= (1L << i)
+        idx += 1
+        i += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
   def norm2(a: ArrayData): Double = {
     val n = a.numElements()
     var s = 0.0
@@ -159,6 +199,33 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       s"graft.expressions.VectorOpsImpl.nearestCentroid($a, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** Fused multi-band LSH signature: `array<long>` of one signature per
+  * band, computed in a single pass over the embedding with the plane
+  * matrix and offsets riding the plan as reference objects (codegen via
+  * `addReferenceObj`, like [[NearestCentroid]]). Replaces nBands×nBits
+  * separate `dot` expressions per row — the dominant per-row cost in
+  * the multi-band near-dup blocking stage at 12×14 defaults. */
+case class LshBandSignatures(child: Expression, planes: Array[Array[Double]],
+    offsets: Array[Double], nBits: Int) extends UnaryExpression {
+  require(nBits > 0 && nBits <= 63, s"lsh_bands: nBits must be in [1, 63], got $nBits")
+  require(planes.length > 0 && planes.length % nBits == 0,
+    s"lsh_bands: plane count ${planes.length} must be a positive multiple of nBits=$nBits")
+  require(offsets.length == 0 || offsets.length == planes.length,
+    s"lsh_bands: offsets length ${offsets.length} != plane count ${planes.length}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_bands"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOpsImpl.lshBands(a.asInstanceOf[ArrayData], planes, offsets, nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val oRef = ctx.addReferenceObj("offsets", offsets, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.VectorOpsImpl.lshBands($a, $pRef, $oRef, $nBits)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshBandSignatures =
     copy(child = newChild)
 }
 

@@ -31,8 +31,7 @@ object Similarity {
     Array.fill(nBits, dim)(rng.nextDouble() * 2 - 1)
   }
 
-  private def planeLit(p: Array[Double]): Column =
-    array(p.map(lit): _*)
+  private val noOffsets = Array.emptyDoubleArray
 
   /** Exact top-k rows by cosine similarity to `query`.
     * Output: (idCol, score) — score rounded to 4 dp for stable ordering. */
@@ -50,15 +49,14 @@ object Similarity {
     * A zero offset is classic hyperplane LSH; passing
     * offset_i = mean · plane_i centers the space so a dominant common
     * direction (e.g. shared n-grams across all text sketches) doesn't
-    * funnel the whole corpus into a few buckets. */
+    * funnel the whole corpus into a few buckets.
+    * Single-band view of the fused [[graft.expressions.VectorOps.lshBandSignatures]]
+    * kernel — one codegen'd pass, not nBits separate dot expressions. */
   def lshSignature(embCol: Column, planes: Array[Array[Double]],
       offsets: Array[Double] = null): Column =
-    aggregate(
-      array(planes.zipWithIndex.map { case (p, i) =>
-        val off = if (offsets == null) 0.0 else offsets(i)
-        when(dot(asDouble(embCol), planeLit(p)) >= off, shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }: _*),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    element_at(graft.expressions.VectorOps.lshBandSignatures(
+      asDouble(embCol), planes, if (offsets == null) noOffsets else offsets,
+      nBits = planes.length), 1)
 
   /** Elementwise corpus mean of the embedding column — one fused
     * treeAggregate pass (dim separate avg() columns are ~dim× slower). */
@@ -154,12 +152,15 @@ object Similarity {
     // explode + shuffle multiplies I/O by nBands; candidates are orders
     // of magnitude fewer than banded rows, so attaching embeddings to
     // the deduped candidate pairs afterwards is strictly cheaper)
+    // ONE fused kernel call computes all nBands signatures per row
+    // (previously nBands × nBits separate dot expressions — the
+    // dominant per-row cost at the 12×14 defaults), then posexplode
+    // turns the array<long> into (band, sig) rows for the self-join
     val banded = df.select(
         idCol.as("id"),
-        posexplode(array((0 until nBands).map { b =>
-          lshSignature(embCol, planes.slice(b * nBits, (b + 1) * nBits),
-            if (offsets == null) null else offsets.slice(b * nBits, (b + 1) * nBits))
-        }: _*)).as(Seq("band", "sig")))
+        posexplode(graft.expressions.VectorOps.lshBandSignatures(
+          asDouble(embCol), planes,
+          if (offsets == null) noOffsets else offsets, nBits)).as(Seq("band", "sig")))
     val a = banded.as("a")
     val b = banded.as("b")
     val cand = a.join(b,

@@ -120,26 +120,22 @@ object MultimodalQueries {
     rowsOnly("m05_binary_neardup") { (s, d) =>
       // 64-dim sketch: random-pair cosine noise ~1/√64 ≈ 0.125, so the
       // 0.95 threshold only passes genuinely shared-content payloads.
-      // cache(): the LSH stage references the emb column from ~36 dot
-      // expressions; without materialization Catalyst collapses the
-      // projection and re-runs the byte-sketch kernel per reference.
+      // The fused lsh_bands kernel evaluates emb exactly once for the
+      // blocking stage, so the byte-sketch runs 3× total (banding +
+      // the two candidate-side joins) — no cache/checkpoint needed.
       val feats = Tables.documents(s, d)
         .withColumn("payload", payloadExpr)
         .select(col("doc_id"),
           Multimodal.extractFeatures(col("payload"), dim = 64).as("emb"))
         .filter(col("emb").isNotNull)
-        .cache()
       // multi-band LSH at cosineNearDupPairs defaults (12 bits × 14
       // bands): ~99% recall at cosine 0.95 with candidates bounded per
       // band — a single wider table either misses most true pairs or
       // floods the verify stage
-      val pairs = graft.operators.Similarity
+      graft.operators.Similarity
         .cosineNearDupPairs(feats, col("emb"), col("doc_id"), threshold = 0.95,
           dim = 64)
         .orderBy(col("id_a"), col("id_b"))
-        .localCheckpoint(eager = true) // materialize, then release the cache
-      feats.unpersist(blocking = false)
-      pairs
     }
   )
 }

@@ -87,6 +87,40 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("LshBandSignatures: codegen == interpreted, matches per-band dot math") {
+    val nBits = 4
+    val nBands = 3
+    val planes = graft.operators.Similarity.hyperplanes(nBits * nBands, 3, seed = 7L)
+    val offsets = Array.tabulate(nBits * nBands)(i => (i % 5 - 2) * 0.01)
+    for (offs <- Seq(Array.emptyDoubleArray, offsets)) {
+      val (g, i) = bothWays(vecs.select(col("id"),
+        graft.expressions.VectorOps.lshBandSignatures(col("a"), planes, offs, nBits)))
+      assert(g === i)
+      // fused kernel == the per-band scalar definition it replaced
+      g.foreach { r =>
+        val v = if (r.getLong(0) == 1L) Array(1.0, 2.0, 3.0) else Array(0.0, 0.0, 0.0)
+        val expected = (0 until nBands).map { b =>
+          (0 until nBits).map { bit =>
+            val idx = b * nBits + bit
+            val d = planes(idx).zip(v).map { case (p, x) => p * x }.sum
+            val off = if (offs.isEmpty) 0.0 else offs(idx)
+            if (d >= off) 1L << bit else 0L
+          }.reduce(_ | _)
+        }
+        assert(r.getSeq[Long](1) === expected)
+      }
+    }
+  }
+
+  test("lsh_bands is registered as a SQL function") {
+    graft.GraftExtensions.register(spark)
+    val rows = spark.sql(
+      """SELECT lsh_bands(array(1.0D, 2.0D), array(array(1.0D, 1.0D), array(-1.0D, -1.0D)), array(), 1)
+        |AS sigs""".stripMargin).collect()
+    // plane 0: dot=3 >= 0 -> bit0 set; plane 1: dot=-3 -> 0
+    assert(rows.head.getSeq[Long](0) === Seq(1L, 0L))
+  }
+
   test("vector kernels reject ragged (length-mismatched) inputs") {
     import spark.implicits._
     val ragged = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
