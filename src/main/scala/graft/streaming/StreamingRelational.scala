@@ -25,6 +25,28 @@ object StreamingRelational {
 
   private val memId = new AtomicLong(0)
 
+  /** Fast scratch space for throwaway streaming state: tmpfs when
+    * available. The one-shot harness checkpoint holds WAL + state-store
+    * delta files that die with the query; the HDFS-backed state store
+    * fsyncs every delta on commit, and on a disk-backed /tmp those
+    * fsyncs dominate the whole query (profiled at 18-48 s of summed
+    * commit time across 32 partitions for a 2-batch run — vs
+    * milliseconds on tmpfs). Durability buys nothing here: a crashed
+    * verification run is simply re-run. Production streams use
+    * [[toParquetSink]] with a caller-owned durable checkpoint. */
+  private def scratchBase: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
   /** Run a streaming transform over bounded input and return the final
     * result table (memory sink, AvailableNow). The scale-sane mode is
     * `append` over [[eventsStreamWithSentinel]]: each finalized window
@@ -35,14 +57,43 @@ object StreamingRelational {
   def oneShot(spark: SparkSession, streamed: DataFrame,
       mode: String = "append"): DataFrame = {
     val name = s"graft_mem_${memId.incrementAndGet()}"
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val ckpt = java.nio.file.Files.createTempDirectory(scratchBase, "graft-ckpt")
+    // Bounded verification input doesn't need one state store per core:
+    // each store costs a load + delta-write + fsync per micro-batch
+    // (profiled at ~30 ms/store/batch — with 32 stores that fixed cost
+    // dwarfs the per-row work at harness scale). The streaming query
+    // pins its state partitioning from the session conf at start(); we
+    // cap it for the harness query and restore the session value
+    // immediately after. Production streams (toParquetSink) are
+    // launched by callers under their own conf and keep full
+    // parallelism.
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(shufKey)
+    try {
+      spark.conf.set(shufKey, math.min(prev.toInt, 8))
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set(shufKey, prev)
+      deleteRecursively(ckpt)
+    }
     spark.table(name)
+  }
+
+  /** One sentinel parquet file per (JVM, sentinelTs): re-writing it per
+    * call was measured at ~0.4 s/call, ×3 bench reps per streaming
+    * query. Cleaned up by a shutdown hook. */
+  private val sentinelCache = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+  sys.addShutdownHook {
+    import scala.jdk.CollectionConverters._
+    sentinelCache.values.asScala.foreach(d =>
+      deleteRecursively(java.nio.file.Paths.get(d)))
   }
 
   /** [[eventsStream]] unioned with a one-row sentinel stream whose
@@ -55,17 +106,40 @@ object StreamingRelational {
     * window stays beyond the watermark and is never emitted.
     *
     * `sentinelTs` must exceed max(event ts) + watermark delay + any
-    * window gap; the default is decades past the test corpus. */
+    * window gap; the default is decades past the test corpus.
+    *
+    * CORRECTNESS ASSUMPTIONS (asserted here where possible):
+    *   - The sentinel must NOT commit in an earlier micro-batch than
+    *     any real event: if it did, the post-batch watermark would jump
+    *     past every real window and all later-arriving real events
+    *     would be dropped as late data. Under `Trigger.AvailableNow`
+    *     with no `maxFilesPerTrigger` on either file source (this
+    *     module never sets it), every available file of BOTH sources
+    *     lands in micro-batch 0 and the sentinel only moves the
+    *     watermark after that batch — the safe order. Callers must not
+    *     add `maxFilesPerTrigger` (or any rate limit) on top of this
+    *     stream.
+    *   - The final windows are flushed by a no-data micro-batch, so
+    *     `spark.sql.streaming.noDataMicroBatches.enabled` must stay
+    *     true (asserted below — silently-empty results otherwise). */
   def eventsStreamWithSentinel(spark: SparkSession, dir: String,
       sentinelTs: java.sql.Timestamp = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")): DataFrame = {
-    import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-sentinel")
-    Seq((-1L, sentinelTs, -1L, "__sentinel__", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet(tmp.toString)
+    require(
+      spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true").toBoolean,
+      "eventsStreamWithSentinel needs spark.sql.streaming.noDataMicroBatches.enabled=true: " +
+        "the no-data micro-batch after the sentinel commits is what flushes the finalized " +
+        "windows to the append sink; without it the one-shot result is silently empty")
+    val tmp = sentinelCache.computeIfAbsent(sentinelTs.getTime, _ => {
+      import spark.implicits._
+      val dirPath = java.nio.file.Files.createTempDirectory("graft-sentinel")
+      Seq((-1L, sentinelTs, -1L, "__sentinel__", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(dirPath.toString)
+      dirPath.toString
+    })
     val sentinel = spark.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(tmp.toString)
+      .parquet(tmp)
     eventsStream(spark, dir).unionByName(sentinel)
   }
 
