@@ -1,0 +1,182 @@
+package graft.queries
+
+/** DuckDB twins of the splitmix64-based signature kernels
+  * ([[graft.expressions.TextHashImpl]], [[graft.expressions.BinaryFeaturesImpl]]):
+  * generated SQL that reproduces the exact 64-bit two's-complement
+  * arithmetic in DuckDB, so the formerly "trust-me" signature columns
+  * (MinHash, SimHash, byte-sketch features) hash-match a genuinely
+  * independent implementation.
+  *
+  * Port strategy — Java wraps 64-bit arithmetic silently; DuckDB raises
+  * on BIGINT overflow. All hash state is therefore carried as an
+  * UNSIGNED value in [0, 2^64) inside a 128-bit HUGEINT:
+  *   - add / small-constant multiply: compute in HUGEINT, `% 2^64`;
+  *   - full 64×64 multiply (splitmix64's two mix constants): 32-bit
+  *     limb decomposition — `lo(a)*lo(c) + ((lo(a)*hi(c) + hi(a)*lo(c))
+  *     % 2^32) << 32`, all partial products < 2^96 so nothing overflows
+  *     HUGEINT;
+  *   - `x >>> s`: on the unsigned value, `x // 2^s`;
+  *   - `x ^ y`: both sides fit UBIGINT → `xor(CAST AS UBIGINT)`;
+  *   - back to Java's signed view only at the very end
+  *     (`u - 2^64` when `u >= 2^63`), where results are compared/printed.
+  *
+  * Each mix64 application is a chain of 6 tiny CTE stages so every
+  * intermediate is referenced by NAME — inlining would blow the
+  * expression tree up exponentially (each stage reads its input twice).
+  */
+object HashOracleSql {
+
+  private val M = "18446744073709551616" // 2^64
+  private val HalfM = "9223372036854775808" // 2^63
+
+  /** splitmix64's three constants, as unsigned decimal strings. */
+  private val Golden = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)
+  private val MixC1 = BigInt(java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L))
+  private val MixC2 = BigInt(java.lang.Long.toUnsignedString(0x94d049bb133111ebL))
+  /** Per-family MinHash seed multiplier (TextHashImpl.minHash). */
+  private val SeedC = java.lang.Long.toUnsignedString(0xc2b2ae3d27d4eb4fL)
+
+  /** `(v * c) % 2^64` for unsigned HUGEINT column `v` and 64-bit
+    * constant `c`, via 32-bit limb decomposition. */
+  private def mulMod(v: String, c: BigInt): String = {
+    val c1 = c >> 32
+    val c0 = c & 0xFFFFFFFFL
+    s"(($v % 4294967296) * $c0 + ((($v % 4294967296) * $c1 + ($v // 4294967296) * $c0) % 4294967296) * 4294967296) % $M"
+  }
+
+  /** `v ^ (v >>> sh)` on the unsigned HUGEINT column `v`. */
+  private def xorShift(v: String, sh: Int): String =
+    s"CAST(xor(CAST($v AS UBIGINT), CAST(($v // ${1L << sh}) AS UBIGINT)) AS HUGEINT)"
+
+  /** CTE stages computing `out` = mix64(`incol`) from CTE `src`
+    * (carries all of `src`'s columns along via `SELECT *`). `pfx`
+    * namespaces the intermediates so several chains can coexist. */
+  private def mix64Stages(src: String, incol: String, out: String, pfx: String): Seq[String] = Seq(
+    s"${pfx}1 AS (SELECT *, ($incol + $Golden) % $M AS ${pfx}z0 FROM $src)",
+    s"${pfx}2 AS (SELECT *, ${xorShift(s"${pfx}z0", 30)} AS ${pfx}x0 FROM ${pfx}1)",
+    s"${pfx}3 AS (SELECT *, ${mulMod(s"${pfx}x0", MixC1)} AS ${pfx}z1 FROM ${pfx}2)",
+    s"${pfx}4 AS (SELECT *, ${xorShift(s"${pfx}z1", 27)} AS ${pfx}x1 FROM ${pfx}3)",
+    s"${pfx}5 AS (SELECT *, ${mulMod(s"${pfx}x1", MixC2)} AS ${pfx}z2 FROM ${pfx}4)",
+    s"${pfx}6 AS (SELECT *, ${xorShift(s"${pfx}z2", 31)} AS $out FROM ${pfx}5)")
+
+  /** Unsigned → Java signed 64-bit view. */
+  private def toSigned(u: String): String =
+    s"CASE WHEN $u >= $HalfM THEN $u - $M ELSE $u END"
+
+  /** Token list of the normalized text — same semantics as
+    * [[graft.expressions.TextHashImpl.tokenize]] (and the regex twin the
+    * t01-t07 oracles already hash-match). */
+  private val tokensList =
+    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')"
+
+  /** Java `h = h*31 + s.charAt(i)` polynomial over the token's chars
+    * (all [a-z0-9] post-normalization, so `unicode()` == `charAt`),
+    * seeded with 1125899906842597, as an unsigned HUGEINT. */
+  private val tokenPoly =
+    "list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), " +
+      "list_transform(range(1, length(tok)+1), i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))), " +
+      s"(h, c) -> (h * 31 + c) % $M)"
+
+  /** Per-token mix64 hashes as CTE chain ending in `m6(doc_id[, pos], th)`. */
+  private def tokenHashCtes(withPos: Boolean): Seq[String] = {
+    val head =
+      if (withPos)
+        Seq(s"tl AS (SELECT doc_id, $tokensList AS ts FROM documents)",
+          "tok AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts)+1)) AS pos FROM tl)",
+          s"h0 AS (SELECT doc_id, pos, $tokenPoly AS p FROM tok)")
+      else
+        Seq(s"tok AS (SELECT doc_id, unnest($tokensList) AS tok FROM documents)",
+          s"h0 AS (SELECT doc_id, $tokenPoly AS p FROM tok)")
+    head ++ mix64Stages("h0", "p", "th", "m")
+  }
+
+  /** t08: k-wide MinHash signatures over word n-gram shingles, rendered
+    * as the same comma-joined signed-decimal CSV the Spark side emits;
+    * NULL for docs with fewer than n tokens (TextHashImpl.minHash). */
+  def minHashSignatures(n: Int, k: Int): String = {
+    require(n == 3, "oracle generated for the registered n=3 shingles")
+    val ctes = tokenHashCtes(withPos = true) ++
+      Seq(
+        // rolling n-token window via lag: row at pos i carries tokens
+        // (i-2, i-1, i) — the shingle starting at i-2
+        "lagd AS (SELECT doc_id, pos, th, lag(th, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS th2, " +
+          "lag(th, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS th1 FROM m6)",
+        s"sh0 AS (SELECT doc_id, ((((1125899906842597 * 31 + th2) % $M) * 31 + th1) % $M * 31 + th) % $M AS sp " +
+          s"FROM lagd WHERE pos >= $n)") ++
+      mix64Stages("sh0", "sp", "sh", "s") ++
+      Seq(
+        s"fam AS (SELECT doc_id, sh, unnest(range(0, $k)) AS j FROM s6)",
+        s"fx AS (SELECT doc_id, j, CAST(xor(CAST(sh AS UBIGINT), CAST((j * $SeedC) % $M AS UBIGINT)) AS HUGEINT) AS fh FROM fam)") ++
+      mix64Stages("fx", "fh", "mh", "f") ++
+      Seq(
+        // Java compares signatures as SIGNED longs (min vs Long.MaxValue)
+        s"sigs AS (SELECT doc_id, j, min(CAST(${toSigned("mh")} AS BIGINT)) AS mv FROM f6 GROUP BY doc_id, j)",
+        "csv AS (SELECT doc_id, string_agg(CAST(mv AS VARCHAR), ',' ORDER BY j) AS c FROM sigs GROUP BY doc_id)")
+    "WITH " + ctes.mkString(",\n") +
+      "\nSELECT d.doc_id AS id, csv.c AS minhash_csv FROM documents d LEFT JOIN csv USING (doc_id) ORDER BY id"
+  }
+
+  /** CTEs ending in `allsims(doc_id, u)`: the unsigned 64-bit SimHash of
+    * every document (0 for docs with no tokens, as in the kernel). */
+  private def simHashCtes: Seq[String] =
+    tokenHashCtes(withPos = false) ++ Seq(
+      "bits AS (SELECT doc_id, th, unnest(range(0, 64)) AS bit FROM m6)",
+      "votes AS (SELECT doc_id, bit, sum(CASE WHEN (CAST(th AS UBIGINT) >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v " +
+        "FROM bits GROUP BY doc_id, bit)",
+      "sims AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << CAST(bit AS INT) AS HUGEINT) ELSE 0 END) AS usim " +
+        "FROM votes GROUP BY doc_id)",
+      "allsims AS (SELECT d.doc_id, CAST(coalesce(usim, 0) AS UBIGINT) AS u FROM documents d LEFT JOIN sims USING (doc_id))")
+
+  /** t10: 64-bit SimHash per document, signed view. */
+  def simHash: String =
+    "WITH " + simHashCtes.mkString(",\n") +
+      s"\nSELECT doc_id, CAST(${toSigned("CAST(u AS HUGEINT)")} AS BIGINT) AS simhash FROM allsims ORDER BY doc_id"
+
+  /** t12: SimHash near-dup pairs within `maxHamming` bits. The oracle is
+    * the EXHAUSTIVE all-pairs hamming filter — the Spark side's
+    * pigeonhole banding provably returns the identical set for
+    * maxHamming ≤ 3 with 4 bands (RecallSpec asserts banding ==
+    * brute-force), so hash-matching against brute force verifies both
+    * the signature kernel and the banding. */
+  def simHashPairs(maxHamming: Int): String =
+    "WITH " + simHashCtes.mkString(",\n") +
+      s"""
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.u, b.u)) AS INT) AS hamming
+         |FROM allsims a JOIN allsims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.u, b.u)) <= $maxHamming
+         |ORDER BY id_a, id_b""".stripMargin
+
+  /** m04: the [[graft.expressions.BinaryFeaturesImpl.byteFeatures]]
+    * signed random-projection sketch over payload byte 4-grams, emitted
+    * as 1e6-scaled integers (both engines `floor(x + 0.5)` — Java
+    * `Math.round` semantics — so the CSV is format-neutral). Assumes
+    * every non-empty payload is ≥ 4 bytes (magic + ≥48-char text at
+    * every SF); a shorter payload would take the kernel's degenerate
+    * whole-payload branch and surface here as a visible mismatch, not a
+    * silent pass. */
+  def binaryFeatures(payloadSql: String, dim: Int): String = {
+    def hexDigit(e: String) = s"(strpos('0123456789ABCDEF', $e) - 1)"
+    def byteAt(off: Int) =
+      s"(${hexDigit(s"substr(h, i*2 + ${2 * off + 1}, 1)")} * 16 + ${hexDigit(s"substr(h, i*2 + ${2 * off + 2}, 1)")})"
+    // big-endian 4-byte window, as in the kernel's (b0<<24|b1<<16|b2<<8|b3)
+    val window = s"(CAST(${byteAt(0)} AS HUGEINT) * 16777216 + ${byteAt(1)} * 65536 + ${byteAt(2)} * 256 + ${byteAt(3)})"
+    val ctes = Seq(
+      s"b AS (SELECT doc_id, $payloadSql AS payload FROM documents WHERE octet_length($payloadSql) > 0)",
+      "hx AS (SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n FROM b)",
+      "win AS (SELECT doc_id, h, unnest(range(0, n - 3)) AS i FROM hx WHERE n >= 4)",
+      s"w0 AS (SELECT doc_id, $window AS wv FROM win)") ++
+      mix64Stages("w0", "wv", "u", "m") ++ Seq(
+      // bucket = floorMod((h >>> 1).toInt, dim): dim divides 2^32, so
+      // truncation to int and floorMod collapse to (u >> 1) % dim
+      s"bsum AS (SELECT doc_id, CAST((u // 2) % $dim AS INT) AS bucket, " +
+        "sum(CASE WHEN u % 2 = 0 THEN 1 ELSE -1 END) AS s FROM m6 GROUP BY doc_id, bucket)",
+      s"grid AS (SELECT doc_id, unnest(range(0, $dim)) AS bucket FROM hx WHERE n >= 4)",
+      "fs AS (SELECT g.doc_id, g.bucket, CAST(coalesce(s, 0) AS DOUBLE) AS s FROM grid g LEFT JOIN bsum USING (doc_id, bucket))",
+      "nrm AS (SELECT doc_id, bucket, s, sum(s * s) OVER (PARTITION BY doc_id) AS norm2 FROM fs)",
+      // same float op order as the kernel: s * (1/sqrt(norm2)) * 1e6
+      "fi AS (SELECT doc_id, bucket, CAST(floor(s * (CASE WHEN norm2 = 0 THEN 0.0 ELSE 1.0 / sqrt(norm2) END) * 1000000.0 + 0.5) AS BIGINT) AS v FROM nrm)")
+    "WITH " + ctes.mkString(",\n") +
+      "\nSELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY bucket) AS features_csv FROM fi GROUP BY doc_id ORDER BY doc_id"
+  }
+}

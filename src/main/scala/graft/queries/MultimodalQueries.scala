@@ -101,17 +101,25 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Byte-level feature embedding (kernel expression) → rendered as CSV
-    // (kernel not expressible in DuckDB → rows-only). The features feed
-    // the Similarity stack; m05 exercises that composition.
-    rowsOnly("m04_binary_features") { (s, d) =>
+    // Byte-level feature embedding (kernel expression), fully oracled:
+    // HashOracleSql.binaryFeatures re-derives the 4-gram mix64 sketch in
+    // DuckDB. Features are emitted as 1e6-scaled integers — the kernel
+    // already rounds to 6 dp, so the scaling is lossless, and integer
+    // CSV sidesteps Java-vs-DuckDB double-to-string divergence (Java
+    // renders 4.2e-4 in scientific notation; DuckDB doesn't). The
+    // features feed the Similarity stack; m05 exercises that
+    // composition.
+    sql(
+      "m04_binary_features",
+      HashOracleSql.binaryFeatures(payloadSql, dim = 16)) { (s, d) =>
       Tables.documents(s, d)
         .withColumn("payload", payloadExpr)
         .select(col("doc_id"),
           Multimodal.extractFeatures(col("payload"), dim = 16).as("f"))
         .filter(col("f").isNotNull)
         .select(col("doc_id"),
-          array_join(expr("transform(f, x -> CAST(x AS STRING))"), ",").as("features_csv"))
+          array_join(expr("transform(f, x -> CAST(CAST(round(x * 1e6) AS BIGINT) AS STRING))"), ",")
+            .as("features_csv"))
         .orderBy(col("doc_id"))
     },
 
@@ -121,8 +129,9 @@ object MultimodalQueries {
       // 64-dim sketch: random-pair cosine noise ~1/√64 ≈ 0.125, so the
       // 0.95 threshold only passes genuinely shared-content payloads.
       // The fused lsh_bands kernel evaluates emb exactly once for the
-      // blocking stage, so the byte-sketch runs 3× total (banding +
-      // the two candidate-side joins) — no cache/checkpoint needed.
+      // blocking stage, so the byte-sketch runs 4× total (the centered
+      // default's meanVector pass + banding + the two candidate-side
+      // joins) — cheap enough that no cache/checkpoint is needed.
       val feats = Tables.documents(s, d)
         .withColumn("payload", payloadExpr)
         .select(col("doc_id"),

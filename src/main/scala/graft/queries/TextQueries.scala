@@ -91,11 +91,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
-    // MinHash signatures (splitmix64-based; not expressible in DuckDB)
-    // → rows-only. The signature is rendered as a CSV string: the
+    // MinHash signatures, fully oracled: HashOracleSql ports the
+    // splitmix64 / polynomial-hash bit math to DuckDB via unsigned
+    // HUGEINT modular arithmetic, so the signature longs hash-match an
+    // independent implementation. Rendered as a CSV string: the
     // driver's pandas compare sorts row values and crashes on raw
     // array cells (unhashable numpy.ndarray).
-    rowsOnly("t08_minhash_signatures") { (s, d) =>
+    sql(
+      "t08_minhash_signatures",
+      HashOracleSql.minHashSignatures(n = 3, k = 16)) { (s, d) =>
       Dedup.minHashSignatures(Tables.documents(s, d), col("text"), col("doc_id"))
         .select(col("id"),
           array_join(col("minhash").cast("array<string>"), ",").as("minhash_csv"))
@@ -121,8 +125,8 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // SimHash signatures → rows-only.
-    rowsOnly("t10_simhash") { (s, d) =>
+    // SimHash signatures, fully oracled (see t08).
+    sql("t10_simhash", HashOracleSql.simHash) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), Dedup.simHash64(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
@@ -224,8 +228,13 @@ object TextQueries {
     },
 
     // SimHash banded near-dup pairs (hamming ≤ 3 via 4×16-bit bands +
-    // popcount verify) → rows-only (signature kernel not in DuckDB).
-    rowsOnly("t12_simhash_neardup_pairs") { (s, d) =>
+    // popcount verify), oracled against the EXHAUSTIVE all-pairs
+    // hamming filter (the banding is lossless at ≤3 bits by pigeonhole;
+    // RecallSpec asserts it) — so the hash-match verifies both the
+    // signature kernel and the banding.
+    sql(
+      "t12_simhash_neardup_pairs",
+      HashOracleSql.simHashPairs(maxHamming = 3)) { (s, d) =>
       Dedup.simHashPairs(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy(col("id_a"), col("id_b"))
     },
