@@ -29,7 +29,65 @@ object GngQueries {
       GStream.fitChunked(pts, GngParams(), defaultChunks)
     })
 
-  val all: Seq[QueryDef] = Seq(
+  /** The trained centroids as inline SQL constants — available only
+    * AFTER the queries have run (the Verify main runs every query, then
+    * dumps `oracleSql`; [[all]] is a `def` so the oracle strings are
+    * built at dump time, when exactly one model sits in the cache).
+    * With zero models (oracleSql read before any query ran) or several
+    * (mixed dirs in one JVM — never the Verify flow) there is no
+    * unambiguous model, and the queries stay rows-only. Double
+    * constants round-trip exactly through toString (v03 precedent). */
+  private def soleTrainedCentroids: Option[Array[Array[Double]]] = {
+    val models = new java.util.ArrayList(cache.values())
+    if (models.size == 1) Some(models.get(0).centroids) else None
+  }
+
+  /** Squared Euclidean distance to one centroid as an explicit
+    * left-associated term chain — the same sequential accumulation
+    * order as [[graft.operators.GngOps.twoNearest]]'s loop, so both
+    * engines compute bit-identical doubles and arg-min ties can't
+    * flake. */
+  private def distSql(c: Array[Double]): String =
+    c.zipWithIndex
+      .map { case (cv, k) => s"(v[${k + 1}] - ($cv)) * (v[${k + 1}] - ($cv))" }
+      .mkString(" + ")
+
+  /** CTEs ending in `win(vec_id, cluster, dsq)`: each vector's nearest
+    * centroid by squared distance, ties to the lowest index (twoNearest
+    * keeps the FIRST strict minimum). */
+  private def nearestCtes(cs: Array[Array[Double]]): String = {
+    val perCentroid = cs.zipWithIndex
+      .map { case (c, i) => s"SELECT vec_id, $i AS cluster, ${distSql(c)} AS dsq FROM e" }
+      .mkString("\nUNION ALL ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d AS ($perCentroid),
+       |win AS (SELECT vec_id, cluster, dsq FROM (
+       |  SELECT vec_id, cluster, dsq,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cluster) AS rk FROM d)
+       |  WHERE rk = 1)""".stripMargin
+  }
+
+  private def assignmentsOracle: Option[String] =
+    soleTrainedCentroids.map { cs =>
+      s"""WITH ${nearestCtes(cs)}
+         |SELECT vec_id, cluster, round(sqrt(dsq), 4) AS dist
+         |FROM win ORDER BY vec_id""".stripMargin
+    }
+
+  private def purityOracle: Option[String] =
+    soleTrainedCentroids.map { cs =>
+      s"""WITH ${nearestCtes(cs)},
+         |a AS (SELECT w.cluster, emb.label FROM win w JOIN embeddings emb USING (vec_id)),
+         |pc AS (SELECT cluster, label, count(*) AS n FROM a GROUP BY cluster, label),
+         |agg AS (SELECT cluster, max(n) AS majority, sum(n) AS total FROM pc GROUP BY cluster)
+         |SELECT round(CAST(sum(majority) AS DOUBLE) / sum(total), 4) AS purity,
+         |  count(*) AS n_clusters FROM agg""".stripMargin
+    }
+
+  /** A `def`, not a `val`: the gng_assignments/gng_purity oracles embed
+    * the TRAINED centroids, which only exist after the queries run —
+    * see [[soleTrainedCentroids]]. */
+  def all: Seq[QueryDef] = Seq(
     // Final prototype table after 20 deterministic micro-batches.
     // Centroid rendered as a CSV string (reference snapshot format,
     // pointObj.scala:16-18) — also keeps the driver's pandas row-compare
@@ -54,17 +112,21 @@ object GngQueries {
         .orderBy(col("src"), col("dst"))
     },
     // Cluster assignment of every embedding under the final model.
-    rowsOnly("gng_assignments") { (s, d) =>
+    // Oracled (dump-time): DuckDB re-derives the arg-min over the
+    // INLINED trained centroids with the same left-assoc distance sum
+    // and low-index tie-break; SQL round() on both sides.
+    QueryDef("gng_assignments", (s, d) => {
       val m = trained(s, d)
       import s.implicits._
       val pts = GStream.toPoints(Tables.embeddings(s, d), "embedding", "label", "vec_id")
       val bc = s.sparkContext.broadcast(m.centroids)
       pts.map { p =>
         val (b1, _, d1) = graft.operators.GngOps.twoNearest(p.features, bc.value)
-        (p.id, b1, math.round(math.sqrt(d1) * 1e4) / 1e4)
+        (p.id, b1, math.sqrt(d1))
       }.toDF("vec_id", "cluster", "dist")
+        .select(col("vec_id"), col("cluster"), round(col("dist"), 4).as("dist"))
         .orderBy(col("vec_id"))
-    },
+    }, assignmentsOracle),
     // The BASELINE.md metric, measured directly: reference-shaped
     // micro-batches (200 2-D points per batch, 92 batches — the DS1-200
     // run) through the full assign+aggregate+update path. BASELINE
@@ -134,8 +196,8 @@ object GngQueries {
     // Clustering quality vs the ground-truth labels the reference keeps
     // "for evaluation" (pointObj.scala:13, SURVEY §1.1): per-cluster
     // majority-label purity — the distributable evaluation the papers
-    // report NMI/Rand for.
-    rowsOnly("gng_purity") { (s, d) =>
+    // report NMI/Rand for. Oracled (dump-time, inlined centroids).
+    QueryDef("gng_purity", (s, d) => {
       val m = trained(s, d)
       import s.implicits._
       val pts = GStream.toPoints(Tables.embeddings(s, d), "embedding", "label", "vec_id")
@@ -150,6 +212,6 @@ object GngQueries {
       perCluster.agg(
           round(sum(col("majority")).cast("double") / sum(col("total")), 4).as("purity"),
           count(lit(1)).as("n_clusters"))
-    }
+    }, purityOracle)
   )
 }
