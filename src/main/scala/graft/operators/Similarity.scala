@@ -51,7 +51,11 @@ object Similarity {
     * direction (e.g. shared n-grams across all text sketches) doesn't
     * funnel the whole corpus into a few buckets.
     * Single-band view of the fused [[graft.expressions.VectorOps.lshBandSignatures]]
-    * kernel — one codegen'd pass, not nBits separate dot expressions. */
+    * kernel — one codegen'd pass, not nBits separate dot expressions.
+    * Ceiling: at most 63 planes (the fused kernel keeps signatures in a
+    * signed positive Long; bit 63 would flip the sign and break the
+    * bucket-equality and hamming filters downstream). Wider signatures
+    * belong in multiple bands, which is the higher-recall shape anyway. */
   def lshSignature(embCol: Column, planes: Array[Array[Double]],
       offsets: Array[Double] = null): Column =
     element_at(graft.expressions.VectorOps.lshBandSignatures(
@@ -93,18 +97,46 @@ object Similarity {
       lshSignature(embCol, planes).as("bucket"))
   }
 
-  /** Approximate top-k: exact cosine ranking restricted to the query's
-    * LSH bucket (single-probe). Falls back to nothing if the bucket is
-    * empty — callers wanting guarantees use multiprobe or brute force. */
+  /** Approximate top-k with MULTIPROBE: exact cosine ranking restricted
+    * to the buckets within the smallest hamming radius R of the query's
+    * signature that holds ≥ k candidates (R=0 is the classic
+    * single-probe; an unlucky sparse bucket escalates to its hamming-1
+    * neighbors, then hamming-2, …). Guarantees exactly k results
+    * whenever the table has ≥ k rows — never a silent short read.
+    *
+    * The radius comes from the bucket histogram (2^nBits rows): at
+    * scale that histogram is tiny index metadata, computed once per
+    * bucketed table and amortized across every query against it; the
+    * ranking scan then touches only the probed buckets' partitions.
+    * Flipping one signature bit crosses exactly one hyperplane, so
+    * hamming-1 buckets are precisely the most-likely-confusable
+    * regions — probing by hamming radius is probe-ordering by
+    * collision probability.
+    *
+    * `overProbe` is the candidate-oversampling factor: the radius grows
+    * until ≥ overProbe·k candidates are in scope (still exactly k
+    * returned). A true neighbor that disagrees with the query on one
+    * plane sits at hamming 1; oversampling is what pulls those buckets
+    * in even when the query's own bucket already holds k rows —
+    * recall rises steeply with it, scan breadth linearly. */
   def lshKnn(df: DataFrame, embCol: Column, idCol: Column,
-      query: Array[Double], k: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+      query: Array[Double], k: Int, nBits: Int = 8, seed: Long = 42L,
+      overProbe: Int = 3): DataFrame = {
     val planes = hyperplanes(nBits, query.length, seed)
     val qSig = planes.zipWithIndex.map { case (p, i) =>
       val d = p.zip(query).map { case (a, b) => a * b }.sum
       if (d >= 0) 1L << i else 0L
-    }.reduce(_ | _)
+    }.foldLeft(0L)(_ | _)
     val bucketed = lshBuckets(df, embCol, idCol, nBits, seed, dim = query.length)
-    bucketed.filter($"bucket" === qSig)
+    val histogram = bucketed.groupBy($"bucket").agg(count(lit(1)).as("n")).collect()
+    val byRadius = histogram
+      .groupMapReduce(r => java.lang.Long.bitCount(r.getLong(0) ^ qSig))(_.getLong(1))(_ + _)
+    val cumulative = (0 to nBits).scanLeft(0L)((c, r) => c + byRadius.getOrElse(r, 0L)).tail
+    val radius = cumulative.indexWhere(_ >= k.toLong * overProbe) match {
+      case -1 => nBits // not enough rows in total: scan everything
+      case r  => r
+    }
+    bucketed.filter(bit_count($"bucket".bitwiseXOR(lit(qSig))) <= radius)
       .select($"id", round(cosineSimilarity(asDouble($"emb"), array(query.map(lit): _*)), 4).as("score"))
       .orderBy($"score".desc, $"id")
       .limit(k)

@@ -63,17 +63,25 @@ object VectorQueries {
         queryVector(s, d), 10)
     },
 
-    // LSH-bucketed kNN: exact cosine ranking restricted to the query's
-    // bucket. Fully oracled — the seeded hyperplanes inline into the
-    // DuckDB SQL as constants (see sigSql).
+    // LSH-bucketed kNN with multiprobe: exact cosine ranking within the
+    // smallest hamming radius of the query's bucket holding >=
+    // overProbe*k = 30 candidates. Fully oracled — the seeded
+    // hyperplanes inline as constants (see sigSql) and the oracle
+    // derives the SAME minimal radius from the bucket histogram
+    // (cumulative count by hamming distance), so the probe set matches
+    // deterministically.
     sql(
       "v03_knn_lsh", {
         val planes = Similarity.hyperplanes(4, EmbDim)
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |s AS (SELECT vec_id, v, ${sigSql("v", planes)} AS bucket FROM e)
-           |SELECT s.vec_id AS id,
-           |  round(list_cosine_similarity(s.v, (SELECT v FROM s WHERE vec_id = 0)), 4) AS score
-           |FROM s WHERE s.bucket = (SELECT bucket FROM s WHERE vec_id = 0)
+           |s AS (SELECT vec_id, v, ${sigSql("v", planes)} AS bucket FROM e),
+           |q AS (SELECT bucket AS qb, v AS qv FROM s WHERE vec_id = 0),
+           |ds AS (SELECT vec_id, v, bit_count(xor(bucket, (SELECT qb FROM q))) AS hd FROM s),
+           |cum AS (SELECT hd, sum(count(*)) OVER (ORDER BY hd) AS c FROM ds GROUP BY hd),
+           |r AS (SELECT coalesce(min(hd), 4) AS rsel FROM cum WHERE c >= 30)
+           |SELECT vec_id AS id,
+           |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 4) AS score
+           |FROM ds WHERE hd <= (SELECT rsel FROM r)
            |ORDER BY score DESC, id LIMIT 10""".stripMargin
       }) { (s, d) =>
       Similarity.lshKnn(

@@ -64,6 +64,40 @@ class RecallSpec extends AnyFunSuite with SparkTestSupport {
       s"cross-metric recall degraded: $hit/${jTruth.size} (expected >= 60%)")
   }
 
+  test("lshKnn multiprobe: exactly k results and recall >= 0.95 vs brute force") {
+    import spark.implicits._
+    // a corpus with REAL near neighbors: 15 tight jittered copies of a
+    // base direction (cosine ~0.999) amid 400 near-orthogonal randoms.
+    // (On pure random data — e.g. the synthetic embeddings table — the
+    // "nearest" neighbors sit at cosine ~0.3 scattered across all
+    // buckets, and no LSH scheme at any probe width can rank them;
+    // recall there measures the data, not the operator.)
+    val rng = new scala.util.Random(5)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val base = unit()
+    val copies = (0 until 15).map { i =>
+      val jit = base.map(x => x + rng.nextGaussian() * 0.005)
+      val n = math.sqrt(jit.map(x => x * x).sum)
+      (100L + i, jit.map(_ / n))
+    }
+    val randoms = (0 until 400).map(i => (1000L + i, unit()))
+    val df = (copies ++ randoms).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceKnn(df, col("embedding"), col("vec_id"), base, 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val lsh = Similarity.lshKnn(df, col("embedding"), col("vec_id"), base, 10)
+      .collect().map(_.getAs[Long]("id"))
+    // the exact-k guarantee the single-probe version lacked
+    assert(lsh.length === 10, s"expected exactly k=10 rows, got ${lsh.length}")
+    val recall = (brute & lsh.toSet).size.toDouble / brute.size
+    // oversampled multiprobe (overProbe=3 default) pulls in the
+    // hamming-1/2 buckets where one-plane-disagreement neighbors live
+    assert(recall >= 0.95, s"multiprobe recall $recall < 0.95 vs brute force")
+  }
+
   test("cosineNearDupPairs defaults (12 bits x 14 bands): recall >= 0.95 at cosine 0.95") {
     import spark.implicits._
     // jittered corpus with KNOWN near-dups: 150 bases + 50 jittered

@@ -52,13 +52,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
     assert(e.getMessage.contains("empty"))
   }
 
-  test("lshKnn returns a subset of brute-force candidates, correctly ranked") {
+  test("lshKnn multiprobe returns exactly k rows, correctly ranked") {
     val lsh = Similarity.lshKnn(embs, col("emb"), col("id"), query, k = 5)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score"))
-    // single-probe: every returned row shares the query's bucket; ranking
-    // within the bucket must match exact cosine order
+    // multiprobe escalates the hamming radius until >= k candidates, so
+    // a 7-row corpus must yield exactly 5, ranked by exact cosine
+    assert(lsh.length === 5)
     assert(lsh.map(_._2).toSeq === lsh.map(_._2).sorted(Ordering[Double].reverse).toSeq)
     assert(lsh.map(_._1).contains(1L)) // the query's own direction must bucket with it
+  }
+
+  test("lshKnn with k > corpus size degrades to brute force over all rows") {
+    val lsh = Similarity.lshKnn(embs, col("emb"), col("id"), query, k = 20)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val brute = Similarity.bruteForceKnn(embs, col("emb"), col("id"), query, 20)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(lsh === brute) // radius escalates to nBits => every bucket probed
   }
 
   test("ivfIndex assigns each vector to its nearest centroid list") {
