@@ -62,27 +62,44 @@ object Similarity {
       asDouble(embCol), planes, if (offsets == null) noOffsets else offsets,
       nBits = planes.length), 1)
 
+  /** Typed aggregator computing the elementwise (sum, count) of a
+    * vector column in one fused pass — dim separate avg() columns are
+    * ~dim× slower, and staying an [[Aggregator]] (vs dropping to
+    * `.rdd.treeAggregate`) keeps the pass inside the Dataset world:
+    * visible to AQE, mergeable with adjacent stages, and running as a
+    * partial+final ObjectHashAggregate like any other agg. */
+  private final class MeanVecAgg(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Double], (Array[Double], Long), Array[Double]] {
+    override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+    override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) =
+      if (v == null) b
+      else {
+        var i = 0
+        val m = math.min(dim, v.length)
+        while (i < m) { b._1(i) += v(i); i += 1 }
+        (b._1, b._2 + 1)
+      }
+    override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+    override def finish(r: (Array[Double], Long)): Array[Double] =
+      if (r._2 == 0) new Array[Double](dim) else r._1.map(_ / r._2)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Elementwise corpus mean of the embedding column — one fused
-    * treeAggregate pass (dim separate avg() columns are ~dim× slower). */
+    * aggregation pass over the Dataset (see [[MeanVecAgg]]). */
   def meanVector(df: DataFrame, embCol: Column, dim: Int): Array[Double] = {
-    val (sum, n) = df.select(asDouble(embCol)).rdd
-      .map(r => if (r.isNullAt(0)) null else r.getSeq[Double](0))
-      .treeAggregate((new Array[Double](dim), 0L))(
-        seqOp = { case ((s, c), v) =>
-          if (v == null) (s, c)
-          else {
-            var i = 0
-            val m = math.min(dim, v.length)
-            while (i < m) { s(i) += v(i); i += 1 }
-            (s, c + 1)
-          }
-        },
-        combOp = { case ((s1, c1), (s2, c2)) =>
-          var i = 0
-          while (i < dim) { s1(i) += s2(i); i += 1 }
-          (s1, c1 + c2)
-        })
-    if (n == 0) new Array[Double](dim) else sum.map(_ / n)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(asDouble(embCol)).as[Seq[Double]]
+      .select(new MeanVecAgg(dim).toColumn)
+      .head()
   }
 
   /** Attach an LSH bucket id to every row. `dim` (embedding width) may

@@ -43,6 +43,39 @@ class SinksSpec extends AnyFunSuite with SparkTestSupport {
     assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
   }
 
+  test("streaming parquet sink at sf0.01: finalized windows equal the batch aggregation") {
+    // the production append path (toParquetSink + durable checkpoint)
+    // against real table data — the one-shot memory-sink harness tests
+    // the same transform, but this exercises the actual file sink:
+    // finalized watermarked windows land in parquet exactly once
+    import graft.streaming.StreamingRelational
+    val sf = "/root/testdata/sf0.01"
+    val outDir = tmp("stream-parquet")
+    val ckpt = tmp("stream-ckpt")
+    val q = StreamingRelational.toParquetSink(
+      StreamingRelational.hourlyTypeCounts(
+        StreamingRelational.eventsStreamWithSentinel(spark, sf)),
+      outDir, ckpt)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(outDir)
+      .orderBy(col("hour"), col("event_type"))
+    val batch = graft.queries.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+    assert(streamed.collect().toSeq === batch.collect().toSeq)
+
+    // restart with the same checkpoint: everything is already
+    // committed, so nothing is appended twice (exactly-once)
+    val before = streamed.count()
+    val q2 = StreamingRelational.toParquetSink(
+      StreamingRelational.hourlyTypeCounts(
+        StreamingRelational.eventsStreamWithSentinel(spark, sf)),
+      outDir, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(outDir).count() === before)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     import spark.implicits._
     val p = tmp("part")
