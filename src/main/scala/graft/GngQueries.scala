@@ -37,7 +37,7 @@ object GngQueries {
     * (mixed dirs in one JVM — never the Verify flow) there is no
     * unambiguous model, and the queries stay rows-only. Double
     * constants round-trip exactly through toString (v03 precedent). */
-  private def soleTrainedCentroids: Option[Array[Array[Double]]] = {
+  private[graft] def soleTrainedCentroids: Option[Array[Array[Double]]] = {
     val models = new java.util.ArrayList(cache.values())
     if (models.size == 1) Some(models.get(0).centroids) else None
   }

@@ -39,7 +39,10 @@ object VectorQueries {
       s"(CASE WHEN ${dotSql(vec, p)} >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
 
-  val all: Seq[QueryDef] = Seq(
+  /** A `def`, not a `val`: the v06 oracle embeds the TRAINED centroids,
+    * which only exist after the gng queries run (dump-time inlining —
+    * see [[graft.GngQueries.soleTrainedCentroids]]). */
+  def all: Seq[QueryDef] = Seq(
     sql(
       "v01_vec_norm",
       """SELECT vec_id, round(sqrt(sum(x * x)), 4) AS l2norm
@@ -131,13 +134,47 @@ object VectorQueries {
     },
 
     // IVF approximate kNN: the trained G-Stream prototypes double as the
-    // coarse quantizer; rank within the 2 probed lists → rows-only
-    // (centroids come from the model, not SQL).
-    rowsOnly("v06_knn_ivf") { (s, d) =>
+    // coarse quantizer; rank within the 2 probed lists. Oracled at dump
+    // time (same mechanism as gng_assignments): the trained centroids
+    // inline as SQL constants, DuckDB re-derives the probe set (2
+    // nearest centroids to the query, ties to the lower list) and the
+    // per-vector list assignment with the kernel's left-assoc distance
+    // sums, then ranks by exact cosine within the probed lists.
+    QueryDef("v06_knn_ivf", (s, d) =>
       Similarity.ivfKnn(
         Tables.embeddings(s, d), col("embedding"), col("vec_id"),
         graft.GngQueries.trained(s, d).centroids,
-        queryVector(s, d), k = 10, nProbe = 2)
-    }
+        queryVector(s, d), k = 10, nProbe = 2),
+      ivfOracle)
   )
+
+  /** Left-associated squared-distance chain of `arr` to centroid `c` —
+    * the accumulation order of VectorOpsImpl.nearestCentroid and
+    * Similarity.ivfKnn's probe loop. */
+  private def centroidDistSql(arr: String, c: Array[Double]): String =
+    c.zipWithIndex
+      .map { case (cv, k) => s"($arr[${k + 1}] - ($cv)) * ($arr[${k + 1}] - ($cv))" }
+      .mkString(" + ")
+
+  private def ivfOracle: Option[String] =
+    graft.GngQueries.soleTrainedCentroids.map { cs =>
+      val queryDists = cs.zipWithIndex
+        .map { case (c, i) => s"SELECT $i AS list, ${centroidDistSql("qv", c)} AS d FROM q" }
+        .mkString("\nUNION ALL ")
+      val vecDists = cs.zipWithIndex
+        .map { case (c, i) => s"SELECT vec_id, $i AS list, ${centroidDistSql("v", c)} AS dsq FROM e" }
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |cd AS ($queryDists),
+         |probed AS (SELECT list FROM cd ORDER BY d, list LIMIT 2),
+         |vd AS ($vecDists),
+         |win AS (SELECT vec_id, list FROM (
+         |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, list) AS rk FROM vd)
+         |  WHERE rk = 1)
+         |SELECT e.vec_id AS id, round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 4) AS score
+         |FROM win JOIN e USING (vec_id)
+         |WHERE win.list IN (SELECT list FROM probed)
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin
+    }
 }
