@@ -147,6 +147,80 @@ object HashOracleSql {
          |WHERE bit_count(xor(a.u, b.u)) <= $maxHamming
          |ORDER BY id_a, id_b""".stripMargin
 
+  /** CTEs ending in `feats(doc_id, dim, f)` — the byteFeatures sketch
+    * as DOUBLE values (floor(x·1e6 + 0.5)/1e6 reproduces the kernel's
+    * Math.round-to-6dp in both engines bit-identically: the scaled
+    * value is an exact integer and /1e6 is the same IEEE division). */
+  private def featureCtes(payloadSql: String, dim: Int): Seq[String] = {
+    def hexDigit(e: String) = s"(strpos('0123456789ABCDEF', $e) - 1)"
+    def byteAt(off: Int) =
+      s"(${hexDigit(s"substr(h, i*2 + ${2 * off + 1}, 1)")} * 16 + ${hexDigit(s"substr(h, i*2 + ${2 * off + 2}, 1)")})"
+    val window = s"(CAST(${byteAt(0)} AS HUGEINT) * 16777216 + ${byteAt(1)} * 65536 + ${byteAt(2)} * 256 + ${byteAt(3)})"
+    Seq(
+      s"b AS (SELECT doc_id, $payloadSql AS payload FROM documents WHERE octet_length($payloadSql) > 0)",
+      "hx AS (SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n FROM b)",
+      "win AS (SELECT doc_id, h, unnest(range(0, n - 3)) AS i FROM hx WHERE n >= 4)",
+      s"w0 AS (SELECT doc_id, $window AS wv FROM win)") ++
+      mix64Stages("w0", "wv", "u", "m") ++ Seq(
+      s"bsum AS (SELECT doc_id, CAST((u // 2) % $dim AS INT) AS bucket, " +
+        "sum(CASE WHEN u % 2 = 0 THEN 1 ELSE -1 END) AS s FROM m6 GROUP BY doc_id, bucket)",
+      s"grid AS (SELECT doc_id, unnest(range(0, $dim)) AS bucket FROM hx WHERE n >= 4)",
+      "fs AS (SELECT g.doc_id, g.bucket, CAST(coalesce(s, 0) AS DOUBLE) AS s FROM grid g LEFT JOIN bsum USING (doc_id, bucket))",
+      "nrm AS (SELECT doc_id, bucket, s, sum(s * s) OVER (PARTITION BY doc_id) AS norm2 FROM fs)",
+      "feats AS (SELECT doc_id, bucket + 1 AS dim, " +
+        "CAST(floor(s * (CASE WHEN norm2 = 0 THEN 0.0 ELSE 1.0 / sqrt(norm2) END) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS f FROM nrm)")
+  }
+
+  /** m05: the full centered multi-band LSH near-dup pipeline
+    * ([[graft.operators.Similarity.cosineNearDupPairs]] over
+    * byteFeatures) as its exact DuckDB twin — the same planes, offsets,
+    * banding, and verify, so the hash-match holds with NO recall
+    * assumption (a brute-force oracle would fail the round whenever the
+    * banding misses a borderline pair; this one cannot).
+    *
+    * The hyperplanes are `java.util.Random(seed)` draws, and the JDK
+    * spec fixes that generator exactly: a recursive CTE replays the
+    * 48-bit LCG (seed' = (seed·0x5DEECE66D + 0xB) mod 2^48) and
+    * reassembles each nextDouble from two draws ((hi26 << 27 + lo27) /
+    * 2^53 — exact power-of-two scaling), so the plane table is
+    * bit-identical to [[graft.operators.Similarity.hyperplanes]]
+    * without inlining 10k constants. Group-by float sums (mean,
+    * offsets, dots) can differ from the kernel's sequential order by
+    * ulps, which only matters within ~1e-15 of a signature sign
+    * boundary — vanishingly unlikely and checked by the hash-match
+    * itself. */
+  def cosineNearDupPairs(payloadSql: String, dim: Int, nBits: Int,
+      nBands: Int, seed: Long, threshold: Double): String = {
+    val s0 = (seed ^ 0x5DEECE66DL) & ((1L << 48) - 1)
+    val nPlanes = nBits * nBands
+    val nSteps = 2L * nPlanes * dim
+    val ctes = Seq(
+      s"""seeds(n, s) AS (
+         |  SELECT 0, CAST($s0 AS HUGEINT)
+         |  UNION ALL SELECT n + 1, (s * 25214903917 + 11) % 281474976710656 FROM seeds WHERE n < $nSteps)""".stripMargin,
+      s"""planes AS (
+         |  SELECT (a.n // 2) // $dim AS plane, (a.n // 2) % $dim + 1 AS dim,
+         |    CAST((a.s // 4194304) * 134217728 + (b.s // 2097152) AS DOUBLE) / 9007199254740992 * 2 - 1 AS w
+         |  FROM seeds a JOIN seeds b ON b.n = a.n + 1 WHERE a.n % 2 = 1)""".stripMargin) ++
+      featureCtes(payloadSql, dim) ++ Seq(
+      "mean AS (SELECT dim, avg(f) AS mv FROM feats GROUP BY dim)",
+      "offs AS (SELECT plane, sum(w * mv) AS off FROM planes JOIN mean USING (dim) GROUP BY plane)",
+      "dots AS (SELECT doc_id, plane, sum(f * w) AS d FROM feats JOIN planes USING (dim) GROUP BY doc_id, plane)",
+      s"""sigs AS (
+         |  SELECT doc_id, plane // $nBits AS band,
+         |    sum(CASE WHEN d >= off THEN CAST(1 AS BIGINT) << CAST(plane % $nBits AS INT) ELSE 0 END) AS sig
+         |  FROM dots JOIN offs USING (plane) GROUP BY doc_id, plane // $nBits)""".stripMargin,
+      "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a " +
+        "JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)",
+      "vecs AS (SELECT doc_id, array_agg(f ORDER BY dim) AS arr FROM feats GROUP BY doc_id)")
+    "WITH RECURSIVE " + ctes.mkString(",\n") +
+      s"""
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT c.id_a, c.id_b, round(list_cosine_similarity(va.arr, vb.arr), 4) AS cosine
+         |  FROM cand c JOIN vecs va ON va.doc_id = c.id_a JOIN vecs vb ON vb.doc_id = c.id_b)
+         |WHERE cosine >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** m04: the [[graft.expressions.BinaryFeaturesImpl.byteFeatures]]
     * signed random-projection sketch over payload byte 4-grams, emitted
     * as 1e6-scaled integers (both engines `floor(x + 0.5)` — Java
@@ -155,28 +229,9 @@ object HashOracleSql {
     * every SF); a shorter payload would take the kernel's degenerate
     * whole-payload branch and surface here as a visible mismatch, not a
     * silent pass. */
-  def binaryFeatures(payloadSql: String, dim: Int): String = {
-    def hexDigit(e: String) = s"(strpos('0123456789ABCDEF', $e) - 1)"
-    def byteAt(off: Int) =
-      s"(${hexDigit(s"substr(h, i*2 + ${2 * off + 1}, 1)")} * 16 + ${hexDigit(s"substr(h, i*2 + ${2 * off + 2}, 1)")})"
-    // big-endian 4-byte window, as in the kernel's (b0<<24|b1<<16|b2<<8|b3)
-    val window = s"(CAST(${byteAt(0)} AS HUGEINT) * 16777216 + ${byteAt(1)} * 65536 + ${byteAt(2)} * 256 + ${byteAt(3)})"
-    val ctes = Seq(
-      s"b AS (SELECT doc_id, $payloadSql AS payload FROM documents WHERE octet_length($payloadSql) > 0)",
-      "hx AS (SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n FROM b)",
-      "win AS (SELECT doc_id, h, unnest(range(0, n - 3)) AS i FROM hx WHERE n >= 4)",
-      s"w0 AS (SELECT doc_id, $window AS wv FROM win)") ++
-      mix64Stages("w0", "wv", "u", "m") ++ Seq(
-      // bucket = floorMod((h >>> 1).toInt, dim): dim divides 2^32, so
-      // truncation to int and floorMod collapse to (u >> 1) % dim
-      s"bsum AS (SELECT doc_id, CAST((u // 2) % $dim AS INT) AS bucket, " +
-        "sum(CASE WHEN u % 2 = 0 THEN 1 ELSE -1 END) AS s FROM m6 GROUP BY doc_id, bucket)",
-      s"grid AS (SELECT doc_id, unnest(range(0, $dim)) AS bucket FROM hx WHERE n >= 4)",
-      "fs AS (SELECT g.doc_id, g.bucket, CAST(coalesce(s, 0) AS DOUBLE) AS s FROM grid g LEFT JOIN bsum USING (doc_id, bucket))",
-      "nrm AS (SELECT doc_id, bucket, s, sum(s * s) OVER (PARTITION BY doc_id) AS norm2 FROM fs)",
-      // same float op order as the kernel: s * (1/sqrt(norm2)) * 1e6
-      "fi AS (SELECT doc_id, bucket, CAST(floor(s * (CASE WHEN norm2 = 0 THEN 0.0 ELSE 1.0 / sqrt(norm2) END) * 1000000.0 + 0.5) AS BIGINT) AS v FROM nrm)")
-    "WITH " + ctes.mkString(",\n") +
-      "\nSELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY bucket) AS features_csv FROM fi GROUP BY doc_id ORDER BY doc_id"
-  }
+  def binaryFeatures(payloadSql: String, dim: Int): String =
+    // f = m/1e6 with integer m, so floor(f·1e6 + 0.5) recovers m exactly
+    "WITH " + (featureCtes(payloadSql, dim) :+
+      "fi AS (SELECT doc_id, dim, CAST(floor(f * 1000000.0 + 0.5) AS BIGINT) AS v FROM feats)").mkString(",\n") +
+      "\nSELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY dim) AS features_csv FROM fi GROUP BY doc_id ORDER BY doc_id"
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
-import graft.queries.QueryDef.{rowsOnly, sql}
+import graft.queries.QueryDef.sql
 
 /** Multimodal binary-column operators over the documents table.
   *
@@ -125,7 +125,14 @@ object MultimodalQueries {
 
     // Multimodal near-dup: binary features → LSH bucket self-join +
     // exact cosine (reuses Similarity.cosineNearDupPairs end-to-end).
-    rowsOnly("m05_binary_neardup") { (s, d) =>
+    // Oracled by the EXACT pipeline twin: the java.util.Random
+    // hyperplanes replay in DuckDB via a recursive-CTE LCG, so the
+    // oracle re-derives the same planes, centering offsets, band
+    // signatures, candidates, and verify — no banding-recall assumption.
+    sql(
+      "m05_binary_neardup",
+      HashOracleSql.cosineNearDupPairs(payloadSql, dim = 64,
+        nBits = 12, nBands = 14, seed = 42L, threshold = 0.95)) { (s, d) =>
       // 64-dim sketch: random-pair cosine noise ~1/√64 ≈ 0.125, so the
       // 0.95 threshold only passes genuinely shared-content payloads.
       // The fused lsh_bands kernel evaluates emb exactly once for the
