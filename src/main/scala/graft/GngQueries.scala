@@ -154,8 +154,12 @@ object GngQueries {
       val model = GStream.fitChunked(pts, GngParams(), nChunks = 92)
       val chunkedTotalMs = (System.nanoTime() - t0) / 1e6
 
-      // streaming variant: the same points as 92 files arriving in order
-      val dir = java.nio.file.Files.createTempDirectory("gng-stream-bench")
+      // streaming variant: the same points as 92 files arriving in order.
+      // tmpfs when available: the stream source stats every file each
+      // trigger, so a contended disk would bill its latency to the
+      // throughput number
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "gng-stream-bench")
       try {
         for (b <- 0 until 92) {
           // Locale.ROOT: f"%.10f" under a comma-decimal locale would
@@ -173,10 +177,21 @@ object GngQueries {
           .init2Nodes(byId(0), byId(1))
         var streamBatches = 0
         var streamUpdMs = 0L
+        // tmpfs checkpoint: this is a throughput MEASUREMENT — without
+        // it the WAL fsyncs per batch to java.io.tmpdir and the number
+        // measures the host's disk contention, not the update path
+        val ckpt = java.nio.file.Files.createTempDirectory(
+          graft.streaming.StreamingRelational.scratchBase, "gng-bench-ckpt")
         val q = GStream.trainStreaming(s, dir.toString, sModel,
           triggerMs = 1L,
-          onBatch = (_, ms) => { streamBatches += 1; streamUpdMs += ms })
-        try { q.processAllAvailable() } finally q.stop()
+          onBatch = (_, ms) => { streamBatches += 1; streamUpdMs += ms },
+          checkpointLocation = Some(ckpt.toString))
+        try { q.processAllAvailable() } finally {
+          q.stop()
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
         Seq((92, 200,
           math.round(chunkedTotalMs / 92.0 * 10) / 10.0,
           math.round(n / (chunkedTotalMs / 1000.0)), model.nodeCount,

@@ -27,7 +27,7 @@ object GStreamRun {
       "usage: master dirData dirSortie DSname separator decayFactor lambdaAge nbNodesToAdd nbWind")
     val Array(master, dirData, dirSortie, dsName, separator,
       decayFactor, lambdaAge, nbNodesToAdd, nbWind) = args.take(9)
-    val spark = SparkSession.builder()
+    val spark = graft.util.GraftSession.tuned(SparkSession.builder())
       .master(master)
       .appName(s"g-stream-$dsName")
       .config("spark.sql.shuffle.partitions",

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * single JVM): small parallelism and shuffle width keep the specs fast. */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = graft.util.GraftSession.tuned(SparkSession.builder())
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
