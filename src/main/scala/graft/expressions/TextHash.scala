@@ -49,6 +49,15 @@ object TextHash {
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
     graftx.column(NgramJaccard(graftx.expr(a), graftx.expr(b), n))
 
+  /** `shingle_hashes(text, n)` → array<bigint> of the 64-bit word-n-gram
+    * shingle hashes, in document order (duplicates kept — apply
+    * `array_distinct` for set semantics). Empty array for docs with
+    * fewer than n tokens. The building block for decontamination and
+    * overlap analyses that need the shingles themselves rather than a
+    * fixed-width signature. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    graftx.column(ShingleHashes(graftx.expr(text), n))
+
   /** 64-bit SimHash over the normalized tokens. */
   def simHash64(text: Column): Column =
     graftx.column(SimHash64(graftx.expr(text)))
@@ -90,6 +99,22 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
     """)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.shingleHashesData(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.shingleHashesData($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
 

@@ -91,6 +91,10 @@ object TextHashImpl {
     out
   }
 
+  /** [[shingleHashes]] boxed for the Catalyst expression layer. */
+  def shingleHashesData(s: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(shingleHashes(s.toString, n))
+
   @inline private def hashString(t: String): Long = {
     var h = 1125899906842597L
     var i = 0

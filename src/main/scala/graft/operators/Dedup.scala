@@ -141,6 +141,40 @@ object Dedup {
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
     TextHash.ngramJaccard(a, b, n)
 
+  /** Benchmark decontamination: for every corpus document, how many of
+    * its distinct word-n-gram shingles appear ANYWHERE in the eval set
+    * (the union of the eval documents' shingles) — the standard
+    * "n-gram overlap" test run before training on scraped data, so
+    * benchmark answers leaking into the corpus are caught and dropped.
+    *
+    * Output: (id, n_shingles, n_shared, contamination) per corpus doc;
+    * `contamination` = n_shared / n_shingles (0 for shingle-less docs).
+    *
+    * Scale shape: eval sets are small (benchmark suites are MBs), so
+    * their distinct shingle hashes BROADCAST; the corpus side is one
+    * narrow pass (shingle kernel + explode) feeding a map-side
+    * broadcast join, then a single keyed shuffle to re-aggregate per
+    * document. The 100 TB corpus is never shuffled on content. */
+  def contamination(corpus: DataFrame, evalSet: DataFrame,
+      textCol: Column, idCol: Column, n: Int = 8): DataFrame = {
+    val shingles = array_distinct(TextHash.shingleHashes(textCol, n))
+    val evalShingles = evalSet
+      .select(explode(shingles).as("sh"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    corpus
+      .select(idCol.as("id"), size(shingles).as("n_shingles"),
+        explode_outer(shingles).as("sh"))
+      .join(broadcast(evalShingles), Seq("sh"), "left")
+      .groupBy($"id")
+      .agg(
+        first($"n_shingles").as("n_shingles"),
+        sum(coalesce($"hit", lit(0))).as("n_shared"))
+      .select($"id", $"n_shingles", $"n_shared",
+        round($"n_shared".cast("double") / greatest($"n_shingles", lit(1)), 4)
+          .as("contamination"))
+  }
+
   private implicit class Str(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

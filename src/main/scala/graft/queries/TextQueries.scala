@@ -239,6 +239,29 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Benchmark decontamination: 8-gram overlap of every corpus doc
+    // against the eval subset (doc_id % 97 == 0 stands in for a held-out
+    // benchmark). The Spark side joins 64-bit shingle hashes against the
+    // broadcast eval-set union; the oracle intersects the shingle
+    // STRING sets — equal counts modulo 64-bit collisions (t09's
+    // argument), so the hash-match verifies kernel and pipeline.
+    sql(
+      "t16_decontaminate",
+      s"""WITH sh AS (SELECT doc_id, ${Sql.shingleSet("text", 8)} AS s FROM documents),
+         |ev AS (SELECT list_distinct(flatten(list(s))) AS es FROM sh WHERE doc_id % 97 = 0)
+         |SELECT doc_id AS id, CAST(len(s) AS INT) AS n_shingles,
+         |  CAST(len(list_intersect(s, es)) AS BIGINT) AS n_shared,
+         |  round(CAST(len(list_intersect(s, es)) AS DOUBLE)
+         |        / greatest(len(s), 1), 4) AS contamination
+         |FROM sh CROSS JOIN ev WHERE doc_id % 97 <> 0 ORDER BY id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          col("text"), col("doc_id"), n = 8)
+        .orderBy(col("id"))
+    },
+
     // BPE-ish subword token estimate: letter runs + digit runs + each
     // punctuation mark (the common pre-tokenizer shape), with chars per
     // token — the sizing statistic an LLM-data pipeline budgets by.

@@ -126,6 +126,24 @@ object GStream {
       (kk > 8 * nbWind / 9 + 10 && kk % 10 == 0) ||
       kk >= nbWind - 2
 
+  /** The reference's CSV point projection (`x1,…,xd,label,id` —
+    * pointObj.scala parse shape) over ANY text-valued stream or batch
+    * DataFrame: the same expressions serve the file source
+    * ([[trainStreaming]]), the socket source (the reference's disabled
+    * `socketTextStream` path, batchStreamRun.scala:42 — SURVEY §2.1
+    * S3), or a Kafka value column. */
+  def parseCsvPoints(raw: DataFrame, separator: String = ","): Dataset[Point] = {
+    import raw.sparkSession.implicits._
+    val sepRe = java.util.regex.Pattern.quote(separator)
+    raw
+      .select(split(col("value"), sepRe).cast("array<double>").as("arr"))
+      .select(
+        expr("slice(arr, 1, size(arr) - 2)").as("features"),
+        element_at(col("arr"), -2).cast("int").as("label"),
+        element_at(col("arr"), -1).cast("long").as("id"))
+      .as[Point]
+  }
+
   /** Streaming training: file-source text stream of the reference's CSV
     * shape → foreachBatch update → optional snapshots.
     * Mirrors batchStreamRun wiring: 100 ms trigger, snapshot dirs
@@ -155,14 +173,7 @@ object GStream {
       val fn = input_file_name()
       raw = raw.filter(!excludeFiles.map(e => fn.endsWith("/" + e)).reduce(_ || _))
     }
-    val sepRe = java.util.regex.Pattern.quote(separator)
-    val pts = raw
-      .select(split(col("value"), sepRe).cast("array<double>").as("arr"))
-      .select(
-        expr("slice(arr, 1, size(arr) - 2)").as("features"),
-        element_at(col("arr"), -2).cast("int").as("label"),
-        element_at(col("arr"), -1).cast("long").as("id"))
-      .as[Point]
+    val pts = parseCsvPoints(raw, separator)
 
     var kk = 0
     // cumulative per-batch update milliseconds, ring-buffered at 100

@@ -34,7 +34,7 @@ object StreamingRelational {
     * milliseconds on tmpfs). Durability buys nothing here: a crashed
     * verification run is simply re-run. Production streams use
     * [[toParquetSink]] with a caller-owned durable checkpoint. */
-  private def scratchBase: java.nio.file.Path = {
+  private[graft] def scratchBase: java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))

@@ -81,6 +81,27 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("contamination flags corpus docs sharing eval 8-grams, zero for clean") {
+    import spark.implicits._
+    val evalDoc = "the quick brown fox jumps over the lazy dog tonight again"
+    val corpus = Seq(
+      // 1: embeds the eval doc verbatim → heavily contaminated
+      (1L, s"some padding words here $evalDoc and trailing content too"),
+      // 2: clean — no shared 8-gram
+      (2L, "completely unrelated text about spark catalyst optimizer internals with many more words to form shingles"),
+      // 3: too short for any 8-gram
+      (3L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, evalSet, col("text"), col("doc_id"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("n_shingles"), r.getAs[Long]("n_shared"), r.getAs[Double]("contamination"))).toMap
+    assert(out(1L)._2 === 4) // the eval doc's 11 tokens yield 4 8-grams, all embedded
+    assert(out(1L)._3 > 0.2)
+    assert(out(2L)._2 === 0L && out(2L)._3 === 0.0)
+    assert(out(3L) === ((0, 0L, 0.0))) // shingle-less: present, zeroed, no div-by-0
+  }
+
   test("ngramJaccard column: 1.0 for normalized-equal, 0.0 for empty") {
     import spark.implicits._
     val out = docs.as("a").crossJoin(docs.as("b"))

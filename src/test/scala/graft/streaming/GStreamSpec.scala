@@ -20,6 +20,52 @@ class GStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("socket source feeds the same CSV point projection (reference S3 path)") {
+    // the reference wired (then disabled) a socketTextStream ingest
+    // (batchStreamRun.scala:42); here the structured socket source
+    // drives the SAME parseCsvPoints projection the file source uses —
+    // a real TCP server, real lines, asserted parse
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      Seq("1.5,2.5,0,7", "3.0,4.0,1,8", "-1.25,0.5,0,9").foreach(out.println)
+      out.flush()
+      // keep the connection open until the query is done reading
+      Thread.sleep(8000)
+      sock.close(); server.close()
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val raw = spark.readStream
+      .format("socket")
+      .option("host", "localhost")
+      .option("port", port)
+      .load()
+    val pts = GStream.parseCsvPoints(raw)
+    val q = pts.writeStream
+      .format("memory")
+      .queryName("socket_pts")
+      .outputMode("append")
+      .start()
+    try {
+      // socket source has no end-of-stream: poll until the rows land
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("socket_pts").count() < 3 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      val rows = spark.table("socket_pts").collect()
+        .map(r => (r.getAs[Seq[Double]]("features"), r.getAs[Int]("label"), r.getAs[Long]("id")))
+        .sortBy(_._3)
+      assert(rows.length === 3)
+      assert(rows(0) === (Seq(1.5, 2.5), 0, 7L))
+      assert(rows(1) === (Seq(3.0, 4.0), 1, 8L))
+      assert(rows(2) === (Seq(-1.25, 0.5), 0, 9L))
+    } finally q.stop()
+  }
+
   test("fitChunked is deterministic and learns both cluster centers") {
     import spark.implicits._
     val pts = spark.createDataset(clusterPoints(400))
