@@ -66,4 +66,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("ScalaUDF"), s"ivf assignment must not be a UDF:\n$p")
     assert(p.contains("nearest_centroid"))
   }
+
+  test("t16: eval-set shingles broadcast; the corpus is never content-shuffled") {
+    val p = plan("t16_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval shingles must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    // shuffles: eval-side distinct (tiny), per-doc re-aggregation, and
+    // the output sort — but never an exchange keyed on shingle content
+    assert(!p.linesIterator.exists(l => l.contains("Exchange hashpartitioning(sh")),
+      s"corpus must not shuffle on shingle content:\n$p")
+    assert(p.contains("shingle_hashes"), "kernel expression must appear in the plan")
+  }
 }
