@@ -262,6 +262,29 @@ object TextQueries {
         .orderBy(col("id"))
     },
 
+    // Stratified deterministic sampling: per-language quota rates
+    // rebalance a skewed corpus (the dominant language keeps 1/16, the
+    // tail keeps 1/2) — the training-mix rebalancing step, done as a
+    // PURE MAP: md5-bucket membership per row, no RNG, no shuffle,
+    // reproducible across engines, runs, and partitionings (q25's
+    // primitive, stratified).
+    sql(
+      "t17_stratified_sample",
+      s"""SELECT doc_id, ${Sql.langId("text")} AS lang_pred
+         |FROM documents
+         |WHERE CASE WHEN ${Sql.langId("text")} = 'en'
+         |           THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+         |           ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' END
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("lang_pred", TextFunctions.langId(col("text")))
+        .withColumn("h", substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+        .filter(when(col("lang_pred") === "en", col("h") === "0")
+          .otherwise(col("h") < "8"))
+        .select(col("doc_id"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
     // BPE-ish subword token estimate: letter runs + digit runs + each
     // punctuation mark (the common pre-tokenizer shape), with chars per
     // token — the sizing statistic an LLM-data pipeline budgets by.
