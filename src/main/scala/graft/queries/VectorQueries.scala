@@ -100,7 +100,8 @@ object VectorQueries {
            |SELECT ${sigSql("v", planes)} AS bucket, count(*) AS n
            |FROM e GROUP BY 1 ORDER BY bucket""".stripMargin
       }) { (s, d) =>
-      Similarity.lshBuckets(Tables.embeddings(s, d), col("embedding"), col("vec_id"), nBits = 4)
+      Similarity.lshBuckets(Tables.embeddings(s, d), col("embedding"), col("vec_id"), nBits = 4,
+          dim = EmbDim)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))
