@@ -49,6 +49,16 @@ object TextHash {
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
     graftx.column(NgramJaccard(graftx.expr(a), graftx.expr(b), n))
 
+  /** `lang_id(text)` → language code by stopword-token argmax ("und"
+    * when no hits) — one tokenize pass, no regex. */
+  def langId(text: Column): Column =
+    graftx.column(LangIdExpr(graftx.expr(text)))
+
+  /** `stopword_hits(text, langIdx)` → count of tokens in that
+    * language's stopword list. */
+  def stopwordHits(text: Column, langIdx: Int): Column =
+    graftx.column(StopwordHitsExpr(graftx.expr(text), langIdx))
+
   /** `shingle_hashes(text, n)` → array<bigint> of the 64-bit word-n-gram
     * shingle hashes, in document order (duplicates kept — apply
     * `array_distinct` for set semantics). Empty array for docs with
@@ -99,6 +109,36 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
     """)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "lang_id"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.langId(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.langId($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
+case class StopwordHitsExpr(child: Expression, langIdx: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "stopword_hits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.stopwordHits(input.asInstanceOf[UTF8String], langIdx)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.stopwordHits($c, $langIdx)")
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHitsExpr =
     copy(child = newChild)
 }
 

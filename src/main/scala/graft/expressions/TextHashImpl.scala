@@ -95,6 +95,85 @@ object TextHashImpl {
   def shingleHashesData(s: UTF8String, n: Int): ArrayData =
     new GenericArrayData(shingleHashes(s.toString, n))
 
+  /** Stopword lists per language for the language-ID heuristic — the
+    * canonical table (TextFunctions re-exports it; the DuckDB oracle
+    * twin inlines the same lists). Deliberately tiny and fixed: the
+    * operator contract is the heuristic, not linguistic accuracy.
+    * Counting is TOKEN membership over [[tokenize]] — one pass, no
+    * regex; for alphanumeric tokens this is exactly the old
+    * `\b(w1|w2|…)\b` match count, without per-engine regex semantics
+    * in the contract. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans", "pour", "qui"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta", "men")
+  )
+
+  /** token → indexes of every language whose list contains it (words
+    * overlap across languages: "de" is Spanish AND the Chinese pinyin
+    * list, "le" French and pinyin). */
+  private val tokenLangs: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    for (((_, words), li) <- langStopwords.zipWithIndex; w <- words) {
+      val prev = Option(m.get(w)).getOrElse(Array.emptyIntArray)
+      m.put(w, prev :+ li)
+    }
+    m
+  }
+
+  private val langCodes: Array[String] = langStopwords.map(_._1).toArray
+  private val perLangSets: Array[java.util.HashSet[String]] =
+    langStopwords.map { case (_, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      s
+    }.toArray
+
+  /** Per-language stopword hit counts in one tokenize pass. */
+  private def langHits(s: String): Array[Int] = {
+    val toks = tokenize(s)
+    val hits = new Array[Int](langCodes.length)
+    var i = 0
+    while (i < toks.length) {
+      val ls = tokenLangs.get(toks(i))
+      if (ls != null) {
+        var j = 0
+        while (j < ls.length) { hits(ls(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    hits
+  }
+
+  /** Heuristic language ID: argmax of per-language stopword hits, ties
+    * to the earlier list entry; "und" when no hits. */
+  def langId(s: UTF8String): UTF8String = {
+    val hits = langHits(s.toString)
+    var best = -1
+    var bh = 0
+    var i = 0
+    while (i < hits.length) {
+      if (hits(i) > bh) { bh = hits(i); best = i }
+      i += 1
+    }
+    UTF8String.fromString(if (best < 0) "und" else langCodes(best))
+  }
+
+  /** Stopword hit count for one language (index into [[langStopwords]]). */
+  def stopwordHits(s: UTF8String, langIdx: Int): Int = {
+    val set = perLangSets(langIdx)
+    val toks = tokenize(s.toString)
+    var c = 0
+    var i = 0
+    while (i < toks.length) {
+      if (set.contains(toks(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
   @inline private def hashString(t: String): Long = {
     var h = 1125899906842597L
     var i = 0

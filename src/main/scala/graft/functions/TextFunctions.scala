@@ -40,40 +40,29 @@ object TextFunctions {
   def prefixFingerprint(text: Column, n: Int): Column =
     md5(substring(normalizeText(text), 1, n))
 
-  /** Stopword lists per language for the n-gram-free language-ID heuristic.
-    * Deliberately tiny and fixed: the operator contract is the heuristic
-    * itself, not linguistic accuracy. */
-  val langStopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
-    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
-    "fr" -> Seq("le", "les", "des", "est", "une", "dans", "pour", "qui"),
-    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta", "men")
-  )
+  /** Stopword lists per language for the language-ID heuristic — the
+    * canonical table lives next to the kernel
+    * ([[graft.expressions.TextHashImpl.langStopwords]]); re-exported
+    * here for API stability. Counting is TOKEN membership (one fused
+    * pass), equal to the former `\b(w1|w2|…)\b` regex count on
+    * alphanumeric tokens but ~50× cheaper and with no per-engine regex
+    * semantics in the contract. */
+  val langStopwords: Seq[(String, Seq[String])] =
+    graft.expressions.TextHashImpl.langStopwords
 
-  private def stopwordRegex(words: Seq[String]): String =
-    "\\b(" + words.mkString("|") + ")\\b"
-
-  /** Number of stopword hits for one language. */
-  def stopwordHits(text: Column, words: Seq[String]): Column =
-    size(regexp_extract_all(lower(text), lit(stopwordRegex(words)), lit(0)))
+  /** Number of stopword hits for one language (index into
+    * [[langStopwords]]) — native one-pass kernel. */
+  def stopwordHits(text: Column, langIdx: Int): Column =
+    graft.expressions.TextHash.stopwordHits(text, langIdx)
 
   /** Heuristic language ID: argmax of per-language stopword hit counts,
-    * ties broken by list order in [[langStopwords]]; "und" when no hits. */
-  def langId(text: Column): Column = {
-    val hits = langStopwords.map { case (lang, words) =>
-      lang -> stopwordHits(text, words)
-    }
-    // argmax with first-wins tie-break: lang i wins if hits(i) >= hits(j) for all j>i
-    // and hits(i) > hits(j) for all j<i — equivalently a left fold keeping strict max.
-    val zero: Column = lit("und")
-    val zeroHits: Column = lit(0)
-    val (bestLang, _) = hits.foldLeft((zero, zeroHits)) {
-      case ((bl, bh), (lang, h)) =>
-        (when(h > bh, lit(lang)).otherwise(bl), when(h > bh, h).otherwise(bh))
-    }
-    bestLang
-  }
+    * ties broken by list order in [[langStopwords]]; "und" when no
+    * hits. One tokenize pass over the text (native kernel) — the old
+    * form ran one alternation regex per language per row, and at two
+    * evaluations per row (filter + project, as in t17) the duplicated
+    * when-chains dominated whole queries. */
+  def langId(text: Column): Column =
+    graft.expressions.TextHash.langId(text)
 
   /** Quality score in [0,1]:
     *   0.4·min(1, chars/500) + 0.3·(1 − punct/chars) + 0.3·min(1, 10·stop/tokens)
@@ -87,7 +76,7 @@ object TextFunctions {
     val chars = greatest(length(text), lit(1)).cast("double")
     val punct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
     val toks = greatest(tokenCount(text), lit(1)).cast("double")
-    val stop = stopwordHits(text, langStopwords.head._2).cast("double")
+    val stop = stopwordHits(text, 0).cast("double") // index 0 = "en"
     round(
       least(chars / 500.0, lit(1.0)) * 0.4 +
         (lit(1.0) - punct / chars) * 0.3 +
@@ -142,8 +131,10 @@ object TextFunctions {
     def prefixFingerprint(c: String, n: Int): String =
       s"md5(substr(${normalizeText(c)}, 1, $n))"
 
-    def stopwordHits(c: String, words: Seq[String]): String =
-      s"CAST(len(regexp_extract_all(lower($c), '\\b(${words.mkString("|")})\\b')) AS INT)"
+    def stopwordHits(c: String, words: Seq[String]): String = {
+      val inList = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(string_split(${normalizeText(c)}, ' '), t -> list_contains($inList, t))) AS INT)"
+    }
 
     def langId(c: String): String = {
       val hitExprs = langStopwords.map { case (lang, words) =>
@@ -199,7 +190,7 @@ object TextFunctions {
       val chars = s"CAST(greatest(length($c), 1) AS DOUBLE)"
       val punct = s"CAST(len(regexp_extract_all($c, '[^a-zA-Z0-9\\s]')) AS DOUBLE)"
       val toks = s"CAST(greatest(${tokenCount(c)}, 1) AS DOUBLE)"
-      val stop = s"CAST(${stopwordHits(c, langStopwords.head._2)} AS DOUBLE)"
+      val stop = s"CAST(${stopwordHits(c, langStopwords.head._2)} AS DOUBLE)" // token-membership twin of the kernel
       s"round(least($chars / 500.0, 1.0) * 0.4 + (1.0 - $punct / $chars) * 0.3 + least($stop * 10.0 / $toks, 1.0) * 0.3 + 1e-9, 4)"
     }
   }
