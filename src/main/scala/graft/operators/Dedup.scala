@@ -163,8 +163,12 @@ object Dedup {
       .distinct()
       .withColumn("hit", lit(1))
     corpus
-      .select(idCol.as("id"), size(shingles).as("n_shingles"),
-        explode_outer(shingles).as("sh"))
+      // two-step projection: size() and explode_outer() in ONE select
+      // would each inline the shingle expression — the kernel would run
+      // twice per row; materializing the array below the Generate runs
+      // it once (CollapseProject does not merge through Generate)
+      .select(idCol.as("id"), shingles.as("shs"))
+      .select($"id", size($"shs").as("n_shingles"), explode_outer($"shs").as("sh"))
       .join(broadcast(evalShingles), Seq("sh"), "left")
       .groupBy($"id")
       .agg(
