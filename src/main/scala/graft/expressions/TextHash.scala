@@ -59,6 +59,15 @@ object TextHash {
   def stopwordHits(text: Column, langIdx: Int): Column =
     graftx.column(StopwordHitsExpr(graftx.expr(text), langIdx))
 
+  /** `ws_token_count(text)` → whitespace-run token count (the `\S+`
+    * count) in one pass. */
+  def wsTokenCount(text: Column): Column =
+    graftx.column(WsTokenCountExpr(graftx.expr(text)))
+
+  /** `quality_score(text)` → the fused one-pass quality heuristic. */
+  def qualityScore(text: Column): Column =
+    graftx.column(QualityScoreExpr(graftx.expr(text)))
+
   /** `shingle_hashes(text, n)` → array<bigint> of the 64-bit word-n-gram
     * shingle hashes, in document order (duplicates kept — apply
     * `array_distinct` for set semantics). Empty array for docs with
@@ -139,6 +148,36 @@ case class StopwordHitsExpr(child: Expression, langIdx: Int) extends UnaryExpres
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.stopwordHits($c, $langIdx)")
 
   override protected def withNewChildInternal(newChild: Expression): StopwordHitsExpr =
+    copy(child = newChild)
+}
+
+case class WsTokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "ws_token_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.wsTokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.wsTokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WsTokenCountExpr =
+    copy(child = newChild)
+}
+
+case class QualityScoreExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "quality_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.qualityScore(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.qualityScore($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): QualityScoreExpr =
     copy(child = newChild)
 }
 

@@ -161,6 +161,63 @@ object TextHashImpl {
     UTF8String.fromString(if (best < 0) "und" else langCodes(best))
   }
 
+  /** The ASCII whitespace set of Java/RE2 `\s` — the class the regex
+    * twins (`\S+` token runs, `[^a-zA-Z0-9\s]` punctuation) use. */
+  @inline private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  @inline private def isAlnum(cp: Int): Boolean =
+    (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') || (cp >= '0' && cp <= '9')
+
+  /** Whitespace-run token count — one pass, equal to
+    * `len(regexp_extract_all(text, '\S+'))`. Counts code points like
+    * SQL `length()` does. */
+  def wsTokenCount(s: UTF8String): Int = {
+    val str = s.toString
+    var i = 0
+    var count = 0
+    var inTok = false
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (isWs(cp)) inTok = false
+      else if (!inTok) { count += 1; inTok = true }
+      i += Character.charCount(cp)
+    }
+    count
+  }
+
+  /** [[graft.functions.TextFunctions.qualityScore]] fused into one text
+    * pass: chars / punctuation / \S+-token counts in a single scan plus
+    * the stopword-token count, combined with EXACTLY the same
+    * left-associated double arithmetic and Spark `round` semantics
+    * (BigDecimal HALF_UP on the exact binary value) as the Column
+    * composition it replaces — the DuckDB regex twin stays the oracle. */
+  def qualityScore(s: UTF8String): Double = {
+    val str = s.toString
+    var i = 0
+    var nChars = 0
+    var punct = 0
+    var toks = 0
+    var inTok = false
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      nChars += 1
+      if (isWs(cp)) inTok = false
+      else {
+        if (!inTok) { toks += 1; inTok = true }
+        if (!isAlnum(cp)) punct += 1
+      }
+      i += Character.charCount(cp)
+    }
+    val chars = math.max(nChars, 1).toDouble
+    val nToks = math.max(toks, 1).toDouble
+    val stop = stopwordHits(s, 0).toDouble
+    val v = math.min(chars / 500.0, 1.0) * 0.4 +
+      (1.0 - punct / chars) * 0.3 +
+      math.min(stop * 10.0 / nToks, 1.0) * 0.3 + 1e-9
+    new java.math.BigDecimal(v).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   /** Stopword hit count for one language (index into [[langStopwords]]). */
   def stopwordHits(s: UTF8String, langIdx: Int): Int = {
     val set = perLangSets(langIdx)

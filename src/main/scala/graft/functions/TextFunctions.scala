@@ -24,9 +24,10 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     graft.expressions.TextHash.normalizeText(text)
 
-  /** Whitespace token count (runs of non-space). */
+  /** Whitespace token count (runs of non-space) — one-pass kernel;
+    * the `\S+` regex stays the DuckDB oracle twin. */
   def tokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+    graft.expressions.TextHash.wsTokenCount(text)
 
   /** Tokens of the normalized text. */
   def tokens(text: Column): Column =
@@ -72,17 +73,12 @@ object TextFunctions {
     * both engines — Spark rounds the exact binary value (BigDecimal
     * HALF_UP) while DuckDB scales-then-rounds, and they disagree only
     * within ~1e-12 of the boundary. */
-  def qualityScore(text: Column): Column = {
-    val chars = greatest(length(text), lit(1)).cast("double")
-    val punct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
-    val toks = greatest(tokenCount(text), lit(1)).cast("double")
-    val stop = stopwordHits(text, 0).cast("double") // index 0 = "en"
-    round(
-      least(chars / 500.0, lit(1.0)) * 0.4 +
-        (lit(1.0) - punct / chars) * 0.3 +
-        least(stop * 10.0 / toks, lit(1.0)) * 0.3 + 1e-9,
-      4)
-  }
+  def qualityScore(text: Column): Column =
+    // fused one-pass kernel (chars/punct/tokens in a single scan +
+    // stopword token count) with the identical left-assoc double math
+    // and Spark round semantics; the regex composition survives as the
+    // DuckDB oracle twin below
+    graft.expressions.TextHash.qualityScore(text)
 
   /** Rolling polynomial fingerprint over normalized tokens:
     * fold(h, tok) = (h*31 + tokHash) mod 2^31-1, where tokHash is the
