@@ -59,6 +59,11 @@ object TextHash {
   def stopwordHits(text: Column, langIdx: Int): Column =
     graftx.column(StopwordHitsExpr(graftx.expr(text), langIdx))
 
+  /** `rolling_fingerprint(text)` → md5-token polynomial fold in one
+    * pass. */
+  def rollingFingerprint(text: Column): Column =
+    graftx.column(RollingFingerprintExpr(graftx.expr(text)))
+
   /** `ws_token_count(text)` → whitespace-run token count (the `\S+`
     * count) in one pass. */
   def wsTokenCount(text: Column): Column =
@@ -148,6 +153,21 @@ case class StopwordHitsExpr(child: Expression, langIdx: Int) extends UnaryExpres
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.stopwordHits($c, $langIdx)")
 
   override protected def withNewChildInternal(newChild: Expression): StopwordHitsExpr =
+    copy(child = newChild)
+}
+
+case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "rolling_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.rollingFingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.rollingFingerprint($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprintExpr =
     copy(child = newChild)
 }
 

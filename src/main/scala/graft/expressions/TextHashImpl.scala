@@ -161,6 +161,37 @@ object TextHashImpl {
     UTF8String.fromString(if (best < 0) "und" else langCodes(best))
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Rolling polynomial fingerprint over normalized tokens —
+    * fold(h, tok) = (h·31 + tokHash) mod (2^31 − 1), tokHash = first 32
+    * bits of md5(token). One pass with a thread-cached digest; the
+    * higher-order-function composition it replaces walked an
+    * interpreted md5 expression tree per token (Spark's `aggregate`
+    * lambda is CodegenFallback). md5 stays the per-token hash so the
+    * DuckDB twin reproduces the fold bit-identically. */
+  def rollingFingerprint(s: UTF8String): Long = {
+    // normalize → split(" ", -1): empty text folds one empty token,
+    // exactly like split(normalize_text, ' ') in the Column/SQL twins
+    val parts = normalize(s).toString.split(" ", -1)
+    val md = md5Digest.get()
+    var h = 0L
+    var i = 0
+    while (i < parts.length) {
+      md.reset()
+      val d = md.digest(parts(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 hex chars == the top 4 digest bytes, big-endian unsigned
+      val tokHash = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      h = (h * 31L + tokHash) % 2147483647L
+      i += 1
+    }
+    h
+  }
+
   /** The ASCII whitespace set of Java/RE2 `\s` — the class the regex
     * twins (`\S+` token runs, `[^a-zA-Z0-9\s]` punctuation) use. */
   @inline private def isWs(cp: Int): Boolean =

@@ -86,12 +86,10 @@ object TextFunctions {
     * bit-identical across engines and the DuckDB oracle reproduces it
     * exactly (crc32/murmur are not available/portable there). */
   def rollingFingerprint(text: Column): Column =
-    aggregate(
-      tokens(text),
-      lit(0L),
-      (acc, t) => pmod(
-        acc * 31L + conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"),
-        lit(2147483647L)))
+    // one-pass kernel (thread-cached MessageDigest); the HOF aggregate
+    // it replaces walked an interpreted md5 expression tree per token.
+    // The SQL twin below remains the fold's specification.
+    graft.expressions.TextHash.rollingFingerprint(text)
 
   /** Redaction patterns for pre-training cleanup: plain character-class
     * regexes with identical semantics in Java (Spark) and RE2 (DuckDB).
