@@ -42,14 +42,17 @@ object GngQueries {
     if (models.size == 1) Some(models.get(0).centroids) else None
   }
 
-  /** Squared Euclidean distance to one centroid as an explicit
-    * left-associated term chain — the same sequential accumulation
-    * order as [[graft.operators.GngOps.twoNearest]]'s loop, so both
-    * engines compute bit-identical doubles and arg-min ties can't
-    * flake. */
-  private def distSql(c: Array[Double]): String =
+  /** Squared Euclidean distance of SQL array column `arr` to one
+    * centroid as an explicit left-associated term chain — the same
+    * sequential accumulation order as
+    * [[graft.operators.GngOps.twoNearest]]'s loop (and
+    * VectorOpsImpl.nearestCentroid's), so both engines compute
+    * bit-identical doubles and arg-min ties can't flake. Shared by the
+    * gng_assignments/gng_purity and v06 oracles — ONE definition, so
+    * the accumulation order can't silently diverge between them. */
+  private[graft] def distSql(arr: String, c: Array[Double]): String =
     c.zipWithIndex
-      .map { case (cv, k) => s"(v[${k + 1}] - ($cv)) * (v[${k + 1}] - ($cv))" }
+      .map { case (cv, k) => s"($arr[${k + 1}] - ($cv)) * ($arr[${k + 1}] - ($cv))" }
       .mkString(" + ")
 
   /** CTEs ending in `win(vec_id, cluster, dsq)`: each vector's nearest
@@ -57,7 +60,7 @@ object GngQueries {
     * keeps the FIRST strict minimum). */
   private def nearestCtes(cs: Array[Array[Double]]): String = {
     val perCentroid = cs.zipWithIndex
-      .map { case (c, i) => s"SELECT vec_id, $i AS cluster, ${distSql(c)} AS dsq FROM e" }
+      .map { case (c, i) => s"SELECT vec_id, $i AS cluster, ${distSql("v", c)} AS dsq FROM e" }
       .mkString("\nUNION ALL ")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |d AS ($perCentroid),
@@ -188,9 +191,7 @@ object GngQueries {
           checkpointLocation = Some(ckpt.toString))
         try { q.processAllAvailable() } finally {
           q.stop()
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          graft.streaming.StreamingRelational.deleteRecursively(ckpt)
         }
         Seq((92, 200,
           math.round(chunkedTotalMs / 92.0 * 10) / 10.0,
@@ -201,11 +202,7 @@ object GngQueries {
           .toDF("batches", "points_per_batch", "mean_ms_per_batch",
             "points_per_sec", "final_nodes",
             "stream_batches", "stream_mean_update_ms", "stream_final_nodes")
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      } finally graft.streaming.StreamingRelational.deleteRecursively(dir)
     },
 
     // Clustering quality vs the ground-truth labels the reference keeps

@@ -192,10 +192,13 @@ object TextHashImpl {
     h
   }
 
-  /** The ASCII whitespace set of Java/RE2 `\s` — the class the regex
-    * twins (`\S+` token runs, `[^a-zA-Z0-9\s]` punctuation) use. */
+  /** RE2's `\s` set — `[\t\n\f\r ]`, WITHOUT vertical tab. The DuckDB
+    * (RE2) regex twins are the oracle spec, so the kernel follows RE2;
+    * Java's `\s` additionally contains `\x0B`, which therefore counts
+    * as a (non-whitespace) punctuation character here, exactly as the
+    * `[^a-zA-Z0-9\s]` twin classifies it. */
   @inline private def isWs(cp: Int): Boolean =
-    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'
 
   @inline private def isAlnum(cp: Int): Boolean =
     (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') || (cp >= '0' && cp <= '9')

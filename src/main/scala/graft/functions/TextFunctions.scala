@@ -63,7 +63,9 @@ object TextFunctions {
     * evaluations per row (filter + project, as in t17) the duplicated
     * when-chains dominated whole queries. */
   def langId(text: Column): Column =
-    graft.expressions.TextHash.langId(text)
+    // coalesce: NULL text is "und" (no hits), as in the old when-fold
+    // and the DuckDB twin's CASE (NULL > 0 is false at every step)
+    coalesce(graft.expressions.TextHash.langId(text), lit("und"))
 
   /** Quality score in [0,1]:
     *   0.4·min(1, chars/500) + 0.3·(1 − punct/chars) + 0.3·min(1, 10·stop/tokens)

@@ -121,10 +121,12 @@ object Similarity {
     * neighbors, then hamming-2, …). Guarantees exactly k results
     * whenever the table has ≥ k rows — never a silent short read.
     *
-    * The radius comes from the bucket histogram (2^nBits rows): at
-    * scale that histogram is tiny index metadata, computed once per
-    * bucketed table and amortized across every query against it; the
-    * ranking scan then touches only the probed buckets' partitions.
+    * The radius comes from a per-query hamming-distance histogram
+    * (≤ nBits+1 rows reach the driver). It is one aggregation scan of
+    * the bucketed table per call here; a serving deployment amortizes
+    * it by keeping the 2^nBits bucket→count table as index metadata,
+    * from which any query's distance histogram is a driver-side fold.
+    * The ranking scan then touches only the probed buckets' partitions.
     * Flipping one signature bit crosses exactly one hyperplane, so
     * hamming-1 buckets are precisely the most-likely-confusable
     * regions — probing by hamming radius is probe-ordering by
@@ -145,9 +147,17 @@ object Similarity {
       if (d >= 0) 1L << i else 0L
     }.foldLeft(0L)(_ | _)
     val bucketed = lshBuckets(df, embCol, idCol, nBits, seed, dim = query.length)
-    val histogram = bucketed.groupBy($"bucket").agg(count(lit(1)).as("n")).collect()
-    val byRadius = histogram
-      .groupMapReduce(r => java.lang.Long.bitCount(r.getLong(0) ^ qSig))(_.getLong(1))(_ + _)
+    // histogram BY HAMMING DISTANCE, aggregated engine-side: the driver
+    // receives at most nBits+1 rows regardless of bucket cardinality
+    // (collecting raw buckets would be unbounded at wide signatures).
+    // Null embeddings have null signatures and belong to no bucket.
+    val byRadius = bucketed
+      .filter($"bucket".isNotNull)
+      .groupBy(bit_count($"bucket".bitwiseXOR(lit(qSig))).as("hd"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
     val cumulative = (0 to nBits).scanLeft(0L)((c, r) => c + byRadius.getOrElse(r, 0L)).tail
     val radius = cumulative.indexWhere(_ >= k.toLong * overProbe) match {
       case -1 => nBits // not enough rows in total: scan everything

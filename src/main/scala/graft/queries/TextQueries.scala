@@ -248,7 +248,8 @@ object TextQueries {
     sql(
       "t16_decontaminate",
       s"""WITH sh AS (SELECT doc_id, ${Sql.shingleSet("text", 8)} AS s FROM documents),
-         |ev AS (SELECT list_distinct(flatten(list(s))) AS es FROM sh WHERE doc_id % 97 = 0)
+         |ev AS (SELECT coalesce(list_distinct(flatten(list(s) FILTER (WHERE doc_id % 97 = 0))),
+         |                       []::VARCHAR[]) AS es FROM sh)
          |SELECT doc_id AS id, CAST(len(s) AS INT) AS n_shingles,
          |  CAST(len(list_intersect(s, es)) AS BIGINT) AS n_shared,
          |  round(CAST(len(list_intersect(s, es)) AS DOUBLE)

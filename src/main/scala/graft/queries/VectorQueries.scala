@@ -149,21 +149,13 @@ object VectorQueries {
       ivfOracle)
   )
 
-  /** Left-associated squared-distance chain of `arr` to centroid `c` —
-    * the accumulation order of VectorOpsImpl.nearestCentroid and
-    * Similarity.ivfKnn's probe loop. */
-  private def centroidDistSql(arr: String, c: Array[Double]): String =
-    c.zipWithIndex
-      .map { case (cv, k) => s"($arr[${k + 1}] - ($cv)) * ($arr[${k + 1}] - ($cv))" }
-      .mkString(" + ")
-
   private def ivfOracle: Option[String] =
     graft.GngQueries.soleTrainedCentroids.map { cs =>
       val queryDists = cs.zipWithIndex
-        .map { case (c, i) => s"SELECT $i AS list, ${centroidDistSql("qv", c)} AS d FROM q" }
+        .map { case (c, i) => s"SELECT $i AS list, ${graft.GngQueries.distSql("qv", c)} AS d FROM q" }
         .mkString("\nUNION ALL ")
       val vecDists = cs.zipWithIndex
-        .map { case (c, i) => s"SELECT vec_id, $i AS list, ${centroidDistSql("v", c)} AS dsq FROM e" }
+        .map { case (c, i) => s"SELECT vec_id, $i AS list, ${graft.GngQueries.distSql("v", c)} AS dsq FROM e" }
         .mkString("\nUNION ALL ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),

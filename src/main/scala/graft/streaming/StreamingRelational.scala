@@ -40,11 +40,16 @@ object StreamingRelational {
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  /** Recursive delete, deepest-first; closes the walk stream (an
+    * unclosed Files.walk leaks a directory fd per call). */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 
   /** Run a streaming transform over bounded input and return the final
@@ -64,27 +69,29 @@ object StreamingRelational {
     // dwarfs the per-row work at harness scale). The streaming query
     // pins its state partitioning from the session conf at start(); we
     // cap it for the harness query and restore the session value
-    // immediately after. Production streams (toParquetSink) are
-    // launched by callers under their own conf and keep full
-    // parallelism.
-    val shufKey = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(shufKey)
-    try {
-      spark.conf.set(shufKey, math.min(prev.toInt, 8))
-      val q = streamed.writeStream
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt.toString)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
-      spark.conf.set(shufKey, prev)
-      deleteRecursively(ckpt)
-    }
+    // immediately after — under confLock, so overlapping oneShot calls
+    // can't interleave set/restore and leave the session capped.
+    // Production streams (toParquetSink) are launched by callers under
+    // their own conf and keep full parallelism.
+    try confLock.synchronized {
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(shufKey)
+      try {
+        spark.conf.set(shufKey, math.min(prev.toInt, 8))
+        val q = streamed.writeStream
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set(shufKey, prev)
+    } finally deleteRecursively(ckpt)
     spark.table(name)
   }
+
+  private val confLock = new Object
 
   /** One sentinel parquet file per (JVM, sentinelTs): re-writing it per
     * call was measured at ~0.4 s/call, ×3 bench reps per streaming

@@ -71,10 +71,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     val p = plan("t16_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"eval shingles must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"))
-    // shuffles: eval-side distinct (tiny), per-doc re-aggregation, and
-    // the output sort — but never an exchange keyed on shingle content
-    assert(!p.linesIterator.exists(l => l.contains("Exchange hashpartitioning(sh")),
-      s"corpus must not shuffle on shingle content:\n$p")
+    // exactly 3 shuffles: the EVAL side's distinct (tiny, keyed on sh),
+    // the per-document re-aggregation (keyed on id), and the output
+    // sort. A corpus-side shuffle keyed on shingle content (e.g. the
+    // broadcast degrading to a shuffled join) would add a fourth.
+    // (BroadcastExchange does not match the "Exchange" node pattern.)
+    assert(nodeCount(p, "Exchange") == 3,
+      s"expected eval-distinct + per-doc + sort shuffles only:\n$p")
     assert(p.contains("shingle_hashes"), "kernel expression must appear in the plan")
   }
 }

@@ -43,6 +43,17 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestSupport {
     assert(a !== c)
   }
 
+  test("langId maps NULL text to 'und', like the oracle's CASE fold") {
+    import spark.implicits._
+    val out = Seq((1, Option.empty[String]), (2, Some("the cat and the dog is here")))
+      .toDF("id", "text")
+      .select(org.apache.spark.sql.functions.col("id"),
+        TextFunctions.langId(org.apache.spark.sql.functions.col("text")).as("lang"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) === "und")
+    assert(out(2) === "en")
+  }
+
   test("langId picks the language with most stopword hits, und when none") {
     assert(evalText("the cat and the dog is in that house", TextFunctions.langId) === "en")
     assert(evalText("el perro de la casa que los gatos", TextFunctions.langId) === "es")

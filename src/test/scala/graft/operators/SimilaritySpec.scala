@@ -62,6 +62,16 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
     assert(lsh.map(_._1).contains(1L)) // the query's own direction must bucket with it
   }
 
+  test("lshKnn ignores null-embedding rows instead of crashing the histogram") {
+    import spark.implicits._
+    val withNull = embs.unionByName(
+      Seq((99L, null.asInstanceOf[Array[Float]])).toDF("id", "emb"))
+    val lsh = Similarity.lshKnn(withNull, col("emb"), col("id"), query, k = 5)
+      .collect().map(_.getAs[Long]("id"))
+    assert(lsh.length === 5)
+    assert(!lsh.contains(99L))
+  }
+
   test("lshKnn with k > corpus size degrades to brute force over all rows") {
     val lsh = Similarity.lshKnn(embs, col("emb"), col("id"), query, k = 20)
       .collect().map(_.getAs[Long]("id")).toSeq
