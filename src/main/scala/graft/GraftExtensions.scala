@@ -106,6 +106,26 @@ object GraftExtensions {
     ("binary_features",
       new ExpressionInfo(classOf[BinaryFeaturesExpr].getName, "binary_features"),
       (args: Seq[Expression]) => BinaryFeaturesExpr(args(0),
-        intArg(args(1), "dim", "binary_features")))
+        intArg(args(1), "dim", "binary_features"))),
+    ("shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashes(args(0),
+        intArg(args(1), "n", "shingle_hashes"))),
+    ("lang_id",
+      new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
+      (args: Seq[Expression]) => LangIdExpr(args(0))),
+    ("stopword_hits",
+      new ExpressionInfo(classOf[StopwordHitsExpr].getName, "stopword_hits"),
+      (args: Seq[Expression]) => StopwordHitsExpr(args(0),
+        intArg(args(1), "langIdx", "stopword_hits"))),
+    ("quality_score",
+      new ExpressionInfo(classOf[QualityScoreExpr].getName, "quality_score"),
+      (args: Seq[Expression]) => QualityScoreExpr(args(0))),
+    ("ws_token_count",
+      new ExpressionInfo(classOf[WsTokenCountExpr].getName, "ws_token_count"),
+      (args: Seq[Expression]) => WsTokenCountExpr(args(0))),
+    ("rolling_fingerprint",
+      new ExpressionInfo(classOf[RollingFingerprintExpr].getName, "rolling_fingerprint"),
+      (args: Seq[Expression]) => RollingFingerprintExpr(args(0)))
   )
 }

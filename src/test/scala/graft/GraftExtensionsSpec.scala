@@ -42,6 +42,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(4) === 8)
   }
 
+  test("text-stat kernels callable from SQL") {
+    val row = spark.sql(
+      """SELECT lang_id('the cat and the dog is here') AS lang,
+        |  stopword_hits('the cat and the dog', 0) AS hits,
+        |  quality_score('a decent little sentence, with the usual shape.') AS q,
+        |  ws_token_count('  a b   c ') AS n,
+        |  rolling_fingerprint('alpha beta') AS rfp,
+        |  size(shingle_hashes('a b c d e', 3)) AS nsh""".stripMargin)
+      .head()
+    assert(row.getString(0) === "en")
+    assert(row.getInt(1) === 3)
+    assert(row.getDouble(2) > 0.0 && row.getDouble(2) <= 1.0)
+    assert(row.getInt(3) === 3)
+    assert(row.getLong(4) > 0L)
+    assert(row.getInt(5) === 3)
+  }
+
   test("nearest_centroid callable from SQL with a literal centroid matrix") {
     val row = spark.sql(
       """SELECT nearest_centroid(array(4d,4d), array(array(0d,0d), array(5d,5d))) AS a,

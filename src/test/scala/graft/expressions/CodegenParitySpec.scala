@@ -54,6 +54,19 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
     assert(g === i)
   }
 
+  test("text-stat kernels (langId/quality/tokens/fingerprint/shingles): codegen == interpreted") {
+    val (g, i) = bothWays(docs.select(col("id"),
+      TextHash.langId(col("text")),
+      TextHash.stopwordHits(col("text"), 0),
+      TextHash.qualityScore(col("text")),
+      TextHash.wsTokenCount(col("text")),
+      TextHash.rollingFingerprint(col("text")),
+      TextHash.shingleHashes(col("text"), 3)))
+    assert(g === i)
+    // and the known-value sanity: "the ... the ..." text is English
+    assert(g.head.getString(1) === "en")
+  }
+
   test("VectorOps expressions: codegen == interpreted") {
     val (g, i) = bothWays(vecs.select(col("id"),
       graft.expressions.VectorOps.dot(col("a"), col("b")),
