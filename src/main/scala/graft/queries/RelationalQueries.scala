@@ -485,13 +485,18 @@ object RelationalQueries {
 
     // HLL approximate distinct gated against exact — sketch internals
     // differ per engine, so the hashed output carries the exact count
-    // plus a within-5% flag the HLL estimate must satisfy (the oracle
-    // asserts TRUE): the sketch stays in the plan, and a drifting
-    // estimate fails the hash compare, not just a local spec.
+    // plus a within-tolerance flag the HLL estimate must satisfy (the
+    // oracle asserts TRUE). Tolerance 15% = 3× the default relative
+    // standard deviation (rsd 0.05) — an estimate outside 3σ means the
+    // sketch is broken, not unlucky. (A 5% flag was a coin flip by
+    // construction: 1σ holds only ~68% of the time per group, and at
+    // sf0.1 one group legitimately landed at 5.9% error.) The per-group
+    // ≲1σ behavior on well-spread data is spec territory:
+    // ApproxDistinctSpec measures it on controlled cardinalities.
     sql(
       "q29_approx_distinct",
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-        |  TRUE AS hll_within_5pct
+        |  TRUE AS hll_within_3sigma
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy($"event_type")
@@ -500,7 +505,7 @@ object RelationalQueries {
           countDistinct($"user_id").as("exact_users"))
         .select($"event_type", $"exact_users",
           (abs($"approx_users" - $"exact_users").cast("double") /
-            greatest($"exact_users", lit(1L)) <= 0.05).as("hll_within_5pct"))
+            greatest($"exact_users", lit(1L)) <= 0.15).as("hll_within_3sigma"))
         .orderBy($"event_type")
     },
 
