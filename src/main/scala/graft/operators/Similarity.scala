@@ -140,13 +140,26 @@ object Similarity {
     * recall rises steeply with it, scan breadth linearly. */
   def lshKnn(df: DataFrame, embCol: Column, idCol: Column,
       query: Array[Double], k: Int, nBits: Int = 8, seed: Long = 42L,
-      overProbe: Int = 3): DataFrame = {
+      overProbe: Int = 3): DataFrame =
+    lshKnnOnIndex(
+      lshBuckets(df, embCol, idCol, nBits, seed, dim = query.length),
+      query, k, nBits, seed, overProbe)
+
+  /** [[lshKnn]] against a PREBUILT bucket index — the serving shape.
+    * `bucketed` is [[lshBuckets]] output (id, emb, bucket), typically
+    * written once (partitioned/sorted by bucket) and reused across
+    * queries: the signature kernel then never re-runs at query time,
+    * the histogram pass reads only the bucket column, and the ranking
+    * scan prunes to the probed buckets' partitions. Calling through
+    * [[lshKnn]] instead recomputes signatures in both passes — fine for
+    * one-off queries, wasteful for a query service. */
+  def lshKnnOnIndex(bucketed: DataFrame, query: Array[Double], k: Int,
+      nBits: Int = 8, seed: Long = 42L, overProbe: Int = 3): DataFrame = {
     val planes = hyperplanes(nBits, query.length, seed)
     val qSig = planes.zipWithIndex.map { case (p, i) =>
       val d = p.zip(query).map { case (a, b) => a * b }.sum
       if (d >= 0) 1L << i else 0L
     }.foldLeft(0L)(_ | _)
-    val bucketed = lshBuckets(df, embCol, idCol, nBits, seed, dim = query.length)
     // histogram BY HAMMING DISTANCE, aggregated engine-side: the driver
     // receives at most nBits+1 rows regardless of bucket cardinality
     // (collecting raw buckets would be unbounded at wide signatures).

@@ -62,6 +62,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
     assert(lsh.map(_._1).contains(1L)) // the query's own direction must bucket with it
   }
 
+  test("lshKnnOnIndex over a persisted bucket table equals the one-shot path") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh-index").toString + "/idx"
+    Similarity.lshBuckets(embs, col("emb"), col("id"), nBits = 4, dim = 2)
+      .write.parquet(dir)
+    val index = spark.read.parquet(dir)
+    val served = Similarity.lshKnnOnIndex(index, query, k = 5, nBits = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    val oneShot = Similarity.lshKnn(embs, col("emb"), col("id"), query, k = 5, nBits = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    assert(served === oneShot)
+  }
+
   test("lshKnn ignores null-embedding rows instead of crashing the histogram") {
     import spark.implicits._
     val withNull = embs.unionByName(
