@@ -27,8 +27,14 @@ object Bench {
     // swings on sub-second queries), so round-over-round deltas were
     // noise. The min is the stable "how fast can this plan go" number.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val measured = (1 to reps).map { _ =>
+        val g0 = gcMs()
         val t0 = System.nanoTime()
         // noop write, not count(): count() lets the optimizer PRUNE the
         // projections and drop the sorts, so per-row kernels (hashes,
@@ -37,14 +43,23 @@ object Bench {
         // what a real consumer of the query pays.
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
         catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, gcMs() - g0)
       }
-      name -> times.min
+      (name, measured.map(_._1).min, measured)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-rep wall times + GC-time deltas: a min-of-N hides JVM state that
+    // persists across all N reps (the BENCH_r05 t05 anomaly — see
+    // PROFILE_T05.md), so the artifact carries enough to attribute any
+    // outlier without a re-run.
+    val detail = results.map { case (k, _, m) =>
+      val repsJson = m.map { case (t, _) => f"$t%.4f" }.mkString("[", ",", "]")
+      val gcJson = m.map(_._2).mkString("[", ",", "]")
+      "\"" + k + "\":{\"reps\":" + repsJson + ",\"gc_ms\":" + gcJson + "}"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
     println(line)
     // also persist the line to a file: the stdout capture only keeps the
     // sbt tail, so the full per-query map would otherwise be truncated
