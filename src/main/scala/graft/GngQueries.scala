@@ -37,10 +37,13 @@ object GngQueries {
     * (mixed dirs in one JVM — never the Verify flow) there is no
     * unambiguous model, and the queries stay rows-only. Double
     * constants round-trip exactly through toString (v03 precedent). */
-  private[graft] def soleTrainedCentroids: Option[Array[Array[Double]]] = {
+  private[graft] def soleTrainedModel: Option[graft.model.GngModel] = {
     val models = new java.util.ArrayList(cache.values())
-    if (models.size == 1) Some(models.get(0).centroids) else None
+    if (models.size == 1) Some(models.get(0)) else None
   }
+
+  private[graft] def soleTrainedCentroids: Option[Array[Array[Double]]] =
+    soleTrainedModel.map(_.centroids)
 
   /** Squared Euclidean distance of SQL array column `arr` to one
     * centroid as an explicit left-associated term chain — the same
@@ -77,6 +80,49 @@ object GngQueries {
          |FROM win ORDER BY vec_id""".stripMargin
     }
 
+  /** gng_prototypes oracle (dump-time, like [[assignmentsOracle]]): the
+    * RAW trained state — node ids, weights, unrounded errors, raw
+    * centroid doubles — is inlined as a VALUES list, and DuckDB
+    * independently re-derives the VIEW: the ×1e4 error rounding with
+    * `floor(x·1e4 + 0.5)/1e4` (bit-identical to Scala `math.round` for
+    * the non-negative errors) and the 6-decimal centroid CSV string via
+    * `floor(v·1e6 + 0.5)` → DECIMAL(28,6) (the twin of
+    * `BigDecimal.valueOf(math.round(v·1e6), 6).toPlainString`). So the
+    * hash-match verifies the snapshot-formatting path, not just an echo
+    * of the rows. Doubles round-trip exactly through toString (v03
+    * precedent). */
+  private def prototypesOracle: Option[String] =
+    soleTrainedModel.map { m =>
+      val rows = m.nodes.toSeq.zipWithIndex.map { case (p, i) =>
+        val cList = p.centroid.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+        s"($i, ${p.id}, CAST(${m.clusterWeights(i)} AS DOUBLE), " +
+          s"CAST(${m.errors(i)} AS DOUBLE), ${p.assignedIds.size}, $cList)"
+      }.mkString(",\n  ")
+      s"""WITH p(node_idx, node_id, weight, error_raw, n_assigned, c) AS (VALUES
+         |  $rows)
+         |SELECT node_idx, node_id, weight,
+         |  floor(error_raw * 10000 + 0.5) / 10000 AS error,
+         |  n_assigned,
+         |  array_to_string(list_transform(c, v ->
+         |    CAST(CAST(CAST(floor(v * 1000000 + 0.5) AS BIGINT) / 1000000.0
+         |         AS DECIMAL(28,6)) AS VARCHAR)), ', ') AS centroid
+         |FROM p ORDER BY node_idx""".stripMargin
+    }
+
+  /** gng_edges oracle (dump-time): the adjacency/age matrices' edge
+    * list inlined as VALUES; DuckDB re-applies the (src, dst) total
+    * order. The empty-graph sentinel row mirrors the query side. */
+  private def edgesOracle: Option[String] =
+    soleTrainedModel.map { m =>
+      val rows = m.edgeList
+      val vals = (if (rows.isEmpty) Seq((-1, -1, 0.0)) else rows)
+        .map { case (s, t, a) => s"($s, $t, CAST($a AS DOUBLE))" }
+        .mkString(",\n  ")
+      s"""WITH e(src, dst, age) AS (VALUES
+         |  $vals)
+         |SELECT src, dst, age FROM e ORDER BY src, dst""".stripMargin
+    }
+
   private def purityOracle: Option[String] =
     soleTrainedCentroids.map { cs =>
       s"""WITH ${nearestCtes(cs)},
@@ -92,28 +138,34 @@ object GngQueries {
     * see [[soleTrainedCentroids]]. */
   def all: Seq[QueryDef] = Seq(
     // Final prototype table after 20 deterministic micro-batches.
-    // Centroid rendered as a CSV string (reference snapshot format,
-    // pointObj.scala:16-18) — also keeps the driver's pandas row-compare
-    // away from raw array cells (unhashable numpy.ndarray).
-    rowsOnly("gng_prototypes") { (s, d) =>
+    // Centroid rendered as a CSV string of fixed 6-decimal coordinates
+    // (the reference's comma-joined snapshot shape, pointObj.scala:16-18;
+    // fixed-scale rendering so the DuckDB oracle can re-derive the
+    // string from raw doubles portably) — a CSV string also keeps the
+    // driver's pandas row-compare away from raw array cells (unhashable
+    // numpy.ndarray). Oracled at dump time: see [[prototypesOracle]].
+    QueryDef("gng_prototypes", (s, d) => {
       val m = trained(s, d)
       import s.implicits._
       m.nodes.toSeq.zipWithIndex.map { case (p, i) =>
         (i, p.id, m.clusterWeights(i), math.round(m.errors(i) * 1e4) / 1e4,
           p.assignedIds.size,
-          p.centroid.map(v => math.round(v * 1e6) / 1e6).mkString(", "))
+          p.centroid.map(v =>
+            java.math.BigDecimal.valueOf(math.round(v * 1e6), 6).toPlainString)
+            .mkString(", "))
       }.toDF("node_idx", "node_id", "weight", "error", "n_assigned", "centroid")
         .orderBy(col("node_idx"))
-    },
-    // Final edge list (idiomatic snapshot of the adjacency/age matrices).
-    rowsOnly("gng_edges") { (s, d) =>
+    }, prototypesOracle),
+    // Final edge list (idiomatic snapshot of the adjacency/age
+    // matrices). Oracled at dump time: see [[edgesOracle]].
+    QueryDef("gng_edges", (s, d) => {
       val m = trained(s, d)
       import s.implicits._
       val rows = m.edgeList
       (if (rows.isEmpty) Seq((-1, -1, 0.0)) else rows)
         .toDF("src", "dst", "age")
         .orderBy(col("src"), col("dst"))
-    },
+    }, edgesOracle),
     // Cluster assignment of every embedding under the final model.
     // Oracled (dump-time): DuckDB re-derives the arg-min over the
     // INLINED trained centroids with the same left-assoc distance sum
