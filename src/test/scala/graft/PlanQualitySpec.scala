@@ -80,4 +80,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"expected eval-distinct + per-doc + sort shuffles only:\n$p")
     assert(p.contains("shingle_hashes"), "kernel expression must appear in the plan")
   }
+
+  test("v07: served kNN ranking scan prunes to the probed buckets' partitions") {
+    val df = SparkEntry.queries("v07_knn_served")(spark, sf)
+    // the hamming-radius predicate references ONLY the partition column,
+    // so it must land in PartitionFilters (listing-time pruning), never
+    // a post-scan Filter over every bucket's files
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.nonEmpty, "served kNN must read the prebuilt parquet index")
+    assert(scan.get.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+      s"hamming-radius filter must prune partitions:\n${scan.get.partitionFilters}")
+    // and the pruning bites: fewer bucket directories scanned than exist
+    // (nBits=4 over sf0.001's 500 vectors populates most of the 16
+    // buckets; the histogram-chosen radius covers only a subset)
+    val total = graft.queries.VectorQueries.servedIndex(spark, sf)
+      .select("bucket").distinct().count()
+    val scanned = scan.get.selectedPartitions.partitionCount
+    assert(scanned < total,
+      s"expected the radius scan to prune ($scanned scanned of $total buckets)")
+    // served == online: byte-identical answer to the v03 path
+    val online = SparkEntry.queries("v03_knn_lsh")(spark, sf)
+    assert(df.collect().toSeq === online.collect().toSeq)
+  }
 }
