@@ -277,11 +277,23 @@ object TextQueries {
          |           THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
          |           ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' END
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Single-pass lang_id: the quota predicate decomposes as
+      //   keep ⇔ (h < '8') ∧ (h = '0' ∨ lang ≠ 'en')
+      // (h = '0' keeps the row in BOTH branches, h ≥ '8' drops it in
+      // both — only h ∈ 1..7 consults the language). The cheap md5
+      // conjunct filters BEFORE the kernel, and lang_id sits inside a
+      // Generate (explode of a 1-element array) — the one barrier
+      // predicate pushdown cannot substitute through — so the kernel
+      // runs exactly once per surviving row instead of twice per corpus
+      // row (filter + collapsed projection, as through r5). Plan gate:
+      // PlanQualitySpec counts one lang_id and asserts the quota
+      // conjunct lands below the Generate.
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
       Tables.documents(s, d)
-        .withColumn("lang_pred", TextFunctions.langId(col("text")))
-        .withColumn("h", substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
-        .filter(when(col("lang_pred") === "en", col("h") === "0")
-          .otherwise(col("h") < "8"))
+        .filter(h < "8")
+        .select(col("doc_id"), h.as("h"),
+          explode(array(TextFunctions.langId(col("text")))).as("lang_pred"))
+        .filter(col("h") === "0" || col("lang_pred") =!= "en")
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))
     },

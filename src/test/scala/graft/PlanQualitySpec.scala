@@ -81,6 +81,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(p.contains("shingle_hashes"), "kernel expression must appear in the plan")
   }
 
+  test("t17: lang_id evaluates once, below-md5-quota rows never reach the kernel") {
+    val p = plan("t17_stratified_sample")
+    // exactly one lang_id in the whole plan (r5 ran it twice per row:
+    // once in the filter, once in the collapsed projection)
+    val kernelCount = "lang_id".r.findAllIn(p).size
+    assert(kernelCount == 1, s"expected exactly one lang_id, saw $kernelCount:\n$p")
+    // the Generate barrier is present and the cheap md5-quota conjunct
+    // filtered before it (a Filter mentioning md5 below the Generate)
+    assert(p.contains("Generate"), s"expected the explode barrier:\n$p")
+    assert(p.contains("md5"), s"md5 quota filter must survive:\n$p")
+  }
+
   test("v07: served kNN ranking scan prunes to the probed buckets' partitions") {
     val df = SparkEntry.queries("v07_knn_served")(spark, sf)
     // the hamming-radius predicate references ONLY the partition column,
