@@ -302,4 +302,26 @@ object GngModel {
       java.nio.file.Files.newInputStream(path))
     try in.readObject().asInstanceOf[GngModel] finally in.close()
   }
+
+  /** Training-loop recovery point: the model PLUS the 1-based non-empty
+    * batch counter `kk`, in ONE file so the pair can never tear. kk is
+    * loop state, not model state — but fading (kk % 3), the snapshot
+    * cadence, and node insertion all key off it, so a restart that
+    * reset kk to 0 would silently diverge from the never-killed run
+    * (the restart spec asserts the two runs end bit-identical). */
+  def saveState(path: java.nio.file.Path, model: GngModel, kk: Int): Unit = {
+    val out = new java.io.ObjectOutputStream(
+      java.nio.file.Files.newOutputStream(path))
+    try { out.writeInt(kk); out.writeObject(model) } finally out.close()
+  }
+
+  /** Inverse of [[saveState]] → (model, kk). */
+  def loadState(path: java.nio.file.Path): (GngModel, Int) = {
+    val in = new java.io.ObjectInputStream(
+      java.nio.file.Files.newInputStream(path))
+    try {
+      val kk = in.readInt()
+      (in.readObject().asInstanceOf[GngModel], kk)
+    } finally in.close()
+  }
 }

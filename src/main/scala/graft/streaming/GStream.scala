@@ -61,17 +61,27 @@ object GStream {
     * (GngOpsSpec proves the two paths equal). */
   val localPathMaxRows: Int = 100000
 
+  /** Companion BYTE bound for probes that ship row data: the streaming
+    * fast-path probe collects up to this many CELLS (rows × dim), so the
+    * driver never holds more than ~16 MB of probed points regardless of
+    * embedding width (100k 64-d points would be ~50 MB under a
+    * rows-only cap). */
+  val localPathMaxCells: Long = 2L * 1000 * 1000
+
   /** Deterministic batch-mode training: chunk `points` into `nChunks`
     * micro-batches by `id % nChunks` and run the full update per chunk.
     * Faithful to the streaming loop (kk = 1-based non-empty batch
     * counter) but reproducible — used by tests, Verify and Bench. */
   def fitChunked(points: Dataset[Point], params: GngParams, nChunks: Int): GngModel = {
     // Probe: if the whole input fits on the driver, run the entire chunk
-    // loop locally — ONE Spark job total instead of one per chunk.
-    // CollectLimitExec scans partitions incrementally, so on a genuinely
-    // large input the probe reads ~localPathMaxRows rows and bails.
-    val probe = points.limit(localPathMaxRows + 1).collect()
-    if (probe.length <= localPathMaxRows) return fitChunkedLocal(probe, params, nChunks)
+    // loop locally — one collect job total instead of one job per chunk.
+    // The probe itself ships NO row data: it counts a zero-column
+    // projection under the limit (column pruning reaches the scan), so
+    // a genuinely large input costs a bounded row-count scan — never up
+    // to localPathMaxRows full Points (~50 MB at 64-d) of driver heap —
+    // and only a confirmed-small input pays the actual collect.
+    val n = points.select(lit(1)).limit(localPathMaxRows + 1).count()
+    if (n <= localPathMaxRows) return fitChunkedLocal(points.collect(), params, nChunks)
     // One parquet read for the whole loop: each of the nChunks passes
     // filters the cached points instead of re-scanning the source.
     val cached = points.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -160,7 +170,8 @@ object GStream {
       excludeFiles: Seq[String] = Nil,
       snapshotAt: Option[Int => Boolean] = None,
       onBatch: (Int, Long) => Unit = (_, _) => (),
-      checkpointLocation: Option[String] = None): StreamingQuery = {
+      checkpointLocation: Option[String] = None,
+      startKk: Int = 0): StreamingQuery = {
     import spark.implicits._
     // excludeFiles keeps bootstrap/seed files out of the stream (the
     // reference's textFileStream only saw files created after start —
@@ -175,7 +186,11 @@ object GStream {
     }
     val pts = parseCsvPoints(raw, separator)
 
-    var kk = 0
+    // startKk: a restart resuming from [[GngModel.loadState]] continues
+    // the 1-based non-empty batch counter where the killed run left it —
+    // fading (kk % 3) and the snapshot cadence stay aligned with a
+    // never-killed run (GStreamRestartSpec proves bit-identical ends).
+    var kk = startKk
     // cumulative per-batch update milliseconds, ring-buffered at 100
     // entries — the reference's timeUpdates telemetry, its ONLY
     // published baseline numbers (batchStream.scala:84,88,92-93;
@@ -198,10 +213,15 @@ object GStream {
         val t0 = System.currentTimeMillis()
         // small batches (the common micro-batch case) collect + update
         // locally — no Spark job beyond the probe; the limit-probe IS
-        // the whole batch when it comes back under the threshold
-        val probe = batch.limit(localPathMaxRows + 1).collect()
+        // the whole batch when it comes back under the threshold. The
+        // cap is dimension-aware (localPathMaxCells) so the one-job
+        // probe ships a bounded number of BYTES, not just rows — a
+        // wide-embedding stream can't balloon the driver heap.
+        val cap = math.min(localPathMaxRows.toLong,
+          localPathMaxCells / math.max(model.dim, 1)).toInt
+        val probe = batch.limit(cap + 1).collect()
         val stats =
-          if (probe.length <= localPathMaxRows) GngOps.assignAggregateLocal(probe, model.centroids)
+          if (probe.length <= cap) GngOps.assignAggregateLocal(probe, model.centroids)
           else GngOps.assignAggregate(batch, model.centroids)
         if (stats.nonEmpty) {
           kk += 1
@@ -214,12 +234,15 @@ object GStream {
             if (doSnapshot(kk)) writeSnapshots(spark, dir, model, kk, timeUpdates.toSeq)
           }
           // §7.4.7: model recovery point per completed batch (write tmp,
-          // atomic move, so a crash never leaves a torn checkpoint)
+          // atomic move, so a crash never leaves a torn checkpoint).
+          // The payload is (kk, model) in one file — GngModel.loadState —
+          // so a restart resumes the batch counter too, not just the
+          // prototype state.
           modelCheckpoint.foreach { dir =>
             val d = java.nio.file.Paths.get(dir)
             java.nio.file.Files.createDirectories(d)
             val tmp = d.resolve(s"model-$kk.bin.tmp")
-            model.save(tmp)
+            GngModel.saveState(tmp, model, kk)
             java.nio.file.Files.move(tmp, d.resolve("model-latest.bin"),
               java.nio.file.StandardCopyOption.REPLACE_EXISTING,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -51,10 +51,11 @@ class GStreamRunSpec extends AnyFunSuite with SparkTestSupport {
     assert(tu.head === 0L)
     assert(tu.toSeq === tu.toSeq.sorted, "cumulative ms must be non-decreasing")
 
-    // restored checkpoint matches the live model
-    val restored = graft.model.GngModel.load(
+    // restored checkpoint matches the live model (payload = (kk, model))
+    val (restored, restoredKk) = graft.model.GngModel.loadState(
       Paths.get(dirSortie, "_model", "model-latest.bin"))
     assert(restored.nodeCount >= 2)
+    assert(restoredKk === 3, "checkpoint must carry the batch counter")
     // snapshots exist from the first batch (kk=1) and every batch
     // (nbWind=9 → step 1 → the {1..8}·step branch fires each kk)
     assert(Files.exists(Paths.get(dirSortie, "Prototypes-1")))
@@ -105,14 +106,16 @@ class GStreamRunSpec extends AnyFunSuite with SparkTestSupport {
     while (!Files.exists(Paths.get(ckpt, "model-latest.bin")) &&
       System.currentTimeMillis() < deadline1) Thread.sleep(200)
     q1.processAllAvailable(); q1.stop()
-    val afterPhase1 = graft.model.GngModel.load(Paths.get(ckpt, "model-latest.bin"))
+    val (afterPhase1, kkPhase1) = graft.model.GngModel.loadState(
+      Paths.get(ckpt, "model-latest.bin"))
     val idsPhase1 = afterPhase1.nodes.flatMap(_.assignedIds).toSet
 
     // phase 2: RESTART from the checkpoint, new files arrive
     batch(2); batch(3)
     val q2 = GStream.trainStreaming(spark, dirData, afterPhase1,
       modelCheckpoint = Some(ckpt), triggerMs = 50L,
-      excludeFiles = Seq("b0.csv", "b1.csv")) // already-consumed batches
+      excludeFiles = Seq("b0.csv", "b1.csv"), // already-consumed batches
+      startKk = kkPhase1)
     q2.processAllAvailable(); q2.stop()
     // the restored-and-resumed model absorbed phase-2 ids on top of phase-1 state
     val idsPhase2 = afterPhase1.nodes.flatMap(_.assignedIds).toSet
