@@ -126,6 +126,9 @@ object GraftExtensions {
       (args: Seq[Expression]) => WsTokenCountExpr(args(0))),
     ("rolling_fingerprint",
       new ExpressionInfo(classOf[RollingFingerprintExpr].getName, "rolling_fingerprint"),
-      (args: Seq[Expression]) => RollingFingerprintExpr(args(0)))
+      (args: Seq[Expression]) => RollingFingerprintExpr(args(0))),
+    ("repetition_stats",
+      new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "repetition_stats"),
+      (args: Seq[Expression]) => RepetitionStatsExpr(args(0)))
   )
 }

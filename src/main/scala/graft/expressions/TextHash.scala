@@ -73,6 +73,12 @@ object TextHash {
   def qualityScore(text: Column): Column =
     graftx.column(QualityScoreExpr(graftx.expr(text)))
 
+  /** `repetition_stats(text)` → array<double>
+    * [dup_token_frac, top_bigram_frac] in one tokenize pass — the
+    * Gopher/C4-style intra-document repetition quality signals. */
+  def repetitionStats(text: Column): Column =
+    graftx.column(RepetitionStatsExpr(graftx.expr(text)))
+
   /** `shingle_hashes(text, n)` → array<bigint> of the 64-bit word-n-gram
     * shingle hashes, in document order (duplicates kept — apply
     * `array_distinct` for set semantics). Empty array for docs with
@@ -198,6 +204,21 @@ case class QualityScoreExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.qualityScore($c)")
 
   override protected def withNewChildInternal(newChild: Expression): QualityScoreExpr =
+    copy(child = newChild)
+}
+
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.repetitionStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.repetitionStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
     copy(child = newChild)
 }
 

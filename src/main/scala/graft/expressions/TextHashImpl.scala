@@ -265,6 +265,44 @@ object TextHashImpl {
     c
   }
 
+  /** Intra-document repetition signals (the Gopher/C4-style quality
+    * filters): one tokenize pass yields
+    *   [0] dup_token_frac  = 1 − distinct_tokens / tokens   (0 when empty)
+    *   [1] top_bigram_frac = max bigram count / (tokens − 1) (0 when < 2)
+    * Raw (unrounded) fractions — the query layer rounds with the
+    * engine-portable +1e-9 nudge. Counting uses per-call hash maps over
+    * the document's own tokens (bounded by document size, never corpus
+    * size); bigram keys are the literal adjacent-token strings, exactly
+    * what the DuckDB twin counts — no hashing in the contract. */
+  def repetitionStats(s: UTF8String): ArrayData = {
+    val toks = tokenize(s.toString)
+    if (toks.length == 0) return new GenericArrayData(Array(0.0, 0.0))
+    val seen = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < toks.length) {
+      val prev = seen.get(toks(i))
+      seen.put(toks(i), if (prev == null) 1 else prev + 1)
+      i += 1
+    }
+    val dupFrac = 1.0 - seen.size.toDouble / toks.length
+    var topBigram = 0
+    if (toks.length >= 2) {
+      val big = new java.util.HashMap[String, Integer]()
+      i = 0
+      while (i + 1 < toks.length) {
+        val key = toks(i) + " " + toks(i + 1)
+        val prev = big.get(key)
+        val c = if (prev == null) 1 else prev + 1
+        big.put(key, c)
+        if (c > topBigram) topBigram = c
+        i += 1
+      }
+    }
+    val topFrac =
+      if (toks.length < 2) 0.0 else topBigram.toDouble / (toks.length - 1)
+    new GenericArrayData(Array(dupFrac, topFrac))
+  }
+
   @inline private def hashString(t: String): Long = {
     var h = 1125899906842597L
     var i = 0

@@ -82,6 +82,18 @@ object TextFunctions {
     // DuckDB oracle twin below
     graft.expressions.TextHash.qualityScore(text)
 
+  /** Intra-document repetition signals (Gopher/C4-style quality
+    * filters) as one fused pass: array<double>
+    * [dup_token_frac, top_bigram_frac] where
+    *   dup_token_frac  = 1 − distinct_tokens / tokens   (0 when empty)
+    *   top_bigram_frac = modal-bigram count / (tokens−1) (0 when < 2).
+    * High values flag boilerplate/spam documents that survive
+    * per-character quality scoring. Consume both elements from ONE
+    * select — project-level common-subexpression elimination runs the
+    * kernel once per row. */
+  def repetitionStats(text: Column): Column =
+    graft.expressions.TextHash.repetitionStats(text)
+
   /** Rolling polynomial fingerprint over normalized tokens:
     * fold(h, tok) = (h*31 + tokHash) mod 2^31-1, where tokHash is the
     * first 32 bits of md5(token) — md5 is standardized, so the fold is
@@ -180,6 +192,27 @@ object TextFunctions {
       val toks = s"string_split(${normalizeText(c)}, ' ')"
       val hashes = s"list_transform($toks, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))"
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), $hashes), (h, x) -> (h * 31 + x) % 2147483647)"
+    }
+
+    /** DuckDB twins of [[TextFunctions.repetitionStats]] — identical
+      * IEEE expression shape (CAST to DOUBLE before the division, same
+      * CASE guards), counting literal token/bigram strings like the
+      * kernel does. */
+    def dupTokenFrac(c: String): String = {
+      val toks = s"string_split(${normalizeText(c)}, ' ')"
+      s"""(CASE WHEN ${normalizeText(c)} = '' THEN 0.0
+         |  ELSE 1.0 - CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) END)""".stripMargin
+    }
+
+    def topBigramFrac(c: String): String = {
+      val toks = s"string_split(${normalizeText(c)}, ' ')"
+      val bigrams = s"list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])"
+      // modal bigram count via per-distinct-bigram recount (documents
+      // are dozens of tokens; the oracle runs at verification scale)
+      s"""(SELECT CASE WHEN len(t) < 2 THEN 0.0
+         |  ELSE CAST(list_max(list_transform(list_distinct(b),
+         |         x -> len(list_filter(b, y -> y = x)))) AS DOUBLE) / (len(t) - 1) END
+         |FROM (SELECT t, $bigrams AS b FROM (SELECT $toks AS t) _t0) _t1)""".stripMargin
     }
 
     def qualityScore(c: String): String = {

@@ -298,6 +298,95 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Intra-document repetition quality signals (the Gopher/C4-style
+    // filters): duplicate-token fraction + modal-bigram fraction, one
+    // fused kernel pass per row (both outputs consumed from one select;
+    // project-level CSE runs the kernel once — CodegenParitySpec).
+    // +1e-9 nudge before round on both sides (qualityScore precedent).
+    sql(
+      "t18_repetition_stats",
+      s"""SELECT doc_id,
+         |  round(${Sql.dupTokenFrac("text")} + 1e-9, 4) AS dup_token_frac,
+         |  round(${Sql.topBigramFrac("text")} + 1e-9, 4) AS top_bigram_frac
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val rep = TextFunctions.repetitionStats(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(element_at(rep, 1) + lit(1e-9), 4).as("dup_token_frac"),
+          round(element_at(rep, 2) + lit(1e-9), 4).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The end-to-end TRAINING-MIX pipeline — the composition a real
+    // pretraining-data run executes as one declarative plan:
+    //   1. drop held-out eval docs (doc_id % 97 = 0 — t16's split);
+    //   2. exact-dedup, keep the min-doc_id copy per fingerprint (t03);
+    //   3. drop benchmark-contaminated docs (any shared 8-gram with the
+    //      eval set — t16's broadcast-shingle join);
+    //   4. language-ID + quality + repetition gates (t05/t06/t18);
+    //   5. per-language stratified md5 quota (t17's rates);
+    // output the surviving mix with its per-doc metadata. Every stage is
+    // a kernel or a key-shuffle/broadcast join that holds at corpus
+    // scale — no content shuffle, no all-pairs anywhere.
+    sql(
+      "t19_training_mix",
+      s"""WITH sh AS (SELECT doc_id, ${Sql.shingleSet("text", 8)} AS s FROM documents),
+         |ev AS (SELECT coalesce(list_distinct(flatten(list(s) FILTER (WHERE doc_id % 97 = 0))),
+         |                       []::VARCHAR[]) AS es FROM sh),
+         |clean AS (SELECT doc_id FROM sh CROSS JOIN ev
+         |          WHERE doc_id % 97 <> 0 AND len(list_intersect(s, es)) = 0),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY ${Sql.fingerprint("text")}),
+         |base AS (
+         |  SELECT doc_id, ${Sql.langId("text")} AS lang_pred,
+         |    ${Sql.qualityScore("text")} AS quality,
+         |    ${Sql.tokenCount("text")} AS n_tokens,
+         |    round(${Sql.dupTokenFrac("text")} + 1e-9, 4) AS dup_token_frac
+         |  FROM documents WHERE doc_id % 97 <> 0)
+         |SELECT b.doc_id, b.lang_pred, b.quality, b.n_tokens
+         |FROM base b JOIN keep USING (doc_id) JOIN clean USING (doc_id)
+         |WHERE b.quality >= 0.5 AND b.lang_pred <> 'und' AND b.dup_token_frac <= 0.9
+         |  AND (CASE WHEN b.lang_pred = 'en'
+         |            THEN substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1) = '0'
+         |            ELSE substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1) < '8' END)
+         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      // dedup keepers over the FULL corpus (dedup precedes filtering in
+      // a real mix: the kept copy represents its duplicate group)
+      val keepers = Dedup.exact(docs, col("text"), col("doc_id"))
+        .select(col("keep_id").as("doc_id"))
+      // decontamination verdicts for every non-eval doc (broadcast eval
+      // shingles — t16's shape, corpus never content-shuffled)
+      val clean = Dedup.contamination(
+          corpus, docs.filter(col("doc_id") % 97 === 0),
+          col("text"), col("doc_id"), n = 8)
+        .filter(col("n_shared") === 0)
+        .select(col("id").as("doc_id"))
+      val rep = TextFunctions.repetitionStats(col("text"))
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      // all four kernels ride ONE struct inside a Generate barrier (the
+      // t17 trick): predicate pushdown would otherwise re-derive each
+      // kernel in the collapsed filter AND the projection (7 kernel
+      // evals/row measured from the plan; 4 with the barrier) — the
+      // non-kernel conjuncts (eval split, md5 quota hash) still push to
+      // the scan side. Plan gate: one occurrence of each kernel.
+      corpus
+        .select(col("doc_id"), h.as("h"),
+          explode(array(struct(
+            TextFunctions.langId(col("text")).as("lang_pred"),
+            TextFunctions.qualityScore(col("text")).as("quality"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"),
+            round(element_at(rep, 1) + lit(1e-9), 4).as("dup_token_frac")))).as("k"))
+        .join(keepers, "doc_id")
+        .join(clean, "doc_id")
+        .filter(col("k.quality") >= 0.5 && col("k.lang_pred") =!= "und" &&
+          col("k.dup_token_frac") <= 0.9 &&
+          when(col("k.lang_pred") === "en", col("h") === "0").otherwise(col("h") < "8"))
+        .select(col("doc_id"), col("k.lang_pred").as("lang_pred"),
+          col("k.quality").as("quality"), col("k.n_tokens").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // BPE-ish subword token estimate: letter runs + digit runs + each
     // punctuation mark (the common pre-tokenizer shape), with chars per
     // token — the sizing statistic an LLM-data pipeline budgets by.

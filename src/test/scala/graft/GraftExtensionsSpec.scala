@@ -49,7 +49,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  quality_score('a decent little sentence, with the usual shape.') AS q,
         |  ws_token_count('  a b   c ') AS n,
         |  rolling_fingerprint('alpha beta') AS rfp,
-        |  size(shingle_hashes('a b c d e', 3)) AS nsh""".stripMargin)
+        |  size(shingle_hashes('a b c d e', 3)) AS nsh,
+        |  repetition_stats('go go go stop') AS rep""".stripMargin)
       .head()
     assert(row.getString(0) === "en")
     assert(row.getInt(1) === 3)
@@ -57,6 +58,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(3) === 3)
     assert(row.getLong(4) > 0L)
     assert(row.getInt(5) === 3)
+    // "go go go stop": 4 tokens 2 distinct → dup 0.5; "go go" twice of 3 bigrams
+    val rep = row.getSeq[Double](6)
+    assert(rep === Seq(0.5, 2.0 / 3))
   }
 
   test("nearest_centroid callable from SQL with a literal centroid matrix") {

@@ -93,6 +93,33 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(p.contains("md5"), s"md5 quota filter must survive:\n$p")
   }
 
+  test("t19: training mix — kernels once, dims broadcast, never a content shuffle") {
+    val p = plan("t19_training_mix")
+    // each per-row kernel appears exactly once (the Generate barrier;
+    // without it the collapsed filter+projection re-derived lang_id 3x
+    // and quality_score 2x per corpus row)
+    for (k <- Seq("quality_score", "repetition_stats", "ws_token_count"))
+      assert(nodeFree(p, k) == 1, s"expected one $k in the plan:\n$p")
+    assert(nodeFree(p, "lang_id") == 1, s"expected one lang_id:\n$p")
+    // keeper + decontamination verdicts join broadcast; no sort-merge,
+    // no cartesian anywhere in the mix
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  // occurrences of an expression NAME in the detail section (each node
+  // detail renders an expression once; the tree section has no exprs)
+  private def nodeFree(p: String, expr: String): Int = {
+    // formatted plans repeat expressions across Input/Output/Condition
+    // lines; count distinct kernel CALLS via "expr(" in Project/Filter/
+    // Generate "Output"/"Condition"/"Generator" lines only
+    p.linesIterator
+      .filter(l => l.trim.startsWith("Output") || l.trim.startsWith("Condition") ||
+        l.trim.startsWith("Arguments") || l.trim.startsWith("Aggregate Attributes") ||
+        l.trim.startsWith("Functions") || l.trim.startsWith("Keys"))
+      .map(l => s"$expr\\(".r.findAllIn(l).size).sum
+  }
+
   test("v07: served kNN ranking scan prunes to the probed buckets' partitions") {
     val df = SparkEntry.queries("v07_knn_served")(spark, sf)
     // the hamming-radius predicate references ONLY the partition column,

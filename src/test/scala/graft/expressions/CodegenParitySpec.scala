@@ -61,10 +61,34 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
       TextHash.qualityScore(col("text")),
       TextHash.wsTokenCount(col("text")),
       TextHash.rollingFingerprint(col("text")),
-      TextHash.shingleHashes(col("text"), 3)))
+      TextHash.shingleHashes(col("text"), 3),
+      TextHash.repetitionStats(col("text"))))
     assert(g === i)
     // and the known-value sanity: "the ... the ..." text is English
     assert(g.head.getString(1) === "en")
+  }
+
+  test("repetitionStats: known values and one kernel under project-level CSE") {
+    val rep = TextHash.repetitionStats(col("text"))
+    val out = docs.select(col("id"),
+        element_at(rep, 1).as("dup"), element_at(rep, 2).as("top"))
+      .orderBy("id").collect()
+    // "the quick brown fox jumps over the lazy dog": 9 tokens, "the" twice
+    // → dup = 1 − 8/9; all 8 bigrams distinct → top = 1/8
+    assert(math.abs(out(0).getDouble(1) - (1.0 - 8.0 / 9)) < 1e-12)
+    assert(math.abs(out(0).getDouble(2) - 0.125) < 1e-12)
+    // single token → both 0; empty text → both 0
+    assert(out(1).getDouble(1) === 0.0 && out(1).getDouble(2) === 0.0)
+    assert(out(2).getDouble(1) === 0.0 && out(2).getDouble(2) === 0.0)
+    // all-distinct 14 tokens → dup 0, every bigram unique → top 1/13
+    assert(out(3).getDouble(1) === 0.0)
+    assert(math.abs(out(3).getDouble(2) - 1.0 / 13) < 1e-12)
+    // both consumers in one select: subexpression elimination runs the
+    // kernel once per row (one repetition_stats in the codegen'd plan,
+    // Subexprs section aside — assert it stays in a codegen stage)
+    val plan = docs.select(element_at(rep, 1), element_at(rep, 2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("repetition_stats"))
   }
 
   test("VectorOps expressions: codegen == interpreted") {
