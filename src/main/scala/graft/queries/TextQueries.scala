@@ -387,6 +387,46 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Document chunking: fixed-size token windows with overlap — the
+    // standard step that turns variable-length documents into
+    // training-sample-sized pieces (size 20, overlap 5 → stride 15 at
+    // the fixture's ~50-token docs ≈ 4 chunks/doc). Composed ENTIRELY
+    // from codegen'd built-ins (sequence → transform → slice →
+    // array_join → posexplode) — the preferred extension path when the
+    // built-ins can express the semantics; no custom kernel, no UDF.
+    // Each chunk carries its token count and content fingerprint so
+    // chunk-level dedup (t03's primitive) composes directly.
+    sql(
+      "t20_chunk_documents", {
+        val (sz, ov, stride) = (20, 5, 15)
+        s"""WITH t AS (SELECT doc_id, string_split(${Sql.normalizeText("text")}, ' ') AS toks
+           |           FROM documents),
+           |n AS (SELECT doc_id, toks,
+           |        greatest(CAST(ceil(CAST(len(toks) - $ov AS DOUBLE) / $stride.0) AS INT), 1) AS nc
+           |      FROM t),
+           |x AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_idx FROM n),
+           |c AS (SELECT doc_id, chunk_idx,
+           |        array_to_string(toks[chunk_idx * $stride + 1 : chunk_idx * $stride + $sz], ' ') AS chunk
+           |      FROM x)
+           |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           |  CAST(len(string_split(chunk, ' ')) AS INT) AS n_chunk_tokens,
+           |  md5(chunk) AS chunk_fp
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+      }) { (s, d) =>
+      val (sz, ov, stride) = (20, 5, 15)
+      val toks = TextFunctions.tokens(col("text"))
+      val nc = greatest(
+        ceil((size(toks) - ov).cast("double") / stride).cast("int"), lit(1))
+      val chunks = transform(sequence(lit(0), nc - 1),
+        i => array_join(slice(toks, i * stride + 1, lit(sz)), " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(split(col("chunk"), " ")).as("n_chunk_tokens"),
+          md5(col("chunk").cast("binary")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // BPE-ish subword token estimate: letter runs + digit runs + each
     // punctuation mark (the common pre-tokenizer shape), with chars per
     // token — the sizing statistic an LLM-data pipeline budgets by.
