@@ -179,6 +179,58 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Connected components over near-dup PAIRS — the step that turns
+    * pairwise matches into DEDUP CLUSTERS with one representative each
+    * (real pipelines drop all but one member per component, not one per
+    * pair: pairs (a,b),(b,c) must collapse to ONE kept doc, which
+    * pairwise keep-the-min gets wrong when a–c was never emitted).
+    *
+    * Input: (id_a, id_b) undirected edges. Output: (id, rep) for every
+    * endpoint, rep = min id of its component.
+    *
+    * Algorithm: min-label propagation — each round every node takes the
+    * min label among itself and its neighbors; converges in
+    * O(component diameter) rounds (near-dup clusters are shallow: text
+    * families hang off one original, diameter 2-4). Each round is one
+    * keyed join + one aggregation — no driver-side graph state, the
+    * driver loop only checks the scalar converged-count. Label tables
+    * persist across rounds and unpersist as they are superseded
+    * (lineage would otherwise double per round). For adversarial
+    * long-chain graphs, rounds are capped; the large-star/small-star
+    * variant trades more shuffles per round for O(log n) rounds and is
+    * the drop-in upgrade if a corpus ever exhibits deep chains. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // `anchor` is always THE persisted table of the current round (the
+      // public `labels` view selects from it) — unpersisting the anchor,
+      // not a derived view, is what actually frees the superseded round
+      var anchor = edges.select($"src".as("id")).distinct()
+        .select($"id", $"id".as("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = anchor
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        val viaNeighbors = edges
+          .join(labels.select($"id".as("dst"), $"rep".as("nrep")), "dst")
+          .groupBy($"src".as("id"))
+          .agg(min($"nrep").as("minNrep"))
+        val next = labels.join(viaNeighbors, Seq("id"))
+          .select($"id", least($"rep", $"minNrep").as("rep"), $"rep".as("prev"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        converged = next.filter($"rep" =!= $"prev").isEmpty
+        anchor.unpersist(blocking = false)
+        anchor = next
+        labels = next.select($"id", $"rep")
+        round += 1
+      }
+      labels
+    } finally edges.unpersist(blocking = false)
+  }
+
   private implicit class Str(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

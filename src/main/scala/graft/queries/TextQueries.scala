@@ -387,6 +387,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Near-dup CLUSTERS from near-dup pairs: connected components with
+    // min-id representative — the dedup decision real pipelines make
+    // (pairs (a,b),(b,c) collapse to one kept doc even when a–c never
+    // surfaced as a pair). Spark side: min-label propagation over the
+    // t09 verified pairs, O(diameter) keyed-join rounds. Oracle: DuckDB
+    // recursive-CTE transitive closure over the exhaustive exact-Jaccard
+    // pair set (== the blocked set, t09's argument), min reachable id.
+    sql(
+      "t21_dedup_clusters",
+      s"""WITH RECURSIVE
+         |sh AS (SELECT doc_id, ${Sql.shingleSet("text", 3)} AS s FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE ${Sql.listJaccard("a.s", "b.s")} >= 0.5),
+         |e(src, dst) AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pairs = Dedup.minHashPairsVerified(
+        Tables.documents(s, d), col("text"), col("doc_id"), threshold = 0.5)
+      Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("rep").as("rep_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Document chunking: fixed-size token windows with overlap — the
     // standard step that turns variable-length documents into
     // training-sample-sized pieces (size 20, overlap 5 → stride 15 at

@@ -102,6 +102,18 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(out(3L) === ((0, 0L, 0.0))) // shingle-less: present, zeroed, no div-by-0
   }
 
+  test("connectedComponents: chains collapse to one min-id cluster, diameter > 1 converges") {
+    import spark.implicits._
+    // two components: a 4-chain 10-11-12-13 (diameter 3 — needs >1
+    // propagation round) and an isolated pair 20-21
+    val pairs = Seq((11L, 10L), (11L, 12L), (12L, 13L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("ngramJaccard column: 1.0 for normalized-equal, 0.0 for empty") {
     import spark.implicits._
     val out = docs.as("a").crossJoin(docs.as("b"))
