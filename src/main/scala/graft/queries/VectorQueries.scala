@@ -172,6 +172,27 @@ object VectorQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Semantic search serving composition: multiprobe kNN over the
+    // embedding space joined to the matching documents' metadata
+    // (vec_id ⇔ doc_id — FIXTURES §2) — what a retrieval endpoint
+    // returns. The 10-row kNN side broadcasts into the metadata join;
+    // the corpus is touched only by the kNN scans.
+    sql(
+      "v08_semantic_search",
+      s"""WITH knn AS ($multiprobeKnnSql)
+         |SELECT k.id, k.score, d.lang, d.n_chars
+         |FROM knn k JOIN documents d ON k.id = d.doc_id
+         |ORDER BY k.score DESC, k.id""".stripMargin) { (s, d) =>
+      val knn = Similarity.lshKnn(
+        Tables.embeddings(s, d), col("embedding"), col("vec_id"),
+        queryVector(s, d), 10, nBits = 4)
+      knn.join(
+          Tables.documents(s, d).select(col("doc_id").as("id"), col("lang"), col("n_chars")),
+          "id")
+        .select(col("id"), col("score"), col("lang"), col("n_chars"))
+        .orderBy(col("score").desc, col("id"))
+    },
+
     // IVF approximate kNN: the trained G-Stream prototypes double as the
     // coarse quantizer; rank within the 2 probed lists. Oracled at dump
     // time (same mechanism as gng_assignments): the trained centroids
