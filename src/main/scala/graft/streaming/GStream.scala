@@ -30,18 +30,11 @@ object GStream {
   }
 
   /** Parse the reference's CSV shape — doubles with the last two columns
-    * label and id (batchStreamRun.scala:37-45, labId=2) — into Points. */
-  def csvToPoints(df: DataFrame, separator: String = ","): Dataset[Point] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(split(col("value"), java.util.regex.Pattern.quote(separator))
-        .cast("array<double>").as("arr"))
-      .select(
-        expr("slice(arr, 1, size(arr) - 2)").as("features"),
-        element_at(col("arr"), -2).cast("int").as("label"),
-        element_at(col("arr"), -1).cast("long").as("id"))
-      .as[Point]
-  }
+    * label and id (batchStreamRun.scala:37-45, labId=2) — into Points.
+    * Same projection (and malformed-line tolerance) as
+    * [[parseCsvPoints]]; kept as the batch-flavored name. */
+  def csvToPoints(df: DataFrame, separator: String = ","): Dataset[Point] =
+    parseCsvPoints(df, separator)
 
   /** Bootstrap a model from the first two points (by ascending id) —
     * the reference's `initModelObj` (batchStream.scala:72-78). */
@@ -146,7 +139,16 @@ object GStream {
     import raw.sparkSession.implicits._
     val sepRe = java.util.regex.Pattern.quote(separator)
     raw
-      .select(split(col("value"), sepRe).cast("array<double>").as("arr"))
+      // try_cast + arity/null guards: a malformed line (non-numeric
+      // field, or fewer than feature+label+id fields) is DROPPED, never
+      // fatal — under ANSI mode a plain cast would throw and kill the
+      // whole streaming query on one poison line, and a short line
+      // would otherwise project a nonsense Point (empty features, its
+      // label/id read from the wrong slots). At 100 TB a multi-day
+      // training run must survive a corrupt record.
+      .select(split(col("value"), sepRe).as("parts"))
+      .select(expr("transform(parts, t -> try_cast(t AS DOUBLE))").as("arr"))
+      .filter(size(col("arr")) >= 3 && forall(col("arr"), x => x.isNotNull))
       .select(
         expr("slice(arr, 1, size(arr) - 2)").as("features"),
         element_at(col("arr"), -2).cast("int").as("label"),

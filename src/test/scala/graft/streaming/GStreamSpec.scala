@@ -20,6 +20,25 @@ class GStreamSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("parseCsvPoints drops malformed lines instead of killing the query") {
+    import spark.implicits._
+    // poison shapes: non-numeric token, too few fields, empty line,
+    // trailing garbage field — each would either throw under ANSI cast
+    // or project a nonsense Point before the try_cast + arity guards
+    val lines = Seq(
+      "1.0,2.0,0,1",   // good
+      "garbage",       // non-numeric, 1 field
+      "1.0,2.0",       // arity 2: would have read label=1, id=2 (!)
+      "",              // empty
+      "3.0,4.0,x,9",   // non-numeric label slot
+      "5.0,6.0,1,2")   // good
+    val got = GStream.parseCsvPoints(lines.toDF("value")).collect()
+      .map(p => (p.features.toSeq, p.label, p.id)).sortBy(_._3)
+    assert(got.toSeq === Seq(
+      (Seq(1.0, 2.0), 0, 1L),
+      (Seq(5.0, 6.0), 1, 2L)))
+  }
+
   test("socket source feeds the same CSV point projection (reference S3 path)") {
     // the reference wired (then disabled) a socketTextStream ingest
     // (batchStreamRun.scala:42); here the structured socket source
