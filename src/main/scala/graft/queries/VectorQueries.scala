@@ -193,6 +193,39 @@ object VectorQueries {
         .orderBy(col("score").desc, col("id"))
     },
 
+    // Per-label centroid pooling: elementwise mean embedding per class,
+    // done RELATIONALLY (posexplode → partial+final avg per (label,
+    // lane) → ordered re-assembly) so it scales like any keyed agg —
+    // no vector UDAF buffer, no driver-side math. Rendering uses the
+    // bit-portable floor(v·1e4+0.5)→DECIMAL(18,4) twin (gng_prototypes
+    // precedent); avg summation-order noise (~1e-15 rel) sits ~7 orders
+    // below the rounding step. The pooled vectors are classifier
+    // prototypes / label-conditioned embeddings for a training mix.
+    sql(
+      "v09_label_centroids",
+      """WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |                  generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |m AS (SELECT label, pos, avg(x) AS m FROM e GROUP BY label, pos)
+        |SELECT label, CAST(count(*) AS INT) AS dim,
+        |  array_to_string(list_transform(list(m ORDER BY pos),
+        |    v -> CAST(CAST(CAST(floor(v * 10000 + 0.5) AS BIGINT) / 10000.0
+        |              AS DECIMAL(18,4)) AS VARCHAR)), ', ') AS centroid
+        |FROM m GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).cast("int").as("dim"),
+          expr("""array_join(transform(sort_array(collect_list(struct(pos, m))),
+                 |  s -> CAST(CAST(CAST(floor(s.m * 10000 + 0.5) AS BIGINT) / 10000.0
+                 |            AS DECIMAL(18,4)) AS STRING)), ', ')""".stripMargin)
+            .as("centroid"))
+        .orderBy(col("label"))
+    },
+
     // IVF approximate kNN: the trained G-Stream prototypes double as the
     // coarse quantizer; rank within the 2 probed lists. Oracled at dump
     // time (same mechanism as gng_assignments): the trained centroids
