@@ -58,6 +58,34 @@ object StreamingQueries {
           StreamingRelational.userSessions(
             StreamingRelational.eventsStreamWithSentinel(s, d)))
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // Custom keyed state (mapGroupsWithState): running per-user
+    // (count, sum) across micro-batches, update output mode. The final
+    // snapshot per key must equal the batch aggregation — the
+    // streaming/batch parity claim for ARBITRARY keyed state, not just
+    // built-in windows. The memory sink keeps every per-batch snapshot
+    // in update mode, so the query reduces to the final one per key
+    // (max count — state counts are monotonic) to stay deterministic
+    // under any micro-batch split.
+    sql(
+      "s03_stream_user_state",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = StreamingRelational.eventsStream(s, d)
+        .select(col("user_id").cast("long"), col("value").cast("double"))
+        .as[(Long, Double)]
+      StreamingRelational.oneShot(s,
+          StreamingRelational.runningUserStats(ev)
+            .toDF("user_id", "n_events", "total_value"),
+          mode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("total_value"))).as("st"))
+        .select(col("user_id"), col("st.n_events").as("n_events"),
+          col("st.total_value").as("total_value"))
+        .orderBy(col("user_id"))
     }
   )
 }
