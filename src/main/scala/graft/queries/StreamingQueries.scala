@@ -86,6 +86,44 @@ object StreamingQueries {
         .select(col("user_id"), col("st.n_events").as("n_events"),
           col("st.total_value").as("total_value"))
         .orderBy(col("user_id"))
+    },
+
+    // Streaming exact dedup (dropDuplicatesWithinWatermark): first
+    // occurrence per (user_id, event_type) wins, watermark-bounded
+    // state. WHICH row survives a tie is partition-order dependent, so
+    // the query projects the deterministic part — the surviving KEY
+    // set — which must equal batch DISTINCT.
+    sql(
+      "s04_stream_dedup",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      StreamingRelational.oneShot(s,
+          StreamingRelational.streamingDedup(
+            StreamingRelational.eventsStream(s, d), "ts",
+            Seq("user_id", "event_type")))
+        .select(col("user_id"), col("event_type"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // Watermarked stream-stream self-join: for each event, same-user
+    // events within the preceding 30 minutes (inclusive both ends —
+    // every event matches itself). Both sides carry watermarks and the
+    // event-time bound lets Spark expire join state; the emitted PAIR
+    // SET is deterministic and must equal the batch self-join.
+    sql(
+      "s05_stream_join",
+      """SELECT l.event_id AS event_id_a, r.event_id AS event_id_b
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        |  AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts
+        |ORDER BY event_id_a, event_id_b""".stripMargin) { (s, d) =>
+      StreamingRelational.oneShot(s,
+          StreamingRelational.streamStreamJoin(
+              StreamingRelational.eventsStream(s, d),
+              StreamingRelational.eventsStream(s, d))
+            .select(col("l.event_id").as("event_id_a"),
+              col("r.event_id").as("event_id_b")))
+        .orderBy(col("event_id_a"), col("event_id_b"))
     }
   )
 }
