@@ -120,6 +120,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       .map(l => s"$expr\\(".r.findAllIn(l).size).sum
   }
 
+  test("global sweep: no query plan contains a cartesian product or a UDF") {
+    // streaming queries are excluded: building their DataFrame RUNS the
+    // bounded stream (oneShot blocks), and their plans are execution
+    // artifacts of the memory sink, not library-shaped plans. gng_*
+    // build on the (cached) trained model — cheap at sf0.001.
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("s0"))
+    val offenders = names.flatMap { n =>
+      val p = try plan(n) catch { case e: Throwable => s"BUILD FAILED: $e" }
+      Seq(
+        Option.when(p.contains("CartesianProduct"))(s"$n: CartesianProduct"),
+        Option.when(p.contains("BatchEvalPython"))(s"$n: BatchEvalPython"),
+        Option.when(p.contains("ScalaUDF"))(s"$n: ScalaUDF"),
+        Option.when(p.startsWith("BUILD FAILED"))(s"$n: $p")).flatten
+    }
+    assert(offenders.isEmpty, s"plan regressions:\n${offenders.mkString("\n")}")
+  }
+
   test("v07: served kNN ranking scan prunes to the probed buckets' partitions") {
     val df = SparkEntry.queries("v07_knn_served")(spark, sf)
     // the hamming-radius predicate references ONLY the partition column,
