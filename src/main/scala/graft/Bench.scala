@@ -27,14 +27,9 @@ object Bench {
     // swings on sub-second queries), so round-over-round deltas were
     // noise. The min is the stable "how fast can this plan go" number.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    def gcMs(): Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
-        .map(_.getCollectionTime).sum
-    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val measured = (1 to reps).map { _ =>
-        val g0 = gcMs()
+        val g0 = graft.util.JvmStats.gcMs()
         val t0 = System.nanoTime()
         // noop write, not count(): count() lets the optimizer PRUNE the
         // projections and drop the sorts, so per-row kernels (hashes,
@@ -43,7 +38,7 @@ object Bench {
         // what a real consumer of the query pays.
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
         catch { case _: Throwable => () }
-        ((System.nanoTime() - t0) / 1e9, gcMs() - g0)
+        ((System.nanoTime() - t0) / 1e9, graft.util.JvmStats.gcMs() - g0)
       }
       (name, measured.map(_._1).min, measured)
     }
@@ -54,7 +49,11 @@ object Bench {
     // PROFILE_T05.md), so the artifact carries enough to attribute any
     // outlier without a re-run.
     val detail = results.map { case (k, _, m) =>
-      val repsJson = m.map { case (t, _) => f"$t%.4f" }.mkString("[", ",", "]")
+      // Locale.ROOT: the f-interpolator uses the JVM default locale — a
+      // comma-decimal locale would emit "1,2345" and corrupt the JSON
+      val repsJson = m.map { case (t, _) =>
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(t))
+      }.mkString("[", ",", "]")
       val gcJson = m.map(_._2).mkString("[", ",", "]")
       "\"" + k + "\":{\"reps\":" + repsJson + ",\"gc_ms\":" + gcJson + "}"
     }.mkString("{", ",", "}")

@@ -277,13 +277,10 @@ object TextHashImpl {
   def repetitionStats(s: UTF8String): ArrayData = {
     val toks = tokenize(s.toString)
     if (toks.length == 0) return new GenericArrayData(Array(0.0, 0.0))
-    val seen = new java.util.HashMap[String, Integer]()
+    // distinct COUNT is all dupFrac needs — a set, not a count map
+    val seen = new java.util.HashSet[String]()
     var i = 0
-    while (i < toks.length) {
-      val prev = seen.get(toks(i))
-      seen.put(toks(i), if (prev == null) 1 else prev + 1)
-      i += 1
-    }
+    while (i < toks.length) { seen.add(toks(i)); i += 1 }
     val dupFrac = 1.0 - seen.size.toDouble / toks.length
     var topBigram = 0
     if (toks.length >= 2) {

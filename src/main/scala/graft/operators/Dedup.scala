@@ -227,7 +227,25 @@ object Dedup {
         labels = next.select($"id", $"rep")
         round += 1
       }
-      labels
+      // no silent caps: exiting unconverged would return labels where
+      // far nodes of a deep chain carry a non-minimal representative —
+      // wrong clusters, silently. Deep chains are a corpus smell (or a
+      // call for the large-star/small-star variant), not a shrug.
+      if (!converged) {
+        anchor.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxRounds rounds — " +
+            "component diameter exceeds the cap; raise maxRounds or switch " +
+            "to the large-star/small-star formulation for deep-chain graphs")
+      }
+      // localCheckpoint materializes the final labels into RDD blocks
+      // that the ContextCleaner frees once unreferenced — unlike
+      // persist(), which the cache manager pins for the session — so
+      // the last round's cache can be dropped here instead of leaking
+      // one table per call.
+      val result = labels.localCheckpoint(true)
+      anchor.unpersist(blocking = false)
+      result
     } finally edges.unpersist(blocking = false)
   }
 

@@ -71,7 +71,7 @@ object StreamingQueries {
     sql(
       "s03_stream_user_state",
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  round(sum(value), 2) AS total_value
+        |  round(sum(value) + 1e-9, 2) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val ev = StreamingRelational.eventsStream(s, d)

@@ -135,20 +135,27 @@ object GStream {
     * ([[trainStreaming]]), the socket source (the reference's disabled
     * `socketTextStream` path, batchStreamRun.scala:42 — SURVEY §2.1
     * S3), or a Kafka value column. */
-  def parseCsvPoints(raw: DataFrame, separator: String = ","): Dataset[Point] = {
+  def parseCsvPoints(raw: DataFrame, separator: String = ",",
+      expectedDim: Int = -1): Dataset[Point] = {
     import raw.sparkSession.implicits._
     val sepRe = java.util.regex.Pattern.quote(separator)
+    // try_cast + arity/null guards: a malformed line (non-numeric field,
+    // or the wrong number of fields) is DROPPED, never fatal — under
+    // ANSI mode a plain cast would throw and kill the whole streaming
+    // query on one poison line, and a short line would otherwise
+    // project a nonsense Point (empty features, its label/id read from
+    // the wrong slots). When the caller knows the stream's
+    // dimensionality (trainStreaming does: model.dim), the arity check
+    // is EXACT — an all-numeric line of the wrong width would otherwise
+    // build a wrong-dimension Point and crash the distance loop
+    // downstream, the same one-poison-line fatality in a new costume.
+    val arityOk =
+      if (expectedDim > 0) size(col("arr")) === expectedDim + 2
+      else size(col("arr")) >= 3
     raw
-      // try_cast + arity/null guards: a malformed line (non-numeric
-      // field, or fewer than feature+label+id fields) is DROPPED, never
-      // fatal — under ANSI mode a plain cast would throw and kill the
-      // whole streaming query on one poison line, and a short line
-      // would otherwise project a nonsense Point (empty features, its
-      // label/id read from the wrong slots). At 100 TB a multi-day
-      // training run must survive a corrupt record.
       .select(split(col("value"), sepRe).as("parts"))
       .select(expr("transform(parts, t -> try_cast(t AS DOUBLE))").as("arr"))
-      .filter(size(col("arr")) >= 3 && forall(col("arr"), x => x.isNotNull))
+      .filter(arityOk && forall(col("arr"), x => x.isNotNull))
       .select(
         expr("slice(arr, 1, size(arr) - 2)").as("features"),
         element_at(col("arr"), -2).cast("int").as("label"),
@@ -186,7 +193,7 @@ object GStream {
       val fn = input_file_name()
       raw = raw.filter(!excludeFiles.map(e => fn.endsWith("/" + e)).reduce(_ || _))
     }
-    val pts = parseCsvPoints(raw, separator)
+    val pts = parseCsvPoints(raw, separator, expectedDim = model.dim)
 
     // startKk: a restart resuming from [[GngModel.loadState]] continues
     // the 1-based non-empty batch counter where the killed run left it —

@@ -247,7 +247,12 @@ object StreamingRelational {
           var s = s0
           rows.foreach { r => c += 1; s += r._2 }
           state.update((c, s))
-          (userId, c, math.round(s * 100.0) / 100.0)
+          // +1e-9 nudge before rounding (qualityScore precedent): the
+          // incremental stream-order sum and the oracle's scan-order sum
+          // can differ by an ulp, which flips the rounded value only on
+          // a knife's-edge .xx5 boundary — the nudge pushes both
+          // engines off the boundary the same way
+          (userId, c, math.round((s + 1e-9) * 100.0) / 100.0)
       }
   }
 }

@@ -13,12 +13,6 @@ import graft.queries.Tables
   * PROFILE_T05.md.
   */
 object ProfT05 {
-  private def gcMs(): Long = {
-    import scala.jdk.CollectionConverters._
-    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
-      .map(_.getCollectionTime).sum
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.util.GraftSession.tuned(SparkSession.builder())
@@ -32,10 +26,10 @@ object ProfT05 {
 
     def run(name: String, reps: Int)(mk: => org.apache.spark.sql.DataFrame): Unit = {
       val times = (1 to reps).map { _ =>
-        val g0 = gcMs(); val t0 = System.nanoTime()
+        val g0 = graft.util.JvmStats.gcMs(); val t0 = System.nanoTime()
         mk.write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        (dt, gcMs() - g0)
+        (dt, graft.util.JvmStats.gcMs() - g0)
       }
       println(f"$name%-28s reps=${times.map { case (t, g) => f"$t%.3fs(gc=${g}ms)" }.mkString(" ")}")
     }
