@@ -455,6 +455,58 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // Sequence packing: assign t20's chunks to fixed-budget (512-token)
+    // training sequences by greedy running sums — the sample-packing
+    // step before batching. Scale-sane windowing: the running sum is
+    // PARTITIONED (md5 shard per chunk), so sequences pack in parallel
+    // per shard instead of one global ordered scan; all arithmetic is
+    // integer (no float portability surface at all).
+    sql(
+      "t22_sequence_packing", {
+        val (sz, ov, stride) = (20, 5, 15)
+        s"""WITH t AS (SELECT doc_id, string_split(${Sql.normalizeText("text")}, ' ') AS toks
+           |           FROM documents),
+           |n AS (SELECT doc_id, toks,
+           |        greatest(CAST(ceil(CAST(len(toks) - $ov AS DOUBLE) / $stride.0) AS INT), 1) AS nc
+           |      FROM t),
+           |x AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_idx FROM n),
+           |c AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           |        CAST(len(string_split(array_to_string(
+           |          toks[chunk_idx * $stride + 1 : chunk_idx * $stride + $sz], ' '), ' ')) AS BIGINT) AS n_tok,
+           |        substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)), 1, 1) AS shard
+           |      FROM x),
+           |w AS (SELECT shard, doc_id, chunk_idx, n_tok,
+           |        sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+           |                         ROWS UNBOUNDED PRECEDING) AS cum
+           |      FROM c)
+           |SELECT shard, doc_id, chunk_idx,
+           |  CAST((cum - n_tok) // 512 AS BIGINT) AS seq_id,
+           |  CAST((cum - n_tok) % 512 AS BIGINT) AS seq_offset
+           |FROM w ORDER BY shard, doc_id, chunk_idx""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val (sz, ov, stride) = (20, 5, 15)
+      val toks = TextFunctions.tokens(col("text"))
+      val nc = greatest(
+        ceil((size(toks) - ov).cast("double") / stride).cast("int"), lit(1))
+      val chunks = transform(sequence(lit(0), nc - 1),
+        i => array_join(slice(toks, i * stride + 1, lit(sz)), " "))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(split(col("chunk"), " ")).cast("long").as("n_tok"),
+          substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("chunk_idx").cast("string")).cast("binary")), 1, 1).as("shard"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("shard"), col("doc_id"), col("chunk_idx"),
+          expr("(cum - n_tok) div 512").as("seq_id"),
+          ((col("cum") - col("n_tok")) % 512).as("seq_offset"))
+        .orderBy(col("shard"), col("doc_id"), col("chunk_idx"))
+    },
+
     // BPE-ish subword token estimate: letter runs + digit runs + each
     // punctuation mark (the common pre-tokenizer shape), with chars per
     // token — the sizing statistic an LLM-data pipeline budgets by.
