@@ -203,11 +203,14 @@ object Dedup {
     val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `anchor` is always THE persisted table of the current round (the
+    // public `labels` view selects from it) — unpersisting the anchor,
+    // not a derived view, is what actually frees the superseded round.
+    // Declared outside the try so a job failure mid-loop still frees
+    // the current round's cache in the finally, not just `edges`.
+    var anchor: DataFrame = null
     try {
-      // `anchor` is always THE persisted table of the current round (the
-      // public `labels` view selects from it) — unpersisting the anchor,
-      // not a derived view, is what actually frees the superseded round
-      var anchor = edges.select($"src".as("id")).distinct()
+      anchor = edges.select($"src".as("id")).distinct()
         .select($"id", $"id".as("rep"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var labels = anchor
@@ -231,22 +234,22 @@ object Dedup {
       // far nodes of a deep chain carry a non-minimal representative —
       // wrong clusters, silently. Deep chains are a corpus smell (or a
       // call for the large-star/small-star variant), not a shrug.
-      if (!converged) {
-        anchor.unpersist(blocking = false)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge within $maxRounds rounds — " +
-            "component diameter exceeds the cap; raise maxRounds or switch " +
-            "to the large-star/small-star formulation for deep-chain graphs")
-      }
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds — " +
+          "component diameter exceeds the cap; raise maxRounds or switch " +
+          "to the large-star/small-star formulation for deep-chain graphs")
       // localCheckpoint materializes the final labels into RDD blocks
       // that the ContextCleaner frees once unreferenced — unlike
       // persist(), which the cache manager pins for the session — so
-      // the last round's cache can be dropped here instead of leaking
-      // one table per call.
-      val result = labels.localCheckpoint(true)
-      anchor.unpersist(blocking = false)
-      result
-    } finally edges.unpersist(blocking = false)
+      // the last round's cache can be dropped (in the finally) instead
+      // of leaking one table per call.
+      labels.localCheckpoint(true)
+    } finally {
+      // frees the current round's cache on BOTH paths — success and a
+      // job failure mid-loop (task OOM in a join/isEmpty/checkpoint)
+      if (anchor != null) anchor.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+    }
   }
 
   private implicit class Str(val sc: StringContext) {

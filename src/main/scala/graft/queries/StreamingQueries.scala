@@ -92,7 +92,15 @@ object StreamingQueries {
     // occurrence per (user_id, event_type) wins, watermark-bounded
     // state. WHICH row survives a tie is partition-order dependent, so
     // the query projects the deterministic part — the surviving KEY
-    // set — which must equal batch DISTINCT.
+    // set — which must equal batch DISTINCT. Deliberately NO post-hoc
+    // .distinct(): within one micro-batch the operator's own no-dup-keys
+    // guarantee is exactly what the hash compare verifies (a defensive
+    // distinct would mask an operator that emits duplicates). The
+    // harness input IS one micro-batch: eventsStream is a single
+    // glob-filtered file under AvailableNow with no rate limit — the
+    // same single-batch contract the sentinel docs pin for s01/s02.
+    // (Cross-batch, a key re-emits only after its state expires past
+    // the watermark — by design, not a defect.)
     sql(
       "s04_stream_dedup",
       """SELECT DISTINCT user_id, event_type FROM events

@@ -14,6 +14,38 @@ import graft.operators.Dedup
 object TextQueries {
   import QueryDef._
 
+  /** The ONE chunking contract shared by t20 (chunk table) and t22
+    * (sequence packing): fixed-size overlapping token windows. Changing
+    * any of these three numbers (or the window formula) changes both
+    * queries together — they can't drift apart. */
+  private val ChunkSize = 20
+  private val ChunkOverlap = 5
+  private val ChunkStride = ChunkSize - ChunkOverlap
+
+  /** (doc_id, chunk_idx, chunk) — every document's overlapping token
+    * windows, built entirely from codegen'd built-ins. */
+  private def chunkedDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val nc = greatest(
+      ceil((size(toks) - ChunkOverlap).cast("double") / ChunkStride).cast("int"), lit(1))
+    val chunks = transform(sequence(lit(0), nc - 1),
+      i => array_join(slice(toks, i * ChunkStride + 1, lit(ChunkSize)), " "))
+    docs.select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+  }
+
+  /** DuckDB twin of [[chunkedDocs]]: CTE chain ending in
+    * `c(doc_id, chunk_idx INT, chunk)`. */
+  private def chunkCtes: String =
+    s"""t AS (SELECT doc_id, string_split(${Sql.normalizeText("text")}, ' ') AS toks
+       |      FROM documents),
+       |n AS (SELECT doc_id, toks,
+       |        greatest(CAST(ceil(CAST(len(toks) - $ChunkOverlap AS DOUBLE) / $ChunkStride.0) AS INT), 1) AS nc
+       |      FROM t),
+       |x AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_idx FROM n),
+       |c AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       |        array_to_string(toks[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkSize], ' ') AS chunk
+       |      FROM x)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     sql(
       "t01_token_stats",
@@ -423,79 +455,53 @@ object TextQueries {
     // array_join → posexplode) — the preferred extension path when the
     // built-ins can express the semantics; no custom kernel, no UDF.
     // Each chunk carries its token count and content fingerprint so
-    // chunk-level dedup (t03's primitive) composes directly.
+    // chunk-level dedup (t03's primitive) composes directly. Chunk
+    // construction is shared with t22 (chunkedDocs / chunkCtes below) —
+    // one definition, so the two queries cannot drift apart.
     sql(
-      "t20_chunk_documents", {
-        val (sz, ov, stride) = (20, 5, 15)
-        s"""WITH t AS (SELECT doc_id, string_split(${Sql.normalizeText("text")}, ' ') AS toks
-           |           FROM documents),
-           |n AS (SELECT doc_id, toks,
-           |        greatest(CAST(ceil(CAST(len(toks) - $ov AS DOUBLE) / $stride.0) AS INT), 1) AS nc
-           |      FROM t),
-           |x AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_idx FROM n),
-           |c AS (SELECT doc_id, chunk_idx,
-           |        array_to_string(toks[chunk_idx * $stride + 1 : chunk_idx * $stride + $sz], ' ') AS chunk
-           |      FROM x)
-           |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-           |  CAST(len(string_split(chunk, ' ')) AS INT) AS n_chunk_tokens,
-           |  md5(chunk) AS chunk_fp
-           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
-      }) { (s, d) =>
-      val (sz, ov, stride) = (20, 5, 15)
-      val toks = TextFunctions.tokens(col("text"))
-      val nc = greatest(
-        ceil((size(toks) - ov).cast("double") / stride).cast("int"), lit(1))
-      val chunks = transform(sequence(lit(0), nc - 1),
-        i => array_join(slice(toks, i * stride + 1, lit(sz)), " "))
-      Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      "t20_chunk_documents",
+      s"""WITH $chunkCtes
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(string_split(chunk, ' ')) AS INT) AS n_chunk_tokens,
+         |  md5(chunk) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      chunkedDocs(Tables.documents(s, d))
         .select(col("doc_id"), col("chunk_idx"),
           size(split(col("chunk"), " ")).as("n_chunk_tokens"),
           md5(col("chunk").cast("binary")).as("chunk_fp"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
-    // Sequence packing: assign t20's chunks to fixed-budget (512-token)
-    // training sequences by greedy running sums — the sample-packing
-    // step before batching. Scale-sane windowing: the running sum is
-    // PARTITIONED (md5 shard per chunk), so sequences pack in parallel
-    // per shard instead of one global ordered scan; all arithmetic is
-    // integer (no float portability surface at all).
+    // Sequence packing — concatenate-and-chop: each md5 SHARD's chunk
+    // token stream is conceptually concatenated and chopped into
+    // 512-token training sequences; every chunk is located by the
+    // (seq_id, seq_offset) where it BEGINS, so a chunk near a boundary
+    // SPANS into the next sequence (consumers chop, not pad — the
+    // GPT-style packing discipline; no sequence is "overfull" because
+    // sequences are windows over the stream, not bins). Scale-sane
+    // windowing: the running sum is PARTITIONED by shard, so packing
+    // parallelizes instead of one global ordered scan; seq_id/offset
+    // are pure integer arithmetic (no float portability surface).
     sql(
-      "t22_sequence_packing", {
-        val (sz, ov, stride) = (20, 5, 15)
-        s"""WITH t AS (SELECT doc_id, string_split(${Sql.normalizeText("text")}, ' ') AS toks
-           |           FROM documents),
-           |n AS (SELECT doc_id, toks,
-           |        greatest(CAST(ceil(CAST(len(toks) - $ov AS DOUBLE) / $stride.0) AS INT), 1) AS nc
-           |      FROM t),
-           |x AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_idx FROM n),
-           |c AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-           |        CAST(len(string_split(array_to_string(
-           |          toks[chunk_idx * $stride + 1 : chunk_idx * $stride + $sz], ' '), ' ')) AS BIGINT) AS n_tok,
-           |        substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)), 1, 1) AS shard
-           |      FROM x),
-           |w AS (SELECT shard, doc_id, chunk_idx, n_tok,
-           |        sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
-           |                         ROWS UNBOUNDED PRECEDING) AS cum
-           |      FROM c)
-           |SELECT shard, doc_id, chunk_idx,
-           |  CAST((cum - n_tok) // 512 AS BIGINT) AS seq_id,
-           |  CAST((cum - n_tok) % 512 AS BIGINT) AS seq_offset
-           |FROM w ORDER BY shard, doc_id, chunk_idx""".stripMargin
-      }) { (s, d) =>
+      "t22_sequence_packing",
+      s"""WITH $chunkCtes,
+         |cc AS (SELECT doc_id, chunk_idx,
+         |         CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok,
+         |         substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)), 1, 1) AS shard
+         |       FROM c),
+         |w AS (SELECT shard, doc_id, chunk_idx, n_tok,
+         |        sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+         |                         ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM cc)
+         |SELECT shard, doc_id, chunk_idx,
+         |  CAST((cum - n_tok) // 512 AS BIGINT) AS seq_id,
+         |  CAST((cum - n_tok) % 512 AS BIGINT) AS seq_offset
+         |FROM w ORDER BY shard, doc_id, chunk_idx""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val (sz, ov, stride) = (20, 5, 15)
-      val toks = TextFunctions.tokens(col("text"))
-      val nc = greatest(
-        ceil((size(toks) - ov).cast("double") / stride).cast("int"), lit(1))
-      val chunks = transform(sequence(lit(0), nc - 1),
-        i => array_join(slice(toks, i * stride + 1, lit(sz)), " "))
       val w = Window.partitionBy(col("shard"))
         .orderBy(col("doc_id"), col("chunk_idx"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      chunkedDocs(Tables.documents(s, d))
         .select(col("doc_id"), col("chunk_idx"),
           size(split(col("chunk"), " ")).cast("long").as("n_tok"),
           substring(md5(concat(col("doc_id").cast("string"), lit(":"),

@@ -79,14 +79,3 @@ class NioRawLocalFileSystem extends RawLocalFileSystem {
     else getFileStatus(f)
   }
 }
-
-/** JVM-level measurement helpers shared by the bench and profiling
-  * mains. */
-object JvmStats {
-  /** Total GC time (ms) summed over all collectors since JVM start. */
-  def gcMs(): Long = {
-    import scala.jdk.CollectionConverters._
-    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
-      .map(_.getCollectionTime).sum
-  }
-}
