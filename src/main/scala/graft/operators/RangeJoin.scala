@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join, scaled out as an equi join on a time
+  * grid — the second specialized join (after [[AsOfJoin]]) that plain
+  * Spark only offers as a nested-loop join. "Which campaign windows /
+  * maintenance windows / sessions was this event inside?" is a range
+  * predicate (`lo <= ts < hi`), and Spark plans a raw
+  * `points.join(intervals, pred)` as BroadcastNestedLoopJoin — every
+  * point compared against every interval, O(|points|·|intervals|), and
+  * a driver OOM once the interval side outgrows the broadcast cap.
+  *
+  * Spark-first formulation (the classic grid/binning trick, same idea
+  * as DuckDB's IEJoin prefilter and Databricks' range-join bin hints):
+  *   1. explode each interval onto the fixed-width grid cells it
+  *      covers (`sequence(cell(lo), cell(hi - 1µs))` — hi exclusive);
+  *   2. map each point to the single cell containing it;
+  *   3. equi-join on the cell and re-check the exact residual
+  *      predicate.
+  * Each (point, interval) match shares exactly ONE cell — the point's
+  * own — so the join emits no duplicates and needs no post-dedup. The
+  * equi key turns the nested loop into a hash join: broadcast while
+  * the exploded interval side is small, shuffle-on-cell (with AQE skew
+  * splitting for hot cells) once both sides are large — the 100 TB
+  * shape a nested loop can never reach.
+  *
+  * Cell width tunes replication: intervals replicate by
+  * ceil(length / cellWidth), points never replicate. Pick it near the
+  * median interval length — e.g. day-length cells for day-scale
+  * campaign windows (j02 uses 1 day).
+  */
+object RangeJoin {
+
+  /** Join `points` to every `intervals` row whose `[lo, hi)` contains
+    * the point's timestamp.
+    *
+    * @param points      big side; one timestamp column
+    * @param ptTs        the point's event-time column (timestamp)
+    * @param intervals   interval side; `[lo, hi)` half-open, may
+    *                    overlap or nest freely
+    * @param lo          interval start column (timestamp, inclusive)
+    * @param hi          interval end column (timestamp, exclusive)
+    * @param cellMicros  grid cell width in microseconds (> 0)
+    * @return all matching (point, interval) row pairs, with the grid
+    *         plumbing column dropped; intervals' columns must not
+    *         collide with the points' by name
+    */
+  def pointInInterval(points: DataFrame, ptTs: Column,
+      intervals: DataFrame, lo: Column, hi: Column,
+      cellMicros: Long): DataFrame = {
+    require(cellMicros > 0, s"cellMicros must be positive: $cellMicros")
+    // SQL `div` — exact integral division. Float `/` would lose the
+    // low bits of epoch micros (~1.7e18 > 2^53; the same hazard
+    // Tables.events documents). `div` truncates toward zero rather
+    // than flooring, but the mapping only has to be IDENTICAL and
+    // monotonic on both sides: any point in [lo, hi) then lands in a
+    // cell inside its interval's cell range, so no match is missed and
+    // (one cell per point) none is duplicated — for any epoch sign.
+    val cells = intervals
+      .withColumn("__lo_us", unix_micros(lo))
+      .withColumn("__hi_us", unix_micros(hi))
+      // hi is exclusive, so its last covered cell holds hi - 1µs
+      .withColumn("__cell", explode(expr(
+        s"sequence(__lo_us div $cellMicros, (__hi_us - 1) div $cellMicros)")))
+      .drop("__lo_us", "__hi_us")
+    points
+      .withColumn("__pt_us", unix_micros(ptTs))
+      .withColumn("__cell", expr(s"__pt_us div $cellMicros"))
+      .drop("__pt_us")
+      .join(cells, "__cell")
+      .where(ptTs >= lo && ptTs < hi)
+      .drop("__cell")
+  }
+}

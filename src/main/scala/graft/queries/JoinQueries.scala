@@ -1,14 +1,30 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import graft.queries.QueryDef.sql
 
 /** Specialized join operators. The as-of join oracle uses DuckDB's
-  * native ASOF JOIN, so the union+window Spark formulation is verified
-  * against an independent reference implementation of the same
-  * semantics. */
+  * native ASOF JOIN, and the range join's uses DuckDB's native
+  * inequality join, so both Spark formulations are verified against
+  * independent reference implementations of the same semantics. */
 object JoinQueries {
+
+  /** Campaign windows for j02 — half-open `[lo, hi)`, deliberately
+    * messy: c1 starts before the data, c3 nests inside c2, c4 overlaps
+    * c2, c6 runs past the data's end. Literal in BOTH engines (the
+    * VALUES list below), so the only computed inputs are the events. */
+  private val campaigns: Seq[(String, String, String)] = Seq(
+    ("c1_launch", "2023-12-28 00:00:00", "2024-01-03 00:00:00"),
+    ("c2_newyear", "2024-01-02 00:00:00", "2024-01-09 00:00:00"),
+    ("c3_flash", "2024-01-05 12:00:00", "2024-01-06 12:00:00"),
+    ("c4_mid", "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+    ("c5_oneday", "2024-01-20 06:00:00", "2024-01-20 18:00:00"),
+    ("c6_closeout", "2024-01-25 00:00:00", "2024-02-01 00:00:00"))
+
+  private val campaignsSqlValues: String = campaigns
+    .map { case (n, lo, hi) => s"('$n', TIMESTAMP '$lo', TIMESTAMP '$hi')" }
+    .mkString(",\n  ")
 
   val all: Seq[QueryDef] = Seq(
 
@@ -32,6 +48,32 @@ object JoinQueries {
           rightPayload = Seq("ts" -> "signup_ts", "event_id" -> "signup_event_id"),
           rightTieBreak = "event_id")
         .orderBy(col("event_id"))
+    },
+
+    // Point-in-interval range join: every event tagged with every
+    // campaign window containing it (windows overlap and nest, so one
+    // event can match several). Spark side is the grid equi-join
+    // (RangeJoin.pointInInterval, day-wide cells); the oracle is
+    // DuckDB's native inequality join over the same literal windows.
+    sql(
+      "j02_range_campaigns",
+      s"""WITH c(campaign, lo, hi) AS (VALUES
+         |  $campaignsSqlValues)
+         |SELECT e.event_id, e.ts, c.campaign
+         |FROM events e JOIN c ON e.ts >= c.lo AND e.ts < c.hi
+         |ORDER BY e.event_id, c.campaign""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val windows = campaigns
+        .map { case (n, lo, hi) =>
+          (n, java.sql.Timestamp.valueOf(lo), java.sql.Timestamp.valueOf(hi))
+        }
+        .toDF("campaign", "lo", "hi")
+      RangeJoin.pointInInterval(
+          Tables.events(s, d).select(col("event_id"), col("ts")), col("ts"),
+          windows, col("lo"), col("hi"),
+          cellMicros = 86400L * 1000000L) // day cells ~ the window scale
+        .select(col("event_id"), col("ts"), col("campaign"))
+        .orderBy(col("event_id"), col("campaign"))
     }
   )
 }

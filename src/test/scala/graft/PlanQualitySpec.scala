@@ -137,6 +137,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(offenders.isEmpty, s"plan regressions:\n${offenders.mkString("\n")}")
   }
 
+  test("j02: range join is a hash join on the grid cell, not a nested loop") {
+    val p = plan("j02_range_campaigns")
+    // the whole point of the grid: the range predicate must ride an
+    // equi join (hash), never BroadcastNestedLoopJoin's per-pair scan
+    assert(p.contains("BroadcastHashJoin"), s"expected a hash join on __cell:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not fall back to a nested loop:\n$p")
+  }
+
   test("v07: served kNN ranking scan prunes to the probed buckets' partitions") {
     val df = SparkEntry.queries("v07_knn_served")(spark, sf)
     // the hamming-radius predicate references ONLY the partition column,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSupport
+
+class RangeJoinSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // overlapping + nested + empty intervals; points on every boundary
+  private lazy val intervals = Seq(
+    ("a", ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")),
+    ("b", ts("2024-01-02 00:00:00"), ts("2024-01-02 12:00:00")), // nested in a
+    ("c", ts("2024-01-02 06:00:00"), ts("2024-01-05 00:00:00")), // overlaps a, b
+    ("d", ts("2024-02-01 00:00:00"), ts("2024-02-08 00:00:00"))  // matches nothing
+  ).toDF("name", "lo", "hi")
+
+  private lazy val points = Seq(
+    (1L, ts("2024-01-01 00:00:00")), // lo of a (inclusive)
+    (2L, ts("2024-01-02 00:00:00")), // lo of b, inside a
+    (3L, ts("2024-01-02 11:59:59")), // inside a, b, c
+    (4L, ts("2024-01-02 12:00:00")), // hi of b (exclusive), inside a, c
+    (5L, ts("2024-01-03 00:00:00")), // hi of a (exclusive), inside c
+    (6L, ts("2024-01-04 23:59:59")), // last second of c
+    (7L, ts("2024-01-05 00:00:00")), // hi of c (exclusive) — no match
+    (8L, ts("2023-06-01 00:00:00"))  // far outside everything
+  ).toDF("id", "pt")
+
+  private def naive = points
+    .join(intervals, col("pt") >= col("lo") && col("pt") < col("hi"))
+    .select("id", "name").orderBy("id", "name")
+    .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private def grid(cellMicros: Long) = RangeJoin
+    .pointInInterval(points, col("pt"), intervals, col("lo"), col("hi"), cellMicros)
+    .select("id", "name").orderBy("id", "name")
+    .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("matches the nested-loop reference on boundaries, nesting, and overlap") {
+    val expected = Seq(1L -> "a", 2L -> "a", 2L -> "b", 3L -> "a", 3L -> "b",
+      3L -> "c", 4L -> "a", 4L -> "c", 5L -> "c", 6L -> "c")
+    assert(naive === expected) // the reference itself is what we think it is
+    assert(grid(86400L * 1000000L) === expected)
+  }
+
+  test("result is cell-width independent (no dup when intervals span many cells)") {
+    val expected = naive
+    // 1 s cells: interval c spans ~260k cells; 1 h; 1 day; a prime width
+    for (w <- Seq(1000000L, 3600L * 1000000L, 86400L * 1000000L, 9999999937L))
+      assert(grid(w) === expected, s"cellMicros=$w")
+  }
+
+  test("pre-1970 epochs: trunc-div cells still never miss or duplicate a match") {
+    val negIntervals = Seq(("x", ts("1969-12-30 00:00:00"), ts("1970-01-02 00:00:00")))
+      .toDF("name", "lo", "hi")
+    val negPoints = Seq(
+      (1L, ts("1969-12-29 23:59:59")), // just before lo
+      (2L, ts("1969-12-30 00:00:00")), // lo
+      (3L, ts("1969-12-31 23:59:59")), // negative epoch inside
+      (4L, ts("1970-01-01 00:00:00")), // epoch zero inside
+      (5L, ts("1970-01-02 00:00:00"))  // hi (exclusive)
+    ).toDF("id", "pt")
+    val got = RangeJoin.pointInInterval(
+        negPoints, col("pt"), negIntervals, col("lo"), col("hi"), 3600L * 1000000L)
+      .select("id", "name").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq(2L -> "x", 3L -> "x", 4L -> "x"))
+  }
+}
