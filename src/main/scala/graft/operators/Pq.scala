@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expressions.PqOps
+import graft.functions.VectorFunctions.asDouble
+
+/** Product quantization — the memory side of 100 TB ANN. IVF (v06)
+  * prunes WHICH vectors a query scans; PQ shrinks WHAT each scan
+  * reads: a 64-d float vector (256 B) becomes `m` codebook indices
+  * (8 B at m=8, k≤256 — 32×), so the candidate scan streams codes and
+  * never touches raw embeddings. Ranking uses the asymmetric distance
+  * (ADC): per query, a driver-built m×k lookup table of
+  * query-subvector→codeword squared distances; a row's approximate
+  * distance is `m` table lookups — no per-row float math at all.
+  *
+  * Training follows the FAISS convention: Lloyd's k-means per subspace
+  * on a BOUNDED deterministic sample (lowest `sampleCap` ids — a
+  * TakeOrdered, never a full collect; 4096×64 doubles = 2 MB), fixed
+  * iteration count, first-k-distinct init, empty clusters keep their
+  * previous codeword. Codebook quality needs a representative sample,
+  * not the corpus — production PQ trains on ~10⁵ vectors regardless
+  * of index size, so driver-side training is the honest shape; the
+  * ENCODE pass (the corpus-sized work) is a distributed one-expression
+  * codegen'd scan.
+  */
+object Pq {
+
+  /** Train an m-subspace, k-codeword codebook. Fully deterministic for
+    * a given (df, ordering column) — the dump-time oracle inlines the
+    * result as SQL constants (v06 precedent).
+    * @return codebook(j)(c) = codeword c of subspace j */
+  def train(df: DataFrame, vecCol: Column, idCol: Column, m: Int, k: Int,
+      iters: Int = 5, sampleCap: Int = 4096): Array[Array[Array[Double]]] = {
+    require(m > 0 && k > 0 && iters >= 0)
+    val sample: Array[Array[Double]] = df
+      .orderBy(idCol)
+      .limit(sampleCap)
+      .select(asDouble(vecCol))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pq train: empty input")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pq train: dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      lloyd(pts, k, iters)
+    }
+  }
+
+  /** Driver-side Lloyd's: first-k-distinct init (cycling if the sample
+    * has fewer distinct points than k — the duplicates tie to the
+    * lower index and simply stay empty), strict-< lowest-index
+    * assignment (the [[graft.expressions.PqOpsImpl.pqEncode]] winner),
+    * sample-order mean accumulation. Deterministic end to end. */
+  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val distinct = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+    pts.foreach(p => if (distinct.size < k) distinct += p.toSeq)
+    val init = distinct.toArray.map(_.toArray)
+    val cents = Array.tabulate(k)(c => init(c % init.length).clone())
+    val sub = pts(0).length
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k, sub)(0.0)
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = -1
+        var bd = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var t = 0
+          while (t < sub) { val x = p(t) - cents(c)(t); d += x * x; t += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var t = 0
+        while (t < sub) { sums(best)(t) += p(t); t += 1 }
+        counts(best) += 1
+      }
+      for (c <- 0 until k if counts(c) > 0; t <- 0 until sub)
+        cents(c)(t) = sums(c)(t) / counts(c)
+    }
+    cents
+  }
+
+  /** Encode every row: `(idCol as id, codes array<int>)`. One
+    * codegen'd pass; at scale this output is what gets persisted as
+    * the PQ index (32× smaller than the embeddings it replaces). */
+  def encode(df: DataFrame, vecCol: Column, idCol: Column,
+      codebook: Array[Array[Array[Double]]]): DataFrame =
+    df.select(idCol.as("id"), PqOps.pqEncode(asDouble(vecCol), codebook).as("codes"))
+
+  /** The query-side ADC lookup table: lut(j)(c) = squared distance of
+    * the query's subspace-j slice to codeword c, accumulated in the
+    * same element order as the encode kernel (and the oracle's
+    * left-associated SQL chain). */
+  def adcLut(codebook: Array[Array[Array[Double]]],
+      query: Array[Double]): Array[Array[Double]] = {
+    val m = codebook.length
+    val sub = codebook(0)(0).length
+    require(query.length == m * sub,
+      s"pq lut: query length ${query.length} != $m x $sub")
+    Array.tabulate(m) { j =>
+      codebook(j).map { w =>
+        var d = 0.0
+        var t = 0
+        while (t < sub) { val x = query(j * sub + t) - w(t); d += x * x; t += 1 }
+        d
+      }
+    }
+  }
+
+  /** Approximate top-k by ADC distance (ascending; ties to the lower
+    * id). Scan → encode → m table lookups → TakeOrderedAndProject:
+    * zero shuffle, zero raw-vector reads past the encode (which a
+    * served deployment prebuilds — see v07 for the pattern). The
+    * +1e-9 nudge before round() keeps the two engines' round()
+    * conventions off the .xxxx5 boundary (qualityScore precedent). */
+  def pqKnn(df: DataFrame, vecCol: Column, idCol: Column,
+      codebook: Array[Array[Array[Double]]], query: Array[Double],
+      k: Int): DataFrame = {
+    val lut = adcLut(codebook, query)
+    encode(df, vecCol, idCol, codebook)
+      .select(col("id"),
+        round(PqOps.pqAdc(col("codes"), lut) + lit(1e-9), 4).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("id"))
+      .limit(k)
+  }
+}

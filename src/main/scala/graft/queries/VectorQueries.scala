@@ -80,6 +80,25 @@ object VectorQueries {
        |ORDER BY score DESC, id LIMIT 10""".stripMargin
   }
 
+  /** Trained PQ codebook per data dir (deterministic: bounded
+    * lowest-id sample, fixed Lloyd iterations — [[graft.operators.Pq.train]]),
+    * shared between the v10 query run and its dump-time oracle. */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  private def pqCodebook(s: org.apache.spark.sql.SparkSession, d: String) =
+    pqCache.computeIfAbsent(d, _ =>
+      graft.operators.Pq.train(Tables.embeddings(s, d), col("embedding"),
+        col("vec_id"), m = 8, k = 16))
+
+  /** Dump-time codebook for the oracle — unambiguous only when exactly
+    * one dir trained in this JVM (the Verify flow; GngQueries
+    * precedent). */
+  private def solePqCodebook: Option[Array[Array[Array[Double]]]] = {
+    val cbs = new java.util.ArrayList(pqCache.values())
+    if (cbs.size == 1) Some(cbs.get(0)) else None
+  }
+
   /** A `def`, not a `val`: the v06 oracle embeds the TRAINED centroids,
     * which only exist after the gng queries run (dump-time inlining —
     * see [[graft.GngQueries.soleTrainedCentroids]]). */
@@ -238,8 +257,59 @@ object VectorQueries {
         Tables.embeddings(s, d), col("embedding"), col("vec_id"),
         graft.GngQueries.trained(s, d).centroids,
         queryVector(s, d), k = 10, nProbe = 2),
-      ivfOracle)
+      ivfOracle),
+
+    // Product-quantization ANN: top-10 by asymmetric (ADC) distance
+    // over 8 subspaces × 16 codewords. The scan reads codes, never raw
+    // vectors; ranking is 8 table lookups per row. Oracled at dump
+    // time: the trained codebook inlines as constants, DuckDB
+    // re-derives the per-subspace encoding (left-assoc distance sums,
+    // ties to the lower code) and the same 8-term ADC chain.
+    QueryDef("v10_knn_pq", (s, d) =>
+      graft.operators.Pq.pqKnn(
+        Tables.embeddings(s, d), col("embedding"), col("vec_id"),
+        pqCodebook(s, d), queryVector(s, d), k = 10),
+      pqOracle)
   )
+
+  /** Squared distance of the `sub`-wide slice of SQL array `arr`
+    * starting at 0-based element `base` to codeword `w`, as the same
+    * left-associated term chain the encode kernel accumulates. */
+  private def subDistSql(arr: String, base: Int, w: Array[Double]): String =
+    w.zipWithIndex
+      .map { case (wv, t) => s"($arr[${base + t + 1}] - ($wv)) * ($arr[${base + t + 1}] - ($wv))" }
+      .mkString(" + ")
+
+  private def pqOracle: Option[String] =
+    solePqCodebook.map { cb =>
+      val m = cb.length
+      val sub = cb(0)(0).length
+      // per (vec, subspace, codeword) encode distances — m×k arms
+      val encodeArms = (for (j <- 0 until m; c <- cb(j).indices) yield
+        s"SELECT vec_id, $j AS j, $c AS c, ${subDistSql("v", j * sub, cb(j)(c))} AS dsq FROM e")
+        .mkString("\nUNION ALL ")
+      // query-side ADC lookup table — the same m×k arms against qv
+      val lutArms = (for (j <- 0 until m; c <- cb(j).indices) yield
+        s"SELECT $j AS j, $c AS c, ${subDistSql("qv", j * sub, cb(j)(c))} AS d FROM q")
+        .mkString("\nUNION ALL ")
+      val pivot = (0 until m)
+        .map(j => s"max(CASE WHEN j = $j THEN c END) AS c$j").mkString(", ")
+      val lutJoins = (0 until m)
+        .map(j => s"JOIN lut l$j ON l$j.j = $j AND l$j.c = p.c$j").mkString("\n")
+      val adcChain = (0 until m).map(j => s"l$j.d").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |d AS ($encodeArms),
+         |codes AS (SELECT vec_id, j, c FROM (
+         |  SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dsq, c) AS rk FROM d)
+         |  WHERE rk = 1),
+         |pc AS (SELECT vec_id, $pivot FROM codes GROUP BY vec_id),
+         |lut AS ($lutArms)
+         |SELECT p.vec_id AS id, round($adcChain + 1e-9, 4) AS adc_dist
+         |FROM pc p
+         |$lutJoins
+         |ORDER BY adc_dist, id LIMIT 10""".stripMargin
+    }
 
   private def ivfOracle: Option[String] =
     graft.GngQueries.soleTrainedCentroids.map { cs =>

@@ -146,6 +146,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"range join must not fall back to a nested loop:\n$p")
   }
 
+  test("v10: PQ kNN is a zero-shuffle codegen scan (encode + table lookups)") {
+    val p = plan("v10_knn_pq")
+    assert(p.contains("pq_encode") && p.contains("pq_adc"),
+      s"both PQ kernels must appear in the plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange"), "PQ top-k must not shuffle")
+    assert(!p.contains("ScalaUDF"))
+  }
+
   test("v07: served kNN ranking scan prunes to the probed buckets' partitions") {
     val df = SparkEntry.queries("v07_knn_served")(spark, sf)
     // the hamming-radius predicate references ONLY the partition column,

@@ -124,6 +124,18 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("PqEncode/PqAdc: codegen == interpreted") {
+    // 3-d vectors → 3 subspaces of 1 dim, 2 codewords each (incl. a tie
+    // at 0.5 between codewords 0.0 and 1.0 → strict < keeps index 0)
+    val cb = Array.fill(3)(Array(Array(0.0), Array(1.0)))
+    val lut = Array.fill(3)(Array(0.25, 4.0))
+    val (g, i) = bothWays(vecs.select(col("id"),
+      graft.expressions.PqOps.pqEncode(col("a"), cb),
+      graft.expressions.PqOps.pqAdc(
+        graft.expressions.PqOps.pqEncode(col("a"), cb), lut)))
+    assert(g === i)
+  }
+
   test("LshBandSignatures: codegen == interpreted, matches per-band dot math") {
     val nBits = 4
     val nBands = 3

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSupport
+
+class PqSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  /** Clustered 8-d vectors: each 4-wide subspace drawn from 3 well-
+    * separated anchor points (0, 10, 20 per lane, anchor-dependent
+    * offsets) — a codebook with k >= 3 quantizes these EXACTLY, so
+    * ADC distance equals true squared L2 and PQ kNN must equal brute
+    * force. Deterministic LCG-style arithmetic, no RNG. */
+  private def anchored(n: Int) = (0 until n).map { i =>
+    val a0 = i % 3
+    val a1 = (i / 3) % 3
+    val vec = Seq.tabulate(4)(t => a0 * 10.0 + t) ++ Seq.tabulate(4)(t => a1 * 10.0 + t * 2)
+    (i.toLong, vec)
+  }.toDF("vec_id", "embedding")
+
+  test("train is deterministic and shaped (m x k x sub)") {
+    val df = anchored(60)
+    val cb1 = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 4, iters = 3)
+    val cb2 = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 4, iters = 3)
+    assert(cb1.length === 2)
+    assert(cb1.forall(_.length === 4))
+    assert(cb1.forall(_.forall(_.length === 4)))
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq === cb2.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("encode matches a naive per-row reimplementation") {
+    val df = anchored(60)
+    val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 4, iters = 3)
+    val got = Pq.encode(df, col("embedding"), col("vec_id"), cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for ((id, v) <- rows) {
+      val want = cb.zipWithIndex.map { case (words, j) =>
+        val s = v.slice(j * 4, (j + 1) * 4)
+        words.zipWithIndex.minBy { case (w, c) =>
+          (w.zip(s).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+        }._2
+      }.toSeq
+      assert(got(id) === want, s"vec $id")
+    }
+  }
+
+  test("on exactly-quantizable data, PQ kNN == brute-force squared-L2 kNN") {
+    val df = anchored(90)
+    // k = 9 codewords >= the 3x3 anchor combinations per subspace
+    val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 9, iters = 5)
+    val q = df.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    val pq = Pq.pqKnn(df, col("embedding"), col("vec_id"), cb, q, k = 12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = df.select(col("vec_id").as("id"),
+        round(graft.expressions.VectorOps.squaredDistance(
+          col("embedding"), array(q.map(lit): _*)) + lit(1e-9), 4).as("d"))
+      .orderBy(col("d"), col("id")).limit(12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pq === brute)
+  }
+
+  test("k beyond the distinct sample points: stable codebook, no crash") {
+    val tiny = anchored(3) // 3 distinct vectors, ask for 16 codewords
+    val cb = Pq.train(tiny, col("embedding"), col("vec_id"), m = 2, k = 16, iters = 4)
+    assert(cb.forall(_.length === 16))
+    // encoding still assigns every row a valid code in [0, 16)
+    val codes = Pq.encode(tiny, col("embedding"), col("vec_id"), cb)
+      .collect().flatMap(_.getSeq[Int](1))
+    assert(codes.forall(c => c >= 0 && c < 16))
+  }
+
+  test("adc lut + kernel equal driver-side table lookups") {
+    val df = anchored(30)
+    val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 4, iters = 2)
+    val q = Array.tabulate(8)(_.toDouble)
+    val lut = Pq.adcLut(cb, q)
+    val viaKernel = Pq.encode(df, col("embedding"), col("vec_id"), cb)
+      .select(col("id"), graft.expressions.PqOps.pqAdc(col("codes"), lut).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val codes = Pq.encode(df, col("embedding"), col("vec_id"), cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    for ((id, cs) <- codes)
+      assert(viaKernel(id) === cs.zipWithIndex.map { case (c, j) => lut(j)(c) }.sum)
+  }
+}
