@@ -27,7 +27,13 @@ object Bench {
     // swings on sub-second queries), so round-over-round deltas were
     // noise. The min is the stable "how fast can this plan go" number.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name filter for one-off re-measurement
+    // of a suspect query without paying for the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val measured = (1 to reps).map { _ =>
         val g0 = graft.util.JvmStats.gcMs()
         val t0 = System.nanoTime()

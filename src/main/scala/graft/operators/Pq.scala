@@ -127,4 +127,33 @@ object Pq {
       .orderBy(col("adc_dist"), col("id"))
       .limit(k)
   }
+
+  /** IVFADC — the FAISS composition of the two ANN halves this library
+    * already has: IVF (coarse centroids, [[Similarity.ivfIndex]])
+    * prunes WHICH vectors the query scans to `nProbe` inverted lists;
+    * PQ ranks those candidates by ADC without touching raw floats. At
+    * 100 TB the index is (list, id, codes) partitioned by list — the
+    * probe prunes partitions (v07's pattern) and the ranking scan
+    * streams 8-byte codes. Probe selection mirrors
+    * [[Similarity.ivfKnn]]: nearest `nProbe` centroids to the query,
+    * ties to the lower list. */
+  def ivfPqKnn(df: DataFrame, vecCol: Column, idCol: Column,
+      centroids: Array[Array[Double]], codebook: Array[Array[Array[Double]]],
+      query: Array[Double], k: Int, nProbe: Int = 2): DataFrame = {
+    val probed = centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < c.length) { val t = query(j) - c(j); d += t * t; j += 1 }
+      (d, i)
+    }.sortBy(_._1).take(nProbe).map(_._2)
+    val lut = adcLut(codebook, query)
+    Similarity.ivfIndex(df, vecCol, idCol, centroids)
+      .filter(col("list").isin(probed.toSeq: _*))
+      .select(col("id"),
+        round(PqOps.pqAdc(
+          PqOps.pqEncode(graft.functions.VectorFunctions.asDouble(col("emb")), codebook),
+          lut) + lit(1e-9), 4).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("id"))
+      .limit(k)
+  }
 }

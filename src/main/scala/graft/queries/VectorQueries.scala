@@ -269,7 +269,18 @@ object VectorQueries {
       graft.operators.Pq.pqKnn(
         Tables.embeddings(s, d), col("embedding"), col("vec_id"),
         pqCodebook(s, d), queryVector(s, d), k = 10),
-      pqOracle)
+      pqOracle),
+
+    // IVFADC (FAISS's workhorse): IVF prunes the scan to the 2 probed
+    // inverted lists, PQ ranks the survivors by ADC table lookups —
+    // composed from the SAME trained models v06 and v10 use, so the
+    // dump-time oracle composes their inlined CTEs verbatim.
+    QueryDef("v11_knn_ivfpq", (s, d) =>
+      graft.operators.Pq.ivfPqKnn(
+        Tables.embeddings(s, d), col("embedding"), col("vec_id"),
+        graft.GngQueries.trained(s, d).centroids, pqCodebook(s, d),
+        queryVector(s, d), k = 10, nProbe = 2),
+      ivfPqOracle)
   )
 
   /** Squared distance of the `sub`-wide slice of SQL array `arr`
@@ -280,34 +291,74 @@ object VectorQueries {
       .map { case (wv, t) => s"($arr[${base + t + 1}] - ($wv)) * ($arr[${base + t + 1}] - ($wv))" }
       .mkString(" + ")
 
+  /** The PQ half of the v10/v11 oracles, shared so the encode / LUT /
+    * ADC accumulation order can't diverge between them: CTEs ending in
+    * `pc(vec_id, c0..c{m-1})` (every vector's codes, ties to the lower
+    * code) and `lut(j, c, d)` (query-subslice→codeword distances). */
+  private def pqCtes(cb: Array[Array[Array[Double]]]): String = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    // per (vec, subspace, codeword) encode distances — m×k arms
+    val encodeArms = (for (j <- 0 until m; c <- cb(j).indices) yield
+      s"SELECT vec_id, $j AS j, $c AS c, ${subDistSql("v", j * sub, cb(j)(c))} AS dsq FROM e")
+      .mkString("\nUNION ALL ")
+    // query-side ADC lookup table — the same m×k arms against qv
+    val lutArms = (for (j <- 0 until m; c <- cb(j).indices) yield
+      s"SELECT $j AS j, $c AS c, ${subDistSql("qv", j * sub, cb(j)(c))} AS d FROM q")
+      .mkString("\nUNION ALL ")
+    val pivot = (0 until m)
+      .map(j => s"max(CASE WHEN j = $j THEN c END) AS c$j").mkString(", ")
+    s"""pd AS ($encodeArms),
+       |codes AS (SELECT vec_id, j, c FROM (
+       |  SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dsq, c) AS rk FROM pd)
+       |  WHERE rk = 1),
+       |pc AS (SELECT vec_id, $pivot FROM codes GROUP BY vec_id),
+       |lut AS ($lutArms)""".stripMargin
+  }
+
+  private def lutJoinsSql(m: Int): String = (0 until m)
+    .map(j => s"JOIN lut l$j ON l$j.j = $j AND l$j.c = p.c$j").mkString("\n")
+
+  /** `l0.d + l1.d + …` — the same left-associated subspace order as
+    * [[graft.expressions.PqOpsImpl.pqAdc]]'s loop. */
+  private def adcChainSql(m: Int): String =
+    (0 until m).map(j => s"l$j.d").mkString(" + ")
+
   private def pqOracle: Option[String] =
     solePqCodebook.map { cb =>
-      val m = cb.length
-      val sub = cb(0)(0).length
-      // per (vec, subspace, codeword) encode distances — m×k arms
-      val encodeArms = (for (j <- 0 until m; c <- cb(j).indices) yield
-        s"SELECT vec_id, $j AS j, $c AS c, ${subDistSql("v", j * sub, cb(j)(c))} AS dsq FROM e")
-        .mkString("\nUNION ALL ")
-      // query-side ADC lookup table — the same m×k arms against qv
-      val lutArms = (for (j <- 0 until m; c <- cb(j).indices) yield
-        s"SELECT $j AS j, $c AS c, ${subDistSql("qv", j * sub, cb(j)(c))} AS d FROM q")
-        .mkString("\nUNION ALL ")
-      val pivot = (0 until m)
-        .map(j => s"max(CASE WHEN j = $j THEN c END) AS c$j").mkString(", ")
-      val lutJoins = (0 until m)
-        .map(j => s"JOIN lut l$j ON l$j.j = $j AND l$j.c = p.c$j").mkString("\n")
-      val adcChain = (0 until m).map(j => s"l$j.d").mkString(" + ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         |d AS ($encodeArms),
-         |codes AS (SELECT vec_id, j, c FROM (
-         |  SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dsq, c) AS rk FROM d)
-         |  WHERE rk = 1),
-         |pc AS (SELECT vec_id, $pivot FROM codes GROUP BY vec_id),
-         |lut AS ($lutArms)
-         |SELECT p.vec_id AS id, round($adcChain + 1e-9, 4) AS adc_dist
+         |${pqCtes(cb)}
+         |SELECT p.vec_id AS id, round(${adcChainSql(cb.length)} + 1e-9, 4) AS adc_dist
          |FROM pc p
-         |$lutJoins
+         |${lutJoinsSql(cb.length)}
+         |ORDER BY adc_dist, id LIMIT 10""".stripMargin
+    }
+
+  /** IVFADC: the v06 probe/assignment CTEs composed with the PQ
+    * encode/LUT CTEs — both models inlined at dump time. */
+  private def ivfPqOracle: Option[String] =
+    for (cs <- graft.GngQueries.soleTrainedCentroids; cb <- solePqCodebook) yield {
+      val queryDists = cs.zipWithIndex
+        .map { case (c, i) => s"SELECT $i AS list, ${graft.GngQueries.distSql("qv", c)} AS d FROM q" }
+        .mkString("\nUNION ALL ")
+      val vecDists = cs.zipWithIndex
+        .map { case (c, i) => s"SELECT vec_id, $i AS list, ${graft.GngQueries.distSql("v", c)} AS dsq FROM e" }
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |cd AS ($queryDists),
+         |probed AS (SELECT list FROM cd ORDER BY d, list LIMIT 2),
+         |vd AS ($vecDists),
+         |win AS (SELECT vec_id, list FROM (
+         |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, list) AS rk FROM vd)
+         |  WHERE rk = 1),
+         |${pqCtes(cb)}
+         |SELECT p.vec_id AS id, round(${adcChainSql(cb.length)} + 1e-9, 4) AS adc_dist
+         |FROM pc p
+         |JOIN win w ON w.vec_id = p.vec_id
+         |${lutJoinsSql(cb.length)}
+         |WHERE w.list IN (SELECT list FROM probed)
          |ORDER BY adc_dist, id LIMIT 10""".stripMargin
     }
 

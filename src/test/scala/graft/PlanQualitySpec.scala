@@ -155,6 +155,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("ScalaUDF"))
   }
 
+  test("v11: IVFADC is list-filter + codegen kernels, zero shuffle") {
+    val p = plan("v11_knn_ivfpq")
+    assert(p.contains("nearest_centroid") && p.contains("pq_encode") && p.contains("pq_adc"),
+      s"coarse assignment and both PQ kernels must appear:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange"), "IVFADC top-k must not shuffle")
+  }
+
   test("v07: served kNN ranking scan prunes to the probed buckets' partitions") {
     val df = SparkEntry.queries("v07_knn_served")(spark, sf)
     // the hamming-radius predicate references ONLY the partition column,

@@ -72,6 +72,28 @@ class PqSpec extends AnyFunSuite with SparkTestSupport {
     assert(codes.forall(c => c >= 0 && c < 16))
   }
 
+  test("ivfPqKnn with every list probed equals plain PQ kNN") {
+    val df = anchored(90)
+    val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 9, iters = 5)
+    // two coarse lists: anchors near 0 vs anchors near 20
+    val cents = Array(Array.fill(8)(2.0), Array.fill(8)(18.0))
+    val q = df.filter(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Double](0).toArray
+    val all = Pq.ivfPqKnn(df, col("embedding"), col("vec_id"), cents, cb, q,
+        k = 12, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val plain = Pq.pqKnn(df, col("embedding"), col("vec_id"), cb, q, k = 12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(all === plain)
+    // nProbe = 1 restricts candidates to the query's own list but keeps
+    // the same ADC ranking on the survivors
+    val one = Pq.ivfPqKnn(df, col("embedding"), col("vec_id"), cents, cb, q,
+        k = 12, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(one.toSet.subsetOf(plain.toSet))
+    assert(one === plain.filter(one.toSet))
+  }
+
   test("adc lut + kernel equal driver-side table lookups") {
     val df = anchored(30)
     val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 4, iters = 2)
