@@ -531,6 +531,51 @@ object TextQueries {
           round(length(col("text")).cast("double") /
             greatest(nTok, lit(1)), 2).as("chars_per_token"))
         .orderBy(col("doc_id"))
+    },
+
+    // Source-level (domain) quality gate: keep documents whose SOURCE's
+    // mean quality clears the corpus mean — the "drop low-quality
+    // domains wholesale" step pipelines run before per-document
+    // filters (RefinedWeb/C4 URL-level filtering). One kernel pass
+    // over the corpus (per-source count+sum partials); the corpus mean
+    // derives from the 20-row source table as sum(sq)/sum(n) — the
+    // SAME two-level formula in both engines; verdicts broadcast back
+    // onto a kernel-free second scan. Threshold compares the
+    // bit-portable floor(x·1e4+0.5) rendering on both sides (v09
+    // precedent), so a 1e-15 summation-order wobble can't flip a
+    // verdict that the hash would see.
+    sql(
+      "t23_source_quality",
+      s"""WITH q AS (SELECT doc_id, source, ${Sql.qualityScore("text")} AS q
+         |           FROM documents WHERE source IS NOT NULL),
+         |s AS (SELECT source, count(*) AS n, sum(q) AS sq FROM q GROUP BY source),
+         |c AS (SELECT sum(sq) / sum(n) AS ca FROM s),
+         |k AS (SELECT source, floor(sq / n * 10000 + 0.5) / 10000.0 AS src_quality
+         |      FROM s, c WHERE floor(sq / n * 10000 + 0.5) >= floor(ca * 10000 + 0.5))
+         |SELECT d.doc_id, d.source, k.src_quality
+         |FROM documents d JOIN k USING (source) ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // isNotNull(source) is stated HERE, not inferred: the verdict
+      // branch's inner join would add it to only ITS side of the agg,
+      // making the two per-source subtrees differ and blocking
+      // ReuseExchange — which would re-run the kernel scan twice. With
+      // both branches bit-identical, the corpus mean rides the same
+      // shuffle as the verdicts (plan gate: one quality_score).
+      val src = docs
+        .filter(col("source").isNotNull)
+        .select(col("source"), TextFunctions.qualityScore(col("text")).as("q"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+      val corpus = src.agg((sum(col("sq")) / sum(col("n"))).as("ca"))
+      val kept = src.crossJoin(broadcast(corpus))
+        .filter(floor(col("sq") / col("n") * 10000 + 0.5) >=
+          floor(col("ca") * 10000 + 0.5))
+        .select(col("source"),
+          (floor(col("sq") / col("n") * 10000 + 0.5) / 10000.0).as("src_quality"))
+      docs.select(col("doc_id"), col("source"))
+        .join(broadcast(kept), "source")
+        .select(col("doc_id"), col("source"), col("src_quality"))
+        .orderBy(col("doc_id"))
     }
   )
 }

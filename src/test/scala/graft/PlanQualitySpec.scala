@@ -163,6 +163,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("Exchange"), "IVFADC top-k must not shuffle")
   }
 
+  test("t23: per-source kernel aggregation computed once; verdicts broadcast") {
+    val df = SparkEntry.queries("t23_source_quality")(spark, sf)
+    df.collect()
+    // the corpus-mean branch must REUSE the per-source shuffle, not
+    // re-run the quality_score scan (both branches are bit-identical
+    // subtrees because isNotNull(source) is stated at the source —
+    // see the t23 comment in TextQueries)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"corpus mean must reuse the per-source kernel shuffle:\n$p")
+    // the 20-row verdict table broadcasts onto the kernel-free scan
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("v07: served kNN ranking scan prunes to the probed buckets' partitions") {
     val df = SparkEntry.queries("v07_knn_served")(spark, sf)
     // the hamming-radius predicate references ONLY the partition column,
