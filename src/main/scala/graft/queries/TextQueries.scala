@@ -576,6 +576,61 @@ object TextQueries {
         .join(broadcast(kept), "source")
         .select(col("doc_id"), col("source"), col("src_quality"))
         .orderBy(col("doc_id"))
+    },
+
+    // Temperature-based source mixture (the data-mix step: training
+    // recipes upsample tail sources by w_s ∝ n_s^α): per-source token
+    // totals in ONE kernel pass; weights from the 20-row source table.
+    // α is fixed at 0.5 because sqrt is IEEE-754-exact in BOTH engines
+    // — pow() is not correctly rounded and a 1-ulp libm divergence
+    // could flip a quantized weight. Weight and epochs quantize to the
+    // 1e-6 grid in sequence, so the fractional-epoch threshold is
+    // derived from bit-identical doubles on both sides; the per-doc
+    // extra-repeat draw is the md5-bucket primitive (q25/t17) compared
+    // as fixed-width lowercase hex — a PURE MAP against the broadcast
+    // mixture table. Content never shuffles; only (source, partials)
+    // do. repeats = how many times the doc appears in a mix targeting
+    // half the corpus' tokens.
+    sql(
+      "t24_mixture_repeats",
+      s"""WITH s AS (SELECT source, sum(${Sql.tokenCount("text")}) AS n_tokens
+         |           FROM documents WHERE source IS NOT NULL GROUP BY source),
+         |t AS (SELECT sum(sqrt(n_tokens)) AS ss,
+         |             CAST(floor(sum(n_tokens) * 0.5) AS BIGINT) AS budget FROM s),
+         |w AS (SELECT source, n_tokens, budget,
+         |        floor(sqrt(n_tokens) / ss * 1e6 + 0.5) / 1e6 AS weight FROM s, t),
+         |e AS (SELECT source, weight,
+         |        floor(budget * weight / n_tokens * 1e6 + 0.5) / 1e6 AS epochs FROM w),
+         |f AS (SELECT source, weight, epochs,
+         |        lpad(lower(hex(CAST(floor((epochs - floor(epochs)) * 16777216 + 0.5) AS BIGINT))), 6, '0') AS thr
+         |      FROM e)
+         |SELECT d.doc_id, d.source, f.weight, f.epochs,
+         |  CAST(floor(f.epochs) AS INT) +
+         |  (CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) < f.thr
+         |        THEN 1 ELSE 0 END) AS repeats
+         |FROM documents d JOIN f USING (source) ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("source").isNotNull)
+      val src = docs
+        .select(col("source"), TextFunctions.tokenCount(col("text")).as("tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("tok")).as("n_tokens"))
+      val tot = src.agg(sum(sqrt(col("n_tokens"))).as("ss"),
+        floor(sum(col("n_tokens")) * 0.5).as("budget"))
+      val mix = src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"), col("budget"),
+          (floor(sqrt(col("n_tokens")) / col("ss") * 1e6 + 0.5) / 1e6).as("weight"))
+        .select(col("source"), col("weight"),
+          (floor(col("budget") * col("weight") / col("n_tokens") * 1e6 + 0.5) / 1e6).as("epochs"))
+        .select(col("source"), col("weight"), col("epochs"),
+          lpad(lower(hex(floor((col("epochs") - floor(col("epochs"))) * 16777216 + 0.5))),
+            6, "0").as("thr"))
+      docs.select(col("doc_id"), col("source"))
+        .join(broadcast(mix), "source")
+        .select(col("doc_id"), col("source"), col("weight"), col("epochs"),
+          (floor(col("epochs")).cast("int") +
+            when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6) < col("thr"), 1)
+              .otherwise(0)).as("repeats"))
+        .orderBy(col("doc_id"))
     }
   )
 }

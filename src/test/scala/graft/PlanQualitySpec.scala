@@ -178,6 +178,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("t24: mixture table broadcasts; corpus totals reuse the per-source shuffle") {
+    val df = SparkEntry.queries("t24_mixture_repeats")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the budget/denominator branch must reuse the per-source kernel
+    // aggregation's shuffle — one token-count pass over the corpus
+    assert(p.contains("ReusedExchange"),
+      s"corpus totals must reuse the per-source kernel shuffle:\n$p")
+    // the 20-row mixture joins broadcast onto a kernel-free doc scan
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("v07: served kNN ranking scan prunes to the probed buckets' partitions") {
     val df = SparkEntry.queries("v07_knn_served")(spark, sf)
     // the hamming-radius predicate references ONLY the partition column,
