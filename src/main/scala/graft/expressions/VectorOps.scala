@@ -35,6 +35,10 @@ object VectorOps {
   def lshBandSignatures(a: Column, planes: Array[Array[Double]],
       offsets: Array[Double], nBits: Int): Column =
     graftx.column(LshBandSignatures(graftx.expr(a), planes, offsets, nBits))
+  /** Max cosine similarity of the vector against every row of `mat`
+    * in one fused pass (see [[MaxCosine]]). */
+  def maxCosine(a: Column, mat: Array[Array[Double]]): Column =
+    graftx.column(MaxCosine(graftx.expr(a), mat))
 }
 
 object VectorOpsImpl {
@@ -146,6 +150,39 @@ object VectorOpsImpl {
     while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
     math.sqrt(s)
   }
+  /** Max over the matrix rows of cosine(v, row) — the inner loop of
+    * embedding-space decontamination (v's norm is hoisted out of the
+    * row loop; per-row accumulation is the same index order as
+    * [[cosine]], so a single-row matrix is bit-identical to it). NaN
+    * rows (zero-norm v or row) never win the max unless ALL are NaN —
+    * `>` is false for NaN, matching SQL `max()` ignoring NULLs. */
+  def maxCosine(a: ArrayData, mat: Array[Array[Double]]): Double = {
+    if (mat.isEmpty)
+      throw new IllegalArgumentException(
+        "max_cosine: empty comparison matrix (empty eval set?) — " +
+          "every row would silently score -Infinity")
+    val v = a.toDoubleArray()
+    var vv = 0.0
+    var i = 0
+    while (i < v.length) { vv += v(i) * v(i); i += 1 }
+    val nv = math.sqrt(vv)
+    var best = Double.NaN
+    var r = 0
+    while (r < mat.length) {
+      val c = mat(r)
+      if (c.length != v.length)
+        throw new IllegalArgumentException(
+          s"max_cosine: vector length ${v.length} != matrix row length ${c.length}")
+      var ab = 0.0
+      var cc = 0.0
+      var k = 0
+      while (k < c.length) { ab += v(k) * c(k); cc += c(k) * c(k); k += 1 }
+      val cos = ab / (nv * math.sqrt(cc))
+      if (cos > best || java.lang.Double.isNaN(best)) best = cos
+      r += 1
+    }
+    best
+  }
 }
 
 sealed abstract class VectorBinary extends BinaryExpression {
@@ -199,6 +236,25 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       s"graft.expressions.VectorOpsImpl.nearestCentroid($a, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** Max cosine similarity against a fixed comparison matrix (e.g. an
+  * eval set's embeddings) carried as a plan constant via
+  * `addReferenceObj` — the embedding-space decontamination kernel: one
+  * codegen'd narrow pass over the corpus, no join, no shuffle. */
+case class MaxCosine(child: Expression, mat: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "max_cosine"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOpsImpl.maxCosine(a.asInstanceOf[ArrayData], mat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mat", mat, "double[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.VectorOpsImpl.maxCosine($a, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MaxCosine =
     copy(child = newChild)
 }
 

@@ -213,12 +213,7 @@ object Similarity {
     // centered bucketing: correlated corpora (all docs share common
     // content directions) otherwise crowd into a handful of buckets and
     // the self-join degenerates toward O(n²)
-    val offsets =
-      if (!centered) null
-      else {
-        val m = meanVector(df, embCol, d)
-        planes.map(p => p.zip(m).map { case (a, b) => a * b }.sum)
-      }
+    val offsets = if (centered) centeredOffsets(df, embCol, planes, d) else null
     // the banded self-join carries ONLY (id, band, sig) — never the
     // embedding arrays (shipping a 64-double vector through a 6-way
     // explode + shuffle multiplies I/O by nBands; candidates are orders
@@ -248,6 +243,88 @@ object Similarity {
         round(cosineSimilarity($"emb_a", $"emb_b"), 4).as("cosine"))
       .filter($"cosine" >= threshold)
   }
+
+  /** Plane offsets that center the LSH space on the corpus mean —
+    * offset_i = mean · plane_i (see [[lshSignature]]'s centering note). */
+  private def centeredOffsets(df: DataFrame, embCol: Column,
+      planes: Array[Array[Double]], dim: Int): Array[Double] = {
+    val m = meanVector(df, embCol, dim)
+    planes.map(p => p.zip(m).map { case (a, b) => a * b }.sum)
+  }
+
+  /** k-nearest-neighbor SELF-join: the top-k most cosine-similar
+    * neighbors of EVERY vector — the workhorse behind near-dup
+    * clustering, retrieval-index bootstrapping, kNN-graph construction,
+    * and label propagation. Candidates are LSH-blocked exactly like
+    * [[cosineNearDupPairs]] (pairs sharing ANY band's bucket, union of
+    * bands driving recall), but kept DIRECTED — both (a,b) and (b,a)
+    * survive — because each row ranks its OWN candidate list. The
+    * banded self-join carries only (id, band, sig); embeddings attach
+    * to the deduped candidates afterwards; per-id top-k is one window
+    * over the verified candidates. Total cost: bounded bucket joins +
+    * a single shuffle by id — never an O(n²) cross join, never a
+    * content shuffle. Ids with fewer than k bucket-mates return fewer
+    * rows (recall is the banding curve: raise nBands to pull in more
+    * true neighbors, nBits to keep buckets sparse as the corpus grows —
+    * nBits must track log2(n), see [[cosineNearDupPairs]]'s sizing
+    * note). Output: (id, nbr, score, rk), rk = 1..k densest-first. */
+  def knnJoin(df: DataFrame, embCol: Column, idCol: Column, k: Int,
+      nBits: Int = 4, nBands: Int = 2, seed: Long = 42L, dim: Int = -1,
+      centered: Boolean = false): DataFrame = {
+    val d = if (dim > 0) dim else firstDim(df, embCol)
+    val planes = hyperplanes(nBits * nBands, d, seed)
+    val offsets = if (centered) centeredOffsets(df, embCol, planes, d) else null
+    val banded = df.select(
+      idCol.as("id"),
+      posexplode(graft.expressions.VectorOps.lshBandSignatures(
+        asDouble(embCol), planes,
+        if (offsets == null) noOffsets else offsets, nBits)).as(Seq("band", "sig")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("nbr"))
+      .distinct()
+    val embs = df.select(idCol.as("id"), asDouble(embCol).as("emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"score".desc, $"nbr")
+    cand
+      .join(embs.select($"id", $"emb".as("emb_a")), "id")
+      .join(embs.select($"id".as("nbr"), $"emb".as("emb_b")), "nbr")
+      .select($"id", $"nbr",
+        round(cosineSimilarity($"emb_a", $"emb_b"), 4).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+  }
+
+  /** Embedding-space benchmark decontamination: keep the corpus rows
+    * whose max cosine similarity against EVERY eval-set vector stays
+    * below `threshold` — the vector-space complement of the 8-gram
+    * overlap check ([[Dedup.contamination]]), catching paraphrased or
+    * re-worded benchmark leakage that shares no exact n-grams. The eval
+    * matrix rides the plan as a reference object into one fused
+    * codegen'd max-cosine kernel, so the whole operator is a single
+    * narrow corpus scan — no join, no shuffle, nothing but the kernel
+    * touches the 100 TB side. Driver-side bound: the eval matrix
+    * (nEval × dim doubles) must fit in the plan (~10⁵ × 64 ≈ 50 MB is a
+    * practical ceiling); decontaminating against a corpus-sized eval
+    * set is a near-dup problem — use [[cosineNearDupPairs]] banding
+    * instead. The +1e-9 nudge before round keeps the 4-dp comparison
+    * bit-portable across engines (see TextFunctions.qualityScore).
+    *
+    * The kernel sits inside a Generate (explode of a 1-element array) —
+    * the one barrier predicate pushdown cannot substitute through — so
+    * the threshold filter consumes the projected column instead of
+    * re-deriving the kernel below it (t17 precedent; plan-gated). */
+  def decontaminateByCosine(corpus: DataFrame, embCol: Column, idCol: Column,
+      evalVecs: Array[Array[Double]], threshold: Double): DataFrame =
+    corpus
+      .select(idCol.as("id"),
+        explode(array(
+          round(graft.expressions.VectorOps.maxCosine(asDouble(embCol), evalVecs) + lit(1e-9), 4)))
+          .as("max_eval_cosine"))
+      .filter($"max_eval_cosine" < threshold)
 
   /** IVF (inverted-file) index: assign every vector to its nearest
     * coarse centroid — (id, emb, list) where `list` is the centroid

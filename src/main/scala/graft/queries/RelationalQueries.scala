@@ -546,8 +546,70 @@ object RelationalQueries {
           array_join(sort_array(collect_set($"event_type")), ",").as("types"),
           countDistinct($"event_type").as("n_types"))
         .orderBy($"user_id")
+    },
+
+    // ---- bucketed co-located join ---------------------------------------
+    // The 100 TB layout technique the other joins can't show: both
+    // sides written bucketed (8 buckets, Spark-native murmur3) + sorted
+    // on the join key, so the fact-fact join is Exchange-FREE — each
+    // task merge-zips one pre-sorted bucket file per side. The merge
+    // hint pins SortMergeJoin (broadcast would win at test SF and hide
+    // the property); PlanQualitySpec asserts no exchange or sort feeds
+    // the join and both scans carry the bucket spec. Oracle: the same
+    // join over the plain tables — bucketing must not change a row.
+    sql(
+      "q30_bucketed_join",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val (li, ord) = bucketedPair(s, d)
+      // report the in-bucket sort order from the scan (needs exactly one
+      // file per bucket — guaranteed by bucketedPair's repartition(8)):
+      // off, Spark re-sorts each bucket below the join; on, the join
+      // merge-zips the pre-sorted bucket files directly (plan-gated)
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      s.table(li).hint("merge")
+        .join(s.table(ord), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"o_orderpriority")
     }
   )
+
+  /** Bucketed + in-bucket-sorted copies of lineitem/orders, written
+    * ONCE per (catalog, SF dir) as EXTERNAL tables under the scratch
+    * dir — the co-located layout a warehouse maintains for its hottest
+    * join key. `repartition(8, key)` before the bucketed write uses the
+    * SAME murmur3 partitioning as the bucket spec, so each task holds
+    * exactly one bucket → one file per bucket → the read-back scan
+    * reports both the partitioning AND the sort order, and the join
+    * plans with neither Exchange nor Sort. */
+  private def bucketedPair(s: org.apache.spark.sql.SparkSession, d: String): (String, String) =
+    this.synchronized {
+      val tag = (scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff).toHexString
+      val li = s"lineitem_b_$tag"
+      val ord = s"orders_b_$tag"
+      if (!s.catalog.tableExists(li) || !s.catalog.tableExists(ord)) {
+        val base = graft.streaming.StreamingRelational.scratchBase.resolve(s"bucketed-$tag")
+        Tables.lineitem(s, d)
+          .repartition(8, $"l_orderkey")
+          .write.mode("overwrite")
+          .option("path", base.resolve(li).toString)
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(li)
+        Tables.orders(s, d)
+          .repartition(8, $"o_orderkey")
+          .write.mode("overwrite")
+          .option("path", base.resolve(ord).toString)
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(ord)
+        sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(base))
+      }
+      (li, ord)
+    }
 
   // sugar: $"..." without a SparkSession import at every use site
   private implicit class Str(val sc: StringContext) {

@@ -280,8 +280,74 @@ object VectorQueries {
         Tables.embeddings(s, d), col("embedding"), col("vec_id"),
         graft.GngQueries.trained(s, d).centroids, pqCodebook(s, d),
         queryVector(s, d), k = 10, nProbe = 2),
-      ivfPqOracle)
+      ivfPqOracle),
+
+    // kNN SELF-join: top-5 neighbors of EVERY vector, LSH-blocked
+    // (4 bits × 2 bands) — the kNN-graph / near-dup-clustering
+    // workhorse. Fully oracled as the exact pipeline twin: the seeded
+    // planes inline as constants, candidates are the union of the two
+    // bands' bucket self-joins kept DIRECTED, ranking is the same
+    // round-then-rank window with the same (score DESC, nbr) tie-break.
+    sql("v12_knn_join", knnJoinSql) { (s, d) =>
+      Similarity.knnJoin(
+          Tables.embeddings(s, d), col("embedding"), col("vec_id"),
+          k = 5, nBits = 4, nBands = 2, dim = EmbDim)
+        .orderBy(col("id"), col("rk"))
+    },
+
+    // Embedding-space decontamination: drop corpus vectors whose max
+    // cosine against the eval set (vec_id < 25 stands in for a held-out
+    // benchmark, t16's % 97 convention) reaches 0.3 — catches
+    // paraphrased leakage that shares no exact n-grams with the
+    // benchmark. One fused max-cosine kernel scan, no join (the eval
+    // matrix rides the plan); the exact oracle cross-joins corpus × 25
+    // eval rows, linear in the corpus.
+    sql(
+      "v13_semantic_decontam",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (SELECT v FROM e WHERE vec_id < 25),
+        |mx AS (SELECT c.vec_id AS id,
+        |         round(max(list_cosine_similarity(c.v, ev.v)) + 1e-9, 4) AS max_eval_cosine
+        |       FROM e c CROSS JOIN ev WHERE c.vec_id >= 25 GROUP BY c.vec_id)
+        |SELECT id, max_eval_cosine FROM mx
+        |WHERE max_eval_cosine < 0.3 ORDER BY id""".stripMargin) { (s, d) =>
+      val eval = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 25)
+        .orderBy(col("vec_id"))
+        .select(asDouble(col("embedding")))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.decontaminateByCosine(
+          Tables.embeddings(s, d).filter(col("vec_id") >= 25),
+          col("embedding"), col("vec_id"), eval, threshold = 0.3)
+        .orderBy(col("id"))
+    }
   )
+
+  /** v12's oracle: the two band signatures from the SAME plane matrix
+    * the fused kernel uses (band b, bit i = plane b·nBits+i), candidate
+    * union over bands, exact cosine, round-then-rank — every stage the
+    * pipeline twin of [[Similarity.knnJoin]]. */
+  private lazy val knnJoinSql: String = {
+    val planes = Similarity.hyperplanes(8, EmbDim)
+    val sig0 = sigSql("v", planes.slice(0, 4))
+    val sig1 = sigSql("v", planes.slice(4, 8))
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v, $sig0 AS sig0, $sig1 AS sig1 FROM e),
+       |cand AS (
+       |  SELECT a.vec_id AS id, b.vec_id AS nbr
+       |  FROM s a JOIN s b ON a.sig0 = b.sig0 AND a.vec_id <> b.vec_id
+       |  UNION
+       |  SELECT a.vec_id AS id, b.vec_id AS nbr
+       |  FROM s a JOIN s b ON a.sig1 = b.sig1 AND a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT c.id, c.nbr, round(list_cosine_similarity(ea.v, eb.v), 4) AS score
+       |  FROM cand c JOIN e ea ON ea.vec_id = c.id JOIN e eb ON eb.vec_id = c.nbr),
+       |ranked AS (
+       |  SELECT id, nbr, score,
+       |    CAST(row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr) AS INT) AS rk
+       |  FROM scored)
+       |SELECT id, nbr, score, rk FROM ranked WHERE rk <= 5 ORDER BY id, rk""".stripMargin
+  }
 
   /** Squared distance of the `sub`-wide slice of SQL array `arr`
     * starting at 0-based element `base` to codeword `w`, as the same

@@ -191,6 +191,47 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("v12: kNN join — id-only dedup shuffle, partial+final rank limit") {
+    val p = plan("v12_knn_join")
+    assert(p.contains("lsh_bands"), s"fused signature kernel must appear:\n$p")
+    // the candidate-dedup shuffle carries BARE (id, nbr) pairs — the
+    // embeddings attach to the deduped candidates afterwards, never
+    // riding the banded self-join or the distinct
+    assert("hashpartitioning\\(id#\\d+L?, nbr#".r.findFirstIn(p).nonEmpty,
+      s"candidate dedup must shuffle bare id pairs:\n$p")
+    // rank()<=k is pushed to a WindowGroupLimit on BOTH sides of the
+    // per-id shuffle: each map task keeps its local top-k before the
+    // exchange — the property that bounds the window input at any SF
+    assert(nodeCount(p, "WindowGroupLimit") == 2,
+      s"expected partial+final WindowGroupLimit:\n$p")
+  }
+
+  test("v13: semantic decontamination is one kernel scan — no join, no re-derive") {
+    val p = plan("v13_semantic_decontam")
+    // exactly one max_cosine: the threshold filter consumes the
+    // projected column above the Generate barrier instead of
+    // re-deriving the kernel below it (t17 precedent)
+    assert(nodeFree(p, "max_cosine") == 1, s"kernel must evaluate once:\n$p")
+    assert(p.contains("Generate"), s"expected the explode barrier:\n$p")
+    // the eval matrix rides the plan as a reference object — any join
+    // here means the corpus got shuffled against the eval set
+    assert(!p.contains("Join"), s"eval matrix must not join:\n$p")
+    assert(nodeCount(p, "Exchange") == 1, s"only the output sort may shuffle:\n$p")
+  }
+
+  test("q30: bucketed co-located join — no exchange or sort feeds the join") {
+    val p = plan("q30_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"merge hint must pin the co-located join:\n$p")
+    assert(p.contains("Bucketed: true"), s"scans must report the bucket layout:\n$p")
+    // the join merge-zips the pre-sorted bucket files directly: the only
+    // exchanges are the aggregation's and the output sort's, and the
+    // only Sort node IS the output sort
+    assert(nodeCount(p, "Exchange") == 2,
+      s"the join itself must not shuffle:\n$p")
+    assert(nodeCount(p, "Sort\\b") == 1,
+      s"in-bucket sort order must be reused, not re-sorted:\n$p")
+  }
+
   test("v07: served kNN ranking scan prunes to the probed buckets' partitions") {
     val df = SparkEntry.queries("v07_knn_served")(spark, sf)
     // the hamming-radius predicate references ONLY the partition column,

@@ -124,6 +124,37 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("MaxCosine: codegen == interpreted; single-row matrix == cosineSimilarity") {
+    val mat = Array(Array(4.0, 5.0, 6.0), Array(-1.0, 0.0, 2.0))
+    // id=2 is the zero vector → NaN; NaN-valued rows are masked like the
+    // cosine case above
+    val (g, i) = bothWays(vecs.select(col("id"),
+      when(col("id") === 1L,
+        graft.expressions.VectorOps.maxCosine(col("a"), mat))))
+    assert(g === i)
+    // max over one row degenerates to plain cosine — bit-identical
+    val one = vecs.filter(col("id") === 1L)
+      .select(
+        graft.expressions.VectorOps.maxCosine(col("a"), Array(Array(4.0, 5.0, 6.0))),
+        graft.expressions.VectorOps.cosineSimilarity(col("a"), col("b")))
+      .head()
+    assert(one.getDouble(0) === one.getDouble(1))
+    // the max really is the max: against both rows, the winner is the
+    // parallel-ish one
+    val both = vecs.filter(col("id") === 1L)
+      .select(graft.expressions.VectorOps.maxCosine(col("a"), mat)).head().getDouble(0)
+    assert(both === one.getDouble(0))
+    // empty matrix and ragged rows are errors, not silent scores
+    intercept[Exception] {
+      vecs.select(graft.expressions.VectorOps.maxCosine(col("a"),
+        Array.empty[Array[Double]])).collect()
+    }
+    intercept[Exception] {
+      vecs.select(graft.expressions.VectorOps.maxCosine(col("a"),
+        Array(Array(1.0, 2.0)))).collect()
+    }
+  }
+
   test("PqEncode/PqAdc: codegen == interpreted") {
     // 3-d vectors → 3 subspaces of 1 dim, 2 codewords each (incl. a tie
     // at 0.5 between codewords 0.0 and 1.0 → strict < keeps index 0)

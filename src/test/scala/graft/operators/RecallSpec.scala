@@ -133,6 +133,37 @@ class RecallSpec extends AnyFunSuite with SparkTestSupport {
     assert((found -- truth).isEmpty)
   }
 
+  test("knnJoin (4 bits x 4 bands): twin sits at rk=1 for >= 90% of jittered pairs") {
+    import spark.implicits._
+    // the cosineNearDupPairs corpus shape: 150 bases + 50 jittered twins
+    // (cosine ~0.987); each twin's TRUE nearest neighbor is its base and
+    // vice versa — random 64-d pairs sit near-orthogonal, far below
+    val rng = new scala.util.Random(13)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val bases = (0 until 150).map(i => (i.toLong, unit()))
+    val dups = (0 until 50).map { i =>
+      val (bid, bv) = bases(i * 3)
+      val jit = bv.map(x => x + rng.nextGaussian() * 0.02)
+      val n = math.sqrt(jit.map(x => x * x).sum)
+      (1000L + bid, jit.map(_ / n))
+    }
+    val df = (bases ++ dups).toDF("vec_id", "embedding")
+    val top1 = Similarity.knnJoin(df, col("embedding"), col("vec_id"), k = 1,
+        nBits = 4, nBands = 4, dim = 64)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("nbr")).toMap
+    // banding math at cosine 0.987: p = 1-acos(0.987)/pi ~ 0.949,
+    // P(block) = 1-(1-p^4)^4 ~ 0.999 — measured here over 100 directed
+    // twin relations (50 dup->base + 50 base->dup)
+    val hits = dups.count { case (did, _) =>
+      top1.get(did).contains(did - 1000L) && top1.get(did - 1000L).contains(did)
+    }
+    assert(hits >= 45, s"twin-at-rk-1 recall $hits/50 < 90%")
+  }
+
   test("m05 composition: binary-feature near-dups vs brute force on a seeded payload corpus") {
     import spark.implicits._
     // payloads with shared 4-gram content (near-dup media stand-ins):

@@ -119,4 +119,54 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
     assert(pairs.contains((1L, 2L))) // cos(0.1) ≈ 0.995
     assert(!pairs.exists { case (a, b) => a == 1L && b == 7L }) // antipodal
   }
+
+  test("knnJoin: every id ranks its own bucket-mates, rk dense from 1") {
+    // wide-open blocking (1 bit × 1 band puts halves of the circle in
+    // two buckets) so the per-id candidate lists are known
+    val knn = Similarity.knnJoin(embs, col("emb"), col("id"), k = 2,
+        nBits = 1, nBands = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("nbr"),
+        r.getAs[Double]("score"), r.getAs[Int]("rk")))
+    val byId = knn.groupBy(_._1)
+    // each id's neighbors are ranked best-first with dense rk
+    for ((_, rows) <- byId) {
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to sorted.length).toSeq)
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted(Ordering[Double].reverse).toSeq)
+      assert(rows.forall(r => r._2 != r._1), "no self-pairs")
+    }
+    // candidates are DIRECTED: 1's best neighbor is 2 AND 2's is 1
+    assert(byId(1L).minBy(_._4)._2 === 2L)
+    assert(byId(2L).minBy(_._4)._2 === 1L)
+  }
+
+  test("knnJoin: isolated bucket yields fewer than k rows, never cross-bucket") {
+    // 4 bits at seed 42 split this corpus; an id alone in its buckets
+    // for BOTH bands gets no rows at all — blocked recall, not a crash
+    val knn = Similarity.knnJoin(embs, col("emb"), col("id"), k = 3,
+        nBits = 4, nBands = 1)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("nbr"))).toSet
+    val buckets = Similarity.lshBuckets(embs, col("emb"), col("id"), nBits = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
+    // every emitted pair shares its bucket; no pair crosses buckets
+    assert(knn.nonEmpty)
+    assert(knn.forall { case (a, b) => buckets(a) === buckets(b) })
+  }
+
+  test("decontaminateByCosine drops near-dups of the eval set, keeps the rest") {
+    // eval set = the angle-0 direction; threshold 0.99 must drop ids 1-2
+    // (cos 1.0, cos(0.1)≈0.995) and keep everything from 0.5 rad out
+    val kept = Similarity.decontaminateByCosine(
+        embs, col("emb"), col("id"),
+        Array(Array(1.0, 0.0)), threshold = 0.99)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(kept === Set(3L, 4L, 5L, 6L, 7L))
+    // two eval vectors: a second direction at 2.0 rad also claims id 5
+    val kept2 = Similarity.decontaminateByCosine(
+        embs, col("emb"), col("id"),
+        Array(Array(1.0, 0.0), Array(math.cos(2.0), math.sin(2.0))), threshold = 0.99)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(kept2 === Set(3L, 4L, 6L, 7L))
+  }
 }
