@@ -39,6 +39,13 @@ object TextHash {
   def minHashBands(text: Column, n: Int = 3, k: Int = 16, rowsPerBand: Int = 4): Column =
     graftx.column(MinHashBands(graftx.expr(text), n, k, rowsPerBand))
 
+  /** `band_hashes(sig, rowsPerBand)` → per-band hashes of an
+    * already-computed signature column — the stored-index path:
+    * identical buckets to [[minHashBands]] without re-running the text
+    * kernel (band_hashes(minhash_sig(t)) ≡ minhash_bands(t)). */
+  def bandHashes(sig: Column, rowsPerBand: Int = 4): Column =
+    graftx.column(BandHashes(graftx.expr(sig), rowsPerBand))
+
   /** Fraction of agreeing positions of two equal-width signatures — the
     * unbiased MinHash estimate of Jaccard similarity. */
   def sigAgreement(a: Column, b: Column): Column =
@@ -129,6 +136,24 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
     """)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+case class BandHashes(child: Expression, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(rowsPerBand > 0, s"band_hashes: rowsPerBand must be positive, got $rowsPerBand")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.bandHashes(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashImpl.bandHashes($c, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
     copy(child = newChild)
 }
 

@@ -337,8 +337,19 @@ object TextHashImpl {
   def minHashBands(s: UTF8String, n: Int, k: Int, rowsPerBand: Int): ArrayData = {
     val sigData = minHash(s, n, k)
     if (sigData == null) return null
+    bandHashes(sigData, rowsPerBand)
+  }
+
+  /** Band hashes from an ALREADY-COMPUTED signature — the stored-index
+    * path (incremental dedup): [[minHashBands]] ≡ this ∘ [[minHash]]
+    * (asserted in CodegenParitySpec), so bands derived from a persisted
+    * signature table land in the same buckets the text kernel would. */
+  def bandHashes(sigData: ArrayData, rowsPerBand: Int): ArrayData = {
     val sig = sigData.toLongArray()
-    val nBands = k / rowsPerBand
+    if (sig.length % rowsPerBand != 0)
+      throw new IllegalArgumentException(
+        s"band_hashes: signature width ${sig.length} not divisible by rowsPerBand=$rowsPerBand")
+    val nBands = sig.length / rowsPerBand
     val out = new Array[Long](nBands)
     var b = 0
     while (b < nBands) {

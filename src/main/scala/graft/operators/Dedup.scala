@@ -102,6 +102,63 @@ object Dedup {
       .select($"id_a", $"id_b", $"jaccard")
   }
 
+  /** Persistent MinHash signature index: (id, minhash, band, band_hash),
+    * one row per (doc, band) — the table an incremental dedup pipeline
+    * writes ONCE per corpus snapshot and joins every new crawl batch
+    * against. The text kernel runs exactly once per doc; band hashes
+    * derive from the signature array ([[graft.expressions.TextHash.bandHashes]]
+    * ≡ the fused text-side banding, parity-tested). At scale, write it
+    * bucketed by band_hash so only the (small) new batch ever shuffles. */
+  def minHashIndex(df: DataFrame, textCol: Column, idCol: Column,
+      n: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    df
+      // explode(array(...)) barrier: the isNotNull filter consumes the
+      // projected column instead of re-deriving the kernel below it
+      // (t17 precedent; short docs surface as a NULL element and drop)
+      .select(idCol.as("id"),
+        explode(array(TextHash.minHashSig(textCol, n, k))).as("minhash"))
+      .filter($"minhash".isNotNull)
+      .select($"id", $"minhash",
+        posexplode(TextHash.bandHashes($"minhash", rowsPerBand)).as(Seq("band", "band_hash")))
+
+  /** INCREMENTAL near-dup detection: match a new batch against an
+    * EXISTING corpus's prebuilt [[minHashIndex]] without ever touching
+    * the old corpus text — the daily-crawl-increment shape. The new
+    * batch computes its own index rows (one kernel pass over the NEW
+    * docs only), equi-joins the stored index on (band, band_hash), and
+    * verifies the deduped candidates by STORED-signature agreement
+    * (the MinHash Jaccard estimate) — so the old corpus contributes
+    * only its signature table, never a re-scan.
+    *
+    * The NEW side's signature (the small side — a daily increment)
+    * rides the candidate join, so the text kernel runs exactly once
+    * over the new batch (plan-gated); the OLD side stays bare ids
+    * through the join and dedup, re-attaching its stored signature
+    * afterwards from the index's (id, minhash) projection (in a
+    * serving deployment that projection IS the signature store table —
+    * the dropDuplicates exists only because the banded index carries
+    * minhash per band row for self-containment).
+    *
+    * Output: (new_id, dup_of, est_jaccard ≥ threshold). */
+  def incrementalNearDups(newDocs: DataFrame, textCol: Column, idCol: Column,
+      index: DataFrame, rowsPerBand: Int = 4, n: Int = 3, k: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val newIdx = minHashIndex(newDocs, textCol, idCol, n, k, rowsPerBand)
+    val cand = newIdx.as("n")
+      .join(index.as("o"),
+        col("n.band") === col("o.band") && col("n.band_hash") === col("o.band_hash"))
+      .select(col("n.id").as("new_id"), col("o.id").as("dup_of"),
+        col("n.minhash").as("mh_n"))
+      .dropDuplicates("new_id", "dup_of")
+    val sigsOld = index.select($"id".as("dup_of"), $"minhash".as("mh_o"))
+      .dropDuplicates("dup_of")
+    cand
+      .join(sigsOld, "dup_of")
+      .select($"new_id", $"dup_of",
+        round(TextHash.sigAgreement($"mh_n", $"mh_o"), 4).as("est_jaccard"))
+      .filter($"est_jaccard" >= threshold)
+  }
+
   /** 64-bit SimHash of the normalized tokens (sign of per-bit ±1 votes
     * from each token's 64-bit hash). */
   def simHash64(textCol: Column): Column = TextHash.simHash64(textCol)

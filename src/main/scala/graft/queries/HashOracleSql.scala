@@ -90,12 +90,12 @@ object HashOracleSql {
     head ++ mix64Stages("h0", "p", "th", "m")
   }
 
-  /** t08: k-wide MinHash signatures over word n-gram shingles, rendered
-    * as the same comma-joined signed-decimal CSV the Spark side emits;
-    * NULL for docs with fewer than n tokens (TextHashImpl.minHash). */
-  def minHashSignatures(n: Int, k: Int): String = {
+  /** CTEs ending in `sigs(doc_id, j, mv)` — every document's k-wide
+    * MinHash signature as signed BIGINT lane minima (docs with fewer
+    * than n tokens produce no rows, matching the kernel's NULL). */
+  private def minHashSigCtes(n: Int, k: Int): Seq[String] = {
     require(n == 3, "oracle generated for the registered n=3 shingles")
-    val ctes = tokenHashCtes(withPos = true) ++
+    tokenHashCtes(withPos = true) ++
       Seq(
         // rolling n-token window via lag: row at pos i carries tokens
         // (i-2, i-1, i) — the shingle starting at i-2
@@ -108,12 +108,50 @@ object HashOracleSql {
         s"fam AS (SELECT doc_id, sh, unnest(range(0, $k)) AS j FROM s6)",
         s"fx AS (SELECT doc_id, j, CAST(xor(CAST(sh AS UBIGINT), CAST((j * $SeedC) % $M AS UBIGINT)) AS HUGEINT) AS fh FROM fam)") ++
       mix64Stages("fx", "fh", "mh", "f") ++
-      Seq(
-        // Java compares signatures as SIGNED longs (min vs Long.MaxValue)
-        s"sigs AS (SELECT doc_id, j, min(CAST(${toSigned("mh")} AS BIGINT)) AS mv FROM f6 GROUP BY doc_id, j)",
-        "csv AS (SELECT doc_id, string_agg(CAST(mv AS VARCHAR), ',' ORDER BY j) AS c FROM sigs GROUP BY doc_id)")
+      // Java compares signatures as SIGNED longs (min vs Long.MaxValue)
+      Seq(s"sigs AS (SELECT doc_id, j, min(CAST(${toSigned("mh")} AS BIGINT)) AS mv FROM f6 GROUP BY doc_id, j)")
+  }
+
+  /** t08: k-wide MinHash signatures over word n-gram shingles, rendered
+    * as the same comma-joined signed-decimal CSV the Spark side emits;
+    * NULL for docs with fewer than n tokens (TextHashImpl.minHash). */
+  def minHashSignatures(n: Int, k: Int): String = {
+    val ctes = minHashSigCtes(n, k) :+
+      "csv AS (SELECT doc_id, string_agg(CAST(mv AS VARCHAR), ',' ORDER BY j) AS c FROM sigs GROUP BY doc_id)"
     "WITH " + ctes.mkString(",\n") +
       "\nSELECT d.doc_id AS id, csv.c AS minhash_csv FROM documents d LEFT JOIN csv USING (doc_id) ORDER BY id"
+  }
+
+  /** t26: incremental near-dup — the FULL pipeline twin of
+    * [[graft.operators.Dedup.incrementalNearDups]]: per-band hashes
+    * re-derived from the signature lanes with the kernel's exact fold
+    * (h·31 + lane, unsigned mod-2⁶⁴, then splitmix64), candidates =
+    * new×old band-bucket mates, verify = lane-agreement fraction (all
+    * m/k values are dyadic rationals, so 4-dp rounding is bit-portable).
+    * No banding-recall assumption anywhere — bucket mismatches fail the
+    * hash compare. */
+  def incrementalNearDups(n: Int, k: Int, rowsPerBand: Int,
+      threshold: Double, newPred: String): String = {
+    val ctes = minHashSigCtes(n, k) ++
+      Seq(
+        s"bl AS (SELECT doc_id, CAST(j // $rowsPerBand AS INT) AS band, " +
+          s"list(CASE WHEN mv < 0 THEN CAST(mv AS HUGEINT) + $M ELSE CAST(mv AS HUGEINT) END ORDER BY j) AS lanes " +
+          "FROM sigs GROUP BY doc_id, band)",
+        "bh0 AS (SELECT doc_id, band, list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), lanes), " +
+          s"(h, c) -> (h * 31 + c) % $M) AS bp FROM bl)") ++
+      mix64Stages("bh0", "bp", "bh", "b") ++
+      Seq(
+        s"newb AS (SELECT doc_id, band, bh FROM b6 WHERE $newPred)",
+        s"oldb AS (SELECT doc_id, band, bh FROM b6 WHERE NOT ($newPred))",
+        "cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS dup_of " +
+          "FROM newb n JOIN oldb o ON n.band = o.band AND n.bh = o.bh)",
+        "agr AS (SELECT c.new_id, c.dup_of, " +
+          s"round(sum(CASE WHEN sa.mv = sb.mv THEN 1 ELSE 0 END) / CAST($k AS DOUBLE), 4) AS est_jaccard " +
+          "FROM cand c JOIN sigs sa ON sa.doc_id = c.new_id " +
+          "JOIN sigs sb ON sb.doc_id = c.dup_of AND sb.j = sa.j " +
+          "GROUP BY c.new_id, c.dup_of)")
+    "WITH " + ctes.mkString(",\n") +
+      s"\nSELECT new_id, dup_of, est_jaccard FROM agr WHERE est_jaccard >= $threshold ORDER BY new_id, dup_of"
   }
 
   /** CTEs ending in `allsims(doc_id, u)`: the unsigned 64-bit SimHash of

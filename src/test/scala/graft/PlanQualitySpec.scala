@@ -232,6 +232,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"in-bucket sort order must be reused, not re-sorted:\n$p")
   }
 
+  test("t26: incremental dedup — text kernel on the NEW batch only, index from parquet") {
+    val p = plan("t26_incremental_dedup")
+    // exactly one minhash_sig and one band_hashes: the new batch's. The
+    // existing corpus contributes parquet signature rows, never a
+    // re-scan of its text
+    assert(nodeFree(p, "minhash_sig") == 1,
+      s"old-corpus text must never reach the kernel:\n$p")
+    assert(nodeFree(p, "band_hashes") == 1,
+      s"old-corpus bands come from the stored index:\n$p")
+    // the candidate dedup shuffles bare (new_id, dup_of) pairs
+    assert("hashpartitioning\\(new_id#\\d+L?, dup_of#".r.findFirstIn(p).nonEmpty,
+      s"candidate dedup must shuffle bare id pairs:\n$p")
+    // the new-batch quota filter reaches the documents scan
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id)") || p.contains("(doc_id % 5) = 0"),
+      s"new-batch predicate must push down:\n$p")
+  }
+
   test("v07: served kNN ranking scan prunes to the probed buckets' partitions") {
     val df = SparkEntry.queries("v07_knn_served")(spark, sf)
     // the hamming-radius predicate references ONLY the partition column,

@@ -124,6 +124,26 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("BandHashes: codegen == interpreted; sig path == fused text path") {
+    val sig = TextHash.minHashSig(col("text"), 3, 16)
+    val (g, i) = bothWays(docs.select(col("id"), TextHash.bandHashes(sig, 4)))
+    assert(g === i)
+    // the stored-index path must land in the SAME buckets as the fused
+    // text kernel — this equality is what makes an incremental batch
+    // joinable against a persisted signature index
+    val both = docs.select(col("id"),
+      TextHash.bandHashes(sig, 4).as("from_sig"),
+      TextHash.minHashBands(col("text"), 3, 16, 4).as("fused")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"id ${r.getLong(0)}")
+    }
+    // signature width not divisible by rowsPerBand is an error
+    intercept[Exception] {
+      docs.filter(col("id") === 1L)
+        .select(TextHash.bandHashes(sig, 5)).collect()
+    }
+  }
+
   test("MaxCosine: codegen == interpreted; single-row matrix == cosineSimilarity") {
     val mat = Array(Array(4.0, 5.0, 6.0), Array(-1.0, 0.0, 2.0))
     // id=2 is the zero vector → NaN; NaN-valued rows are masked like the

@@ -114,6 +114,33 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("incrementalNearDups: new batch matches the index, never new-new or old-old") {
+    // existing corpus = odd ids, new batch = even ids; doc 2 is an
+    // exact dup (post-normalize) of existing doc 1, doc 4 matches
+    // nothing, docs 5-6 are short (no signature → never candidates)
+    val existing = docs.filter(col("doc_id") % 2 === 1)
+    val newBatch = docs.filter(col("doc_id") % 2 === 0)
+    val index = Dedup.minHashIndex(existing, col("text"), col("doc_id"))
+    val got = Dedup.incrementalNearDups(newBatch, col("text"), col("doc_id"), index)
+      .collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"), r.getAs[Double]("est_jaccard")))
+    // doc 2 == doc 1 exactly → every signature lane agrees
+    assert(got.exists { case (n, o, j) => n == 2L && o == 1L && j == 1.0 })
+    // every emitted pair is new-vs-existing, nothing else
+    assert(got.forall { case (n, o, _) => n % 2 == 0 && o % 2 == 1 })
+    // near-dup doc 3 is on the EXISTING side of this split; it may only
+    // appear as dup_of, and 4 (unrelated) never appears
+    assert(!got.exists(_._1 == 4L))
+  }
+
+  test("minHashIndex: one banded row per (doc, band); short docs absent") {
+    val idx = Dedup.minHashIndex(docs, col("text"), col("doc_id")).collect()
+    val byId = idx.groupBy(_.getAs[Long]("id"))
+    // 16 lanes / 4 rows per band = 4 bands per signed doc
+    assert(byId.keySet === Set(1L, 2L, 3L, 4L))
+    assert(byId.values.forall(_.map(_.getAs[Int]("band")).sorted.toSeq == Seq(0, 1, 2, 3)))
+  }
+
   test("ngramJaccard column: 1.0 for normalized-equal, 0.0 for empty") {
     import spark.implicits._
     val out = docs.as("a").crossJoin(docs.as("b"))
