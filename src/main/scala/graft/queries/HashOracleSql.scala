@@ -122,7 +122,7 @@ object HashOracleSql {
       "\nSELECT d.doc_id AS id, csv.c AS minhash_csv FROM documents d LEFT JOIN csv USING (doc_id) ORDER BY id"
   }
 
-  /** t26: incremental near-dup — the FULL pipeline twin of
+  /** t25: incremental near-dup — the FULL pipeline twin of
     * [[graft.operators.Dedup.incrementalNearDups]]: per-band hashes
     * re-derived from the signature lanes with the kernel's exact fold
     * (h·31 + lane, unsigned mod-2⁶⁴, then splitmix64), candidates =

@@ -132,6 +132,29 @@ object StreamingQueries {
             .select(col("l.event_id").as("event_id_a"),
               col("r.event_id").as("event_id_b")))
         .orderBy(col("event_id_a"), col("event_id_b"))
+    },
+
+    // STREAM-STATIC join — the remaining streaming join class after
+    // s05's stream-stream: the arriving crawl increment (a streaming
+    // read of the new-batch documents) joins the PERSISTED signature
+    // index as a static side, i.e. t25's incremental dedup running as
+    // the ingestion stream it would be in production. The operator
+    // composition (Dedup.incrementalNearDups) is byte-identical to the
+    // batch path — only the source is a stream — and the oracle IS
+    // t25's: streaming/batch parity is the correctness claim. The
+    // in-stream dropDuplicates holds per-pair state without a watermark,
+    // which is bounded by the increment's size (a day's crawl), not the
+    // corpus; a truly unbounded stream would swap in
+    // dropDuplicatesWithinWatermark (s04's operator).
+    sql(
+      "s06_stream_static_join",
+      HashOracleSql.incrementalNearDups(n = 3, k = 16, rowsPerBand = 4,
+        threshold = 0.5, newPred = "doc_id % 5 = 0")) { (s, d) =>
+      StreamingRelational.oneShot(s,
+          graft.operators.Dedup.incrementalNearDups(
+            StreamingRelational.documentsStream(s, d).filter(col("doc_id") % 5 === 0),
+            col("text"), col("doc_id"), TextQueries.dedupIndex(s, d)))
+        .orderBy(col("new_id"), col("dup_of"))
     }
   )
 }

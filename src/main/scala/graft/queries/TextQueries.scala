@@ -642,7 +642,7 @@ object TextQueries {
     // oracle replays banding AND agreement exactly (no recall
     // assumption — a bucket mismatch fails the hash compare).
     sql(
-      "t26_incremental_dedup",
+      "t25_incremental_dedup",
       HashOracleSql.incrementalNearDups(n = 3, k = 16, rowsPerBand = 4,
         threshold = 0.5, newPred = "doc_id % 5 = 0")) { (s, d) =>
       Dedup.incrementalNearDups(
@@ -654,13 +654,14 @@ object TextQueries {
 
   /** Prebuilt MinHash signature index of the "existing" corpus
     * (doc_id % 5 ≠ 0), written ONCE per data dir and served from
-    * parquet — the t26 incremental path joins against these files; the
+    * parquet — the t25 incremental path joins against these files; the
     * signature kernel never re-runs over the old corpus at query time
     * (v07's servedIndex precedent; at scale the table would be written
-    * bucketed by band_hash so only the new batch shuffles). */
+    * bucketed by band_hash so only the new batch shuffles). Shared with
+    * s06, which runs the same dedup as an ingestion stream. */
   private val dedupIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def dedupIndex(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  private[queries] def dedupIndex(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val path = dedupIndexCache.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory(
         graft.streaming.StreamingRelational.scratchBase, "minhash-index")

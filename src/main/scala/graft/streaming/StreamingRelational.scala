@@ -163,6 +163,15 @@ object StreamingRelational {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** The documents table as a stream — the "arriving crawl increment"
+    * for streaming ingestion pipelines (s06 joins it against the static
+    * signature index). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
   /** Watermarked tumbling-window aggregation: events per (hour, type)
     * with summed value. The 1-hour watermark bounds append-mode state;
     * under complete mode (verification) it is declared but not dropping. */

@@ -232,8 +232,8 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"in-bucket sort order must be reused, not re-sorted:\n$p")
   }
 
-  test("t26: incremental dedup — text kernel on the NEW batch only, index from parquet") {
-    val p = plan("t26_incremental_dedup")
+  test("t25: incremental dedup — text kernel on the NEW batch only, index from parquet") {
+    val p = plan("t25_incremental_dedup")
     // exactly one minhash_sig and one band_hashes: the new batch's. The
     // existing corpus contributes parquet signature rows, never a
     // re-scan of its text
