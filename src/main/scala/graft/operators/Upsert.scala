@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE-style snapshot refresh (upsert) — the write side of an
+  * incremental pipeline: yesterday's corpus snapshot + today's (deduped,
+  * gated) increment → the new snapshot. Spark OSS parquet has no MERGE
+  * statement; the relational equivalent is ONE full-outer join on the
+  * key:
+  *
+  *   - key in both        → the update wins ('U')
+  *   - key only in updates → insert ('I')
+  *   - key only in snapshot → carry over ('K')
+  *
+  * Scale shape: snapshots live in the bucketed layout (q30 —
+  * `bucketBy(n, key)`), so the join reads the 100 TB snapshot IN PLACE
+  * and only the increment side shuffles (into the snapshot's bucket
+  * count). An updates table a fraction of the snapshot's size costs a
+  * fraction of a shuffle — the property the q31 plan gate pins
+  * (exactly one Exchange below the join, on the updates side).
+  */
+object Upsert {
+
+  /** Apply `updates` to `snapshot` (same schema, unique `key`).
+    * Output: every resulting row plus an `action` tag (U/I/K). */
+  def upsert(snapshot: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    require(snapshot.columns.sameElements(updates.columns),
+      s"upsert: schema mismatch (${snapshot.columns.mkString(",")} vs ${updates.columns.mkString(",")})")
+    val s = snapshot.as("s")
+    val u = updates.as("u")
+    val merged = s.join(u, col(s"s.$key") === col(s"u.$key"), "full_outer")
+    merged.select(
+      snapshot.columns.toIndexedSeq.map(c =>
+        coalesce(col(s"u.$c"), col(s"s.$c")).as(c)) :+
+        when(col(s"u.$key").isNotNull && col(s"s.$key").isNotNull, "U")
+          .when(col(s"u.$key").isNotNull, "I")
+          .otherwise("K").as("action"): _*)
+  }
+}

@@ -564,11 +564,6 @@ object RelationalQueries {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       val (li, ord) = bucketedPair(s, d)
-      // report the in-bucket sort order from the scan (needs exactly one
-      // file per bucket — guaranteed by bucketedPair's repartition(8)):
-      // off, Spark re-sorts each bucket below the join; on, the join
-      // merge-zips the pre-sorted bucket files directly (plan-gated)
-      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       s.table(li).hint("merge")
         .join(s.table(ord), $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderpriority")
@@ -576,6 +571,44 @@ object RelationalQueries {
           count(lit(1)).as("n_items"),
           round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
         .orderBy($"o_orderpriority")
+    },
+
+    // ---- MERGE-style snapshot upsert over the bucketed layout ------------
+    // The write side of the incremental pipeline (t25 dedups the
+    // increment; this applies it): one full-outer join on the key where
+    // the update wins ('U'), unmatched update keys insert ('I'), the
+    // rest carry over ('K'). The snapshot is the q30 bucketed table —
+    // read IN PLACE, zero shuffle on the 100 TB side; only the raw
+    // increment (modified keys %10 + brand-new keys offset by 1e9)
+    // shuffles, into the snapshot's bucket count (plan-gated: exactly
+    // one Exchange below the join). Rounding happens on the INPUTS in
+    // both engines so the coalesce compares identical doubles.
+    sql(
+      "q31_bucketed_upsert",
+      """WITH upd AS (
+        |  SELECT o_orderkey, round(o_totalprice * 1.1 + 1e-9, 2) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, round(o_totalprice + 1e-9, 2)
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |snap AS (SELECT o_orderkey, round(o_totalprice + 1e-9, 2) AS o_totalprice FROM orders)
+        |SELECT coalesce(u.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  coalesce(u.o_totalprice, s.o_totalprice) AS o_totalprice,
+        |  CASE WHEN u.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL THEN 'U'
+        |       WHEN u.o_orderkey IS NOT NULL THEN 'I' ELSE 'K' END AS action
+        |FROM snap s FULL OUTER JOIN upd u ON s.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val (_, ord) = bucketedPair(s, d)
+      val snap = s.table(ord)
+        .select($"o_orderkey", round($"o_totalprice" + 1e-9, 2).as("o_totalprice"))
+      val plain = Tables.orders(s, d)
+      val upd = plain.filter($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey", round($"o_totalprice" * 1.1 + 1e-9, 2).as("o_totalprice"))
+        .unionByName(plain.filter($"o_orderkey" % 97 === 0)
+          .select(($"o_orderkey" + 1000000000L).as("o_orderkey"),
+            round($"o_totalprice" + 1e-9, 2).as("o_totalprice")))
+      graft.operators.Upsert.upsert(snap, upd, "o_orderkey")
+        .orderBy($"o_orderkey")
     }
   )
 
@@ -592,6 +625,11 @@ object RelationalQueries {
       val tag = (scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff).toHexString
       val li = s"lineitem_b_$tag"
       val ord = s"orders_b_$tag"
+      // report the in-bucket sort order from the scan (needs exactly one
+      // file per bucket — guaranteed by the repartition(8) below): off,
+      // Spark re-sorts each bucket below joins; on, merge joins zip the
+      // pre-sorted bucket files directly (q30/q31 plan gates)
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       if (!s.catalog.tableExists(li) || !s.catalog.tableExists(ord)) {
         val base = graft.streaming.StreamingRelational.scratchBase.resolve(s"bucketed-$tag")
         Tables.lineitem(s, d)

@@ -249,6 +249,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"new-batch predicate must push down:\n$p")
   }
 
+  test("q31: bucketed upsert — snapshot side joins in place, only the increment shuffles") {
+    val p = plan("q31_bucketed_upsert")
+    assert(p.contains("SortMergeJoin FullOuter"), s"upsert is one full-outer merge join:\n$p")
+    assert(p.contains("Bucketed: true"), s"snapshot must come from the bucketed layout:\n$p")
+    // exactly two Exchanges: the increment side's (into the snapshot's
+    // bucket count) and the output sort's — the snapshot side has NONE
+    assert(nodeCount(p, "Exchange") == 2,
+      s"only the increment and the output sort may shuffle:\n$p")
+    // and exactly two Sorts: the increment side's and the output's —
+    // the snapshot side merge-zips its pre-sorted bucket files
+    assert(nodeCount(p, "Sort\\b") == 2,
+      s"snapshot bucket order must be reused, not re-sorted:\n$p")
+  }
+
   test("v07: served kNN ranking scan prunes to the probed buckets' partitions") {
     val df = SparkEntry.queries("v07_knn_served")(spark, sf)
     // the hamming-radius predicate references ONLY the partition column,
