@@ -139,9 +139,14 @@ object Dedup {
     * the dropDuplicates exists only because the banded index carries
     * minhash per band row for self-containment).
     *
+    * The index MUST have been built with the same (n, k, rowsPerBand):
+    * a differing k fails fast in the agreement kernel (signature width
+    * mismatch), but a differing n or banding silently yields disjoint
+    * buckets — version index files with their parameters.
+    *
     * Output: (new_id, dup_of, est_jaccard ≥ threshold). */
   def incrementalNearDups(newDocs: DataFrame, textCol: Column, idCol: Column,
-      index: DataFrame, rowsPerBand: Int = 4, n: Int = 3, k: Int = 16,
+      index: DataFrame, n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val newIdx = minHashIndex(newDocs, textCol, idCol, n, k, rowsPerBand)
     val cand = newIdx.as("n")

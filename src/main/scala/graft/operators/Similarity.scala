@@ -267,7 +267,7 @@ object Similarity {
     * rows (recall is the banding curve: raise nBands to pull in more
     * true neighbors, nBits to keep buckets sparse as the corpus grows —
     * nBits must track log2(n), see [[cosineNearDupPairs]]'s sizing
-    * note). Output: (id, nbr, score, rk), rk = 1..k densest-first. */
+    * note). Output: (id, nbr, score, rk), rk = 1..k most-similar-first. */
   def knnJoin(df: DataFrame, embCol: Column, idCol: Column, k: Int,
       nBits: Int = 4, nBands: Int = 2, seed: Long = 42L, dim: Int = -1,
       centered: Boolean = false): DataFrame = {
@@ -318,13 +318,17 @@ object Similarity {
     * the threshold filter consumes the projected column instead of
     * re-deriving the kernel below it (t17 precedent; plan-gated). */
   def decontaminateByCosine(corpus: DataFrame, embCol: Column, idCol: Column,
-      evalVecs: Array[Array[Double]], threshold: Double): DataFrame =
+      evalVecs: Array[Array[Double]], threshold: Double): DataFrame = {
+    require(evalVecs.nonEmpty,
+      "decontaminateByCosine: empty eval set — every corpus row would pass vacuously; " +
+        "pass the benchmark's embeddings or skip the operator")
     corpus
       .select(idCol.as("id"),
         explode(array(
           round(graft.expressions.VectorOps.maxCosine(asDouble(embCol), evalVecs) + lit(1e-9), 4)))
           .as("max_eval_cosine"))
       .filter($"max_eval_cosine" < threshold)
+  }
 
   /** IVF (inverted-file) index: assign every vector to its nearest
     * coarse centroid — (id, emb, list) where `list` is the centroid
