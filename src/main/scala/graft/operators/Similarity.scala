@@ -152,7 +152,16 @@ object Similarity {
     * the histogram pass reads only the bucket column, and the ranking
     * scan prunes to the probed buckets' partitions. Calling through
     * [[lshKnn]] instead recomputes signatures in both passes — fine for
-    * one-off queries, wasteful for a query service. */
+    * one-off queries, wasteful for a query service.
+    *
+    * Index MAINTENANCE is append-only: a row's signature depends only
+    * on its own embedding and the fixed seeded planes, so new vectors
+    * bucket independently and their index rows append to the existing
+    * partitions — serving from incrementally-appended files is
+    * row-identical to a full rebuild (spec-asserted). This is LSH's
+    * operational edge over IVF/PQ ([[ivfIndex]], [[graft.operators.Pq]]),
+    * whose centroids/codebooks drift as the corpus grows and need a
+    * re-train-and-rebuild policy. */
   def lshKnnOnIndex(bucketed: DataFrame, query: Array[Double], k: Int,
       nBits: Int = 8, seed: Long = 42L, overProbe: Int = 3): DataFrame = {
     val planes = hyperplanes(nBits, query.length, seed)

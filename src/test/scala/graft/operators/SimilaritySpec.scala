@@ -74,6 +74,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
     assert(served === oneShot)
   }
 
+  test("lshKnnOnIndex: incrementally-appended index == full rebuild (append-only maintenance)") {
+    // build on the first half, append the second half's index rows —
+    // signatures are row-local (own embedding × fixed planes), so the
+    // appended index must serve row-identically to a full rebuild
+    val dir = java.nio.file.Files.createTempDirectory("lsh-index-inc").toString + "/idx"
+    Similarity.lshBuckets(embs.filter(col("id") <= 4), col("emb"), col("id"),
+        nBits = 4, dim = 2)
+      .write.parquet(dir)
+    Similarity.lshBuckets(embs.filter(col("id") > 4), col("emb"), col("id"),
+        nBits = 4, dim = 2)
+      .write.mode("append").parquet(dir)
+    val appended = Similarity.lshKnnOnIndex(spark.read.parquet(dir), query, k = 5, nBits = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    val rebuilt = Similarity.lshKnn(embs, col("emb"), col("id"), query, k = 5, nBits = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    assert(appended === rebuilt)
+  }
+
   test("lshKnn ignores null-embedding rows instead of crashing the histogram") {
     import spark.implicits._
     val withNull = embs.unionByName(
