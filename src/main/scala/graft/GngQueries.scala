@@ -276,6 +276,33 @@ object GngQueries {
       perCluster.agg(
           round(sum(col("majority")).cast("double") / sum(col("total")), 4).as("purity"),
           count(lit(1)).as("n_clusters"))
-    }, purityOracle)
+    }, purityOracle),
+
+    // Quantization error — the INTERNAL clustering metric beside
+    // gng_purity's external one: mean squared distance of every vector
+    // to its BMU (twoNearest's d1, the same left-assoc accumulation the
+    // inlined distSql oracle replays). +1e-9 nudge before the 4-dp
+    // round on both sides (partial-avg vs sequential-avg summation
+    // order differs at ~1e-13).
+    QueryDef("gng_qerror", (s, d) => {
+      val m = trained(s, d)
+      import s.implicits._
+      val pts = GStream.toPoints(Tables.embeddings(s, d), "embedding", "label", "vec_id")
+      val bc = s.sparkContext.broadcast(m.centroids)
+      pts.map(p => graft.operators.GngOps.twoNearest(p.features, bc.value)._3)
+        .toDF("dsq")
+        .agg(
+          round(avg(col("dsq")) + 1e-9, 4).as("mean_sq_dist"),
+          round(sqrt(avg(col("dsq"))) + 1e-9, 4).as("rms_dist"),
+          count(lit(1)).as("n_points"))
+    }, qerrorOracle)
   )
+
+  private def qerrorOracle: Option[String] =
+    soleTrainedCentroids.map { cs =>
+      s"""WITH ${nearestCtes(cs)}
+         |SELECT round(avg(dsq) + 1e-9, 4) AS mean_sq_dist,
+         |  round(sqrt(avg(dsq)) + 1e-9, 4) AS rms_dist,
+         |  count(*) AS n_points FROM win""".stripMargin
+    }
 }
