@@ -633,6 +633,53 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Unigram surprisal — the perplexity-filter analog (CCNet-style
+    // quality signal from the corpus's OWN language model, no external
+    // LM): per-doc mean token surprisal −ln p(tok), p from corpus
+    // unigram counts. Rare-token-heavy docs (gibberish, codes, OCR
+    // noise) score high; stopword soup scores low. ONE corpus scan
+    // builds the (doc, term, tf) table; the vocabulary and the grand
+    // total derive from tf's aggregates (never a second text pass), and
+    // the per-doc score is the tf-weighted mean over the doc's DISTINCT
+    // terms — instance-exact but joining vocab against the much smaller
+    // tf table. At 100 TB the vocab side is Zipf-small → broadcast it
+    // (t16's eval-shingle shape) instead of the term-keyed shuffle.
+    // ln() cross-engine: t15's precedent (hash-passes both SFs);
+    // +1e-9 nudge before the 4-dp round absorbs summation-order noise.
+    sql(
+      "t26_unigram_surprisal",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(${Sql.normalizeText("text")}, ' ')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+         |  GROUP BY doc_id, term),
+         |vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+         |per AS (
+         |  SELECT tf.doc_id, tf.tf, ln(CAST(tot.t AS DOUBLE) / vocab.cnt) AS s
+         |  FROM tf JOIN vocab USING (term) CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  round(sum(tf * s) / sum(tf) + 1e-9, 4) AS surprisal
+         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+      val tot = vocab.agg(sum(col("cnt")).as("t"))
+      tf.join(vocab, "term")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("tf"),
+          log(col("t").cast("double") / col("cnt")).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("tf")).as("n_tokens"),
+          round(sum(col("tf") * col("s")) / sum(col("tf")) + 1e-9, 4).as("surprisal"))
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental dedup: the new crawl batch (doc_id % 5 = 0 stands in
     // for today's increment) matched against the PREBUILT signature
     // index of the existing corpus — written once per dir, read back

@@ -263,6 +263,22 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"snapshot bucket order must be reused, not re-sorted:\n$p")
   }
 
+  test("t26: unigram surprisal — one corpus text pass via exchange reuse") {
+    // static plans expand the shared tf subtree per consumer (vocab,
+    // total, join); reuse only materializes in the EXECUTED plan
+    // (t23 precedent)
+    val df = SparkEntry.queries("t26_unigram_surprisal")(spark, sf)
+    df.collect()
+    // AQE's toString appends the pre-reuse "Initial Plan" — count in
+    // the Final Plan section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"),
+      s"vocab/total must reuse the tf aggregation's shuffle:\n$p")
+    // after reuse the corpus text is tokenized exactly once
+    assert("normalize_text".r.findAllIn(p).size == 1,
+      s"corpus text must be tokenized exactly once:\n$p")
+  }
+
   test("v07: served kNN ranking scan prunes to the probed buckets' partitions") {
     val df = SparkEntry.queries("v07_knn_served")(spark, sf)
     // the hamming-radius predicate references ONLY the partition column,
