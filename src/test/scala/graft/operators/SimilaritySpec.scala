@@ -172,6 +172,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
     assert(knn.forall { case (a, b) => buckets(a) === buckets(b) })
   }
 
+  test("knnJoin and decontaminateByCosine drop null-embedding rows, never crash") {
+    import spark.implicits._
+    val withNull = embs.unionByName(
+      Seq((99L, null.asInstanceOf[Array[Float]])).toDF("id", "emb"))
+    // null emb → null band signatures → explodes to zero rows → 99
+    // appears as neither id nor nbr
+    val knn = Similarity.knnJoin(withNull, col("emb"), col("id"), k = 2,
+        nBits = 1, nBands = 1, dim = 2)
+      .collect().flatMap(r => Seq(r.getAs[Long]("id"), r.getAs[Long]("nbr")))
+    assert(!knn.contains(99L))
+    // null emb → null max-cosine → threshold comparison is null → the
+    // row is DROPPED (conservative: an incomparable row is not declared
+    // clean), and the kernel never throws
+    val kept = Similarity.decontaminateByCosine(withNull, col("emb"), col("id"),
+        Array(Array(1.0, 0.0)), threshold = 0.99)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(!kept.contains(99L))
+    assert(kept === Set(3L, 4L, 5L, 6L, 7L))
+  }
+
   test("decontaminateByCosine drops near-dups of the eval set, keeps the rest") {
     // eval set = the angle-0 direction; threshold 0.99 must drop ids 1-2
     // (cos 1.0, cos(0.1)≈0.995) and keep everything from 0.5 rad out
