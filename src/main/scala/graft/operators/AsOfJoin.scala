@@ -39,7 +39,7 @@ object AsOfJoin {
     val l = left.select(
       col(key).as("__k"), col(leftTs).as("__ts"),
       lit(1).as("__side"), lit(null).cast("long").as("__tie"),
-      struct(leftCols.map(col): _*).as("__l"),
+      struct(leftCols.toIndexedSeq.map(col): _*).as("__l"),
       lit(null).cast(structType(right, rightPayload)).as("__r"))
     val r = right.select(
       col(key).as("__k"), col(rightTs).as("__ts"),
@@ -49,10 +49,10 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r.select(l.columns.map(col): _*))
+    l.unionByName(r.select(l.columns.toIndexedSeq.map(col): _*))
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+      .select(leftCols.toIndexedSeq.map(c => col(s"__l.$c").as(c)) ++
         rightPayload.map { case (_, a) => col(s"__asof.$a").as(a) }: _*)
   }
 

@@ -37,7 +37,7 @@ object Similarity {
     * Output: (idCol, score) — score rounded to 4 dp for stable ordering. */
   def bruteForceKnn(df: DataFrame, embCol: Column, idCol: Column,
       query: Array[Double], k: Int): DataFrame = {
-    val q = array(query.map(lit): _*)
+    val q = array(query.toIndexedSeq.map(lit): _*)
     df.select(
         idCol.as("id"),
         round(cosineSimilarity(asDouble(embCol), q), 4).as("score"))
@@ -186,7 +186,7 @@ object Similarity {
       case r  => r
     }
     bucketed.filter(bit_count($"bucket".bitwiseXOR(lit(qSig))) <= radius)
-      .select($"id", round(cosineSimilarity(asDouble($"emb"), array(query.map(lit): _*)), 4).as("score"))
+      .select($"id", round(cosineSimilarity(asDouble($"emb"), array(query.toIndexedSeq.map(lit): _*)), 4).as("score"))
       .orderBy($"score".desc, $"id")
       .limit(k)
   }
@@ -369,7 +369,7 @@ object Similarity {
     ivfIndex(df, embCol, idCol, centroids)
       .filter(col("list").isin(probed.toSeq: _*))
       .select($"id", round(cosineSimilarity(asDouble($"emb"),
-        array(query.map(lit): _*)), 4).as("score"))
+        array(query.toIndexedSeq.map(lit): _*)), 4).as("score"))
       .orderBy($"score".desc, $"id")
       .limit(k)
   }
