@@ -61,17 +61,21 @@ object VectorQueries {
       s"(CASE WHEN ${dotSql(vec, p)} >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
 
-  /** Shared oracle for v03 (online) and v07 (served index) — LSH
-    * multiprobe kNN with the seeded hyperplanes inlined as constants
-    * and the SAME minimal hamming radius derived from the bucket
-    * histogram (cumulative count by hamming distance, >= overProbe*k =
-    * 30 candidates). */
-  private lazy val multiprobeKnnSql: String = {
+  /** Shared oracle for v03 (online), v07 (served index), and v14
+    * (filtered) — LSH multiprobe kNN with the seeded hyperplanes
+    * inlined as constants and the SAME minimal hamming radius derived
+    * from the bucket histogram (cumulative count by hamming distance,
+    * >= overProbe*k = 30 candidates). `corpusPred` restricts the
+    * CORPUS (histogram AND ranking — the pre-filter must come before
+    * the radius choice or the exact-k guarantee is lost); the query
+    * vector always comes from the unfiltered table. */
+  private def multiprobeKnnSql(corpusPred: String): String = {
     val planes = Similarity.hyperplanes(4, EmbDim)
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |s AS (SELECT vec_id, v, ${sigSql("v", planes)} AS bucket FROM e),
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, label, v, ${sigSql("v", planes)} AS bucket FROM e),
        |q AS (SELECT bucket AS qb, v AS qv FROM s WHERE vec_id = 0),
-       |ds AS (SELECT vec_id, v, bit_count(xor(bucket, (SELECT qb FROM q))) AS hd FROM s),
+       |ds AS (SELECT vec_id, v, bit_count(xor(bucket, (SELECT qb FROM q))) AS hd
+       |       FROM s WHERE $corpusPred),
        |cum AS (SELECT hd, sum(count(*)) OVER (ORDER BY hd) AS c FROM ds GROUP BY hd),
        |r AS (SELECT coalesce(min(hd), 4) AS rsel FROM cum WHERE c >= 30)
        |SELECT vec_id AS id,
@@ -79,6 +83,8 @@ object VectorQueries {
        |FROM ds WHERE hd <= (SELECT rsel FROM r)
        |ORDER BY score DESC, id LIMIT 10""".stripMargin
   }
+
+  private lazy val unfilteredKnnSql: String = multiprobeKnnSql("TRUE")
 
   /** Trained PQ codebook per data dir (deterministic: bounded
     * lowest-id sample, fixed Lloyd iterations — [[graft.operators.Pq.train]]),
@@ -133,7 +139,7 @@ object VectorQueries {
     // derives the SAME minimal radius from the bucket histogram
     // (cumulative count by hamming distance), so the probe set matches
     // deterministically.
-    sql("v03_knn_lsh", multiprobeKnnSql) { (s, d) =>
+    sql("v03_knn_lsh", unfilteredKnnSql) { (s, d) =>
       Similarity.lshKnn(
         Tables.embeddings(s, d), col("embedding"), col("vec_id"),
         queryVector(s, d), 10, nBits = 4)
@@ -145,7 +151,7 @@ object VectorQueries {
     // prunes to the probed buckets' partitions (PartitionFilters gate
     // in PlanQualitySpec). Same oracle as v03 — the served answer must
     // be indistinguishable from the online one.
-    sql("v07_knn_served", multiprobeKnnSql) { (s, d) =>
+    sql("v07_knn_served", unfilteredKnnSql) { (s, d) =>
       Similarity.lshKnnOnIndex(servedIndex(s, d), queryVector(s, d), 10, nBits = 4)
     },
 
@@ -198,7 +204,7 @@ object VectorQueries {
     // the corpus is touched only by the kNN scans.
     sql(
       "v08_semantic_search",
-      s"""WITH knn AS ($multiprobeKnnSql)
+      s"""WITH knn AS ($unfilteredKnnSql)
          |SELECT k.id, k.score, d.lang, d.n_chars
          |FROM knn k JOIN documents d ON k.id = d.doc_id
          |ORDER BY k.score DESC, k.id""".stripMargin) { (s, d) =>
@@ -302,6 +308,21 @@ object VectorQueries {
     // benchmark. One fused max-cosine kernel scan, no join (the eval
     // matrix rides the plan); the exact oracle cross-joins corpus × 25
     // eval rows, linear in the corpus.
+    // Filtered (PRE-filter) ANN: top-10 among label >= 5 only — the
+    // metadata-constrained retrieval problem. The multiprobe design is
+    // CLOSED under filtering: restrict the corpus before bucketing and
+    // the histogram, radius escalation, and exact-k guarantee all adapt
+    // automatically (POST-filtering a top-k silently returns < k when
+    // the filter bites). The label predicate pushes into the parquet
+    // scan (plan-gated); the query vector still comes from the
+    // unfiltered table.
+    sql("v14_knn_filtered", multiprobeKnnSql("label >= 5")) { (s, d) =>
+      Similarity.lshKnn(
+        Tables.embeddings(s, d).filter(col("label") >= 5),
+        col("embedding"), col("vec_id"),
+        queryVector(s, d), 10, nBits = 4)
+    },
+
     sql(
       "v13_semantic_decontam",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -279,6 +279,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"corpus text must be tokenized exactly once:\n$p")
   }
 
+  test("v14: filtered ANN — the label pre-filter reaches the parquet scan") {
+    val p = plan("v14_knn_filtered")
+    assert(p.contains("GreaterThanOrEqual(label,5)"),
+      s"metadata predicate must push into the scan:\n$p")
+    assert(p.contains("lsh_bands"), s"signature kernel must appear:\n$p")
+  }
+
   test("v07: served kNN ranking scan prunes to the probed buckets' partitions") {
     val df = SparkEntry.queries("v07_knn_served")(spark, sf)
     // the hamming-radius predicate references ONLY the partition column,
