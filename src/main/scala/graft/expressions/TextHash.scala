@@ -35,7 +35,13 @@ object TextHash {
   /** `minhash_bands(text, n, k, rowsPerBand)` → array<bigint> of per-band
     * hashes (LSH banding fused with signature computation); NULL for
     * short docs — `posexplode` then emits no rows, which is exactly the
-    * "empty set joins nothing" semantics. */
+    * "empty set joins nothing" semantics.
+    *
+    * Contract: `rowsPerBand` must divide `k` evenly — every signature
+    * lane belongs to exactly one band. A non-divisible width throws
+    * `IllegalArgumentException` (at expression construction here, and
+    * again in the kernel for the stored-signature path) rather than
+    * silently dropping the trailing lanes. */
   def minHashBands(text: Column, n: Int = 3, k: Int = 16, rowsPerBand: Int = 4): Column =
     graftx.column(MinHashBands(graftx.expr(text), n, k, rowsPerBand))
 

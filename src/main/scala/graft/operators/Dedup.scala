@@ -110,7 +110,17 @@ object Dedup {
     * ≡ the fused text-side banding, parity-tested). At scale, write it
     * bucketed by band_hash so only the (small) new batch ever shuffles. */
   def minHashIndex(df: DataFrame, textCol: Column, idCol: Column,
-      n: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame =
+      n: Int = 3, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // version the index with its parameters: column metadata rides the
+    // schema through select/alias AND a parquet write/read round-trip
+    // (Spark persists field metadata in the footer schema), so
+    // incrementalNearDups can refuse an index built under different
+    // banding instead of silently matching nothing
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.minhash.n", n.toLong)
+      .putLong("graft.minhash.k", k.toLong)
+      .putLong("graft.minhash.rowsPerBand", rowsPerBand.toLong)
+      .build()
     df
       // explode(array(...)) barrier: the isNotNull filter consumes the
       // projected column instead of re-deriving the kernel below it
@@ -118,8 +128,9 @@ object Dedup {
       .select(idCol.as("id"),
         explode(array(TextHash.minHashSig(textCol, n, k))).as("minhash"))
       .filter($"minhash".isNotNull)
-      .select($"id", $"minhash",
+      .select($"id", $"minhash".as("minhash", meta),
         posexplode(TextHash.bandHashes($"minhash", rowsPerBand)).as(Seq("band", "band_hash")))
+  }
 
   /** INCREMENTAL near-dup detection: match a new batch against an
     * EXISTING corpus's prebuilt [[minHashIndex]] without ever touching
@@ -139,15 +150,28 @@ object Dedup {
     * the dropDuplicates exists only because the banded index carries
     * minhash per band row for self-containment).
     *
-    * The index MUST have been built with the same (n, k, rowsPerBand):
-    * a differing k fails fast in the agreement kernel (signature width
-    * mismatch), but a differing n or banding silently yields disjoint
-    * buckets — version index files with their parameters.
+    * The index MUST have been built with the same (n, k, rowsPerBand).
+    * [[minHashIndex]] stamps its parameters into the `minhash` column's
+    * metadata (which survives the parquet round-trip), and this method
+    * fails fast on any mismatch. An unstamped index (built elsewhere)
+    * is accepted as-is — then a differing k still fails in the
+    * agreement kernel (signature width mismatch), but a differing n or
+    * banding would silently yield disjoint buckets, so prefer stamped
+    * indexes.
     *
     * Output: (new_id, dup_of, est_jaccard ≥ threshold). */
   def incrementalNearDups(newDocs: DataFrame, textCol: Column, idCol: Column,
       index: DataFrame, n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    val idxMeta = index.schema.find(_.name == "minhash").map(_.metadata)
+      .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+    for ((param, value) <- Seq("n" -> n, "k" -> k, "rowsPerBand" -> rowsPerBand)) {
+      val key = s"graft.minhash.$param"
+      if (idxMeta.contains(key))
+        require(idxMeta.getLong(key) == value.toLong,
+          s"incrementalNearDups: index was built with $param=${idxMeta.getLong(key)} " +
+            s"but $param=$value was requested — rebuild the index or match its parameters")
+    }
     val newIdx = minHashIndex(newDocs, textCol, idCol, n, k, rowsPerBand)
     val cand = newIdx.as("n")
       .join(index.as("o"),

@@ -22,17 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  /** Apply `updates` to `snapshot` (same schema, unique `key`).
-    * Output: every resulting row plus an `action` tag (U/I/K). */
+  /** Apply `updates` to `snapshot` (same schema — names, order, AND
+    * types — unique non-null `key`). Output: every resulting row plus an
+    * `action` tag (U/I/K).
+    *
+    * Row-level "update wins": when a key matches, the ENTIRE update row
+    * replaces the snapshot row — including non-key columns that are
+    * legitimately NULL in the update (they overwrite, they do not fall
+    * back to the stale snapshot value). The matched-side gate is the
+    * key's nullness, never the payload columns'. */
   def upsert(snapshot: DataFrame, updates: DataFrame, key: String): DataFrame = {
     require(snapshot.columns.sameElements(updates.columns),
       s"upsert: schema mismatch (${snapshot.columns.mkString(",")} vs ${updates.columns.mkString(",")})")
+    require(snapshot.schema.map(_.dataType) == updates.schema.map(_.dataType),
+      s"upsert: column type mismatch (${snapshot.schema.map(_.dataType).mkString(",")} " +
+        s"vs ${updates.schema.map(_.dataType).mkString(",")})")
     val s = snapshot.as("s")
     val u = updates.as("u")
     val merged = s.join(u, col(s"s.$key") === col(s"u.$key"), "full_outer")
     merged.select(
       snapshot.columns.toIndexedSeq.map(c =>
-        coalesce(col(s"u.$c"), col(s"s.$c")).as(c)) :+
+        when(col(s"u.$key").isNotNull, col(s"u.$c"))
+          .otherwise(col(s"s.$c")).as(c)) :+
         when(col(s"u.$key").isNotNull && col(s"s.$key").isNotNull, "U")
           .when(col(s"u.$key").isNotNull, "I")
           .otherwise("K").as("action"): _*)

@@ -625,11 +625,10 @@ object RelationalQueries {
       val tag = (scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff).toHexString
       val li = s"lineitem_b_$tag"
       val ord = s"orders_b_$tag"
-      // report the in-bucket sort order from the scan (needs exactly one
-      // file per bucket — guaranteed by the repartition(8) below): off,
-      // Spark re-sorts each bucket below joins; on, merge joins zip the
-      // pre-sorted bucket files directly (q30/q31 plan gates)
-      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // in-bucket sort order is reported by the scan because
+      // spark.sql.legacy.bucketedTableScan.outputOrdering is set at
+      // session construction (GraftSession.tuned) — never flipped here,
+      // so planning doesn't depend on query execution order
       if (!s.catalog.tableExists(li) || !s.catalog.tableExists(ord)) {
         val base = graft.streaming.StreamingRelational.scratchBase.resolve(s"bucketed-$tag")
         Tables.lineitem(s, d)

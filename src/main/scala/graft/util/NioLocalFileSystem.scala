@@ -40,11 +40,18 @@ class NioRawLocalFs(uri: java.net.URI, conf: org.apache.hadoop.conf.Configuratio
 
 /** Session-builder tuning shared by every entry point (Bench, Verify,
   * the run harnesses, tests): swap the local filesystems for the
-  * fork-free ones. Pure performance — semantics identical to stock. */
+  * fork-free ones (pure performance — semantics identical to stock),
+  * and fix the bucketed-scan planning conf once at construction so no
+  * query flips it mid-session (planning must not depend on execution
+  * order). `outputOrdering=true` lets a one-file-per-bucket scan report
+  * its in-bucket sort, so co-located merge joins plan with neither
+  * Exchange nor Sort (the q30/q31 plan gates); it is only *used* when a
+  * bucketed table is read, and is safe (ignored) otherwise. */
 object GraftSession {
   def tuned(b: org.apache.spark.sql.SparkSession.Builder): org.apache.spark.sql.SparkSession.Builder =
     b.config("spark.hadoop.fs.file.impl", classOf[NioLocalFileSystem].getName)
       .config("spark.hadoop.fs.AbstractFileSystem.file.impl", classOf[NioLocalFs].getName)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
 }
 
 class NioRawLocalFileSystem extends RawLocalFileSystem {

@@ -133,6 +133,27 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(!got.exists(_._1 == 4L))
   }
 
+  test("incrementalNearDups: index built under different banding fails fast, even via parquet") {
+    val existing = docs.filter(col("doc_id") % 2 === 1)
+    val newBatch = docs.filter(col("doc_id") % 2 === 0)
+    val index = Dedup.minHashIndex(existing, col("text"), col("doc_id"), n = 3, k = 16, rowsPerBand = 4)
+    // the stamp must survive the parquet round-trip — that's the whole
+    // point of versioning the index FILE, not the in-memory frame
+    val dir = java.nio.file.Files.createTempDirectory("mh-index").resolve("idx").toString
+    index.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    for ((n2, k2, rpb2) <- Seq((4, 16, 4), (3, 32, 4), (3, 16, 2))) {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.incrementalNearDups(newBatch, col("text"), col("doc_id"), stored,
+          n = n2, k = k2, rowsPerBand = rpb2)
+      }
+      assert(e.getMessage.contains("rebuild the index"))
+    }
+    // matching parameters still work against the stored index
+    assert(Dedup.incrementalNearDups(newBatch, col("text"), col("doc_id"), stored)
+      .collect().exists(r => r.getAs[Long]("new_id") == 2L))
+  }
+
   test("minHashIndex: one banded row per (doc, band); short docs absent") {
     val idx = Dedup.minHashIndex(docs, col("text"), col("doc_id")).collect()
     val byId = idx.groupBy(_.getAs[Long]("id"))

@@ -43,4 +43,23 @@ class UpsertSpec extends AnyFunSuite with SparkTestSupport {
     }
     assert(e.getMessage.contains("schema mismatch"))
   }
+
+  test("upsert: a NULL in a matched update column overwrites (update wins row-wide)") {
+    import spark.implicits._
+    val updates = Seq((2L, null: String, 200.0)).toDF("k", "name", "v")
+    val got = Upsert.upsert(snapshot, updates, "k")
+      .filter($"k" === 2L).collect().head
+    assert(got.isNullAt(1), "matched update's NULL name must replace the snapshot value")
+    assert(got.getDouble(2) === 200.0)
+    assert(got.getString(3) === "U")
+  }
+
+  test("upsert: same names but different column types is an error") {
+    import spark.implicits._
+    val wrongTypes = Seq((1L, "x", 5)).toDF("k", "name", "v") // v: int, not double
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsert(snapshot, wrongTypes, "k")
+    }
+    assert(e.getMessage.contains("type mismatch"))
+  }
 }
