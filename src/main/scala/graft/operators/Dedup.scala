@@ -64,18 +64,44 @@ object Dedup {
   }
 
   /** MinHash near-dup pairs with estimated Jaccard ≥ threshold:
-    * LSH candidates verified by signature agreement fraction. */
+    * LSH candidates verified by signature agreement fraction.
+    *
+    * Adversarial-skew defense ([[Collapse]]): normalize-identical
+    * documents (mass-duplicated boilerplate) collapse to one
+    * representative before banding, so the bucket self-join, candidate
+    * dedup, and agreement verify are bounded by DISTINCT documents (and
+    * the signature kernel runs once per distinct doc); member pairs
+    * re-expand with the rep-level estimate. Output is row-identical to
+    * the uncollapsed pipeline (SkewSpec). */
   def minHashPairs(df: DataFrame, textCol: Column, idCol: Column,
       n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val sigs = minHashSignatures(df, textCol, idCol, n, k)
-    val cand = minHashCandidatePairs(df, textCol, idCol, n, k, rowsPerBand)
-    cand
-      .join(sigs.select($"id".as("id_a"), $"minhash".as("mh_a")), "id_a")
-      .join(sigs.select($"id".as("id_b"), $"minhash".as("mh_b")), "id_b")
-      .withColumn("est_jaccard", round(TextHash.sigAgreement($"mh_a", $"mh_b"), 4))
+    val rows = df.select(idCol.as("id"), textCol.as("text"))
+    val (members, reps0) = Collapse.collapse(
+      rows, TextFunctions.fingerprint($"text"), $"id", $"text")
+    val repSigs = reps0.select($"rep",
+      TextHash.minHashSig($"payload", n, k).as("minhash"), $"cnt")
+    val banded = repSigs.select($"rep",
+      posexplode(TextHash.bandHashes($"minhash", rowsPerBand)).as(Seq("band", "band_hash")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val repCand = a.join(b,
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("ra"), col("b.rep").as("rb"))
+      .distinct()
+    val cross = repCand
+      .join(repSigs.select($"rep".as("ra"), $"minhash".as("mh_a")), "ra")
+      .join(repSigs.select($"rep".as("rb"), $"minhash".as("mh_b")), "rb")
+      .select($"ra", $"rb", round(TextHash.sigAgreement($"mh_a", $"mh_b"), 4).as("est_jaccard"))
       .filter($"est_jaccard" >= threshold)
-      .select($"id_a", $"id_b", $"est_jaccard")
+    // intra-group pairs: signature-less (short) docs never band, so
+    // identical short docs must NOT pair — same as uncollapsed
+    val self = repSigs.filter($"cnt" > 1 && $"minhash".isNotNull)
+      .select($"rep".as("ra"),
+        round(TextHash.sigAgreement($"minhash", $"minhash"), 4).as("est_jaccard"))
+      .filter($"est_jaccard" >= threshold)
+    Collapse.expandPairs(cross, self, members, "est_jaccard")
   }
 
   /** MinHash-blocked near-dup pairs verified by EXACT n-gram Jaccard —
@@ -88,18 +114,46 @@ object Dedup {
     * k=32/rowsPerBand=2 (16 bands), a true pair at Jaccard j is missed
     * with probability (1−j²)^16 — 3e-12 at j = 0.9, 1e-5 at j = 0.7 —
     * so the result equals the all-pairs exact answer on any corpus whose
-    * near-dups sit above the threshold with a margin. */
+    * near-dups sit above the threshold with a margin.
+    *
+    * Adversarial-skew defense ([[Collapse]]): normalize-identical
+    * documents collapse to one representative before banding — the
+    * bucket self-join and the exact-Jaccard verify run over DISTINCT
+    * documents only (one shingle-kernel evaluation per distinct PAIR,
+    * never per member pair); member pairs re-expand with the rep-level
+    * jaccard, which is exact because members share the normalized
+    * shingle set the kernel computes. Row-identical to the uncollapsed
+    * pipeline (SkewSpec). */
   def minHashPairsVerified(df: DataFrame, textCol: Column, idCol: Column,
       n: Int = 3, k: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
-    val cand = minHashCandidatePairs(df, textCol, idCol, n, k, rowsPerBand)
-    val texts = df.select(idCol.as("id"), textCol.as("text"))
-    cand
-      .join(texts.select($"id".as("id_a"), $"text".as("text_a")), "id_a")
-      .join(texts.select($"id".as("id_b"), $"text".as("text_b")), "id_b")
-      .withColumn("jaccard", round(ngramJaccard($"text_a", $"text_b", n), 4))
+    val rows = df.select(idCol.as("id"), textCol.as("text"))
+    val (members, reps0) = Collapse.collapse(
+      rows, TextFunctions.fingerprint($"text"), $"id", $"text")
+    val reps = reps0.select($"rep", $"payload".as("text"), $"cnt")
+    val banded = reps.select($"rep",
+      posexplode(TextHash.minHashBands($"text", n, k, rowsPerBand)).as(Seq("band", "band_hash")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val repCand = a.join(b,
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("ra"), col("b.rep").as("rb"))
+      .distinct()
+    val texts = reps.select($"rep", $"text")
+    val cross = repCand
+      .join(texts.select($"rep".as("ra"), $"text".as("text_a")), "ra")
+      .join(texts.select($"rep".as("rb"), $"text".as("text_b")), "rb")
+      .select($"ra", $"rb", round(ngramJaccard($"text_a", $"text_b", n), 4).as("jaccard"))
       .filter($"jaccard" >= threshold)
-      .select($"id_a", $"id_b", $"jaccard")
+    // intra-group: shingle-less docs never band (NULL signature) in the
+    // uncollapsed pipeline, so gate on banding eligibility; for the
+    // rest, jaccard(text, text) is the kernel's own self-similarity
+    val self = reps.filter($"cnt" > 1)
+      .filter(TextHash.minHashSig($"text", n, k).isNotNull)
+      .select($"rep".as("ra"), round(ngramJaccard($"text", $"text", n), 4).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+    Collapse.expandPairs(cross, self, members, "jaccard")
   }
 
   /** Persistent MinHash signature index: (id, minhash, band, band_hash),
@@ -202,24 +256,39 @@ object Dedup {
     * on (band, chunk) buckets, then verify with the exact popcount of
     * the XOR. Same block+verify shape as MinHash-LSH: candidates are
     * bucket-mates only, never the O(n²) cross join. */
+  /** Adversarial-skew defense ([[Collapse]]): normalize-identical
+    * documents collapse before banding (bounded bucket self-join over
+    * distinct docs; simhash kernel once per distinct doc); intra-group
+    * pairs carry hamming 0 (xor of identical signatures) and cross
+    * pairs the rep-level popcount. Row-identical to the uncollapsed
+    * pipeline (SkewSpec). */
   def simHashPairs(df: DataFrame, textCol: Column, idCol: Column,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = simHashSignatures(df, textCol, idCol)
-    val banded = sigs.select($"id", $"simhash",
+    val rows = df.select(idCol.as("id"), textCol.as("text"))
+    val (members, reps0) = Collapse.collapse(
+      rows, TextFunctions.fingerprint($"text"), $"id", $"text")
+    val repSigs = reps0.select($"rep",
+      TextHash.simHash64($"payload").as("simhash"), $"cnt")
+    val banded = repSigs.select($"rep", $"simhash",
       posexplode(array((0 until 4).map { b =>
         shiftright($"simhash", b * 16).bitwiseAND(lit(0xFFFFL))
       }: _*)).as(Seq("band", "chunk")))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b,
+    val cross = a.join(b,
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("ra"), col("b.rep").as("rb"),
         col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter($"hamming" <= maxHamming)
-      .select($"id_a", $"id_b", $"hamming")
+      .select($"ra", $"rb", $"hamming")
+    // identical docs ⇒ identical signatures ⇒ hamming 0, always ≤ max;
+    // null-text docs have a null simhash, never band, never pair
+    val self = repSigs.filter($"cnt" > 1 && $"simhash".isNotNull)
+      .select($"rep".as("ra"), lit(0).as("hamming"))
+    Collapse.expandPairs(cross, self, members, "hamming")
   }
 
   /** Exact n-gram Jaccard similarity of two text columns (distinct

@@ -214,6 +214,14 @@ object Similarity {
     * old 6-bit default put ~80 docs per bucket and generated 1.3M
     * candidates from 5k docs). Recall at per-plane agreement p is
     * 1−(1−p^nBits)^nBands: 12×14 ≈ 0.99 at cosine 0.95. */
+  /** Adversarial-skew defense ([[Collapse]]): identical embeddings
+    * (mass-duplicated boilerplate) collapse to one representative
+    * BEFORE banding — the bucket self-join, candidate dedup, and verify
+    * are bounded by DISTINCT embeddings; member pairs re-expand
+    * afterwards with the rep-level cosine (identical vectors ⇒
+    * identical scores), so the output is row-identical to the
+    * uncollapsed pipeline (SkewSpec) and the signature kernel runs once
+    * per distinct vector instead of once per row. */
   def cosineNearDupPairs(df: DataFrame, embCol: Column, idCol: Column,
       threshold: Double, nBits: Int = 12, nBands: Int = 14,
       seed: Long = 42L, dim: Int = -1, centered: Boolean = true): DataFrame = {
@@ -221,36 +229,47 @@ object Similarity {
     val planes = hyperplanes(nBits * nBands, d, seed)
     // centered bucketing: correlated corpora (all docs share common
     // content directions) otherwise crowd into a handful of buckets and
-    // the self-join degenerates toward O(n²)
+    // the self-join degenerates toward O(n²). The mean is taken over
+    // the ORIGINAL rows (duplicates and all), so collapsing cannot
+    // move the buckets.
     val offsets = if (centered) centeredOffsets(df, embCol, planes, d) else null
-    // the banded self-join carries ONLY (id, band, sig) — never the
-    // embedding arrays (shipping a 64-double vector through a 6-way
+    val rows = df.filter(embCol.isNotNull)
+      .select(idCol.as("id"), asDouble(embCol).as("emb"))
+    val (members, reps0) = Collapse.collapse(rows, md5(to_json($"emb")), $"id", $"emb")
+    val reps = reps0.select($"rep", $"payload".as("emb"), $"cnt")
+    // the banded self-join carries ONLY (rep, band, sig) — never the
+    // embedding arrays (shipping a 64-double vector through the
     // explode + shuffle multiplies I/O by nBands; candidates are orders
     // of magnitude fewer than banded rows, so attaching embeddings to
-    // the deduped candidate pairs afterwards is strictly cheaper)
-    // ONE fused kernel call computes all nBands signatures per row
-    // (previously nBands × nBits separate dot expressions — the
-    // dominant per-row cost at the 12×14 defaults), then posexplode
-    // turns the array<long> into (band, sig) rows for the self-join
-    val banded = df.select(
-        idCol.as("id"),
-        posexplode(graft.expressions.VectorOps.lshBandSignatures(
-          asDouble(embCol), planes,
-          if (offsets == null) noOffsets else offsets, nBits)).as(Seq("band", "sig")))
+    // the deduped candidate pairs afterwards is strictly cheaper).
+    // ONE fused kernel call computes all nBands signatures per rep.
+    val banded = reps.select(
+      $"rep",
+      posexplode(graft.expressions.VectorOps.lshBandSignatures(
+        $"emb", planes,
+        if (offsets == null) noOffsets else offsets, nBits)).as(Seq("band", "sig")))
     val a = banded.as("a")
     val b = banded.as("b")
-    val cand = a.join(b,
+    val repCand = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("ra"), col("b.rep").as("rb"))
       .distinct()
-    val embs = df.select(idCol.as("id"), asDouble(embCol).as("emb"))
-    cand
-      .join(embs.select($"id".as("id_a"), $"emb".as("emb_a")), "id_a")
-      .join(embs.select($"id".as("id_b"), $"emb".as("emb_b")), "id_b")
-      .select($"id_a", $"id_b",
+    val rembs = reps.select($"rep", $"emb")
+    val cross = repCand
+      .join(rembs.select($"rep".as("ra"), $"emb".as("emb_a")), "ra")
+      .join(rembs.select($"rep".as("rb"), $"emb".as("emb_b")), "rb")
+      .select($"ra", $"rb",
         round(cosineSimilarity($"emb_a", $"emb_b"), 4).as("cosine"))
       .filter($"cosine" >= threshold)
+    // intra-group pairs: kernel on (emb, emb), NOT a literal 1.0 — a
+    // zero-norm vector's self-cosine must match whatever the kernel
+    // returns for it, or expansion diverges from the uncollapsed twin
+    val self = reps.filter($"cnt" > 1)
+      .select($"rep".as("ra"),
+        round(cosineSimilarity($"emb", $"emb"), 4).as("cosine"))
+      .filter($"cosine" >= threshold)
+    Collapse.expandPairs(cross, self, members, "cosine")
   }
 
   /** Plane offsets that center the LSH space on the corpus mean —
@@ -277,33 +296,83 @@ object Similarity {
     * true neighbors, nBits to keep buckets sparse as the corpus grows —
     * nBits must track log2(n), see [[cosineNearDupPairs]]'s sizing
     * note). Output: (id, nbr, score, rk), rk = 1..k most-similar-first. */
+  /** Adversarial-skew defense ([[Collapse]]), exploiting that a top-k
+    * contract caps the expansion itself — unlike the pair-listing
+    * operators, NO stage here is quadratic in a duplicate-group size:
+    *
+    *  1. identical embeddings collapse to one representative; banding,
+    *     the bucket self-join, and the once-per-group-pair cosine
+    *     verify all run over DISTINCT vectors;
+    *  2. every member of a group shares the same scored candidate
+    *     groups, and within one candidate group all neighbors tie on
+    *     score — so only that group's k+1 SMALLEST member ids can ever
+    *     enter anyone's top-k list (ties break by neighbor id
+    *     ascending; the +1 absorbs self-exclusion inside one's own
+    *     group). The rep-level pool keeps k+1 ids per candidate group,
+    *     then the top k+1 pool rows per rep;
+    *  3. members join the ≤ k+1-row pool of their rep — O(n·k)
+    *     expansion — drop the self row, and re-rank per id.
+    *
+    * The result is row-identical to ranking the uncollapsed candidate
+    * set (identical vectors share every bucket and every score;
+    * SkewSpec asserts equality on a boilerplate-heavy fixture). */
   def knnJoin(df: DataFrame, embCol: Column, idCol: Column, k: Int,
       nBits: Int = 4, nBands: Int = 2, seed: Long = 42L, dim: Int = -1,
       centered: Boolean = false): DataFrame = {
     val d = if (dim > 0) dim else firstDim(df, embCol)
     val planes = hyperplanes(nBits * nBands, d, seed)
     val offsets = if (centered) centeredOffsets(df, embCol, planes, d) else null
-    val banded = df.select(
-      idCol.as("id"),
+    val rows = df.filter(embCol.isNotNull)
+      .select(idCol.as("id"), asDouble(embCol).as("emb"))
+    val (members, reps0) = Collapse.collapse(rows, md5(to_json($"emb")), $"id", $"emb")
+    val reps = reps0.select($"rep", $"payload".as("emb"), $"cnt")
+    val banded = reps.select(
+      $"rep",
       posexplode(graft.expressions.VectorOps.lshBandSignatures(
-        asDouble(embCol), planes,
+        $"emb", planes,
         if (offsets == null) noOffsets else offsets, nBits)).as(Seq("band", "sig")))
     val a = banded.as("a")
     val b = banded.as("b")
-    val cand = a.join(b,
+    // directed rep candidates (each rep ranks its own list), plus the
+    // self-pair for multi-member groups (a member's co-members are
+    // candidates in the uncollapsed pipeline — identical vectors share
+    // every bucket)
+    val repCand = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("id"), col("b.id").as("nbr"))
+          col("a.rep") =!= col("b.rep"))
+      .select(col("a.rep").as("ra"), col("b.rep").as("rb"))
       .distinct()
-    val embs = df.select(idCol.as("id"), asDouble(embCol).as("emb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"id").orderBy($"score".desc, $"nbr")
-    cand
-      .join(embs.select($"id", $"emb".as("emb_a")), "id")
-      .join(embs.select($"id".as("nbr"), $"emb".as("emb_b")), "nbr")
-      .select($"id", $"nbr",
+      .unionByName(reps.filter($"cnt" > 1).select($"rep".as("ra"), $"rep".as("rb")))
+    val rembs = reps.select($"rep", $"emb")
+    val scored = repCand
+      .join(rembs.select($"rep".as("ra"), $"emb".as("emb_a")), "ra")
+      .join(rembs.select($"rep".as("rb"), $"emb".as("emb_b")), "rb")
+      .select($"ra", $"rb",
         round(cosineSimilarity($"emb_a", $"emb_b"), 4).as("score"))
-      .withColumn("rk", row_number().over(w))
+    // neighbor-side pool: the k+1 smallest member ids per group (only
+    // those can survive any top-k; ties break by nbr ascending)
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy($"rep").orderBy($"id")
+    val poolIds = members
+      .withColumn("mrk", row_number().over(wG))
+      .filter($"mrk" <= k + 1)
+      .select($"rep".as("rb"), $"id".as("nbr"))
+    // rep-level pre-rank: a member's top-k (pool minus at most its own
+    // self row) is contained in the pool's top k+1
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy($"ra").orderBy($"score".desc, $"nbr")
+    val poolTop = scored.join(poolIds, "rb")
+      .select($"ra", $"nbr", $"score")
+      .withColumn("prk", row_number().over(wR))
+      .filter($"prk" <= k + 1)
+    // expand to members (O(k) rows per id) and re-rank per id
+    val wI = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id").orderBy($"score".desc, $"nbr")
+    poolTop
+      .join(members.select($"id", $"rep".as("ra")), "ra")
+      .filter($"id" =!= $"nbr")
+      .select($"id", $"nbr", $"score")
+      .withColumn("rk", row_number().over(wI))
       .filter($"rk" <= k)
   }
 

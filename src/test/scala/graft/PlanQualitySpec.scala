@@ -191,19 +191,41 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("v12: kNN join — id-only dedup shuffle, partial+final rank limit") {
+  test("v12: kNN join — collapsed banding, rep-pair dedup shuffle, rank limits") {
     val p = plan("v12_knn_join")
     assert(p.contains("lsh_bands"), s"fused signature kernel must appear:\n$p")
-    // the candidate-dedup shuffle carries BARE (id, nbr) pairs — the
+    // adversarial-skew defense: the banding kernel runs over the
+    // exact-dup-collapsed rep table — materialized once (Scan
+    // ExistingRDD, the lazy localCheckpoint in Collapse) so the 7
+    // downstream references don't re-scan the source, and never the
+    // raw rows: a boilerplate clique is one rep, not a hot bucket
+    assert(nodeCount(p, "Scan ExistingRDD") >= 2 && nodeCount(p, "Scan parquet ") == 0,
+      s"banding must consume the materialized collapse, not raw scans:\n$p")
+    // the candidate-dedup shuffle carries BARE (ra, rb) rep pairs — the
     // embeddings attach to the deduped candidates afterwards, never
     // riding the banded self-join or the distinct
-    assert("hashpartitioning\\(id#\\d+L?, nbr#".r.findFirstIn(p).nonEmpty,
-      s"candidate dedup must shuffle bare id pairs:\n$p")
-    // rank()<=k is pushed to a WindowGroupLimit on BOTH sides of the
-    // per-id shuffle: each map task keeps its local top-k before the
-    // exchange — the property that bounds the window input at any SF
-    assert(nodeCount(p, "WindowGroupLimit") == 2,
-      s"expected partial+final WindowGroupLimit:\n$p")
+    assert("hashpartitioning\\(ra#\\d+L?, rb#".r.findFirstIn(p).nonEmpty,
+      s"candidate dedup must shuffle bare rep pairs:\n$p")
+    // all three rank limits (k+1-smallest member pool, rep-level pool
+    // top-(k+1), final per-id top-k) push to partial+final
+    // WindowGroupLimit around their shuffles: each map task keeps its
+    // local top rows before the exchange — what bounds window input
+    // (and the member expansion) at any SF
+    assert(nodeCount(p, "WindowGroupLimit") == 6,
+      s"expected 3 partial+final WindowGroupLimit pairs:\n$p")
+  }
+
+  test("v05/t09: near-dup banding consumes the exact-dup collapse materialization") {
+    for (q <- Seq("v05_cosine_neardup", "t09_minhash_neardup_pairs")) {
+      val p = plan(q)
+      // the collapse (reps + members) is computed once and referenced
+      // as materialized blocks — no raw re-scan anywhere downstream
+      assert(nodeCount(p, "Scan ExistingRDD") >= 2,
+        s"$q: banding must run over the materialized collapse:\n$p")
+      // rep-pair candidate dedup shuffles bare rep ids only
+      assert("hashpartitioning\\(ra#\\d+L?, rb#".r.findFirstIn(p).nonEmpty,
+        s"$q: candidate dedup must shuffle bare rep pairs:\n$p")
+    }
   }
 
   test("v13: semantic decontamination is one kernel scan — no join, no re-derive") {

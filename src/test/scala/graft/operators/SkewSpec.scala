@@ -29,4 +29,185 @@ class SkewSpec extends AnyFunSuite with SparkTestSupport {
       .groupBy(col("k"), col("salt")).count()
     assert(partials.count() > 1) // the hot key split across salt buckets
   }
+
+  // ---------------------------------------------------------------------
+  // Adversarial skew for the banded LSH self-joins: a boilerplate-heavy
+  // corpus (30% exact copies of ONE document) used to put m identical
+  // rows in the same bucket of every band — m²·nBands candidate rows.
+  // The exact-dup pre-collapse (Collapse.scala) must (a) keep every
+  // intermediate bounded by DISTINCT inputs and (b) produce output
+  // row-identical to the uncollapsed pipeline, asserted here against
+  // inline uncollapsed twins.
+  // ---------------------------------------------------------------------
+
+  private val nDocs = 500
+  private val nDups = 150 // 30% boilerplate copies (ids with last digit 0/1/2)
+
+  private def skewedDocs = {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter accept all cookies terms of service apply"
+    (0 until nDocs).map { i =>
+      val text =
+        if (i % 10 < 3) boiler
+        else if (i % 7 == 0) s"the quick brown fox jumps over the lazy dog number $i and again $i"
+        else s"document $i carries unique content body ${i * 31} with trailing words ${i * 17}"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+  }
+
+  private def skewedEmbs = {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val hot = Array.fill(8)(rng.nextDouble() * 2 - 1)
+    (0 until nDocs).map { i =>
+      val v = if (i % 10 < 3) hot
+              else Array.fill(8)(rng.nextDouble() * 2 - 1)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def collectPairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+
+  test("collapse: the boilerplate group folds to one representative") {
+    val (members, reps) = Collapse.collapse(
+      skewedDocs, graft.functions.TextFunctions.fingerprint(col("text")),
+      col("doc_id"), col("text"))
+    assert(reps.count() === (nDocs - nDups + 1).toLong)
+    val hotRep = members.filter(col("id") === 140L).select("rep").head().getLong(0)
+    assert(hotRep === 0L) // min id of the duplicated group
+    assert(members.count() === nDocs.toLong)
+  }
+
+  test("minHashPairsVerified on skewed corpus == uncollapsed twin") {
+    val docs = skewedDocs
+    val got = collectPairs(Dedup.minHashPairsVerified(docs, col("text"), col("doc_id")))
+    // the uncollapsed reference pipeline (the pre-round-7 shape)
+    val cand = Dedup.minHashCandidatePairs(docs, col("text"), col("doc_id"),
+      n = 3, k = 32, rowsPerBand = 2)
+    val texts = docs.select(col("doc_id").as("id"), col("text"))
+    val want = collectPairs(cand
+      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+      .withColumn("jaccard", round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard")))
+    assert(got === want)
+    // the full boilerplate clique is present: 150 choose 2 intra pairs
+    assert(got.count(p => p._1 % 10 < 3 && p._2 % 10 < 3 && p._3 == "1.0")
+      >= nDups * (nDups - 1) / 2)
+  }
+
+  test("minHashPairs (estimate) on skewed corpus == uncollapsed twin") {
+    val docs = skewedDocs
+    val got = collectPairs(Dedup.minHashPairs(docs, col("text"), col("doc_id")))
+    val sigs = Dedup.minHashSignatures(docs, col("text"), col("doc_id"))
+    val cand = Dedup.minHashCandidatePairs(docs, col("text"), col("doc_id"))
+    val want = collectPairs(cand
+      .join(sigs.select(col("id").as("id_a"), col("minhash").as("mh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("minhash").as("mh_b")), "id_b")
+      .withColumn("est_jaccard",
+        round(graft.expressions.TextHash.sigAgreement(col("mh_a"), col("mh_b")), 4))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("est_jaccard")))
+    assert(got === want)
+  }
+
+  test("simHashPairs on skewed corpus == uncollapsed twin") {
+    val docs = skewedDocs
+    val got = collectPairs(Dedup.simHashPairs(docs, col("text"), col("doc_id")))
+    val sigs = Dedup.simHashSignatures(docs, col("text"), col("doc_id"))
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map { b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("band", "chunk")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val want = collectPairs(a.join(b,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming")))
+    assert(got === want)
+  }
+
+  test("cosineNearDupPairs on skewed embeddings == uncollapsed twin (incl. centered)") {
+    import graft.functions.VectorFunctions._
+    val embs = skewedEmbs
+    for (centered <- Seq(false, true)) {
+      val got = collectPairs(Similarity.cosineNearDupPairs(
+        embs, col("embedding"), col("vec_id"),
+        threshold = 0.3, nBits = 3, nBands = 2, dim = 8, centered = centered))
+      // uncollapsed twin: band ALL rows, bucket self-join, verify each pair
+      val planes = Similarity.hyperplanes(6, 8)
+      val offsets =
+        if (!centered) Array.emptyDoubleArray
+        else {
+          val m = Similarity.meanVector(embs, col("embedding"), 8)
+          planes.map(p => p.zip(m).map { case (x, y) => x * y }.sum)
+        }
+      val banded = embs.select(col("vec_id").as("id"),
+        posexplode(graft.expressions.VectorOps.lshBandSignatures(
+          asDouble(col("embedding")), planes, offsets, 3)).as(Seq("band", "sig")))
+      val a = banded.as("a")
+      val b = banded.as("b")
+      val cand = a.join(b,
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val e = embs.select(col("vec_id").as("id"), asDouble(col("embedding")).as("emb"))
+      val want = collectPairs(cand
+        .join(e.select(col("id").as("id_a"), col("emb").as("emb_a")), "id_a")
+        .join(e.select(col("id").as("id_b"), col("emb").as("emb_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(cosineSimilarity(col("emb_a"), col("emb_b")), 4).as("cosine"))
+        .filter(col("cosine") >= 0.3))
+      assert(got === want, s"centered=$centered")
+      // the 150-copy clique is fully present at cosine 1.0
+      assert(got.count(p => p._1 % 10 < 3 && p._2 % 10 < 3 && p._3 == "1.0")
+        >= nDups * (nDups - 1) / 2, s"centered=$centered")
+    }
+  }
+
+  test("knnJoin on skewed embeddings == uncollapsed twin") {
+    import graft.functions.VectorFunctions._
+    val embs = skewedEmbs
+    val k = 5
+    val got = Similarity.knnJoin(embs, col("embedding"), col("vec_id"),
+        k = k, nBits = 3, nBands = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val planes = Similarity.hyperplanes(6, 8)
+    val banded = embs.select(col("vec_id").as("id"),
+      posexplode(graft.expressions.VectorOps.lshBandSignatures(
+        asDouble(col("embedding")), planes, Array.emptyDoubleArray, 3)).as(Seq("band", "sig")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("nbr"))
+      .distinct()
+    val e = embs.select(col("vec_id").as("id"), asDouble(col("embedding")).as("emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("nbr"))
+    val want = cand
+      .join(e.select(col("id"), col("emb").as("emb_a")), "id")
+      .join(e.select(col("id").as("nbr"), col("emb").as("emb_b")), "nbr")
+      .select(col("id"), col("nbr"),
+        round(cosineSimilarity(col("emb_a"), col("emb_b")), 4).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got === want)
+    // every boilerplate member's top-5 is five co-members at score 1.0,
+    // tie-broken to the smallest neighbor ids
+    val hotTop = got.filter(_._1 == 140L)
+    assert(hotTop.map(_._2) === Set(0L, 1L, 2L, 10L, 11L))
+    assert(hotTop.forall(_._3 == 1.0))
+  }
 }
