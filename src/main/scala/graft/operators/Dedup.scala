@@ -343,68 +343,93 @@ object Dedup {
     * Input: (id_a, id_b) undirected edges. Output: (id, rep) for every
     * endpoint, rep = min id of its component.
     *
-    * Algorithm: min-label propagation — each round every node takes the
-    * min label among itself and its neighbors; converges in
-    * O(component diameter) rounds (near-dup clusters are shallow: text
-    * families hang off one original, diameter 2-4). Each round is one
-    * keyed join + one aggregation — no driver-side graph state, the
-    * driver loop only checks the scalar converged-count. Label tables
-    * persist across rounds and unpersist as they are superseded
-    * (lineage would otherwise double per round). For adversarial
-    * long-chain graphs, rounds are capped; the large-star/small-star
-    * variant trades more shuffles per round for O(log n) rounds and is
-    * the drop-in upgrade if a corpus ever exhibits deep chains. */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
-    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
-      .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // `anchor` is always THE persisted table of the current round (the
-    // public `labels` view selects from it) — unpersisting the anchor,
-    // not a derived view, is what actually frees the superseded round.
-    // Declared outside the try so a job failure mid-loop still frees
-    // the current round's cache in the finally, not just `edges`.
-    var anchor: DataFrame = null
-    try {
-      anchor = edges.select($"src".as("id")).distinct()
-        .select($"id", $"id".as("rep"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = anchor
-      var round = 0
-      var converged = false
-      while (!converged && round < maxRounds) {
-        val viaNeighbors = edges
-          .join(labels.select($"id".as("dst"), $"rep".as("nrep")), "dst")
-          .groupBy($"src".as("id"))
-          .agg(min($"nrep").as("minNrep"))
-        val next = labels.join(viaNeighbors, Seq("id"))
-          .select($"id", least($"rep", $"minNrep").as("rep"), $"rep".as("prev"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        converged = next.filter($"rep" =!= $"prev").isEmpty
-        anchor.unpersist(blocking = false)
-        anchor = next
-        labels = next.select($"id", $"rep")
-        round += 1
-      }
-      // no silent caps: exiting unconverged would return labels where
-      // far nodes of a deep chain carry a non-minimal representative —
-      // wrong clusters, silently. Deep chains are a corpus smell (or a
-      // call for the large-star/small-star variant), not a shrug.
-      if (!converged) throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxRounds rounds — " +
-          "component diameter exceeds the cap; raise maxRounds or switch " +
-          "to the large-star/small-star formulation for deep-chain graphs")
-      // localCheckpoint materializes the final labels into RDD blocks
-      // that the ContextCleaner frees once unreferenced — unlike
-      // persist(), which the cache manager pins for the session — so
-      // the last round's cache can be dropped (in the finally) instead
-      // of leaking one table per call.
-      labels.localCheckpoint(true)
-    } finally {
-      // frees the current round's cache on BOTH paths — success and a
-      // job failure mid-loop (task OOM in a join/isEmpty/checkpoint)
-      if (anchor != null) anchor.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
+    * Algorithm: alternating large-star/small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — each
+    * round re-points edges at local minima, roughly halving every path,
+    * so convergence is O(log d) rounds for diameter d instead of the
+    * O(d) of plain min-label propagation: a million-link chain settles
+    * in ~20 rounds. Each phase is one keyed aggregation + one join —
+    * no driver-side graph state; the driver loop only checks the
+    * scalar changed-edge count. Edge tables persist across rounds and
+    * unpersist as they are superseded (lineage would otherwise double
+    * per round). The fixed point is a star forest: every node points
+    * directly at its component's min id.
+    *
+    *  - large-star: for every node u with neighborhood N(u), connect
+    *    each strictly-larger neighbor to m = min(N(u) ∪ u);
+    *  - small-star: orient edges high→low, connect each neighbor
+    *    (and u itself) to the minimum. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      val mins = sym.groupBy($"src").agg(min($"dst").as("mn"))
+        .select($"src", least($"mn", $"src").as("m"))
+      sym.join(mins, "src")
+        .filter($"dst" > $"src")
+        .select($"dst".as("src"), $"m".as("dst"))
+        .distinct()
     }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest($"src", $"dst").as("src"), least($"src", $"dst").as("dst"))
+        .filter($"src" =!= $"dst")
+      val mins = dir.groupBy($"src").agg(min($"dst").as("m"))
+      dir.join(mins, "src")
+        .select($"dst".as("src"), $"m".as("dst"))
+        .filter($"src" =!= $"dst")
+        .union(mins.select($"src", $"m".as("dst")))
+        .distinct()
+    }
+    // Per-round lineage cut via EAGER localCheckpoint: each star phase
+    // multiplies the logical plan (self-union + join re-reference the
+    // round's tree ~10×), and Catalyst re-analyzes the WHOLE
+    // accumulated tree every round BEFORE cache substitution can
+    // truncate it — measured exponential per-round slowdown by round 3
+    // under persist() alone. Checkpointing materializes each round
+    // into RDD blocks and replaces its plan with a constant-size
+    // LogicalRDD, so analysis cost stays flat; superseded rounds'
+    // blocks are freed by the ContextCleaner once their DataFrame
+    // reference drops (unlike persist(), which pins entries in the
+    // session cache manager until unpersist).
+    //
+    // The input pair pipeline (often an expensive near-dup plan)
+    // materializes exactly ONCE, at edges0; `nodes` (every endpoint
+    // must surface even after the star contraction consumes its
+    // edges — roots appear only as dst) reads those blocks instead of
+    // re-running the pipeline. Self-pairs stay in edges0 so their
+    // endpoints reach `nodes`; the star phases drop self-edges
+    // internally (dst > src / src =!= dst).
+    val edges0 = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = edges0.select($"src".as("id")).union(edges0.select($"dst".as("id")))
+      .distinct()
+    var edges = edges0
+    var round = 0
+    var converged = false
+    var prevCount = edges0.count()
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextCount = next.count()
+      // fixed point = identical edge set (both sides are distinct):
+      // equal counts plus an empty difference
+      converged = nextCount == prevCount && next.exceptAll(edges).isEmpty
+      edges = next
+      prevCount = nextCount
+      round += 1
+    }
+    // no silent caps: exiting unconverged would return a non-star
+    // edge set whose targets are not component minima — wrong
+    // clusters, silently. 50 rounds covers any graph representable
+    // in 64-bit ids (O(log d)); hitting the cap means a logic error,
+    // not a deep corpus.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds star rounds — " +
+        "this exceeds the O(log diameter) bound for any practical graph")
+    println(s"[graft] connectedComponents: converged in $round large/small-star rounds")
+    val labels = nodes
+      .join(edges.select($"src".as("id"), $"dst".as("rep")), Seq("id"), "left")
+      .select($"id", coalesce($"rep", $"id").as("rep"))
+    labels.localCheckpoint(true)
   }
 
   private implicit class Str(val sc: StringContext) {

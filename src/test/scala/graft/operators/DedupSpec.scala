@@ -114,6 +114,32 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: diameter far beyond the old 25-round cap converges (large/small-star)") {
+    import spark.implicits._
+    // a 201-node chain (diameter 200 — the old min-label propagation
+    // capped out at 25 rounds) plus a 100-member star and a lone pair
+    val chain = (0 until 200).map(i => (i.toLong, i + 1L))
+    val star = (1 to 100).map(i => (1000L, 1000L + i))
+    val pairs = (chain ++ star ++ Seq((5000L, 4999L))).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 201 + 101 + 2)
+    assert((0 to 200).forall(i => got(i.toLong) == 0L), "chain must collapse to min id 0")
+    assert((0 to 100).forall(i => got(1000L + i) == 1000L))
+    assert(got(4999L) === 4999L && got(5000L) === 4999L)
+  }
+
+  test("connectedComponents: bridged components merge to the global min") {
+    import spark.implicits._
+    // two stars joined by one bridge edge — labels must not stop at the
+    // local centers
+    val pairs = ((1 to 5).map(i => (10L, 10L + i)) ++
+      (1 to 5).map(i => (50L, 50L + i)) ++ Seq((15L, 55L))).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet === Set(10L))
+  }
+
   test("incrementalNearDups: new batch matches the index, never new-new or old-old") {
     // existing corpus = odd ids, new batch = even ids; doc 2 is an
     // exact dup (post-normalize) of existing doc 1, doc 4 matches
