@@ -191,6 +191,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED multiprobe kNN: a whole query SET against the bucket index
+    * in ONE plan — the serving shape for bulk retrieval (re-ranking a
+    * candidate file, building a retrieval training set). Single-query
+    * [[lshKnnOnIndex]] collects a radius histogram per call: fine
+    * interactively, but 10k queries would mean 10k driver round-trips.
+    * Here every stage is engine-side and per-query:
+    *
+    *  1. query signatures via the fused kernel (one scan of `queries`);
+    *  2. the bucket-occupancy table (≤ 2^nBits rows — index metadata)
+    *     broadcasts; each query's hamming-distance histogram, running
+    *     total, and minimal radius with ≥ overProbe·k candidates are
+    *     one groupBy + window + groupBy chain over |Q|·2^nBits rows;
+    *  3. the probe set (qid, bucket ≤ radius) broadcasts into an
+    *     equi-join against the bucket index — on a bucket-partitioned
+    *     index the scan prunes to probed buckets (v07's layout);
+    *  4. exact cosine + per-query top-k via row_number (plans as
+    *     partial+final WindowGroupLimit, so map tasks keep only their
+    *     local top-k).
+    *
+    * Per query, the result is row-identical to [[lshKnnOnIndex]] with
+    * the same parameters (spec-asserted). Queries with NULL embeddings
+    * produce no rows. Output: (qid, id, score, rk), rk = 1..k. */
+  def lshKnnBatch(bucketed: DataFrame, queries: DataFrame, qembCol: Column,
+      qidCol: Column, dim: Int, k: Int, nBits: Int = 8, seed: Long = 42L,
+      overProbe: Int = 3): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val q = queries.select(qidCol.as("qid"), asDouble(qembCol).as("qemb"),
+      lshSignature(qembCol, planes).as("qsig"))
+    val counts = bucketed.filter($"bucket".isNotNull)
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"hd")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val radii = q.crossJoin(broadcast(counts))
+      .select($"qid", bit_count($"bucket".bitwiseXOR($"qsig")).as("hd"), $"n")
+      .groupBy($"qid", $"hd").agg(sum($"n").as("bn"))
+      .withColumn("cum", sum($"bn").over(wq))
+      .groupBy($"qid")
+      // smallest radius whose cumulative occupancy reaches overProbe·k;
+      // a corpus with fewer rows in total scans everything (radius nBits)
+      .agg(min(when($"cum" >= k.toLong * overProbe, $"hd")).as("rsel"))
+      .select($"qid", coalesce($"rsel", lit(nBits)).as("radius"))
+    val probes = q.join(radii, "qid")
+      .crossJoin(broadcast(counts.select($"bucket")))
+      .filter(bit_count($"bucket".bitwiseXOR($"qsig")) <= $"radius")
+      .select($"qid", $"qemb", $"bucket")
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"score".desc, $"id")
+    bucketed.join(broadcast(probes), "bucket")
+      .select($"qid", $"id",
+        round(cosineSimilarity(asDouble($"emb"), $"qemb"), 4).as("score"))
+      .withColumn("rk", row_number().over(wk))
+      .filter($"rk" <= k)
+      .select($"qid", $"id", $"score", $"rk")
+  }
+
   /** Embedding near-dup pairs: multi-band LSH blocking + exact cosine
     * verify. Each vector gets `nBands` independent `nBits`-bit
     * signatures; candidates are pairs sharing ANY band's bucket — union

@@ -323,6 +323,20 @@ object VectorQueries {
         queryVector(s, d), 10, nBits = 4)
     },
 
+    // BATCHED ANN serving: three query vectors against the served
+    // bucket index in ONE plan — per-query histogram, radius, probe
+    // set, and top-k all engine-side (no per-query driver round-trip;
+    // v03/v07 collect a histogram per call). Oracle: v03's multiprobe
+    // SQL applied per query via LATERAL, so each query's answer is the
+    // single-query oracle's answer verbatim.
+    sql("v15_knn_batch", batchedKnnSql) { (s, d) =>
+      Similarity.lshKnnBatch(
+          servedIndex(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id").isin(0L, 17L, 42L)),
+          col("embedding"), col("vec_id"), dim = EmbDim, k = 10, nBits = 4)
+        .orderBy(col("qid"), col("rk"))
+    },
+
     sql(
       "v13_semantic_decontam",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -343,6 +357,35 @@ object VectorQueries {
         .orderBy(col("id"))
     }
   )
+
+  /** v15's oracle: the v03 multiprobe semantics applied PER QUERY —
+    * each query's hamming histogram (cumulative count by distance over
+    * the same inlined-plane signatures), minimal radius reaching
+    * overProbe·k = 30, exact-cosine rank within it. Written without
+    * LATERAL (DuckDB's binder forbids window functions inside one):
+    * the per-query histogram is a qs × s cross join grouped by
+    * (qid, hd); radii and ranks are PARTITION BY qid windows — the
+    * same per-query stages the Spark plan runs. */
+  private lazy val batchedKnnSql: String = {
+    val planes = Similarity.hyperplanes(4, EmbDim)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v, ${sigSql("v", planes)} AS bucket FROM e),
+       |qs AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM s WHERE vec_id IN (0, 17, 42)),
+       |hist AS (SELECT q.qid, bit_count(xor(s.bucket, q.qb)) AS hd, count(*) AS n
+       |         FROM qs q CROSS JOIN s GROUP BY 1, 2),
+       |radii AS (SELECT qid, coalesce(min(CASE WHEN cum >= 30 THEN hd END), 4) AS radius
+       |          FROM (SELECT qid, hd, sum(n) OVER (PARTITION BY qid ORDER BY hd) AS cum
+       |                FROM hist)
+       |          GROUP BY qid),
+       |ranked AS (SELECT q.qid, s.vec_id AS id,
+       |    round(list_cosine_similarity(s.v, q.qv), 4) AS score,
+       |    CAST(row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY round(list_cosine_similarity(s.v, q.qv), 4) DESC, s.vec_id) AS INT) AS rk
+       |  FROM qs q JOIN radii r ON q.qid = r.qid
+       |  JOIN s ON bit_count(xor(s.bucket, q.qb)) <= r.radius)
+       |SELECT qid, id, score, rk FROM ranked WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
+  }
 
   /** v12's oracle: the two band signatures from the SAME plane matrix
     * the fused kernel uses (band b, bit i = plane b·nBits+i), candidate

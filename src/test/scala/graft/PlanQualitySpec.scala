@@ -215,6 +215,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"expected 3 partial+final WindowGroupLimit pairs:\n$p")
   }
 
+  test("v15: batched kNN — broadcast probes, partial+final rank limit, no corpus shuffle") {
+    val p = plan("v15_knn_batch")
+    // the probe set (qid, qemb, bucket) broadcasts into the index join;
+    // the corpus side is a plain scan — it is never sort-merge joined
+    // and never exchanged before ranking, so the only data that moves
+    // is per-query candidates
+    assert(p.contains("BroadcastHashJoin"), s"probes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
+    // the per-query top-k pushes to partial+final WindowGroupLimit
+    // around the single by-qid shuffle — map tasks keep only their
+    // local top-k candidates
+    assert(nodeCount(p, "WindowGroupLimit") == 2,
+      s"expected one partial+final WindowGroupLimit pair:\n$p")
+    // the histogram/radius machinery rides the ≤2^nBits-row occupancy
+    // table: its only cross joins are broadcast (occupancy × queries),
+    // never a corpus-side cartesian
+    assert(nodeCount(p, "CartesianProduct") == 0, s"no cartesian anywhere:\n$p")
+  }
+
   test("v05/t09: near-dup banding consumes the exact-dup collapse materialization") {
     for (q <- Seq("v05_cosine_neardup", "t09_minhash_neardup_pairs")) {
       val p = plan(q)

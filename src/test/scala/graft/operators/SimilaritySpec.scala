@@ -92,6 +92,45 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
     assert(appended === rebuilt)
   }
 
+  test("lshKnnBatch: every query's rows equal its single-query lshKnnOnIndex answer") {
+    import spark.implicits._
+    // richer corpus so per-query radii actually differ
+    val rows = (0 until 40).map { i =>
+      val ang = i * 0.157
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat))
+    }
+    val corpus = rows.toDF("id", "emb")
+    val index = Similarity.lshBuckets(corpus, col("emb"), col("id"), nBits = 4, dim = 2)
+    val queries = corpus.filter(col("id").isin(0L, 7L, 23L))
+    val batch = Similarity.lshKnnBatch(index, queries, col("emb"), col("id"),
+        dim = 2, k = 5, nBits = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), (r.getAs[Long]("id"), r.getAs[Double]("score"), r.getAs[Int]("rk"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._3).toSeq).toMap
+    for (qid <- Seq(0L, 7L, 23L)) {
+      val qv = rows(qid.toInt)._2.map(_.toDouble)
+      val single = Similarity.lshKnnOnIndex(index, qv, k = 5, nBits = 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (r.getAs[Long]("id"), r.getAs[Double]("score"), i + 1) }.toSeq
+      assert(batch(qid) === single, s"query $qid")
+    }
+  }
+
+  test("lshKnnBatch: null-embedding query yields no rows, others unaffected") {
+    import spark.implicits._
+    val corpus = (0 until 20).map { i =>
+      (i.toLong, Array(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat))
+    }.toDF("id", "emb")
+    val index = Similarity.lshBuckets(corpus, col("emb"), col("id"), nBits = 4, dim = 2)
+    val queries = Seq(
+      (100L, Array(1.0f, 0.0f)), (101L, null: Array[Float])
+    ).toDF("qid", "emb")
+    val got = Similarity.lshKnnBatch(index, queries, col("emb"), col("qid"),
+        dim = 2, k = 3, nBits = 4)
+      .collect().map(_.getAs[Long]("qid"))
+    assert(got.toSet === Set(100L) && got.length === 3)
+  }
+
   test("lshKnn ignores null-embedding rows instead of crashing the histogram") {
     import spark.implicits._
     val withNull = embs.unionByName(
