@@ -257,6 +257,77 @@ object GngQueries {
       } finally graft.streaming.StreamingRelational.deleteRecursively(dir)
     },
 
+    // The model at its documented scale ceiling: SURVEY §7.4.8 names
+    // the O(N²) edge/age matrices as the real cap, so this measures the
+    // full per-batch update path (distributed assign+aggregate +
+    // driver graph surgery) with ~10³ prototypes at 64-d —
+    // sf0.1-embeddings-sized batches (2000 points). Growth phase:
+    // driver-local micro-batches with growth every batch (10 nodes per
+    // step) until the 1000-node cap; then 2 warm-up + 10 measured
+    // distributed batches with the standard fade/grow cadences active,
+    // i.e. the dynamics a long-running stream has AT the cap. The row
+    // also carries the N² matrix footprint (est_matrix_mb ≈ 16 MB at
+    // N=1000) — the "driver-memory surprise" check: the measurement
+    // completing in-heap with that footprint is the point.
+    rowsOnly("gng_scale") { (s, d) =>
+      import s.implicits._
+      val dim = 64
+      val cap = 1000
+      val params = GngParams(growEvery = 1, nbNodesToAdd = 10, maxNodes = cap)
+      // deterministic 64-d manifold: 250 trig "clusters" + per-point
+      // jitter, so the thousand prototypes spread over real structure
+      def mkPoint(i: Long): graft.model.Point = {
+        val c = (i % 250).toInt
+        val f = Array.tabulate(dim) { j =>
+          10.0 * math.sin(0.37 * c * (j + 1) + 0.11 * j) +
+            0.1 * math.sin(0.013 * i.toDouble * (j + 1))
+        }
+        graft.model.Point(f, c, i)
+      }
+      val model = new graft.model.GngModel(params, dim)
+        .init2Nodes(mkPoint(0), mkPoint(1))
+      var kk = 0
+      val growBatch = 256
+      // +10 nodes/batch, −1 per fade step: the cap is reached in ~110
+      // batches; the bound is a safety net, not the expected exit
+      while (model.nodeCount <= cap && kk < 200) {
+        kk += 1
+        val pts = Array.tabulate(growBatch)(x => mkPoint(kk.toLong * growBatch + x))
+        val stats = graft.operators.GngOps.assignAggregateLocal(pts, model.centroids)
+        if (stats.nonEmpty) model.update(stats, kk)
+      }
+      val growBatches = kk
+      val batchPts = 2000 // sf0.1 embeddings row count
+      val meas = 10
+      val perBatch = new Array[Double](meas)
+      val updPart = new Array[Double](meas) // driver graph surgery alone
+      for (b <- 0 - 2 until meas) { // 2 uncounted warm-up batches
+        kk += 1
+        val local = Array.tabulate(batchPts)(x =>
+          mkPoint(1000000L + (b.toLong + 2) * batchPts + x))
+        val ds = s.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(local))
+        val t0 = System.nanoTime()
+        val stats = graft.operators.GngOps.assignAggregate(ds, model.centroids)
+        val t1 = System.nanoTime()
+        if (stats.nonEmpty) model.update(stats, kk)
+        if (b >= 0) {
+          perBatch(b) = (System.nanoTime() - t0) / 1e6
+          updPart(b) = (System.nanoTime() - t1) / 1e6
+        }
+      }
+      val meanMs = perBatch.sum / meas
+      val n = model.nodeCount
+      Seq((n, dim, growBatches, batchPts, meas,
+        math.round(meanMs * 10) / 10.0,
+        math.round(perBatch.min * 10) / 10.0,
+        math.round(updPart.sum / meas * 10) / 10.0,
+        math.round(batchPts / (meanMs / 1000.0)),
+        math.round(2.0 * n * n * 8 / 1e6 * 10) / 10.0))
+        .toDF("final_nodes", "dim", "grow_batches", "points_per_batch",
+          "meas_batches", "mean_ms_per_batch", "min_ms_per_batch",
+          "mean_update_ms", "points_per_sec", "est_matrix_mb")
+    },
+
     // Clustering quality vs the ground-truth labels the reference keeps
     // "for evaluation" (pointObj.scala:13, SURVEY §1.1): per-cluster
     // majority-label purity — the distributable evaluation the papers
