@@ -128,31 +128,75 @@ object Pq {
       .limit(k)
   }
 
+  /** Query-side probe selection, shared by the online and served
+    * IVFADC paths: the `nProbe` nearest coarse centroids to the query
+    * (squared euclid, ties to the lower list) — a driver-side scan of
+    * the ≤maxNodes centroid array, zero jobs. */
+  def probeLists(centroids: Array[Array[Double]], query: Array[Double],
+      nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < c.length) { val t = query(j) - c(j); d += t * t; j += 1 }
+      (d, i)
+    }.sortBy(_._1).take(nProbe).map(_._2).toSeq
+
   /** IVFADC — the FAISS composition of the two ANN halves this library
     * already has: IVF (coarse centroids, [[Similarity.ivfIndex]])
     * prunes WHICH vectors the query scans to `nProbe` inverted lists;
     * PQ ranks those candidates by ADC without touching raw floats. At
     * 100 TB the index is (list, id, codes) partitioned by list — the
     * probe prunes partitions (v07's pattern) and the ranking scan
-    * streams 8-byte codes. Probe selection mirrors
-    * [[Similarity.ivfKnn]]: nearest `nProbe` centroids to the query,
-    * ties to the lower list. */
+    * streams 8-byte codes: [[ivfPqIndex]] builds it,
+    * [[ivfPqKnnOnIndex]] serves from it. This online variant derives
+    * both per call — correct for one-off queries, wasteful for a
+    * service. Probe selection mirrors [[Similarity.ivfKnn]]: nearest
+    * `nProbe` centroids to the query, ties to the lower list. */
   def ivfPqKnn(df: DataFrame, vecCol: Column, idCol: Column,
       centroids: Array[Array[Double]], codebook: Array[Array[Array[Double]]],
       query: Array[Double], k: Int, nProbe: Int = 2): DataFrame = {
-    val probed = centroids.zipWithIndex.map { case (c, i) =>
-      var d = 0.0
-      var j = 0
-      while (j < c.length) { val t = query(j) - c(j); d += t * t; j += 1 }
-      (d, i)
-    }.sortBy(_._1).take(nProbe).map(_._2)
     val lut = adcLut(codebook, query)
     Similarity.ivfIndex(df, vecCol, idCol, centroids)
-      .filter(col("list").isin(probed.toSeq: _*))
+      .filter(col("list").isin(probeLists(centroids, query, nProbe): _*))
       .select(col("id"),
         round(PqOps.pqAdc(
           PqOps.pqEncode(graft.functions.VectorFunctions.asDouble(col("emb")), codebook),
           lut) + lit(1e-9), 4).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("id"))
+      .limit(k)
+  }
+
+  /** The persistable IVFADC index: `(id, codes, list)` in one
+    * codegen'd pass — coarse list assignment + PQ encode, raw vectors
+    * never stored. Write it `partitionBy("list")` and every query's
+    * probe set prunes at file-listing time; the 100 TB corpus becomes
+    * an 8-byte-per-row code table. Unlike the LSH index
+    * ([[Similarity.lshKnnOnIndex]]'s append-only maintenance), the
+    * centroids/codebook DRIFT as the corpus grows — a served IVFADC
+    * index needs a retrain-and-rebuild policy, which is why both
+    * models are explicit parameters here rather than trained inline. */
+  def ivfPqIndex(df: DataFrame, vecCol: Column, idCol: Column,
+      centroids: Array[Array[Double]],
+      codebook: Array[Array[Array[Double]]]): DataFrame =
+    df.select(idCol.as("id"),
+      PqOps.pqEncode(graft.functions.VectorFunctions.asDouble(vecCol), codebook).as("codes"),
+      graft.expressions.VectorOps.nearestCentroid(
+        graft.functions.VectorFunctions.asDouble(vecCol), centroids).as("list"))
+
+  /** [[ivfPqKnn]] against a PREBUILT [[ivfPqIndex]] — the serving
+    * shape. Neither kernel runs at query time: the probe set is a
+    * driver-side centroid scan, the ranking reads STORED codes from
+    * the probed lists' partitions only (PartitionFilters — plan-gated
+    * like v07), and each row costs `m` LUT lookups. Row-identical to
+    * the online [[ivfPqKnn]] with the same models (spec-asserted). */
+  def ivfPqKnnOnIndex(index: DataFrame,
+      centroids: Array[Array[Double]], codebook: Array[Array[Array[Double]]],
+      query: Array[Double], k: Int, nProbe: Int = 2): DataFrame = {
+    val lut = adcLut(codebook, query)
+    index
+      .filter(col("list").isin(probeLists(centroids, query, nProbe): _*))
+      .select(col("id"),
+        round(PqOps.pqAdc(col("codes"), lut) + lit(1e-9), 4).as("adc_dist"))
       .orderBy(col("adc_dist"), col("id"))
       .limit(k)
   }

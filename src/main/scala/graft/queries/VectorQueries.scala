@@ -43,6 +43,27 @@ object VectorQueries {
     s.read.parquet(path)
   }
 
+  /** Prebuilt IVFADC index per data dir — [[graft.operators.Pq.ivfPqIndex]]
+    * `(id, codes, list)` written ONCE `partitionBy("list")`, so a
+    * served query's probe set prunes at file-listing time and the
+    * ranking scan streams stored codes (raw vectors never written).
+    * Depends on BOTH trained models (GNG coarse centroids + PQ
+    * codebook), so it is keyed on the dir like them. */
+  private val ivfPqIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def servedIvfPqIndex(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val path = ivfPqIndexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "ivfpq-index")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      graft.operators.Pq.ivfPqIndex(Tables.embeddings(s, d), col("embedding"),
+          col("vec_id"), graft.GngQueries.trained(s, d).centroids, pqCodebook(s, d))
+        .write.mode("overwrite").partitionBy("list").parquet(dir.toString)
+      dir.toString
+    })
+    s.read.parquet(path)
+  }
+
   /** DuckDB twin of the LSH signature: the hyperplanes for a fixed
     * (nBits, dim, seed) are deterministic constants
     * ([[Similarity.hyperplanes]] — java.util.Random's spec-fixed LCG),
@@ -284,6 +305,20 @@ object VectorQueries {
     QueryDef("v11_knn_ivfpq", (s, d) =>
       graft.operators.Pq.ivfPqKnn(
         Tables.embeddings(s, d), col("embedding"), col("vec_id"),
+        graft.GngQueries.trained(s, d).centroids, pqCodebook(s, d),
+        queryVector(s, d), k = 10, nProbe = 2),
+      ivfPqOracle),
+
+    // IVFADC served from the PREBUILT partitioned-parquet index
+    // (v07's serving pattern applied to v11): probe selection is a
+    // driver-side centroid scan, the ranking scan prunes to the 2
+    // probed lists' partitions (PartitionFilters gate) and reads
+    // STORED codes — neither the list-assignment nor the encode
+    // kernel runs at query time. Same dump-time oracle as v11: the
+    // served answer must be indistinguishable from the online one.
+    QueryDef("v16_knn_ivfpq_served", (s, d) =>
+      graft.operators.Pq.ivfPqKnnOnIndex(
+        servedIvfPqIndex(s, d),
         graft.GngQueries.trained(s, d).centroids, pqCodebook(s, d),
         queryVector(s, d), k = 10, nProbe = 2),
       ivfPqOracle),

@@ -349,4 +349,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     val online = SparkEntry.queries("v03_knn_lsh")(spark, sf)
     assert(df.collect().toSeq === online.collect().toSeq)
   }
+
+  test("v16: served IVFADC prunes to the probed lists' partitions, reads codes only") {
+    val df = SparkEntry.queries("v16_knn_ivfpq_served")(spark, sf)
+    // the probe predicate references ONLY the `list` partition column →
+    // file-listing-time pruning, never a post-scan Filter over every list
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.nonEmpty, "served IVFADC must read the prebuilt parquet index")
+    assert(scan.get.partitionFilters.exists(_.references.exists(_.name == "list")),
+      s"probe-set filter must prune partitions:\n${scan.get.partitionFilters}")
+    // pruning bites: nProbe=2 of the trained model's lists
+    val total = graft.queries.VectorQueries.servedIvfPqIndex(spark, sf)
+      .select("list").distinct().count()
+    val scanned = scan.get.selectedPartitions.partitionCount
+    assert(scanned < total,
+      s"expected the probe scan to prune ($scanned scanned of $total lists)")
+    // the served scan reads stored codes, never raw embeddings, and the
+    // encode kernel must be absent from the query-time plan
+    val read = scan.get.schema.fieldNames.toSet
+    assert(read.contains("codes") && !read.contains("emb"),
+      s"served scan must read codes only: $read")
+    assert(!df.queryExecution.executedPlan.toString.contains("pq_encode"),
+      "encode kernel must not run at query time")
+    // served == online: byte-identical answer to the v11 path
+    val online = SparkEntry.queries("v11_knn_ivfpq")(spark, sf)
+    assert(df.collect().toSeq === online.collect().toSeq)
+  }
 }

@@ -94,6 +94,29 @@ class PqSpec extends AnyFunSuite with SparkTestSupport {
     assert(one === plain.filter(one.toSet))
   }
 
+  test("ivfPqKnnOnIndex over a parquet round-trip equals online ivfPqKnn") {
+    val df = anchored(90)
+    val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 9, iters = 5)
+    val cents = Array(Array.fill(8)(2.0), Array.fill(8)(12.0), Array.fill(8)(22.0))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-spec").toString
+    try {
+      Pq.ivfPqIndex(df, col("embedding"), col("vec_id"), cents, cb)
+        .write.mode("overwrite").partitionBy("list").parquet(dir)
+      val index = spark.read.parquet(dir)
+      for (qid <- Seq(0L, 7L, 41L); nProbe <- Seq(1, 2)) {
+        val q = df.filter(col("vec_id") === qid)
+          .select(col("embedding")).head().getSeq[Double](0).toArray
+        val served = Pq.ivfPqKnnOnIndex(index, cents, cb, q, k = 8, nProbe = nProbe)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val online = Pq.ivfPqKnn(df, col("embedding"), col("vec_id"), cents, cb, q,
+            k = 8, nProbe = nProbe)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(served === online, s"qid=$qid nProbe=$nProbe")
+      }
+    } finally graft.streaming.StreamingRelational.deleteRecursively(
+      java.nio.file.Paths.get(dir))
+  }
+
   test("adc lut + kernel equal driver-side table lookups") {
     val df = anchored(30)
     val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 4, iters = 2)
