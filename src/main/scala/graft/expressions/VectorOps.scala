@@ -30,6 +30,13 @@ object VectorOps {
     * tie-break — same winner as [[graft.operators.GngOps.twoNearest]]). */
   def nearestCentroid(a: Column, centroids: Array[Array[Double]]): Column =
     graftx.column(NearestCentroid(graftx.expr(a), centroids))
+  /** Indices of the `nProbe` nearest centroids, ascending by squared
+    * Euclidean with lowest-index tie-break — the engine-side twin of
+    * [[graft.operators.Pq.probeLists]] (same distance loop, stable
+    * selection), so a batched query set derives its IVF probe sets in
+    * the plan instead of one driver scan per query. */
+  def nearestLists(a: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    graftx.column(NearestLists(graftx.expr(a), centroids, nProbe))
   /** All LSH band signatures in one fused pass (see [[LshBandSignatures]]).
     * `offsets` empty = classic (uncentered) hyperplane LSH. */
   def lshBandSignatures(a: Column, planes: Array[Array[Double]],
@@ -107,6 +114,49 @@ object VectorOpsImpl {
       i += 1
     }
     best
+  }
+  /** Top-`nProbe` nearest centroid indices, ascending (d, index) —
+    * strict-`<` selection per slot, so ties keep the lower index:
+    * the same ordering [[graft.operators.Pq.probeLists]]'s stable
+    * sortBy produces, with the same query-minus-centroid distance
+    * loop, so engine-side probe sets are bit-identical to the
+    * driver-side ones. */
+  def nearestLists(a: ArrayData, cents: Array[Array[Double]], nProbe: Int): ArrayData = {
+    if (cents.isEmpty)
+      throw new IllegalArgumentException(
+        "nearest_lists: empty centroid matrix (untrained model?)")
+    val v = a.toDoubleArray()
+    val n = cents.length
+    val ds = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val c = cents(i)
+      if (c.length != v.length)
+        throw new IllegalArgumentException(
+          s"nearest_lists: vector length ${v.length} != centroid length ${c.length}")
+      var d = 0.0
+      var k = 0
+      while (k < c.length) { val t = v(k) - c(k); d += t * t; k += 1 }
+      ds(i) = d
+      i += 1
+    }
+    val take = math.min(nProbe, n)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](n)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      var bd = Double.PositiveInfinity
+      var j = 0
+      while (j < n) {
+        if (!used(j) && ds(j) < bd) { bd = ds(j); best = j }
+        j += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
   }
   /** All `planes.length / nBits` LSH band signatures in ONE pass over
     * the embedding: band b's bit i is sign(v · planes(b·nBits+i) −
@@ -236,6 +286,27 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       s"graft.expressions.VectorOpsImpl.nearestCentroid($a, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** [[NearestCentroid]] generalized to the top `nProbe` lists —
+  * per-query IVF probe selection as a plan expression (centroid
+  * matrix as a plan constant), so a batched query DataFrame derives
+  * every probe set engine-side in one pass. Same distance loop and
+  * lowest-index tie semantics as [[graft.operators.Pq.probeLists]]
+  * (strict-`<` selection == stable sort on (d, index)). */
+case class NearestLists(child: Expression, centroids: Array[Array[Double]],
+    nProbe: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_lists"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOpsImpl.nearestLists(a.asInstanceOf[ArrayData], centroids, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.VectorOpsImpl.nearestLists($a, $ref, $nProbe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestLists =
     copy(child = newChild)
 }
 

@@ -200,4 +200,42 @@ object Pq {
       .orderBy(col("adc_dist"), col("id"))
       .limit(k)
   }
+
+  /** BATCHED IVFADC serving: a whole query SET against the
+    * [[ivfPqIndex]] in ONE plan — the ADC twin of
+    * [[Similarity.lshKnnBatch]]. Per query, everything the single-query
+    * path does on the driver happens engine-side:
+    *
+    *  1. probe sets via the `nearest_lists` kernel (centroid matrix as
+    *     a plan constant) — one pass over the query set, exploded to
+    *     (qid, qemb, list) and broadcast into the list equi-join;
+    *  2. ADC scoring via `pq_adc_direct` (codebook as a plan
+    *     constant): each candidate row costs m·sub flops against the
+    *     query riding the broadcast — no per-query driver LUT, no
+    *     encode (codes are STORED);
+    *  3. per-query top-k via row_number — plans as a partial+final
+    *     WindowGroupLimit pair around the single by-qid shuffle.
+    *
+    * Per query, row-identical to [[ivfPqKnnOnIndex]] with the same
+    * models (spec-asserted; the direct ADC replays the LUT build's
+    * exact IEEE adds). Queries with NULL embeddings produce no rows.
+    * Output: (qid, id, adc_dist, rk), rk = 1..k. */
+  def ivfPqKnnBatch(index: DataFrame, queries: DataFrame, qembCol: Column,
+      qidCol: Column, centroids: Array[Array[Double]],
+      codebook: Array[Array[Array[Double]]], k: Int, nProbe: Int = 2): DataFrame = {
+    val q = queries
+      .select(qidCol.as("qid"), asDouble(qembCol).as("qemb"))
+      .select(col("qid"), col("qemb"),
+        explode(graft.expressions.VectorOps.nearestLists(
+          col("qemb"), centroids, nProbe)).as("list"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_dist"), col("id"))
+    index.join(broadcast(q), "list")
+      .select(col("qid"), col("id"),
+        round(PqOps.pqAdcDirect(col("codes"), col("qemb"), codebook) + lit(1e-9), 4)
+          .as("adc_dist"))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), col("adc_dist"), col("rk"))
+  }
 }

@@ -323,6 +323,22 @@ object VectorQueries {
         queryVector(s, d), k = 10, nProbe = 2),
       ivfPqOracle),
 
+    // BATCHED IVFADC serving (the ADC twin of v15): three query
+    // vectors against the served code index in ONE plan — per-query
+    // probe sets via the nearest_lists kernel, ADC via pq_adc_direct
+    // against the broadcast query, per-query top-10 as a
+    // partial+final WindowGroupLimit. Oracle: v11's composed CTEs
+    // generalized per query (probe rank and LUT keyed by qid).
+    QueryDef("v17_knn_ivfpq_batch", (s, d) =>
+      graft.operators.Pq.ivfPqKnnBatch(
+          servedIvfPqIndex(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id").isin(0L, 17L, 42L)),
+          col("embedding"), col("vec_id"),
+          graft.GngQueries.trained(s, d).centroids, pqCodebook(s, d),
+          k = 10, nProbe = 2)
+        .orderBy(col("qid"), col("rk")),
+      batchedIvfPqOracle),
+
     // kNN SELF-join: top-5 neighbors of EVERY vector, LSH-blocked
     // (4 bits × 2 bands) — the kNN-graph / near-dup-clustering
     // workhorse. Fully oracled as the exact pipeline twin: the seeded
@@ -460,16 +476,15 @@ object VectorQueries {
     * ADC accumulation order can't diverge between them: CTEs ending in
     * `pc(vec_id, c0..c{m-1})` (every vector's codes, ties to the lower
     * code) and `lut(j, c, d)` (query-subslice→codeword distances). */
-  private def pqCtes(cb: Array[Array[Array[Double]]]): String = {
+  /** Corpus-side encode CTEs alone — `pd`/`codes`/`pc(vec_id,
+    * c0..c{m-1})` — shared by the single-query ([[pqCtes]]) and
+    * batched ([[batchedIvfPqOracle]]) oracles. */
+  private def pqEncodeCtes(cb: Array[Array[Array[Double]]]): String = {
     val m = cb.length
     val sub = cb(0)(0).length
     // per (vec, subspace, codeword) encode distances — m×k arms
     val encodeArms = (for (j <- 0 until m; c <- cb(j).indices) yield
       s"SELECT vec_id, $j AS j, $c AS c, ${subDistSql("v", j * sub, cb(j)(c))} AS dsq FROM e")
-      .mkString("\nUNION ALL ")
-    // query-side ADC lookup table — the same m×k arms against qv
-    val lutArms = (for (j <- 0 until m; c <- cb(j).indices) yield
-      s"SELECT $j AS j, $c AS c, ${subDistSql("qv", j * sub, cb(j)(c))} AS d FROM q")
       .mkString("\nUNION ALL ")
     val pivot = (0 until m)
       .map(j => s"max(CASE WHEN j = $j THEN c END) AS c$j").mkString(", ")
@@ -477,7 +492,17 @@ object VectorQueries {
        |codes AS (SELECT vec_id, j, c FROM (
        |  SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dsq, c) AS rk FROM pd)
        |  WHERE rk = 1),
-       |pc AS (SELECT vec_id, $pivot FROM codes GROUP BY vec_id),
+       |pc AS (SELECT vec_id, $pivot FROM codes GROUP BY vec_id)""".stripMargin
+  }
+
+  private def pqCtes(cb: Array[Array[Array[Double]]]): String = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    // query-side ADC lookup table — the same m×k arms against qv
+    val lutArms = (for (j <- 0 until m; c <- cb(j).indices) yield
+      s"SELECT $j AS j, $c AS c, ${subDistSql("qv", j * sub, cb(j)(c))} AS d FROM q")
+      .mkString("\nUNION ALL ")
+    s"""${pqEncodeCtes(cb)},
        |lut AS ($lutArms)""".stripMargin
   }
 
@@ -525,6 +550,55 @@ object VectorQueries {
          |${lutJoinsSql(cb.length)}
          |WHERE w.list IN (SELECT list FROM probed)
          |ORDER BY adc_dist, id LIMIT 10""".stripMargin
+    }
+
+  /** v17's oracle: [[ivfPqOracle]] generalized per query — probe sets
+    * ranked PARTITION BY qid, per-query rank on the rounded distance.
+    * The ADC is NOT the single-query oracle's 8-way `lut` join keyed
+    * per qid — DuckDB's join-order search can pair the lut references
+    * with each other on `qid` alone (exponential intermediate in m;
+    * measured: the lut-join form never finished at 500 rows). Instead
+    * the selected codeword's distance inlines as a CASE over `p.c_j`
+    * per subspace — the SQL twin of the `pq_adc_direct` kernel, with
+    * the identical per-codeword left-assoc term chain and the same
+    * subspace-order accumulation. */
+  private def batchedIvfPqOracle: Option[String] =
+    for (cs <- graft.GngQueries.soleTrainedCentroids; cb <- solePqCodebook) yield {
+      val m = cb.length
+      val sub = cb(0)(0).length
+      val queryDists = cs.zipWithIndex
+        .map { case (c, i) => s"SELECT qid, $i AS list, ${graft.GngQueries.distSql("qv", c)} AS d FROM qs" }
+        .mkString("\nUNION ALL ")
+      val vecDists = cs.zipWithIndex
+        .map { case (c, i) => s"SELECT vec_id, $i AS list, ${graft.GngQueries.distSql("v", c)} AS dsq FROM e" }
+        .mkString("\nUNION ALL ")
+      val adcDirect = (0 until m).map { j =>
+        val arms = cb(j).indices
+          .map(c => s"WHEN $c THEN ${subDistSql("qv", j * sub, cb(j)(c))}")
+          .mkString(" ")
+        s"(CASE p.c$j $arms END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 17, 42)),
+         |cd AS ($queryDists),
+         |probed AS (SELECT qid, list FROM (
+         |  SELECT qid, list, row_number() OVER (PARTITION BY qid ORDER BY d, list) AS rk FROM cd)
+         |  WHERE rk <= 2),
+         |vd AS ($vecDists),
+         |win AS (SELECT vec_id, list FROM (
+         |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, list) AS rk FROM vd)
+         |  WHERE rk = 1),
+         |${pqEncodeCtes(cb)},
+         |ranked AS (
+         |  SELECT pr.qid, p.vec_id AS id, round($adcDirect + 1e-9, 4) AS adc_dist,
+         |    CAST(row_number() OVER (PARTITION BY pr.qid
+         |      ORDER BY round($adcDirect + 1e-9, 4), p.vec_id) AS INT) AS rk
+         |  FROM pc p
+         |  JOIN win w ON w.vec_id = p.vec_id
+         |  JOIN probed pr ON pr.list = w.list
+         |  JOIN qs ON qs.qid = pr.qid)
+         |SELECT qid, id, adc_dist, rk FROM ranked WHERE rk <= 10
+         |ORDER BY qid, rk""".stripMargin
     }
 
   private def ivfOracle: Option[String] =

@@ -376,4 +376,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     val online = SparkEntry.queries("v11_knn_ivfpq")(spark, sf)
     assert(df.collect().toSeq === online.collect().toSeq)
   }
+
+  test("v17: batched IVFADC — broadcast probes, direct ADC on stored codes, rank limit") {
+    val p = plan("v17_knn_ivfpq_batch")
+    // both kernels appear: per-query probe selection and LUT-free ADC;
+    // the encode kernel must NOT (codes are stored)
+    assert(p.contains("nearest_lists"), s"probe-selection kernel must appear:\n$p")
+    assert(p.contains("pq_adc_direct"), s"direct ADC kernel must appear:\n$p")
+    assert(!p.contains("pq_encode"), s"encode must not run at query time:\n$p")
+    // the exploded (qid, qemb, list) probe set broadcasts into the
+    // index equi-join; the index side never sort-merge joins
+    assert(p.contains("BroadcastHashJoin"), s"probes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"index must not shuffle for the join:\n$p")
+    // per-query top-k pushes to partial+final WindowGroupLimit
+    assert(nodeCount(p, "WindowGroupLimit") == 2,
+      s"expected one partial+final WindowGroupLimit pair:\n$p")
+  }
 }

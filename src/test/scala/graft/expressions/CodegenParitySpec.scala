@@ -187,6 +187,29 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
     assert(g === i)
   }
 
+  test("NearestLists/PqAdcDirect: codegen == interpreted, twins of the driver paths") {
+    val cents = Array(Array(0.0, 0.0, 0.0), Array(1.0, 2.0, 3.0), Array(5.0, 5.0, 5.0))
+    val cb = Array.fill(3)(Array(Array(0.0), Array(1.0)))
+    val (g, i) = bothWays(vecs.select(col("id"),
+      graft.expressions.VectorOps.nearestLists(col("a"), cents, 2),
+      graft.expressions.PqOps.pqAdcDirect(
+        graft.expressions.PqOps.pqEncode(col("a"), cb), col("a"), cb)))
+    assert(g === i)
+    g.foreach { r =>
+      val emb = if (r.getLong(0) == 1L) Array(1.0, 2.0, 3.0) else Array(0.0, 0.0, 0.0)
+      // same probe set as the driver-side selection (stable (d, index))
+      assert(r.getSeq[Int](1) === graft.operators.Pq.probeLists(cents, emb, 2),
+        s"id=${r.getLong(0)}")
+      // direct ADC == LUT build + lookup (bit-identical IEEE adds)
+      val codes = Array.tabulate(3)(j =>
+        if (emb(j) < 0.5 || emb(j) == 0.5) 0 else 1)
+      val lut = graft.operators.Pq.adcLut(cb, emb)
+      val expect = codes.zipWithIndex.map { case (c, j) => lut(j)(c) }
+        .foldLeft(0.0)(_ + _)
+      assert(r.getDouble(2) === expect, s"id=${r.getLong(0)}")
+    }
+  }
+
   test("LshBandSignatures: codegen == interpreted, matches per-band dot math") {
     val nBits = 4
     val nBands = 3

@@ -117,6 +117,30 @@ class PqSpec extends AnyFunSuite with SparkTestSupport {
       java.nio.file.Paths.get(dir))
   }
 
+  test("ivfPqKnnBatch: every query's rows equal its single-query ivfPqKnnOnIndex answer") {
+    val df = anchored(90)
+    val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 9, iters = 5)
+    val cents = Array(Array.fill(8)(2.0), Array.fill(8)(12.0), Array.fill(8)(22.0))
+    val index = Pq.ivfPqIndex(df, col("embedding"), col("vec_id"), cents, cb).persist()
+    try {
+      val qids = Seq(0L, 7L, 31L, 62L)
+      val batch = Pq.ivfPqKnnBatch(index, df.filter(col("vec_id").isin(qids: _*)),
+          col("embedding"), col("vec_id"), cents, cb, k = 6, nProbe = 2)
+        .collect()
+        .map(r => (r.getAs[Long]("qid"), (r.getAs[Long]("id"), r.getAs[Double]("adc_dist"), r.getAs[Int]("rk"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._3).toSeq).toMap
+      assert(batch.keySet === qids.toSet)
+      for (qid <- qids) {
+        val q = df.filter(col("vec_id") === qid)
+          .select(col("embedding")).head().getSeq[Double](0).toArray
+        val single = Pq.ivfPqKnnOnIndex(index, cents, cb, q, k = 6, nProbe = 2)
+          .collect().zipWithIndex
+          .map { case (r, i) => (r.getLong(0), r.getDouble(1), i + 1) }.toSeq
+        assert(batch(qid) === single, s"qid=$qid")
+      }
+    } finally index.unpersist()
+  }
+
   test("adc lut + kernel equal driver-side table lookups") {
     val df = anchored(30)
     val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 4, iters = 2)

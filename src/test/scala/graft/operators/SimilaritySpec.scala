@@ -116,6 +116,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("lshKnnBatch: randomized parity with the single-query path (20 queries, seeded)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat))
+    }
+    val corpus = rows.toDF("id", "emb")
+    val index = Similarity.lshBuckets(corpus, col("emb"), col("id"), nBits = 5, dim = 8)
+      .persist()
+    try {
+      val qids = rng.shuffle((0 until 300).toList).take(20).map(_.toLong)
+      val batch = Similarity.lshKnnBatch(index, corpus.filter(col("id").isin(qids: _*)),
+          col("emb"), col("id"), dim = 8, k = 7, nBits = 5)
+        .collect()
+        .map(r => (r.getAs[Long]("qid"), (r.getAs[Long]("id"), r.getAs[Double]("score"), r.getAs[Int]("rk"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._3).toSeq).toMap
+      assert(batch.keySet === qids.toSet)
+      for (qid <- qids) {
+        val qv = rows(qid.toInt)._2.map(_.toDouble)
+        val single = Similarity.lshKnnOnIndex(index, qv, k = 7, nBits = 5)
+          .collect().zipWithIndex
+          .map { case (r, i) => (r.getAs[Long]("id"), r.getAs[Double]("score"), i + 1) }.toSeq
+        assert(batch(qid) === single, s"query $qid")
+      }
+    } finally index.unpersist()
+  }
+
   test("lshKnnBatch: null-embedding query yields no rows, others unaffected") {
     import spark.implicits._
     val corpus = (0 until 20).map { i =>
