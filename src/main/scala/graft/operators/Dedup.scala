@@ -432,6 +432,44 @@ object Dedup {
     labels.localCheckpoint(true)
   }
 
+  /** Canonical-document selection — the step every dedup pipeline ends
+    * with: of each near-dup cluster, KEEP exactly the best-scoring
+    * member (ties to the lowest id) and drop the rest; documents in no
+    * cluster keep themselves. Pairwise keep-the-min is wrong here for
+    * the same reason [[connectedComponents]] exists: (a,b),(b,c) must
+    * keep ONE of {a,b,c}, and the kept one should be the best, not the
+    * lowest-id (RefinedWeb/Dolma keep the longest/highest-quality
+    * member, not an arbitrary one).
+    *
+    * Input: `scored` = (idCol, scoreCol) per document; `pairs` =
+    * verified near-dup edges (id_a, id_b). Output: (id, cluster,
+    * score, keep) for EVERY input document — cluster = component min
+    * id (own id for singletons), keep = 1 on the kept member.
+    *
+    * Scale shape: the argmax window runs ONLY over the clustered
+    * subset (components ⨝ scores — proportional to the duplicate
+    * fraction, not the corpus); singletons take the keep=1 branch via
+    * a left anti-ish join and never shuffle into a window. The final
+    * joins are keyed on id/cluster — narrow rows, no content. */
+  def canonicalPerCluster(scored: DataFrame, idCol: Column, scoreCol: Column,
+      pairs: DataFrame): DataFrame = {
+    val base = scored.select(idCol.as("id"), scoreCol.as("score"))
+    val comp = connectedComponents(pairs)
+    val clustered = comp.join(base, "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"rep").orderBy($"score".desc, $"id")
+    val best = clustered
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"rep", $"id".as("best_id"))
+    base
+      .join(comp, Seq("id"), "left")
+      .join(best, Seq("rep"), "left")
+      .select($"id", coalesce($"rep", $"id").as("cluster"), $"score",
+        when($"rep".isNull || $"id" === $"best_id", 1).otherwise(0)
+          .cast("int").as("keep"))
+  }
+
   private implicit class Str(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

@@ -447,6 +447,51 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Canonical-document selection — t21's clusters closed with the
+    // decision they exist for: keep the best-quality member per
+    // cluster (ties to the lowest id), singletons keep themselves.
+    // RefinedWeb/Dolma keep the best member, not an arbitrary one —
+    // pairwise keep-the-min can drop the good copy. One verdict row
+    // per document (keep flag) so the filter composes downstream.
+    // Oracle: t21's recursive-CTE closure + the t06 quality twin +
+    // the same per-cluster rank.
+    sql(
+      "t27_canonical_docs",
+      s"""WITH RECURSIVE
+         |sh AS (SELECT doc_id, ${Sql.shingleSet("text", 3)} AS s FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE ${Sql.listJaccard("a.s", "b.s")} >= 0.5),
+         |e(src, dst) AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         |comp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep
+         |         FROM reach GROUP BY a),
+         |q AS (SELECT doc_id, ${Sql.qualityScore("text")} AS quality FROM documents),
+         |best AS (SELECT rep, doc_id AS best_id FROM (
+         |  SELECT c.rep, c.doc_id,
+         |    row_number() OVER (PARTITION BY c.rep ORDER BY q.quality DESC, c.doc_id) AS rk
+         |  FROM comp c JOIN q ON q.doc_id = c.doc_id) WHERE rk = 1)
+         |SELECT q.doc_id, CAST(coalesce(c.rep, q.doc_id) AS BIGINT) AS cluster,
+         |  q.quality,
+         |  CAST(CASE WHEN c.rep IS NULL OR q.doc_id = b.best_id THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM q
+         |LEFT JOIN comp c ON c.doc_id = q.doc_id
+         |LEFT JOIN best b ON b.rep = c.rep
+         |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashPairsVerified(docs, col("text"), col("doc_id"), threshold = 0.5)
+      Dedup.canonicalPerCluster(
+          docs.select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality")),
+          col("doc_id"), col("quality"),
+          pairs.select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("cluster"),
+          col("score").as("quality"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // Document chunking: fixed-size token windows with overlap — the
     // standard step that turns variable-length documents into
     // training-sample-sized pieces (size 20, overlap 5 → stride 15 at

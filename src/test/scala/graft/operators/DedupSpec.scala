@@ -140,6 +140,27 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(got.values.toSet === Set(10L))
   }
 
+  test("canonicalPerCluster: best score kept per cluster, ties to lowest id, singletons keep") {
+    import spark.implicits._
+    // cluster {1,2,3}: 2 has the best score → keep=2
+    // cluster {10,11}: tied scores → keep = lowest id 10
+    // 20: singleton → keeps itself
+    val scored = Seq((1L, 0.3), (2L, 0.9), (3L, 0.5),
+      (10L, 0.7), (11L, 0.7), (20L, 0.1)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.canonicalPerCluster(scored, col("doc_id"), col("q"), pairs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((1L, 0.3, 0)), 2L -> ((1L, 0.9, 1)), 3L -> ((1L, 0.5, 0)),
+      10L -> ((10L, 0.7, 1)), 11L -> ((10L, 0.7, 0)),
+      20L -> ((20L, 0.1, 1))))
+    // exactly one keeper per cluster
+    val keepers = got.toSeq.filter(_._2._3 == 1).groupBy(_._2._1).view.mapValues(_.size)
+    assert(keepers.toMap.values.forall(_ == 1))
+  }
+
   test("incrementalNearDups: new batch matches the index, never new-new or old-old") {
     // existing corpus = odd ids, new batch = even ids; doc 2 is an
     // exact dup (post-normalize) of existing doc 1, doc 4 matches
