@@ -453,7 +453,14 @@ object Dedup {
     * joins are keyed on id/cluster — narrow rows, no content. */
   def canonicalPerCluster(scored: DataFrame, idCol: Column, scoreCol: Column,
       pairs: DataFrame): DataFrame = {
+    // lazy localCheckpoint (Collapse's idiom): the scored base is
+    // consumed twice (the clustered-subset argmax AND the final
+    // verdict join); as a plain plan each reference re-scans the
+    // corpus and re-runs the score kernel — at 100 TB that is two
+    // full text passes where one narrow (id, score) materialization
+    // suffices.
     val base = scored.select(idCol.as("id"), scoreCol.as("score"))
+      .localCheckpoint(false)
     val comp = connectedComponents(pairs)
     val clustered = comp.join(base, "id")
     val w = org.apache.spark.sql.expressions.Window

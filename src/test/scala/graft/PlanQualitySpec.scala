@@ -377,6 +377,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(df.collect().toSeq === online.collect().toSeq)
   }
 
+  test("t27: canonical selection — scored base materialized once, no kernel re-run") {
+    val p = plan("t27_canonical_docs")
+    // the (id, score) base is localCheckpoint'ed: both consumers read
+    // the materialized blocks (Scan ExistingRDD), so the quality
+    // kernel never appears in the final plan — one text pass total,
+    // not one per reference
+    assert(!p.contains("quality_score"),
+      s"quality kernel must run once in the checkpoint, not per reference:\n$p")
+    assert(nodeCount(p, "Scan ExistingRDD") >= 2,
+      s"verdict joins must consume the materialized base + components:\n$p")
+    // the argmax window partitions by cluster rep — never a global sort
+    assert("hashpartitioning\\(rep#".r.findFirstIn(p).nonEmpty,
+      s"per-cluster rank must shuffle on rep:\n$p")
+  }
+
   test("v17: batched IVFADC — broadcast probes, direct ADC on stored codes, rank limit") {
     val p = plan("v17_knn_ivfpq_batch")
     // both kernels appear: per-query probe selection and LUT-free ADC;
