@@ -52,6 +52,38 @@ class NullSafetySpec extends AnyFunSuite with SparkTestSupport {
     assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
+  test("batched ANN paths drop null-embedding queries, never crash") {
+    import spark.implicits._
+    val corpus = (0 until 20).map(i =>
+      (i.toLong, Array(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat)))
+      .toDF("id", "emb")
+    val queries = Seq(
+      (100L, Option(Array(1.0f, 0.0f))), (101L, None)
+    ).toDF("qid", "emb")
+    // IVFADC batch: the null query's nearest_lists is null → explode
+    // drops it; the non-null query still gets its full top-k
+    val cents = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
+    val cb = Array.fill(2)(Array(Array(0.0), Array(1.0)))
+    val idx = Pq.ivfPqIndex(corpus, col("emb"), col("id"), cents, cb)
+    val got = Pq.ivfPqKnnBatch(idx, queries, col("emb"), col("qid"),
+        cents, cb, k = 4, nProbe = 2)
+      .collect().map(_.getAs[Long]("qid"))
+    assert(got.toSet === Set(100L) && got.length === 4)
+  }
+
+  test("canonicalPerCluster: null scores lose to scored members, never crash") {
+    import spark.implicits._
+    // doc 2's score is null: desc ordering puts nulls last in Spark,
+    // so the scored member 1 wins its cluster; a null-scored singleton
+    // still keeps itself
+    val scored = Seq((1L, Option(0.4)), (2L, None), (9L, None))
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.canonicalPerCluster(scored, col("doc_id"), col("q"), pairs)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got === Map(1L -> 1, 2L -> 0, 9L -> 1))
+  }
+
   test("binary operators tolerate null payloads") {
     import spark.implicits._
     val bins = Seq((1L, Option("data".getBytes)), (2L, None)).toDF("id", "payload")

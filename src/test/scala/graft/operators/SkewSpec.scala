@@ -174,6 +174,29 @@ class SkewSpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("lshKnnBatch under query-side skew: identical hot queries all answer in full") {
+    // the batch serving shape's skew case is on the QUERY side: many
+    // queries sharing one signature concentrate the probe join on one
+    // bucket. The per-query WindowGroupLimit bounds each query's
+    // candidates map-side, so the plan stays safe; semantically every
+    // clone must get the complete identical top-k.
+    val embs = skewedEmbs
+    val index = Similarity.lshBuckets(embs, col("embedding"), col("vec_id"),
+      nBits = 3, dim = 8)
+    // 30 clones of the hot vector (ids 0,10,20,... are all `hot`)
+    val hotIds = (0 until 300 by 10).map(_.toLong)
+    val queries = embs.filter(col("vec_id").isin(hotIds: _*))
+    val rows = Similarity.lshKnnBatch(index, queries, col("embedding"),
+        col("vec_id"), dim = 8, k = 5, nBits = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), (r.getAs[Long]("id"), r.getAs[Double]("score"), r.getAs[Int]("rk"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._3).toSeq).toMap
+    assert(rows.keySet === hotIds.toSet)
+    assert(rows.values.forall(_.size == 5), "every clone gets its full k")
+    // identical queries → identical answers
+    assert(rows.values.toSet.size === 1)
+  }
+
   test("knnJoin on skewed embeddings == uncollapsed twin") {
     import graft.functions.VectorFunctions._
     val embs = skewedEmbs
