@@ -47,15 +47,18 @@ object Bench {
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
       reps: Int): Measurement = {
     var err: Option[String] = None
-    val measured = (1 to reps).map { _ =>
+    // stop after the first failing rep: the query's value is -1 either
+    // way, and a SLOW failure (OOM, timeout) re-run for every remaining
+    // rep would multiply its cost by reps before the suite can move on
+    val measured = (1 to reps).iterator.takeWhile(_ => err.isEmpty).map { _ =>
       val g0 = graft.util.JvmStats.gcMs()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
-        if (err.isEmpty) err = Some(s"${e.getClass.getName}: ${e.getMessage}")
+        err = Some(s"${e.getClass.getName}: ${e.getMessage}")
       }
       ((System.nanoTime() - t0) / 1e9, graft.util.JvmStats.gcMs() - g0)
-    }
+    }.toSeq
     Measurement(name, measured, err)
   }
 

@@ -152,6 +152,14 @@ object VectorOpsImpl {
         if (!used(j) && ds(j) < bd) { bd = ds(j); best = j }
         j += 1
       }
+      if (best < 0) {
+        // every remaining distance is NaN (a NaN query coordinate):
+        // the driver twin's sortBy uses Double's TOTAL order, which
+        // puts NaN last and keeps index order among them — take the
+        // lowest unused index, same answer, no crash
+        var k2 = 0
+        while (best < 0 && k2 < n) { if (!used(k2)) best = k2; k2 += 1 }
+      }
       used(best) = true
       out(r) = best
       r += 1

@@ -359,26 +359,32 @@ object Dedup {
     *    each strictly-larger neighbor to m = min(N(u) ∪ u);
     *  - small-star: orient edges high→low, connect each neighbor
     *    (and u itself) to the minimum. */
+  /** One large-star round over (src, dst) edges — package-private so
+    * the ProfCC profiling tool drives the REAL implementation, not a
+    * copy that could drift. */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+    val mins = sym.groupBy($"src").agg(min($"dst").as("mn"))
+      .select($"src", least($"mn", $"src").as("m"))
+    sym.join(mins, "src")
+      .filter($"dst" > $"src")
+      .select($"dst".as("src"), $"m".as("dst"))
+      .distinct()
+  }
+
+  /** One small-star round — see [[largeStar]]. */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest($"src", $"dst").as("src"), least($"src", $"dst").as("dst"))
+      .filter($"src" =!= $"dst")
+    val mins = dir.groupBy($"src").agg(min($"dst").as("m"))
+    dir.join(mins, "src")
+      .select($"dst".as("src"), $"m".as("dst"))
+      .filter($"src" =!= $"dst")
+      .union(mins.select($"src", $"m".as("dst")))
+      .distinct()
+  }
+
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
-      val mins = sym.groupBy($"src").agg(min($"dst").as("mn"))
-        .select($"src", least($"mn", $"src").as("m"))
-      sym.join(mins, "src")
-        .filter($"dst" > $"src")
-        .select($"dst".as("src"), $"m".as("dst"))
-        .distinct()
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      val dir = e.select(greatest($"src", $"dst").as("src"), least($"src", $"dst").as("dst"))
-        .filter($"src" =!= $"dst")
-      val mins = dir.groupBy($"src").agg(min($"dst").as("m"))
-      dir.join(mins, "src")
-        .select($"dst".as("src"), $"m".as("dst"))
-        .filter($"src" =!= $"dst")
-        .union(mins.select($"src", $"m".as("dst")))
-        .distinct()
-    }
     // Per-round lineage cut via EAGER localCheckpoint: each star phase
     // multiplies the logical plan (self-union + join re-reference the
     // round's tree ~10×), and Catalyst re-analyzes the WHOLE
@@ -425,7 +431,11 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxRounds star rounds — " +
         "this exceeds the O(log diameter) bound for any practical graph")
-    println(s"[graft] connectedComponents: converged in $round large/small-star rounds")
+    // slf4j, not println: stdout belongs to the harness contracts
+    // (Bench's last line must be the parseable JSON artifact) and
+    // library operators must not write into it
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"connectedComponents: converged in $round large/small-star rounds")
     val labels = nodes
       .join(edges.select($"src".as("id"), $"dst".as("rep")), Seq("id"), "left")
       .select($"id", coalesce($"rep", $"id").as("rep"))

@@ -219,12 +219,16 @@ object Pq {
     * Per query, row-identical to [[ivfPqKnnOnIndex]] with the same
     * models (spec-asserted; the direct ADC replays the LUT build's
     * exact IEEE adds). Queries with NULL embeddings produce no rows.
+    * `qid` must identify a unique query: duplicate qids collapse to
+    * one arbitrary representative (duplicate probe rows would
+    * otherwise duplicate every candidate and corrupt the top-k).
     * Output: (qid, id, adc_dist, rk), rk = 1..k. */
   def ivfPqKnnBatch(index: DataFrame, queries: DataFrame, qembCol: Column,
       qidCol: Column, centroids: Array[Array[Double]],
       codebook: Array[Array[Array[Double]]], k: Int, nProbe: Int = 2): DataFrame = {
     val q = queries
       .select(qidCol.as("qid"), asDouble(qembCol).as("qemb"))
+      .dropDuplicates("qid")
       .select(col("qid"), col("qemb"),
         explode(graft.expressions.VectorOps.nearestLists(
           col("qemb"), centroids, nProbe)).as("list"))

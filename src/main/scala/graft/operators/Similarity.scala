@@ -212,13 +212,18 @@ object Similarity {
     *
     * Per query, the result is row-identical to [[lshKnnOnIndex]] with
     * the same parameters (spec-asserted). Queries with NULL embeddings
-    * produce no rows. Output: (qid, id, score, rk), rk = 1..k. */
+    * produce no rows. `qid` must identify a unique query: duplicate
+    * qids are collapsed to one arbitrary representative before any
+    * math (duplicates would otherwise double-count the histogram and
+    * duplicate probe rows — silently corrupting the radius AND the
+    * top-k). Output: (qid, id, score, rk), rk = 1..k. */
   def lshKnnBatch(bucketed: DataFrame, queries: DataFrame, qembCol: Column,
       qidCol: Column, dim: Int, k: Int, nBits: Int = 8, seed: Long = 42L,
       overProbe: Int = 3): DataFrame = {
     val planes = hyperplanes(nBits, dim, seed)
     val q = queries.select(qidCol.as("qid"), asDouble(qembCol).as("qemb"),
-      lshSignature(qembCol, planes).as("qsig"))
+        lshSignature(qembCol, planes).as("qsig"))
+      .dropDuplicates("qid")
     val counts = bucketed.filter($"bucket".isNotNull)
       .groupBy($"bucket").agg(count(lit(1)).as("n"))
     val wq = org.apache.spark.sql.expressions.Window
@@ -233,13 +238,18 @@ object Similarity {
       // a corpus with fewer rows in total scans everything (radius nBits)
       .agg(min(when($"cum" >= k.toLong * overProbe, $"hd")).as("rsel"))
       .select($"qid", coalesce($"rsel", lit(nBits)).as("radius"))
+    // probes broadcast as bare (qid, bucket): at wide radii a query
+    // probes up to 2^nBits buckets, and rows carrying qemb would
+    // multiply the broadcast by the probe width; the embedding
+    // attaches once per query via the second (|Q|-row) broadcast
     val probes = q.join(radii, "qid")
       .crossJoin(broadcast(counts.select($"bucket")))
       .filter(bit_count($"bucket".bitwiseXOR($"qsig")) <= $"radius")
-      .select($"qid", $"qemb", $"bucket")
+      .select($"qid", $"bucket")
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"score".desc, $"id")
     bucketed.join(broadcast(probes), "bucket")
+      .join(broadcast(q.select($"qid", $"qemb")), "qid")
       .select($"qid", $"id",
         round(cosineSimilarity(asDouble($"emb"), $"qemb"), 4).as("score"))
       .withColumn("rk", row_number().over(wk))

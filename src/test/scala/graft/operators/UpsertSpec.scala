@@ -54,6 +54,22 @@ class UpsertSpec extends AnyFunSuite with SparkTestSupport {
     assert(got.getString(3) === "U")
   }
 
+  test("upsert: a NULL-keyed update row inserts with its payload (ANSI not-matched), never all-NULL 'K'") {
+    import spark.implicits._
+    val updates = Seq((Option.empty[Long], "dirty", 99.0)).toDF("k", "name", "v")
+    val got = Upsert.upsert(snapshot, updates, "k").collect()
+    assert(got.length === 4)
+    val nullKeyed = got.filter(_.isNullAt(0))
+    assert(nullKeyed.length === 1)
+    // the presence-marker gate keeps the update's payload and tags 'I' —
+    // a key-nullness gate would emit an all-NULL row tagged 'K'
+    assert(nullKeyed.head.getString(1) === "dirty")
+    assert(nullKeyed.head.getDouble(2) === 99.0)
+    assert(nullKeyed.head.getString(3) === "I")
+    // the real snapshot rows are untouched
+    assert(got.filter(!_.isNullAt(0)).forall(_.getString(3) == "K"))
+  }
+
   test("upsert: same names but different column types is an error") {
     import spark.implicits._
     val wrongTypes = Seq((1L, "x", 5)).toDF("k", "name", "v") // v: int, not double

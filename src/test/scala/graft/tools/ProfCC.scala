@@ -12,21 +12,8 @@ object ProfCC {
       val t0 = System.nanoTime(); val r = f
       println(f"[prof] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select($"dst".as("src"), $"src".as("dst")))
-      val mins = sym.groupBy($"src").agg(min($"dst").as("mn"))
-        .select($"src", least($"mn", $"src").as("m"))
-      sym.join(mins, "src").filter($"dst" > $"src")
-        .select($"dst".as("src"), $"m".as("dst")).distinct()
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      val dir = e.select(greatest($"src", $"dst").as("src"), least($"src", $"dst").as("dst"))
-        .filter($"src" =!= $"dst")
-      val mins = dir.groupBy($"src").agg(min($"dst").as("m"))
-      dir.join(mins, "src").select($"dst".as("src"), $"m".as("dst"))
-        .filter($"src" =!= $"dst")
-        .union(mins.select($"src", $"m".as("dst"))).distinct()
-    }
+    // drive the REAL star rounds (package-private on Dedup), not a copy
+    import graft.operators.Dedup.{largeStar, smallStar}
     val pairs = (0 until 200).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
       .persist(); pairs.count()
     val edges0 = pairs.select($"id_a".as("src"), $"id_b".as("dst")).distinct().persist(mem)
