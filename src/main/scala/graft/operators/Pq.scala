@@ -242,4 +242,44 @@ object Pq {
       .filter(col("rk") <= k)
       .select(col("qid"), col("id"), col("adc_dist"), col("rk"))
   }
+
+  /** Two-stage retrieval — FAISS's search-then-refine, the production
+    * serving architecture: the compressed index produces an
+    * over-fetched APPROXIMATE shortlist ([[ivfPqKnnBatch]], ADC over
+    * stored codes), then only those `shortlist` rows per query are
+    * re-ranked by EXACT squared Euclidean against their raw
+    * embeddings. ADC quantization error can swap near-ties; the
+    * re-rank restores exact order among everything the shortlist
+    * caught, at the cost of touching `|Q|·shortlist` raw vectors
+    * instead of zero — the standard recall/latency dial.
+    *
+    * Scale shape: the shortlist is bare (qid, id) pairs and
+    * BROADCASTS into the corpus scan (one narrow pass, no corpus
+    * shuffle — a 100 TB embedding table is filtered to
+    * |Q|·shortlist rows map-side); query vectors attach via the
+    * second |Q|-row broadcast; the final top-k is the same
+    * partial+final WindowGroupLimit pair as the shortlist stage.
+    * Output: (qid, id, dist, rk), rk = 1..k by exact distance. */
+  def ivfPqKnnRerank(index: DataFrame, corpus: DataFrame, vecCol: Column,
+      idCol: Column, queries: DataFrame, qembCol: Column, qidCol: Column,
+      centroids: Array[Array[Double]], codebook: Array[Array[Array[Double]]],
+      k: Int, shortlist: Int, nProbe: Int = 2): DataFrame = {
+    require(shortlist >= k, s"rerank: shortlist $shortlist < k $k")
+    val short = ivfPqKnnBatch(index, queries, qembCol, qidCol,
+        centroids, codebook, k = shortlist, nProbe)
+      .select(col("qid"), col("id"))
+    val q = queries.select(qidCol.as("qid"), asDouble(qembCol).as("qemb"))
+      .dropDuplicates("qid")
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+    corpus.select(idCol.as("id"), asDouble(vecCol).as("emb"))
+      .join(broadcast(short), "id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("id"),
+        round(graft.expressions.VectorOps.squaredDistance(col("emb"), col("qemb"))
+          + lit(1e-9), 4).as("dist"))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), col("dist"), col("rk"))
+  }
 }

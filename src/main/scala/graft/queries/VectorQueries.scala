@@ -339,6 +339,23 @@ object VectorQueries {
         .orderBy(col("qid"), col("rk")),
       batchedIvfPqOracle),
 
+    // Two-stage retrieval (FAISS search-then-refine): v17's ADC
+    // shortlist over-fetched to 50, then ONLY those rows re-ranked by
+    // exact squared L2 against raw embeddings — the shortlist
+    // broadcasts as bare (qid, id) pairs into one narrow corpus scan,
+    // so a 100 TB table is filtered map-side, never shuffled. The
+    // recall/latency dial of every production ANN deployment.
+    QueryDef("v18_knn_rerank", (s, d) =>
+      graft.operators.Pq.ivfPqKnnRerank(
+          servedIvfPqIndex(s, d), Tables.embeddings(s, d),
+          col("embedding"), col("vec_id"),
+          Tables.embeddings(s, d).filter(col("vec_id").isin(0L, 17L, 42L)),
+          col("embedding"), col("vec_id"),
+          graft.GngQueries.trained(s, d).centroids, pqCodebook(s, d),
+          k = 10, shortlist = 50, nProbe = 2)
+        .orderBy(col("qid"), col("rk")),
+      rerankOracle),
+
     // kNN SELF-join: top-5 neighbors of EVERY vector, LSH-blocked
     // (4 bits × 2 bands) — the kNN-graph / near-dup-clustering
     // workhorse. Fully oracled as the exact pipeline twin: the seeded
@@ -562,42 +579,72 @@ object VectorQueries {
     * per subspace — the SQL twin of the `pq_adc_direct` kernel, with
     * the identical per-codeword left-assoc term chain and the same
     * subspace-order accumulation. */
+  /** The shared WITH-body of the v17/v18 oracles: everything through
+    * `ranked(qid, id, adc_dist, rk)` — the per-query batched IVFADC
+    * ranking over the inlined trained models. */
+  private def batchedIvfPqCtes(cs: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]]): String = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val queryDists = cs.zipWithIndex
+      .map { case (c, i) => s"SELECT qid, $i AS list, ${graft.GngQueries.distSql("qv", c)} AS d FROM qs" }
+      .mkString("\nUNION ALL ")
+    val vecDists = cs.zipWithIndex
+      .map { case (c, i) => s"SELECT vec_id, $i AS list, ${graft.GngQueries.distSql("v", c)} AS dsq FROM e" }
+      .mkString("\nUNION ALL ")
+    val adcDirect = (0 until m).map { j =>
+      val arms = cb(j).indices
+        .map(c => s"WHEN $c THEN ${subDistSql("qv", j * sub, cb(j)(c))}")
+        .mkString(" ")
+      s"(CASE p.c$j $arms END)"
+    }.mkString(" + ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 17, 42)),
+       |cd AS ($queryDists),
+       |probed AS (SELECT qid, list FROM (
+       |  SELECT qid, list, row_number() OVER (PARTITION BY qid ORDER BY d, list) AS rk FROM cd)
+       |  WHERE rk <= 2),
+       |vd AS ($vecDists),
+       |win AS (SELECT vec_id, list FROM (
+       |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, list) AS rk FROM vd)
+       |  WHERE rk = 1),
+       |${pqEncodeCtes(cb)},
+       |ranked AS (
+       |  SELECT pr.qid, p.vec_id AS id, round($adcDirect + 1e-9, 4) AS adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY pr.qid
+       |      ORDER BY round($adcDirect + 1e-9, 4), p.vec_id) AS INT) AS rk
+       |  FROM pc p
+       |  JOIN win w ON w.vec_id = p.vec_id
+       |  JOIN probed pr ON pr.list = w.list
+       |  JOIN qs ON qs.qid = pr.qid)""".stripMargin
+  }
+
   private def batchedIvfPqOracle: Option[String] =
-    for (cs <- graft.GngQueries.soleTrainedCentroids; cb <- solePqCodebook) yield {
-      val m = cb.length
-      val sub = cb(0)(0).length
-      val queryDists = cs.zipWithIndex
-        .map { case (c, i) => s"SELECT qid, $i AS list, ${graft.GngQueries.distSql("qv", c)} AS d FROM qs" }
-        .mkString("\nUNION ALL ")
-      val vecDists = cs.zipWithIndex
-        .map { case (c, i) => s"SELECT vec_id, $i AS list, ${graft.GngQueries.distSql("v", c)} AS dsq FROM e" }
-        .mkString("\nUNION ALL ")
-      val adcDirect = (0 until m).map { j =>
-        val arms = cb(j).indices
-          .map(c => s"WHEN $c THEN ${subDistSql("qv", j * sub, cb(j)(c))}")
-          .mkString(" ")
-        s"(CASE p.c$j $arms END)"
-      }.mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 17, 42)),
-         |cd AS ($queryDists),
-         |probed AS (SELECT qid, list FROM (
-         |  SELECT qid, list, row_number() OVER (PARTITION BY qid ORDER BY d, list) AS rk FROM cd)
-         |  WHERE rk <= 2),
-         |vd AS ($vecDists),
-         |win AS (SELECT vec_id, list FROM (
-         |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, list) AS rk FROM vd)
-         |  WHERE rk = 1),
-         |${pqEncodeCtes(cb)},
-         |ranked AS (
-         |  SELECT pr.qid, p.vec_id AS id, round($adcDirect + 1e-9, 4) AS adc_dist,
-         |    CAST(row_number() OVER (PARTITION BY pr.qid
-         |      ORDER BY round($adcDirect + 1e-9, 4), p.vec_id) AS INT) AS rk
-         |  FROM pc p
-         |  JOIN win w ON w.vec_id = p.vec_id
-         |  JOIN probed pr ON pr.list = w.list
-         |  JOIN qs ON qs.qid = pr.qid)
+    for (cs <- graft.GngQueries.soleTrainedCentroids; cb <- solePqCodebook) yield
+      s"""WITH ${batchedIvfPqCtes(cs, cb)}
          |SELECT qid, id, adc_dist, rk FROM ranked WHERE rk <= 10
+         |ORDER BY qid, rk""".stripMargin
+
+  /** v18's oracle: the v17 shortlist (rk ≤ 50) re-ranked by EXACT
+    * squared Euclidean between the raw corpus and query vectors — the
+    * same ascending-index left-assoc accumulation as the
+    * `vec_squared_distance` kernel, +1e-9 nudge before the 4-dp round
+    * on both engines. */
+  private def rerankOracle: Option[String] =
+    for (cs <- graft.GngQueries.soleTrainedCentroids; cb <- solePqCodebook) yield {
+      val exact = (1 to EmbDim)
+        .map(i => s"(e.v[$i] - qs.qv[$i]) * (e.v[$i] - qs.qv[$i])")
+        .mkString(" + ")
+      s"""WITH ${batchedIvfPqCtes(cs, cb)},
+         |short AS (SELECT qid, id FROM ranked WHERE rk <= 50),
+         |rr AS (
+         |  SELECT s.qid, s.id, round($exact + 1e-9, 4) AS dist,
+         |    CAST(row_number() OVER (PARTITION BY s.qid
+         |      ORDER BY round($exact + 1e-9, 4), s.id) AS INT) AS rk
+         |  FROM short s
+         |  JOIN e ON e.vec_id = s.id
+         |  JOIN qs ON qs.qid = s.qid)
+         |SELECT qid, id, dist, rk FROM rr WHERE rk <= 10
          |ORDER BY qid, rk""".stripMargin
     }
 

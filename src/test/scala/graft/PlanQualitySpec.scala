@@ -392,6 +392,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"per-cluster rank must shuffle on rep:\n$p")
   }
 
+  test("v18: rerank — shortlist broadcasts into one corpus scan, exact kernel, no corpus shuffle") {
+    val p = plan("v18_knn_rerank")
+    // the shortlist (bare qid, id) and the query vectors broadcast into
+    // the raw-embedding scan; the corpus side never sort-merge joins
+    assert(p.contains("vec_squared_distance"), s"exact re-rank kernel must appear:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"shortlist must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the re-rank:\n$p")
+    // two rank stages (ADC shortlist + exact re-rank), each a
+    // partial+final WindowGroupLimit pair
+    assert(nodeCount(p, "WindowGroupLimit") == 4,
+      s"expected two partial+final WindowGroupLimit pairs:\n$p")
+  }
+
   test("v17: batched IVFADC — broadcast probes, direct ADC on stored codes, rank limit") {
     val p = plan("v17_knn_ivfpq_batch")
     // both kernels appear: per-query probe selection and LUT-free ADC;

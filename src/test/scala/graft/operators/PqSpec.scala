@@ -141,6 +141,41 @@ class PqSpec extends AnyFunSuite with SparkTestSupport {
     } finally index.unpersist()
   }
 
+  test("ivfPqKnnRerank: full shortlist + all lists == exact brute-force L2 ranking") {
+    val df = anchored(90)
+    val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 9, iters = 5)
+    val cents = Array(Array.fill(8)(2.0), Array.fill(8)(12.0), Array.fill(8)(22.0))
+    val index = Pq.ivfPqIndex(df, col("embedding"), col("vec_id"), cents, cb).persist()
+    try {
+      val qids = Seq(0L, 31L)
+      val queries = df.filter(col("vec_id").isin(qids: _*))
+      // shortlist = whole corpus, every list probed → the ADC stage
+      // cannot drop anyone, so the re-rank must equal exact brute force
+      val got = Pq.ivfPqKnnRerank(index, df, col("embedding"), col("vec_id"),
+          queries, col("embedding"), col("vec_id"), cents, cb,
+          k = 7, shortlist = 90, nProbe = 3)
+        .collect()
+        .map(r => (r.getAs[Long]("qid"), (r.getAs[Long]("id"), r.getAs[Double]("dist"), r.getAs[Int]("rk"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._3).toSeq).toMap
+      for (qid <- qids) {
+        val q = df.filter(col("vec_id") === qid)
+          .select(col("embedding")).head().getSeq[Double](0).toArray
+        val brute = df.select(col("vec_id"),
+            round(graft.expressions.VectorOps.squaredDistance(
+              col("embedding"), lit(q.toIndexedSeq.toArray)) + lit(1e-9), 4).as("d"))
+          .orderBy(col("d"), col("vec_id")).limit(7)
+          .collect().zipWithIndex
+          .map { case (r, i) => (r.getLong(0), r.getDouble(1), i + 1) }.toSeq
+        assert(got(qid) === brute, s"qid=$qid")
+      }
+      // a too-small shortlist is a contract violation, not silence
+      intercept[IllegalArgumentException] {
+        Pq.ivfPqKnnRerank(index, df, col("embedding"), col("vec_id"), queries,
+          col("embedding"), col("vec_id"), cents, cb, k = 7, shortlist = 3)
+      }
+    } finally index.unpersist()
+  }
+
   test("adc lut + kernel equal driver-side table lookups") {
     val df = anchored(30)
     val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 4, iters = 2)
