@@ -176,6 +176,42 @@ class PqSpec extends AnyFunSuite with SparkTestSupport {
     } finally index.unpersist()
   }
 
+  test("pqAdcDirect == adcLut + lookup, bit-identical, over 200 randomized trials") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rng = new scala.util.Random(99)
+    for (trial <- 0 until 200) {
+      val m = 1 + rng.nextInt(4)
+      val sub = 1 + rng.nextInt(5)
+      val k = 1 + rng.nextInt(8)
+      val cb = Array.fill(m, k, sub)(rng.nextGaussian() * 10)
+      val q = Array.fill(m * sub)(rng.nextGaussian() * 10)
+      val codes = Array.fill(m)(rng.nextInt(k))
+      val lut = Pq.adcLut(cb, q)
+      var viaLut = 0.0
+      for (j <- 0 until m) viaLut += lut(j)(codes(j))
+      val direct = graft.expressions.PqOpsImpl.pqAdcDirect(
+        new GenericArrayData(codes), new GenericArrayData(q), cb)
+      assert(java.lang.Double.doubleToRawLongBits(direct)
+        === java.lang.Double.doubleToRawLongBits(viaLut), s"trial $trial")
+    }
+  }
+
+  test("nearestLists == probeLists over randomized centroids incl. ties and NaN queries") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 200) {
+      val dim = 1 + rng.nextInt(6)
+      val n = 1 + rng.nextInt(10)
+      val cents = Array.fill(n)(Array.fill(dim)(rng.nextInt(3).toDouble)) // small ints → ties
+      val q = Array.fill(dim)(rng.nextInt(3).toDouble)
+      if (trial % 5 == 0) q(rng.nextInt(dim)) = Double.NaN // NaN coordinate
+      val nProbe = 1 + rng.nextInt(n + 1)
+      val got = graft.expressions.VectorOpsImpl
+        .nearestLists(new GenericArrayData(q), cents, nProbe).toIntArray.toSeq
+      assert(got === Pq.probeLists(cents, q, nProbe), s"trial $trial")
+    }
+  }
+
   test("adc lut + kernel equal driver-side table lookups") {
     val df = anchored(30)
     val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 4, iters = 2)
