@@ -153,11 +153,17 @@ object VectorOpsImpl {
         j += 1
       }
       if (best < 0) {
-        // every remaining distance is NaN (a NaN query coordinate):
-        // the driver twin's sortBy uses Double's TOTAL order, which
-        // puts NaN last and keeps index order among them — take the
-        // lowest unused index, same answer, no crash
+        // strict `<` against a +Infinity floor selects nothing, so the
+        // unused entries are exactly {+Inf, NaN}. The driver twin's
+        // sortBy uses Double's TOTAL order (+Inf before NaN, index
+        // order within each): take the lowest unused non-NaN (+Inf)
+        // index first, then the lowest unused (NaN) index.
         var k2 = 0
+        while (best < 0 && k2 < n) {
+          if (!used(k2) && !java.lang.Double.isNaN(ds(k2))) best = k2
+          k2 += 1
+        }
+        k2 = 0
         while (best < 0 && k2 < n) { if (!used(k2)) best = k2; k2 += 1 }
       }
       used(best) = true

@@ -226,8 +226,12 @@ object Pq {
   def ivfPqKnnBatch(index: DataFrame, queries: DataFrame, qembCol: Column,
       qidCol: Column, centroids: Array[Array[Double]],
       codebook: Array[Array[Array[Double]]], k: Int, nProbe: Int = 2): DataFrame = {
+    // null embeddings drop BEFORE the qid-dedup — a (valid, null)
+    // duplicate pair must never collapse to the null row and silently
+    // erase a usable query
     val q = queries
       .select(qidCol.as("qid"), asDouble(qembCol).as("qemb"))
+      .filter(col("qemb").isNotNull)
       .dropDuplicates("qid")
       .select(col("qid"), col("qemb"),
         explode(graft.expressions.VectorOps.nearestLists(
@@ -265,11 +269,18 @@ object Pq {
       centroids: Array[Array[Double]], codebook: Array[Array[Array[Double]]],
       k: Int, shortlist: Int, nProbe: Int = 2): DataFrame = {
     require(shortlist >= k, s"rerank: shortlist $shortlist < k $k")
-    val short = ivfPqKnnBatch(index, queries, qembCol, qidCol,
+    // dedup ONCE and feed the same representatives to both stages:
+    // two independent dropDuplicates could pick DIFFERENT embeddings
+    // for a duplicated qid, making the shortlist and the exact
+    // re-rank score against different queries. Lazy localCheckpoint —
+    // both stages consume it (the lshKnnBatch idiom).
+    val q = queries.select(qidCol.as("qid"), asDouble(qembCol).as("qemb"))
+      .filter(col("qemb").isNotNull)
+      .dropDuplicates("qid")
+      .localCheckpoint(false)
+    val short = ivfPqKnnBatch(index, q, col("qemb"), col("qid"),
         centroids, codebook, k = shortlist, nProbe)
       .select(col("qid"), col("id"))
-    val q = queries.select(qidCol.as("qid"), asDouble(qembCol).as("qemb"))
-      .dropDuplicates("qid")
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("dist"), col("id"))
     corpus.select(idCol.as("id"), asDouble(vecCol).as("emb"))

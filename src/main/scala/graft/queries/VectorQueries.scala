@@ -569,8 +569,11 @@ object VectorQueries {
          |ORDER BY adc_dist, id LIMIT 10""".stripMargin
     }
 
-  /** v17's oracle: [[ivfPqOracle]] generalized per query — probe sets
-    * ranked PARTITION BY qid, per-query rank on the rounded distance.
+  /** The shared WITH-body of the v17/v18 oracles: everything through
+    * `ranked(qid, id, adc_dist, rk)` — [[ivfPqOracle]] generalized per
+    * query (probe sets ranked PARTITION BY qid, per-query rank on the
+    * rounded distance), over the inlined trained models.
+    *
     * The ADC is NOT the single-query oracle's 8-way `lut` join keyed
     * per qid — DuckDB's join-order search can pair the lut references
     * with each other on `qid` alone (exponential intermediate in m;
@@ -579,9 +582,6 @@ object VectorQueries {
     * per subspace — the SQL twin of the `pq_adc_direct` kernel, with
     * the identical per-codeword left-assoc term chain and the same
     * subspace-order accumulation. */
-  /** The shared WITH-body of the v17/v18 oracles: everything through
-    * `ranked(qid, id, adc_dist, rk)` — the per-query batched IVFADC
-    * ranking over the inlined trained models. */
   private def batchedIvfPqCtes(cs: Array[Array[Double]],
       cb: Array[Array[Array[Double]]]): String = {
     val m = cb.length

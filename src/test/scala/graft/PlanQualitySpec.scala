@@ -217,7 +217,8 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
 
   test("v15: batched kNN — broadcast probes, partial+final rank limit, no corpus shuffle") {
     val p = plan("v15_knn_batch")
-    // the probe set (qid, qemb, bucket) broadcasts into the index join;
+    // the bare (qid, bucket) probe set broadcasts into the index join
+    // (qemb attaches via a second |Q|-row broadcast on qid);
     // the corpus side is a plain scan — it is never sort-merge joined
     // and never exchanged before ranking, so the only data that moves
     // is per-query candidates
