@@ -487,6 +487,87 @@ object Dedup {
           .cast("int").as("keep"))
   }
 
+  /** Passage-level dedup (the CCNet/Dolma line-dedup discipline applied
+    * to token windows): each document splits into NON-overlapping
+    * `passageTokens`-token passages; across the whole corpus only the
+    * FIRST occurrence of each distinct passage (minimum (id, p_idx))
+    * survives, and every document is re-assembled from its surviving
+    * passages in order. Output: one row per document —
+    * (id, n_passages INT, n_kept INT, clean STRING) where `clean` is
+    * the re-assembled text ('' when every passage was seen earlier).
+    *
+    * Scale shape (the reason this is NOT a window over passage text):
+    *  - first-occurrence election is a partial+final `min(struct(id,
+    *    p_idx))` keyed by the 128-bit passage fingerprint — map-side
+    *    combine collapses a mass-duplicated boilerplate passage to one
+    *    row per map task, so a 10M-copy passage costs 10M rows in a
+    *    single reducer under `row_number() OVER (PARTITION BY passage)`
+    *    but only ~one row per task here; no skew, and the shuffle
+    *    carries (fp, id, p_idx) — never text.
+    *  - document text moves exactly ONCE: the keep-index sets (tiny int
+    *    arrays) join back by id against the un-exploded document rows,
+    *    and re-assembly is an index-filter HOF inside the same stage —
+    *    passages are never exploded on the text path at all.
+    */
+  def passageDedup(df: DataFrame, textCol: Column, idCol: Column,
+      passageTokens: Int = 10): DataFrame = {
+    val P = passageTokens
+    require(P > 0, s"passageTokens must be positive: $P")
+    val toks = TextFunctions.tokens(textCol)
+    val np = greatest(ceil(size(toks).cast("double") / P).cast("int"), lit(1))
+    val passages = transform(sequence(lit(0), np - 1),
+      i => array_join(slice(toks, i * P + 1, lit(P)), " "))
+    // One kernel pass per document; both branches below (the narrow
+    // fingerprint stream AND the keep-set join) consume this. As a
+    // plain plan each branch would re-scan the source and re-run the
+    // normalize+split kernel — at 100 TB that is two full text passes
+    // where one materialization suffices (lazy localCheckpoint, the
+    // Collapse idiom).
+    val docs = df.select(idCol.as("id"), passages.as("passages"))
+      .localCheckpoint(false)
+    // Narrow fingerprint stream: (id, p_idx, fp) — no text beyond here.
+    val fps = docs.select($"id",
+      posexplode(transform($"passages", p => md5(p.cast("binary"))))
+        .as(Seq("p_idx", "fp")))
+    val keepers = fps.groupBy($"fp")
+      .agg(min(struct($"id", $"p_idx")).as("first"))
+      .select($"first.id".as("id"), $"first.p_idx".as("p_idx"))
+    val keepSets = keepers.groupBy($"id")
+      .agg(collect_list($"p_idx").as("keep_idx"))
+    docs.join(keepSets, Seq("id"), "left")
+      .select($"id", $"passages",
+        coalesce($"keep_idx", array().cast("array<int>")).as("ki"))
+      .select($"id",
+        size($"passages").cast("int").as("n_passages"),
+        size($"ki").cast("int").as("n_kept"),
+        array_join(filter($"passages", (_, i) => array_contains($"ki", i)), " ")
+          .as("clean"))
+  }
+
+  /** Leakage-safe train/val/test split: assignment is keyed on the
+    * near-dup CLUSTER (connected component of verified MinHash pairs),
+    * not the document — every member of a near-dup family lands in the
+    * same split, so a validation document can never have a near-copy in
+    * train (the contamination a doc-keyed random split silently
+    * creates). Singletons are their own cluster. The assignment is the
+    * md5-bucket primitive (t17/q25): first hex char of md5(cluster) —
+    * '0' → val, '1' → test, else train (6.25% / 6.25% / 87.5%) —
+    * deterministic across runs, engines, and partitionings; no RNG, no
+    * shuffle beyond the clustering itself. Output: (id, cluster, split)
+    * for every input document. */
+  def leakageSafeSplit(df: DataFrame, textCol: Column, idCol: Column,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashPairsVerified(df, textCol, idCol, threshold = threshold)
+    val comp = connectedComponents(pairs.select($"id_a", $"id_b"))
+    df.select(idCol.as("id"))
+      .join(comp, Seq("id"), "left")
+      .select($"id", coalesce($"rep", $"id").as("cluster"))
+      .withColumn("h", substring(md5($"cluster".cast("string").cast("binary")), 1, 1))
+      .select($"id", $"cluster",
+        when($"h" === "0", "val").when($"h" === "1", "test")
+          .otherwise("train").as("split"))
+  }
+
   private implicit class Str(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

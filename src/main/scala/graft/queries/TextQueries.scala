@@ -492,6 +492,74 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Passage-level dedup (CCNet/Dolma line-dedup over 10-token
+    // windows): only the corpus-wide FIRST occurrence of each distinct
+    // passage survives; documents re-assemble from their surviving
+    // passages. Election is a partial+final min-aggregate keyed by the
+    // passage fingerprint — NOT a window over passage text — so a
+    // mass-duplicated boilerplate passage map-side-combines instead of
+    // landing on one reducer, and text moves exactly once (the id-keyed
+    // keep-set join; see Dedup.passageDedup). Oracle re-derives the
+    // same election with a row_number window (quadratic-safe at oracle
+    // SF) and fingerprints the re-assembled text.
+    sql(
+      "t28_passage_dedup",
+      s"""WITH t AS (SELECT doc_id, string_split(${Sql.normalizeText("text")}, ' ') AS toks
+         |           FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |        greatest(CAST(ceil(CAST(len(toks) AS DOUBLE) / 10.0) AS INT), 1) AS np
+         |      FROM t),
+         |x AS (SELECT doc_id, toks, unnest(generate_series(0, np - 1)) AS p_idx FROM n),
+         |p AS (SELECT doc_id, CAST(p_idx AS INT) AS p_idx,
+         |        array_to_string(toks[p_idx * 10 + 1 : p_idx * 10 + 10], ' ') AS passage
+         |      FROM x),
+         |k AS (SELECT doc_id, p_idx, passage,
+         |        row_number() OVER (PARTITION BY md5(passage) ORDER BY doc_id, p_idx) AS rk
+         |      FROM p)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_passages,
+         |  CAST(count(*) FILTER (WHERE rk = 1) AS INT) AS n_kept,
+         |  md5(COALESCE(array_to_string(
+         |    list(passage ORDER BY p_idx) FILTER (WHERE rk = 1), ' '), '')) AS clean_fp
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.passageDedup(Tables.documents(s, d), col("text"), col("doc_id"), passageTokens = 10)
+        .select(col("id").as("doc_id"), col("n_passages"), col("n_kept"),
+          md5(col("clean").cast("binary")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Leakage-safe train/val/test split: split assignment keyed on the
+    // near-dup CLUSTER (t21's components), not the document — a
+    // doc-keyed random split puts near-copies of validation documents
+    // into train and silently inflates eval scores; cluster-keyed
+    // assignment makes that impossible by construction. Assignment is
+    // the deterministic md5-bucket primitive on the cluster id (no RNG,
+    // reproducible across engines/runs/partitionings). Oracle: t21's
+    // recursive-CTE closure + the same md5 CASE.
+    sql(
+      "t29_leakage_split",
+      s"""WITH RECURSIVE
+         |sh AS (SELECT doc_id, ${Sql.shingleSet("text", 3)} AS s FROM documents),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE ${Sql.listJaccard("a.s", "b.s")} >= 0.5),
+         |e(src, dst) AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         |comp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep
+         |         FROM reach GROUP BY a)
+         |SELECT d.doc_id, CAST(coalesce(c.rep, d.doc_id) AS BIGINT) AS cluster,
+         |  CASE substr(md5(CAST(coalesce(c.rep, d.doc_id) AS VARCHAR)), 1, 1)
+         |    WHEN '0' THEN 'val' WHEN '1' THEN 'test' ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Dedup.leakageSafeSplit(Tables.documents(s, d), col("text"), col("doc_id"),
+          threshold = 0.5)
+        .select(col("id").as("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // Document chunking: fixed-size token windows with overlap — the
     // standard step that turns variable-length documents into
     // training-sample-sized pieces (size 20, overlap 5 → stride 15 at

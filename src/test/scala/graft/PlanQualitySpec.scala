@@ -421,4 +421,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(nodeCount(p, "WindowGroupLimit") == 2,
       s"expected one partial+final WindowGroupLimit pair:\n$p")
   }
+
+  test("t28: passage dedup — map-side-combined election, no text window, one text pass") {
+    val p = plan("t28_passage_dedup")
+    // first-occurrence election is partial+final min(struct) keyed by the
+    // passage fingerprint — a boilerplate passage collapses map-side
+    // instead of landing on one reducer under a row_number window
+    assert(p.contains("partial_min"), s"election must map-side combine:\n$p")
+    assert(!p.contains("Window "), s"no window over passage content (skew):\n$p")
+    // the passage table materializes ONCE (lazy localCheckpoint): the
+    // fingerprint stream and the keep-set join both read the same RDD,
+    // and no text scan/kernel remains in the query-time plan
+    assert(nodeCount(p, "Scan ExistingRDD") == 2,
+      s"both branches must consume the materialized passage table:\n$p")
+    assert(!p.contains("Scan parquet"), s"text must not be re-scanned at query time:\n$p")
+    assert(!p.contains("normalize_text"), s"kernel must not re-run at query time:\n$p")
+  }
 }

@@ -221,4 +221,53 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(out((1L, 3L)) > 0.5 && out((1L, 3L)) < 1.0)
     assert(out((1L, 4L)) < 0.1)
   }
+
+  test("leakageSafeSplit: cluster members co-assign; assignment is deterministic") {
+    val out = Dedup.leakageSafeSplit(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[String]("split")))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L)) // every doc assigned
+    // docs 1/2/3 are one near-dup family → one cluster, one split
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L && out(3L)._1 === 1L)
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size === 1)
+    // singletons cluster as themselves
+    assert(out(4L)._1 === 4L && out(5L)._1 === 5L && out(7L)._1 === 7L)
+    assert(out.values.forall(v => Set("train", "val", "test").contains(v._2)))
+    // determinism: a second run gives the identical assignment
+    val again = Dedup.leakageSafeSplit(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[String]("split")))).toMap
+    assert(again === out)
+  }
+
+  test("passageDedup: corpus-wide first occurrence wins, docs reassemble in order") {
+    import spark.implicits._
+    // 4-token passages; shared passage "a b c d" appears in docs 1 (idx 0),
+    // 2 (idx 0), and twice inside doc 3 (idx 0 and 1).
+    val pd = Seq(
+      (1L, "a b c d e f g h"),            // passages: "a b c d" | "e f g h"
+      (2L, "a b c d x y z w"),            // "a b c d" (dup) | "x y z w"
+      (3L, "a b c d a b c d"),            // both passages dup (intra + inter)
+      (4L, "p q r")                       // single short passage, unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(pd, col("text"), col("doc_id"), passageTokens = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("n_passages"), r.getAs[Int]("n_kept"), r.getAs[String]("clean"))))
+      .toMap
+    assert(out(1L) === ((2, 2, "a b c d e f g h")))   // first occurrence keeps all
+    assert(out(2L) === ((2, 1, "x y z w")))           // shared head removed
+    assert(out(3L) === ((2, 0, "")))                  // everything seen at doc 1
+    assert(out(4L) === ((1, 1, "p q r")))             // trailing partial passage survives
+  }
+
+  test("passageDedup: empty text yields one empty passage, first empty doc keeps it") {
+    import spark.implicits._
+    val pd = Seq((10L, ""), (11L, ""), (12L, "solo unique words here")).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(pd, col("text"), col("doc_id"), passageTokens = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("n_passages"), r.getAs[Int]("n_kept")))).toMap
+    assert(out(10L) === ((1, 1)))
+    assert(out(11L) === ((1, 0)))
+    assert(out(12L) === ((1, 1)))
+  }
 }
