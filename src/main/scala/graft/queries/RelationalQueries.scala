@@ -609,6 +609,37 @@ object RelationalQueries {
             round($"o_totalprice" + 1e-9, 2).as("o_totalprice")))
       graft.operators.Upsert.upsert(snap, upd, "o_orderkey")
         .orderBy($"o_orderkey")
+    },
+
+    // Dataset profiling — per-column row/null/exact-distinct counts and
+    // min/max, ALL columns in ONE table pass: the multiple exact
+    // count(distinct)s plan as a single Expand (row × profiled-column
+    // fan-out) + partial+final aggregate, min/max/nulls ride the same
+    // aggregate, and the per-column unpivot is a literal struct explode
+    // over the single 1-row result (see operators/Profile.scala). The
+    // ingestion data-quality gate every training pipeline runs first.
+    sql(
+      "q32_profile",
+      """SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  CAST(min(event_id) AS VARCHAR) AS min_v, CAST(max(event_id) AS VARCHAR) AS max_v
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(event_type) AS BIGINT),
+        |  CAST(count(DISTINCT event_type) AS BIGINT),
+        |  CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(user_id) AS BIGINT),
+        |  CAST(count(DISTINCT user_id) AS BIGINT),
+        |  CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        |FROM events
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      graft.operators.Profile.profile(
+        Tables.events(s, d), Seq("event_id", "event_type", "user_id"))
     }
   )
 

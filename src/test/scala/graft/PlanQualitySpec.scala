@@ -422,6 +422,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"expected one partial+final WindowGroupLimit pair:\n$p")
   }
 
+  test("q32: profiler — one pruned scan, all per-column stats in a single Expand pass") {
+    val p = plan("q32_profile")
+    assert(nodeCount(p, "Scan parquet") == 1,
+      s"all columns must profile in ONE scan, not one per column:\n$p")
+    assert(nodeCount(p, "Expand") == 1,
+      s"multi-distinct must plan as a single Expand:\n$p")
+    val read = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(read.contains("event_id") && read.contains("event_type")
+      && read.contains("user_id") && !read.contains("props"),
+      s"scan must prune to the profiled columns: $read")
+  }
+
   test("t28: passage dedup — map-side-combined election, no text window, one text pass") {
     val p = plan("t28_passage_dedup")
     // first-occurrence election is partial+final min(struct) keyed by the
