@@ -126,6 +126,47 @@ object VectorQueries {
     if (cbs.size == 1) Some(cbs.get(0)) else None
   }
 
+  /** v19's k-means seeds per data dir (deterministic: the 8 lowest-id
+    * vectors), shared between the query run and its dump-time oracle —
+    * the pqCache pattern. */
+  private val kmSeedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def kmSeeds(s: org.apache.spark.sql.SparkSession, d: String): Array[Array[Double]] =
+    kmSeedCache.computeIfAbsent(d, _ =>
+      graft.operators.KMeans.seeds(Tables.embeddings(s, d), col("embedding"),
+        col("vec_id"), k = 8))
+
+  private def soleKmSeeds: Option[Array[Array[Double]]] = {
+    val ss = new java.util.ArrayList(kmSeedCache.values())
+    if (ss.size == 1) Some(ss.get(0)) else None
+  }
+
+  /** One Lloyd round from the inlined seeds: assignment via the SAME
+    * left-assoc distance chains + lowest-index ties as the kernel
+    * (GngQueries.distSql), means per (cluster, pos), v09's 4-decimal
+    * render. Non-empty clusters only, like the query. */
+  private def kmeansOracle: Option[String] =
+    soleKmSeeds.map { sd =>
+      val vecDists = sd.zipWithIndex
+        .map { case (c, i) => s"SELECT vec_id, $i AS cluster, ${graft.GngQueries.distSql("v", c)} AS dsq FROM e" }
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS ($vecDists),
+         |win AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cluster) AS rk FROM d)
+         |  WHERE rk = 1),
+         |a AS (SELECT w.cluster, e.v FROM e JOIN win w ON w.vec_id = e.vec_id),
+         |x AS (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a),
+         |m AS (SELECT cluster, pos, avg(x) AS m, CAST(count(*) AS BIGINT) AS n
+         |      FROM x GROUP BY cluster, pos)
+         |SELECT cluster, max(n) AS n,
+         |  array_to_string(list_transform(list(m ORDER BY pos),
+         |    v -> CAST(CAST(CAST(floor(v * 10000 + 0.5) AS BIGINT) / 10000.0
+         |              AS DECIMAL(18,4)) AS VARCHAR)), ', ') AS centroid
+         |FROM m GROUP BY cluster ORDER BY cluster""".stripMargin
+    }
+
   /** A `def`, not a `val`: the v06 oracle embeds the TRAINED centroids,
     * which only exist after the gng queries run (dump-time inlining —
     * see [[graft.GngQueries.soleTrainedCentroids]]). */
@@ -423,7 +464,29 @@ object VectorQueries {
           Tables.embeddings(s, d).filter(col("vec_id") >= 25),
           col("embedding"), col("vec_id"), eval, threshold = 0.3)
         .orderBy(col("id"))
-    }
+    },
+
+    // Distributed k-means (one Lloyd round, k=8, lowest-id seeds): the
+    // full-data training path for coarse quantizers/codebooks — ASSIGN
+    // is the nearest_centroid codegen kernel (centroid matrix as a plan
+    // constant, no join), UPDATE is a per-(cluster, dim) partial+final
+    // average; only k·d means ever leave the engine. Oracle: the seeds
+    // inline at dump time (raw data doubles, v06's mechanism) and
+    // DuckDB re-derives the same assignment (left-assoc distance
+    // chains, lowest-index ties) and the same 4-decimal centroid
+    // render (v09's). Output: one row per NON-EMPTY cluster.
+    QueryDef("v19_kmeans", (s, d) => {
+      val sd = kmSeeds(s, d)
+      graft.operators.KMeans.assignStats(Tables.embeddings(s, d), col("embedding"), sd)
+        .groupBy(col("cluster"))
+        .agg(
+          max(col("n")).as("n"),
+          expr("""array_join(transform(sort_array(collect_list(struct(pos, m))),
+                 |  s -> CAST(CAST(CAST(floor(s.m * 10000 + 0.5) AS BIGINT) / 10000.0
+                 |            AS DECIMAL(18,4)) AS STRING)), ', ')""".stripMargin)
+            .as("centroid"))
+        .orderBy(col("cluster"))
+    }, kmeansOracle)
   )
 
   /** v15's oracle: the v03 multiprobe semantics applied PER QUERY —

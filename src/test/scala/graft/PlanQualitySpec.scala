@@ -422,6 +422,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"expected one partial+final WindowGroupLimit pair:\n$p")
   }
 
+  test("v19: k-means round — kernel assignment, partial+final update, one scan, no join") {
+    val p = plan("v19_kmeans")
+    assert(p.contains("nearest_centroid"),
+      s"assignment must be the codegen kernel (centroids as plan constants):\n$p")
+    assert(nodeCount(p, "Scan parquet") == 1, s"one corpus pass per round:\n$p")
+    assert(!p.contains("Join"), s"assignment must not join a centroid table:\n$p")
+    // (cluster, pos) means combine map-side before the k·d-row shuffle
+    assert(nodeCount(p, "HashAggregate") >= 2,
+      s"update must be a partial+final aggregate:\n$p")
+  }
+
   test("q32: profiler — one pruned scan, all per-column stats in a single Expand pass") {
     val p = plan("q32_profile")
     assert(nodeCount(p, "Scan parquet") == 1,
