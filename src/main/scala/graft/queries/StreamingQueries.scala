@@ -155,6 +155,29 @@ object StreamingQueries {
             StreamingRelational.documentsStream(s, d).filter(col("doc_id") % 5 === 0),
             col("text"), col("doc_id"), TextQueries.dedupIndex(s, d)))
         .orderBy(col("new_id"), col("dup_of"))
+    },
+
+    // STREAMING ANN serving: a stream of query vectors answered against
+    // the static partitioned bucket index — production semantic-search
+    // ingestion (every arriving request gets its top-k). The batched
+    // serving operator's plan (per-query windows, multi-stage
+    // aggregation) cannot run inside Structured Streaming, so each
+    // micro-batch serves via foreachBatch with the FULL batch operator
+    // — v15's code and plan verbatim — against the shared index;
+    // per-request independence makes the answer invariant to the
+    // stream's batch slicing, which is exactly what the shared batch
+    // oracle (v15's SQL, this query's qid predicate) verifies.
+    sql(
+      "s07_stream_semantic_search",
+      VectorQueries.batchedKnnSqlFor("vec_id % 50 = 0")) { (s, d) =>
+      StreamingRelational.oneShotServe(s,
+          StreamingRelational.embeddingsStream(s, d)
+            .filter(col("vec_id") % 50 === 0),
+          batch => graft.operators.Similarity.lshKnnBatch(
+            VectorQueries.servedIndex(s, d), batch,
+            col("embedding"), col("vec_id"),
+            dim = VectorQueries.EmbDim, k = 10, nBits = 4))
+        .orderBy(col("qid"), col("rk"))
     }
   )
 }

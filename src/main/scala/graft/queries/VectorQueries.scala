@@ -19,7 +19,7 @@ object VectorQueries {
       .head().getSeq[Double](0).toArray
 
   /** The embeddings table is 64-wide at every SF (FIXTURES.md §2). */
-  private val EmbDim = 64
+  private[graft] val EmbDim = 64
 
   /** Prebuilt LSH bucket index per data dir — the SERVING shape:
     * [[Similarity.lshBuckets]] output written ONCE as parquet
@@ -497,11 +497,16 @@ object VectorQueries {
     * the per-query histogram is a qs × s cross join grouped by
     * (qid, hd); radii and ranks are PARTITION BY qid windows — the
     * same per-query stages the Spark plan runs. */
-  private lazy val batchedKnnSql: String = {
+  private lazy val batchedKnnSql: String = batchedKnnSqlFor("vec_id IN (0, 17, 42)")
+
+  /** [[batchedKnnSql]] parameterized by the query-set predicate —
+    * shared with s07's streaming-serving oracle, so the batch and
+    * streaming contracts cannot drift apart. */
+  private[graft] def batchedKnnSqlFor(qidPred: String): String = {
     val planes = Similarity.hyperplanes(4, EmbDim)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |s AS (SELECT vec_id, v, ${sigSql("v", planes)} AS bucket FROM e),
-       |qs AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM s WHERE vec_id IN (0, 17, 42)),
+       |qs AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM s WHERE $qidPred),
        |hist AS (SELECT q.qid, bit_count(xor(s.bucket, q.qb)) AS hd, count(*) AS n
        |         FROM qs q CROSS JOIN s GROUP BY 1, 2),
        |radii AS (SELECT qid, coalesce(min(CASE WHEN cum >= 30 THEN hd END), 4) AS radius

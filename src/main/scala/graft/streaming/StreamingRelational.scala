@@ -172,6 +172,48 @@ object StreamingRelational {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
+  /** The embeddings table as a stream — the arriving query vectors for
+    * streaming ANN serving (s07). */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+
+  /** One-shot micro-batch SERVING: run `serve` over each arriving
+    * micro-batch via foreachBatch, appending results to a scratch
+    * parquet sink, and return the accumulated result. This is the
+    * production shape for serving a stream of requests against a
+    * static index with an operator whose plan (windows, multi-pass
+    * aggregation) Structured Streaming cannot host directly: the
+    * micro-batch is a plain DataFrame, so the FULL batch operator —
+    * same code, same plan — runs per trigger. Per-request independence
+    * makes the result invariant to how the stream slices into batches,
+    * which is exactly what the batch oracle verifies. */
+  def oneShotServe(spark: SparkSession, streamed: DataFrame,
+      serve: DataFrame => DataFrame): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory(scratchBase, "graft-ckpt")
+    val out = java.nio.file.Files.createTempDirectory(scratchBase, "graft-serve")
+    sys.addShutdownHook(deleteRecursively(out))
+    try confLock.synchronized {
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(shufKey)
+      try {
+        spark.conf.set(shufKey, math.min(prev.toInt, 8))
+        val q = streamed.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty)
+              serve(batch).write.mode("append").parquet(out.toString)
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set(shufKey, prev)
+    } finally deleteRecursively(ckpt)
+    spark.read.parquet(out.toString)
+  }
+
   /** Watermarked tumbling-window aggregation: events per (hour, type)
     * with summed value. The 1-hour watermark bounds append-mode state;
     * under complete mode (verification) it is declared but not dropping. */

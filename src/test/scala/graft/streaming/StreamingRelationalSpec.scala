@@ -176,4 +176,56 @@ class StreamingRelationalSpec extends AnyFunSuite with SparkTestSupport {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(finalRows === Set((1L, 3L, 7.0), (2L, 2L, 30.0), (3L, 1L, 100.0)))
   }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def serveKnn(batch: org.apache.spark.sql.DataFrame) =
+    graft.operators.Similarity.lshKnnBatch(
+      graft.queries.VectorQueries.servedIndex(spark, sf), batch,
+      col("embedding"), col("vec_id"),
+      dim = graft.queries.VectorQueries.EmbDim, k = 10, nBits = 4)
+
+  test("oneShotServe: streamed ANN serving equals the batch operator") {
+    val queries = graft.queries.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0)
+    val served = StreamingRelational.oneShotServe(spark,
+        StreamingRelational.embeddingsStream(spark, sf)
+          .filter(col("vec_id") % 10 === 0),
+        serveKnn)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val batch = serveKnn(queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(served.nonEmpty && served === batch)
+  }
+
+  test("micro-batch slicing does not change served ANN answers") {
+    import spark.implicits._
+    val qs = graft.queries.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    assert(qs.length === 4)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Int)]()
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          serveKnn(batch).collect()
+            .foreach(r => acc.add((r.getLong(0), r.getLong(1), r.getInt(3))))
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData(qs.take(2)); q.processAllAvailable()  // micro-batch 1
+      mem.addData(qs.drop(2)); q.processAllAvailable()  // micro-batch 2
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val sliced = acc.asScala.toSet
+    val oneBatch = serveKnn(
+        qs.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(sliced === oneBatch)
+    assert(sliced.map(_._1) === Set(0L, 1L, 2L, 3L))
+  }
 }
