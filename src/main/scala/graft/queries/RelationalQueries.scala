@@ -640,6 +640,47 @@ object RelationalQueries {
         |ORDER BY col_name""".stripMargin) { (s, d) =>
       graft.operators.Profile.profile(
         Tables.events(s, d), Seq("event_id", "event_type", "user_id"))
+    },
+
+    // Z-order (Morton) cell assignment over (l_partkey, l_suppkey):
+    // the lakehouse multi-dimensional layout key — write the table
+    // partitionBy(zcell) and a range box on EITHER or BOTH keys prunes
+    // at listing time (ZOrderSpec proves the pruning end-to-end; this
+    // query pins the cell assignment itself). Pure integer shift/mask
+    // arithmetic, generated from ONE loop for both engines — no
+    // floats, no UDF, whole-stage codegen. Per-cell extents double as
+    // the locality evidence: each cell's partkey/suppkey spread is
+    // ~1/8 of the domain, both dimensions at once.
+    sql(
+      "q33_zorder_cells", {
+        val qa = graft.operators.ZOrder.quantizeSql("l_partkey", "r.pmin", "r.pmax", 3)
+        val qb = graft.operators.ZOrder.quantizeSql("l_suppkey", "r.smin", "r.smax", 3)
+        s"""WITH r AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+           |             min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+           |q AS (SELECT $qa AS qa, $qb AS qb, l_partkey, l_suppkey FROM lineitem, r),
+           |z AS (SELECT ${graft.operators.ZOrder.zValueSql("qa", "qb", 3)} AS zcell,
+           |        l_partkey, l_suppkey FROM q)
+           |SELECT zcell, CAST(count(*) AS BIGINT) AS n,
+           |  min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+           |  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+           |FROM z GROUP BY zcell ORDER BY zcell""".stripMargin
+      }) { (s, d) =>
+      import graft.operators.ZOrder
+      val li = Tables.lineitem(s, d).select($"l_partkey", $"l_suppkey")
+      val rng = li.agg(
+        min($"l_partkey").as("pmin"), max($"l_partkey").as("pmax"),
+        min($"l_suppkey").as("smin"), max($"l_suppkey").as("smax"))
+      li.crossJoin(broadcast(rng))
+        .select(
+          ZOrder.zValue(
+            ZOrder.quantize($"l_partkey", $"pmin", $"pmax", 3),
+            ZOrder.quantize($"l_suppkey", $"smin", $"smax", 3), 3).as("zcell"),
+          $"l_partkey", $"l_suppkey")
+        .groupBy($"zcell")
+        .agg(count(lit(1)).as("n"),
+          min($"l_partkey").as("p_min"), max($"l_partkey").as("p_max"),
+          min($"l_suppkey").as("s_min"), max($"l_suppkey").as("s_max"))
+        .orderBy($"zcell")
     }
   )
 

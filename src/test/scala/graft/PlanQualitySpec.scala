@@ -422,6 +422,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"expected one partial+final WindowGroupLimit pair:\n$p")
   }
 
+  test("q33: z-order cells — broadcast 1-row range, shift/mask in codegen, partial+final") {
+    val p = plan("q33_zorder_cells")
+    // the min/max range rides a broadcast of the 1-row aggregate — the
+    // fact table never shuffles for it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"range must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact table must not shuffle for the range:\n$p")
+    assert(p.contains("shiftright"), s"interleave must be shift/mask arithmetic:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 4,
+      s"range and cell aggregations must both be partial+final:\n$p")
+  }
+
   test("v19: k-means round — kernel assignment, partial+final update, one scan, no join") {
     val p = plan("v19_kmeans")
     assert(p.contains("nearest_centroid"),
