@@ -74,6 +74,60 @@ object JoinQueries {
           cellMicros = 86400L * 1000000L) // day cells ~ the window scale
         .select(col("event_id"), col("ts"), col("campaign"))
         .orderBy(col("event_id"), col("campaign"))
+    },
+
+    // FORWARD as-of: for every event, the user's NEXT signup at or
+    // after the event (merge_asof direction='forward') — same
+    // one-shuffle union+window plan as a01, mirrored to
+    // first-over-following. Oracle: DuckDB's native ASOF with the
+    // inequality flipped.
+    sql(
+      "a02_asof_next_signup",
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup')
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  s.ts AS next_signup_ts, s.event_id AS next_signup_event_id
+        |FROM events e
+        |ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts <= s.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val events = Tables.events(s, d)
+      val signups = events.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin.forward(
+          events.select(col("event_id"), col("user_id"), col("ts")),
+          signups,
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          rightPayload = Seq("ts" -> "next_signup_ts", "event_id" -> "next_signup_event_id"),
+          rightTieBreak = "event_id")
+        .orderBy(col("event_id"))
+    },
+
+    // TOLERANCE as-of: a01's backward lookup, but a signup older than
+    // 2 days is STALE — the match nullifies instead of silently
+    // shipping an outdated feature (merge_asof's tolerance). The
+    // window match is unchanged; only the acceptance bound differs, so
+    // the oracle is a01's ASOF with a post-join CASE.
+    sql(
+      "a03_asof_signup_within",
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup')
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  CASE WHEN s.ts >= e.ts - INTERVAL 2 DAY THEN s.ts END AS signup_ts,
+        |  CASE WHEN s.ts >= e.ts - INTERVAL 2 DAY THEN s.event_id END AS signup_event_id
+        |FROM events e
+        |ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val events = Tables.events(s, d)
+      val signups = events.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin.backward(
+          events.select(col("event_id"), col("user_id"), col("ts")),
+          signups,
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          rightPayload = Seq("ts" -> "signup_ts", "event_id" -> "signup_event_id"),
+          rightTieBreak = "event_id",
+          tolerance = Some("INTERVAL 2 DAY"))
+        .orderBy(col("event_id"))
     }
   )
 }

@@ -50,6 +50,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)]"))
   }
 
+  test("a02/a03: forward and tolerance as-of keep a01's single-shuffle shape") {
+    for (name <- Seq("a02_asof_next_signup", "a03_asof_signup_within")) {
+      val p = plan(name)
+      val exchanges = nodeCount(p, "Exchange")
+      assert(exchanges <= 2, s"$name should shuffle once (+output sort), saw $exchanges:\n$p")
+      assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)]"),
+        s"$name signup filter must reach the scan:\n$p")
+    }
+  }
+
   test("q01: aggregation is partial+final (two HashAggregates)") {
     val p = plan("q01_pricing_summary")
     assert(nodeCount(p, "HashAggregate") >= 2)
