@@ -97,6 +97,9 @@ object GraftExtensions {
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args(0))),
+    ("vec_sum",
+      new ExpressionInfo(classOf[VectorSum].getName, "vec_sum"),
+      (args: Seq[Expression]) => VectorSum(args(0)).toAggregateExpression()),
     ("lsh_bands",
       new ExpressionInfo(classOf[LshBandSignatures].getName, "lsh_bands"),
       (args: Seq[Expression]) => LshBandSignatures(args(0),

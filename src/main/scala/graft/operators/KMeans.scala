@@ -49,14 +49,22 @@ object KMeans {
   /** ONE Lloyd round as a DataFrame: assign every vector to its nearest
     * centroid (codegen kernel, centroids as plan constants), then the
     * per-(cluster, pos) mean and cluster size via partial+final
-    * aggregation. Output: (cluster INT, pos INT, m DOUBLE, n BIGINT) —
-    * rows exist only for non-empty clusters. */
+    * aggregation. The vectors aggregate WHOLE through the custom
+    * [[graft.expressions.VectorSum]] buffer — the shuffle carries one
+    * (cluster, d-vector) row per map partition, and the pos explode
+    * happens on the k aggregated rows, never the corpus (a
+    * posexplode-first pipeline pushes d× the corpus rows through the
+    * partial aggregate). Output: (cluster INT, pos INT, m DOUBLE,
+    * n BIGINT) — rows exist only for non-empty clusters. */
   def assignStats(df: DataFrame, vecCol: Column,
       cents: Array[Array[Double]]): DataFrame =
     df.select(VectorOps.nearestCentroid(asDouble(vecCol), cents).as("cluster"),
-        posexplode(asDouble(vecCol)).as(Seq("pos", "x")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+        asDouble(vecCol).as("v"))
+      .groupBy(col("cluster"))
+      .agg(graft.expressions.VectorAgg.vecSum(col("v")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cluster"), col("n"), posexplode(col("s")).as(Seq("pos", "x")))
+      .select(col("cluster"), col("pos"), (col("x") / col("n")).as("m"), col("n"))
 
   /** Full distributed training loop: `iters` assign+update rounds from
     * the lowest-id seeds. Per round only the k·d (cluster, pos, mean)

@@ -450,9 +450,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"assignment must be the codegen kernel (centroids as plan constants):\n$p")
     assert(nodeCount(p, "Scan parquet") == 1, s"one corpus pass per round:\n$p")
     assert(!p.contains("Join"), s"assignment must not join a centroid table:\n$p")
-    // (cluster, pos) means combine map-side before the k·d-row shuffle
-    assert(nodeCount(p, "HashAggregate") >= 2,
-      s"update must be a partial+final aggregate:\n$p")
+    // vectors aggregate WHOLE through the vec_sum buffer: partial+final
+    // ObjectHashAggregate keyed by cluster, so the shuffle carries one
+    // (cluster, d-vector) buffer per map partition and the posexplode
+    // runs on the k aggregated rows, never the corpus
+    assert(nodeCount(p, "ObjectHashAggregate") >= 2,
+      s"update must be a partial+final vector-buffer aggregate:\n$p")
+    assert(p.indexOf("Generate") > p.indexOf("Exchange"),
+      s"posexplode must run on the aggregated rows, after the shuffle:\n$p")
+    // the inner agg keys by cluster alone, so the query's outer
+    // groupBy(cluster) reuses that partitioning: exactly one hash
+    // Exchange (the second Exchange is the final orderBy's range part.)
+    assert(nodeCount(p, "Exchange") == 2,
+      s"one by-cluster shuffle + the output sort, nothing else:\n$p")
   }
 
   test("q32: profiler — one pruned scan, all per-column stats in a single Expand pass") {
