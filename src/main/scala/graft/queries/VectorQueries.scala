@@ -280,14 +280,18 @@ object VectorQueries {
         .orderBy(col("score").desc, col("id"))
     },
 
-    // Per-label centroid pooling: elementwise mean embedding per class,
-    // done RELATIONALLY (posexplode → partial+final avg per (label,
-    // lane) → ordered re-assembly) so it scales like any keyed agg —
-    // no vector UDAF buffer, no driver-side math. Rendering uses the
-    // bit-portable floor(v·1e4+0.5)→DECIMAL(18,4) twin (gng_prototypes
-    // precedent); avg summation-order noise (~1e-15 rel) sits ~7 orders
-    // below the rounding step. The pooled vectors are classifier
-    // prototypes / label-conditioned embeddings for a training mix.
+    // Per-label centroid pooling: elementwise mean embedding per class
+    // in ONE aggregate — vectors sum WHOLE through the custom
+    // [[graft.expressions.VectorSum]] partial+final buffer, so the
+    // shuffle carries one (label, d-vector) row per map partition and
+    // the per-lane mean + rendering run on the |labels| aggregated rows
+    // (the previous posexplode-first shape pushed d× the corpus rows
+    // through the partial aggregate and needed a second aggregate to
+    // re-assemble lanes). Rendering uses the bit-portable
+    // floor(v·1e4+0.5)→DECIMAL(18,4) twin (gng_prototypes precedent);
+    // summation-order noise (~1e-15 rel) sits ~7 orders below the
+    // rounding step. The pooled vectors are classifier prototypes /
+    // label-conditioned embeddings for a training mix.
     sql(
       "v09_label_centroids",
       """WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
@@ -300,14 +304,13 @@ object VectorQueries {
         |              AS DECIMAL(18,4)) AS VARCHAR)), ', ') AS centroid
         |FROM m GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
       Tables.embeddings(s, d)
-        .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos"))
-        .agg(avg(col("x")).as("m"))
         .groupBy(col("label"))
         .agg(
-          count(lit(1)).cast("int").as("dim"),
-          expr("""array_join(transform(sort_array(collect_list(struct(pos, m))),
-                 |  s -> CAST(CAST(CAST(floor(s.m * 10000 + 0.5) AS BIGINT) / 10000.0
+          graft.expressions.VectorAgg.vecSum(asDouble(col("embedding"))).as("vsum"),
+          count(col("embedding")).as("n"))
+        .select(col("label"), size(col("vsum")).as("dim"),
+          expr("""array_join(transform(vsum,
+                 |  x -> CAST(CAST(CAST(floor(x / n * 10000 + 0.5) AS BIGINT) / 10000.0
                  |            AS DECIMAL(18,4)) AS STRING)), ', ')""".stripMargin)
             .as("centroid"))
         .orderBy(col("label"))
