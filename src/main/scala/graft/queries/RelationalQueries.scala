@@ -681,6 +681,135 @@ object RelationalQueries {
           min($"l_partkey").as("p_min"), max($"l_partkey").as("p_max"),
           min($"l_suppkey").as("s_min"), max($"l_suppkey").as("s_max"))
         .orderBy($"zcell")
+    },
+
+    // Batch sessionization (30-minute inactivity gap): the canonical
+    // event-log feature-engineering op — lag-gap flag, running count
+    // of flags = session id, then per-session stats. Both windows
+    // partition on user_id (high cardinality → small, parallel,
+    // spill-free partitions at any SF) and share ONE ordering
+    // (ts, event_id), so the plan sorts each user partition once and
+    // runs both window functions in a single Window node. The gap test
+    // compares exact epoch MICROSECONDS (unix_micros ⇄ epoch_us) —
+    // float seconds would round ties differently across engines.
+    sql(
+      "q34_sessionize",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM g)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val prev = lag($"ts", 1).over(w)
+      Tables.events(s, d)
+        .withColumn("new_sess",
+          when(prev.isNull ||
+            unix_micros($"ts") - unix_micros(prev) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_no",
+          sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_no")
+        .agg(
+          min($"ts").as("session_start"), max($"ts").as("session_end"),
+          count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"user_id", $"session_no")
+    },
+
+    // Time-series resample + gap-fill: hourly mean per event_type over
+    // a complete hour spine (sequence() from the global [min,max]
+    // hour), missing hours forward-filled with the last observed value
+    // (last(_, ignoreNulls) over an unbounded-preceding window — the
+    // LOCF every monitoring/feature pipeline needs). The spine is
+    // |event_types| × |hours| — dimension-table sized, built from a
+    // broadcast 1-row range — while the fact table is touched exactly
+    // once by the hourly aggregate; the fill window partitions per
+    // type, so state is one value per partition. avg is rounded to 4dp
+    // BEFORE the fill in both engines so summation-order noise can't
+    // propagate through the carried values.
+    sql(
+      "q35_gapfill",
+      """WITH rng AS (SELECT date_trunc('hour', min(ts)) AS hmin,
+        |                    date_trunc('hour', max(ts)) AS hmax FROM events),
+        |spine AS (
+        |  SELECT et.event_type, h.hour
+        |  FROM (SELECT DISTINCT event_type FROM events) et
+        |  CROSS JOIN (SELECT unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS hour
+        |              FROM rng) h),
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |         round(avg(value), 4) AS avg_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT s.event_type, s.hour,
+        |  h.avg_value IS NULL AS is_gap,
+        |  last_value(h.avg_value IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM spine s LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
+        |ORDER BY s.event_type, s.hour""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val hourly = ev
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg(round(avg($"value"), 4).as("avg_value"))
+      val rng = ev.agg(
+        date_trunc("hour", min($"ts")).as("hmin"),
+        date_trunc("hour", max($"ts")).as("hmax"))
+      val spine = ev.select($"event_type").distinct()
+        .crossJoin(broadcast(rng))
+        .select($"event_type",
+          explode(expr("sequence(hmin, hmax, interval 1 hour)")).as("hour"))
+      val fillW = Window.partitionBy($"event_type").orderBy($"hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "hour"), "left")
+        .select($"event_type", $"hour",
+          $"avg_value".isNull.as("is_gap"),
+          last($"avg_value", ignoreNulls = true).over(fillW).as("filled_value"))
+        .orderBy($"event_type", $"hour")
+    },
+
+    // Explicit GROUPING SETS (beyond q15's rollup / q21's cube): the
+    // arbitrary-combination form a reporting layer asks for, planned as
+    // ONE Expand + partial+final aggregate — the fact table is scanned
+    // once, never per set. grouping() flags disambiguate the
+    // superaggregate rows portably (the data has no NULL flags, so the
+    // 'ALL' coalesce is unambiguous); both engines cast the flag to INT
+    // because Spark's grouping() is TINYINT and DuckDB's is BIGINT.
+    sql(
+      "q36_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rflag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_lstatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rflag, g_lstatus, rflag, lstatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq.empty),
+          $"l_returnflag", $"l_linestatus")
+        .agg(
+          grouping($"l_returnflag").cast("int").as("g_rflag"),
+          grouping($"l_linestatus").cast("int").as("g_lstatus"),
+          count(lit(1)).as("n"),
+          round(sum($"l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("rflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
+          $"g_rflag", $"g_lstatus", $"n", $"sum_qty")
+        .orderBy($"g_rflag", $"g_lstatus", $"rflag", $"lstatus")
     }
   )
 

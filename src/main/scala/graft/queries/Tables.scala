@@ -22,18 +22,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader
-    * rejects. Read nanos as long (legacy conf) and convert to a regular
-    * microsecond timestamp. `div` is exact integer division — epoch
-    * nanos (~1.7e18) exceed double's 53-bit mantissa, so the float `/`
+  /** `events.ts` has shipped as two parquet encodings across driver
+    * testdata generations: TIMESTAMP(NANOS) (which Spark's reader
+    * rejects → read nanos as long via the legacy conf and convert) and
+    * TIMESTAMP(MICROS) isAdjustedToUTC=false (which Spark infers as
+    * TIMESTAMP_NTZ). Normalize both to the session-zone TIMESTAMP the
+    * rest of the engine (and the r1–r6 oracle compares) uses; the
+    * session zone is pinned to UTC, so the NTZ→LTZ cast is value-exact.
+    * For the nanos path `div` is exact integer division — epoch nanos
+    * (~1.7e18) exceed double's 53-bit mantissa, so the float `/`
     * operator would round ~12% of rows 1µs off versus DuckDB's integer
     * truncation. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
-    df.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -150,17 +150,23 @@ object StreamingRelational {
     eventsStream(spark, dir).unionByName(sentinel)
   }
 
-  /** The events table as a stream (same nanos→micros conversion as
-    * [[graft.queries.Tables.events]]). */
+  /** The events table as a stream (same ts normalization as
+    * [[graft.queries.Tables.events]] — the driver's testdata has shipped
+    * both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) NTZ encodings, so probe
+    * the static footer once to pick the stream schema). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosAsLong = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
     // the file stream source requires a directory: stream the sf dir,
     // glob-filtered to the events table
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    val tsDdl = if (nanosAsLong) "BIGINT" else "TIMESTAMP_NTZ"
+    val raw = spark.readStream
+      .schema(s"event_id BIGINT, ts $tsDdl, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (nanosAsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** The documents table as a stream — the "arriving crawl increment"
