@@ -733,11 +733,17 @@ object RelationalQueries {
     // (last(_, ignoreNulls) over an unbounded-preceding window — the
     // LOCF every monitoring/feature pipeline needs). The spine is
     // |event_types| × |hours| — dimension-table sized, built from a
-    // broadcast 1-row range — while the fact table is touched exactly
-    // once by the hourly aggregate; the fill window partitions per
-    // type, so state is one value per partition. avg is rounded to 4dp
-    // BEFORE the fill in both engines so summation-order noise can't
-    // propagate through the carried values.
+    // broadcast 1-row range — and BOTH spine inputs (type set, hour
+    // range) are derived from the hourly aggregate, which is
+    // materialized ONCE via lazy localCheckpoint (Collapse's idiom):
+    // date_trunc is monotone, so min/max over hourly hours equal the
+    // truncated global min/max, and without the materialization
+    // Catalyst pushes those aggregates straight back to the base table
+    // — three full fact scans at any SF. Gated: the final plan holds
+    // exactly one parquet scan. The fill window partitions per type, so
+    // state is one value per partition. avg is rounded to 4dp BEFORE
+    // the fill in both engines so summation-order noise can't propagate
+    // through the carried values.
     sql(
       "q35_gapfill",
       """WITH rng AS (SELECT date_trunc('hour', min(ts)) AS hmin,
@@ -762,10 +768,9 @@ object RelationalQueries {
       val hourly = ev
         .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
         .agg(round(avg($"value"), 4).as("avg_value"))
-      val rng = ev.agg(
-        date_trunc("hour", min($"ts")).as("hmin"),
-        date_trunc("hour", max($"ts")).as("hmax"))
-      val spine = ev.select($"event_type").distinct()
+        .localCheckpoint(false)
+      val rng = hourly.agg(min($"hour").as("hmin"), max($"hour").as("hmax"))
+      val spine = hourly.select($"event_type").distinct()
         .crossJoin(broadcast(rng))
         .select($"event_type",
           explode(expr("sequence(hmin, hmax, interval 1 hour)")).as("hour"))

@@ -492,4 +492,49 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("Scan parquet"), s"text must not be re-scanned at query time:\n$p")
     assert(!p.contains("normalize_text"), s"kernel must not re-run at query time:\n$p")
   }
+
+  test("q34: sessionize — both windows share one sort, agg rides the window partitioning") {
+    val p = plan("q34_sessionize")
+    // lag-flag window and running-sum window both partition by user_id
+    // with the same (ts, event_id) ordering → exactly one Sort feeds the
+    // two Window nodes (plus the final orderBy's sort), and the
+    // (user_id, session_no) aggregation reuses the by-user partitioning:
+    // one hash Exchange total + the output range Exchange
+    assert(nodeCount(p, "Window") == 2, s"expected both window phases:\n$p")
+    assert(nodeCount(p, "Sort") == 2,
+      s"both windows must share ONE sort (+output sort), saw:\n$p")
+    assert(nodeCount(p, "Exchange") == 2,
+      s"one by-user shuffle + the output sort, nothing else:\n$p")
+    val read = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!read.contains("props") && !read.contains("event_type"),
+      s"scan must prune to the session columns: $read")
+  }
+
+  test("q35: gap-fill — spine inputs ride the materialized hourly agg, one fact scan") {
+    // the hour range, the event_type set, and the join side all read
+    // the localCheckpoint'ed hourly aggregate; without it Catalyst
+    // pushes min/max/distinct through the agg back to the base table
+    // (three fact scans). Materialization shows in the executed plan.
+    val df = SparkEntry.queries("q35_gapfill")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(p).size <= 1 &&
+      !p.contains("Scan parquet "),
+      s"the events table must be scanned at most once at query time:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 3,
+      s"range, type set, and join side must all consume the checkpoint:\n$p")
+  }
+
+  test("q36: grouping sets — one Expand, partial+final agg, pruned scan") {
+    val p = plan("q36_grouping_sets")
+    assert(nodeCount(p, "Expand") == 1,
+      s"all grouping sets must plan as ONE Expand over one scan:\n$p")
+    assert(nodeCount(p, "Scan parquet") == 1,
+      s"the fact table must not be re-scanned per grouping set:\n$p")
+    assert(nodeCount(p, "HashAggregate") == 2,
+      s"partial+final aggregation around the single shuffle:\n$p")
+    val read = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(read.count(_ == ',') == 2,
+      s"scan must prune to the 3 referenced columns: $read")
+  }
 }
