@@ -755,7 +755,7 @@ object RelationalQueries {
         |              FROM rng) h),
         |hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,
-        |         round(avg(value), 4) AS avg_value
+        |         round(avg(value) + 1e-9, 4) AS avg_value
         |  FROM events GROUP BY 1, 2)
         |SELECT s.event_type, s.hour,
         |  h.avg_value IS NULL AS is_gap,
@@ -767,7 +767,7 @@ object RelationalQueries {
       val ev = Tables.events(s, d)
       val hourly = ev
         .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
-        .agg(round(avg($"value"), 4).as("avg_value"))
+        .agg(round(avg($"value") + 1e-9, 4).as("avg_value"))
         .localCheckpoint(false)
       val rng = hourly.agg(min($"hour").as("hmin"), max($"hour").as("hmax"))
       val spine = hourly.select($"event_type").distinct()

@@ -809,6 +809,89 @@ object TextQueries {
           Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
           col("text"), col("doc_id"), dedupIndex(s, d))
         .orderBy(col("new_id"), col("dup_of"))
+    },
+
+    // Source drift monitor: per-source distribution shift between two
+    // corpus snapshots — the check a crawl pipeline runs before a new
+    // snapshot enters the training mix. The ref/cur split is the
+    // deterministic md5 half-bucket (t17/t22's RNG-free idiom; doc_id
+    // PARITY is degenerate here — the fixture assigns ids round-robin
+    // by source, so parity and source coincide). Language-mix drift is
+    // PSI (population stability index, Σ (p_cur−p_ref)·ln(p_cur/p_ref))
+    // over the per-source lang distribution, Laplace-smoothed (+0.5 per
+    // cell) so a language appearing in only one snapshot stays finite;
+    // length drift is the mean-n_chars delta, NULL when a snapshot half
+    // is empty (guarded identically in both engines — ANSI Spark throws
+    // on the bare division, DuckDB yields NaN; neither is the contract).
+    // ONE corpus scan: everything after the (source, lang)
+    // count-aggregate — totals, smoothing, PSI terms — runs on
+    // dimension-sized rows via per-source windows, no self-join and no
+    // second scan (plan-gated). ln() cross-engine per t15/t26
+    // precedent; +1e-9 nudge before every 4-dp round.
+    sql(
+      "t30_source_drift",
+      """WITH h AS (
+        |  SELECT source, lang, n_chars,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7' AS is_ref
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, lang,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur,
+        |    CAST(sum(CASE WHEN is_ref THEN n_chars ELSE 0 END) AS BIGINT) AS chars_ref,
+        |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE n_chars END) AS BIGINT) AS chars_cur
+        |  FROM h GROUP BY source, lang),
+        |w AS (
+        |  SELECT source, lang, n_ref, n_cur, chars_ref, chars_cur,
+        |    sum(n_ref) OVER ws AS tot_ref, sum(n_cur) OVER ws AS tot_cur,
+        |    sum(chars_ref) OVER ws AS tchars_ref, sum(chars_cur) OVER ws AS tchars_cur,
+        |    count(*) OVER ws AS n_lang
+        |  FROM c WINDOW ws AS (PARTITION BY source)),
+        |p AS (
+        |  SELECT source, tot_ref, tot_cur, tchars_ref, tchars_cur, n_lang,
+        |    (CAST(n_cur AS DOUBLE) + 0.5) / (tot_cur + 0.5 * n_lang) AS p_cur,
+        |    (CAST(n_ref AS DOUBLE) + 0.5) / (tot_ref + 0.5 * n_lang) AS p_ref
+        |  FROM w)
+        |SELECT source,
+        |  CAST(min(tot_ref) AS BIGINT) AS n_ref, CAST(min(tot_cur) AS BIGINT) AS n_cur,
+        |  CAST(min(n_lang) AS BIGINT) AS n_lang,
+        |  round(sum((p_cur - p_ref) * ln(p_cur / p_ref)) + 1e-9, 4) AS lang_psi,
+        |  CASE WHEN min(tot_cur) = 0 OR min(tot_ref) = 0 THEN NULL
+        |    ELSE round(CAST(min(tchars_cur) AS DOUBLE) / min(tot_cur)
+        |       - CAST(min(tchars_ref) AS DOUBLE) / min(tot_ref) + 1e-9, 2) END AS mean_chars_delta
+        |FROM p GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val isRef = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) <= "7"
+      val c = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          sum(when(isRef, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(isRef, 0L).otherwise(1L)).as("n_cur"),
+          sum(when(isRef, col("n_chars")).otherwise(0L)).as("chars_ref"),
+          sum(when(isRef, 0L).otherwise(col("n_chars"))).as("chars_cur"))
+      val ws = Window.partitionBy(col("source"))
+      val w = c
+        .withColumn("tot_ref", sum(col("n_ref")).over(ws))
+        .withColumn("tot_cur", sum(col("n_cur")).over(ws))
+        .withColumn("tchars_ref", sum(col("chars_ref")).over(ws))
+        .withColumn("tchars_cur", sum(col("chars_cur")).over(ws))
+        .withColumn("n_lang", count(lit(1)).over(ws))
+      val p = w
+        .withColumn("p_cur",
+          (col("n_cur").cast("double") + 0.5) / (col("tot_cur") + col("n_lang") * 0.5))
+        .withColumn("p_ref",
+          (col("n_ref").cast("double") + 0.5) / (col("tot_ref") + col("n_lang") * 0.5))
+      p.groupBy(col("source"))
+        .agg(
+          min(col("tot_ref")).as("n_ref"), min(col("tot_cur")).as("n_cur"),
+          min(col("n_lang")).as("n_lang"),
+          round(sum((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref"))) + 1e-9, 4)
+            .as("lang_psi"),
+          when(min(col("tot_cur")) === 0 || min(col("tot_ref")) === 0, lit(null))
+            .otherwise(round(min(col("tchars_cur")).cast("double") / min(col("tot_cur"))
+              - min(col("tchars_ref")).cast("double") / min(col("tot_ref")) + 1e-9, 2))
+            .as("mean_chars_delta"))
+        .orderBy(col("source"))
     }
   )
 

@@ -489,8 +489,61 @@ object VectorQueries {
                  |            AS DECIMAL(18,4)) AS STRING)), ', ')""".stripMargin)
             .as("centroid"))
         .orderBy(col("cluster"))
-    }, kmeansOracle)
+    }, kmeansOracle),
+
+    // ANN quality evaluation: recall@10 of the batched LSH path (v15's
+    // exact machinery) against brute-force ground truth, per query, in
+    // ONE plan — the measurement every approximate index must ship with
+    // before it replaces an exact scan in a pipeline. Ground truth is a
+    // single corpus scan against the broadcast query set with the same
+    // round-then-rank tie-break as the approximate side, so recall
+    // differences can only come from bucketing, never from scoring
+    // drift. The oracle recomputes BOTH sides (the v15 multiprobe SQL
+    // verbatim as the approximate arm), so a recall regression — not
+    // just a wrong recall — fails the hash compare.
+    sql("v20_ann_recall", annRecallOracle) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id").isin(0L, 17L, 42L))
+      val q = qs.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      val wk = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+      val exact = emb
+        .select(col("vec_id").as("id"), asDouble(col("embedding")).as("v"))
+        .crossJoin(broadcast(q))
+        .select(col("qid"), col("id"),
+          round(cosineSimilarity(col("v"), col("qv")), 4).as("score"))
+        .withColumn("rk", row_number().over(wk))
+        .filter(col("rk") <= 10)
+      val approx = Similarity.lshKnnBatch(servedIndex(s, d), qs,
+        col("embedding"), col("vec_id"), dim = EmbDim, k = 10, nBits = 4)
+      exact
+        .join(approx.select(col("qid"), col("id"), lit(1).as("hit")),
+          Seq("qid", "id"), "left")
+        .groupBy(col("qid"))
+        .agg(
+          count(col("hit")).as("n_hit"),
+          round(count(col("hit")) / 10.0 + 1e-9, 4).as("recall"))
+        .orderBy(col("qid"))
+    }
   )
+
+  /** v20's oracle: brute-force top-10 per query (same round-then-rank
+    * tie-break) LEFT JOINed against the v15 multiprobe SQL verbatim —
+    * the approximate arm is the single source of truth shared with
+    * v15/s07, so the two oracles cannot drift apart. */
+  private lazy val annRecallOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 17, 42)),
+       |ex AS (SELECT qid, id FROM (
+       |  SELECT q.qid, c.vec_id AS id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY round(list_cosine_similarity(c.v, q.qv), 4) DESC, c.vec_id) AS rk
+       |  FROM qs q CROSS JOIN e c) WHERE rk <= 10),
+       |ax AS (SELECT qid, id FROM ($batchedKnnSql) b)
+       |SELECT ex.qid, CAST(count(ax.id) AS BIGINT) AS n_hit,
+       |  round(count(ax.id) / 10.0 + 1e-9, 4) AS recall
+       |FROM ex LEFT JOIN ax ON ax.qid = ex.qid AND ax.id = ex.id
+       |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin
 
   /** v15's oracle: the v03 multiprobe semantics applied PER QUERY —
     * each query's hamming histogram (cumulative count by distance over

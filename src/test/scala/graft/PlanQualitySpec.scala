@@ -525,6 +525,29 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"range, type set, and join side must all consume the checkpoint:\n$p")
   }
 
+  test("t30: source drift — one corpus scan, windows and PSI on dimension-sized rows") {
+    val p = plan("t30_source_drift")
+    assert(nodeCount(p, "Scan parquet") == 1,
+      s"both snapshot halves must aggregate in ONE scan, not one per half:\n$p")
+    // the only scan-sized work is the (source, lang) count-aggregate;
+    // totals/PSI run on its output via windows — no self-join
+    assert(!p.contains("Join"), s"per-source totals must be windows, not a self-join:\n$p")
+    val read = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!read.contains("text"),
+      s"drift stats must not read document text: $read")
+  }
+
+  test("v20: ANN recall — ground truth is one corpus scan with broadcast queries") {
+    val p = plan("v20_ann_recall")
+    // brute-force arm: corpus scan × broadcast 3-row query set — the
+    // corpus must never shuffle for scoring (only the rank window's
+    // by-qid exchange of the top candidates)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query set must broadcast into the corpus scan:\n$p")
+    assert(nodeCount(p, "WindowGroupLimit") >= 2,
+      s"exact top-10 must prune partially before the by-qid shuffle:\n$p")
+  }
+
   test("q36: grouping sets — one Expand, partial+final agg, pruned scan") {
     val p = plan("q36_grouping_sets")
     assert(nodeCount(p, "Expand") == 1,
