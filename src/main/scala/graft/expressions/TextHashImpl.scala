@@ -333,7 +333,10 @@ object TextHashImpl {
 
   /** Per-band hashes of the MinHash signature (LSH banding), fused with
     * the signature computation so one expression eval produces the
-    * explode-ready band array. */
+    * explode-ready band array. Contract: `rowsPerBand` must divide `k`
+    * evenly — ragged widths throw IllegalArgumentException (via
+    * [[bandHashes]]) rather than silently dropping trailing signature
+    * lanes, which would quietly degrade banding recall. */
   def minHashBands(s: UTF8String, n: Int, k: Int, rowsPerBand: Int): ArrayData = {
     val sigData = minHash(s, n, k)
     if (sigData == null) return null
