@@ -177,11 +177,64 @@ object Pq {
     * models are explicit parameters here rather than trained inline. */
   def ivfPqIndex(df: DataFrame, vecCol: Column, idCol: Column,
       centroids: Array[Array[Double]],
-      codebook: Array[Array[Array[Double]]]): DataFrame =
+      codebook: Array[Array[Array[Double]]]): DataFrame = {
+    // version the index with its frozen models: the fingerprint rides
+    // the `codes` column's metadata through select/alias AND a parquet
+    // write/read round-trip (minHashIndex precedent), so the append
+    // path can refuse an increment encoded under drifted models
+    // instead of silently mixing incompatible code spaces
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("graft.ivfpq.model_fp", modelFingerprint(centroids, codebook))
+      .build()
     df.select(idCol.as("id"),
-      PqOps.pqEncode(graft.functions.VectorFunctions.asDouble(vecCol), codebook).as("codes"),
+      PqOps.pqEncode(graft.functions.VectorFunctions.asDouble(vecCol), codebook)
+        .as("codes", meta),
       graft.expressions.VectorOps.nearestCentroid(
         graft.functions.VectorFunctions.asDouble(vecCol), centroids).as("list"))
+  }
+
+  /** Bit-exact fingerprint of the frozen (centroids, codebook) pair —
+    * doubleToLongBits rendering, so two models agree iff every
+    * coordinate is IEEE-identical (a "retrained but close" codebook is
+    * a DIFFERENT code space and must not pass). */
+  def modelFingerprint(centroids: Array[Array[Double]],
+      codebook: Array[Array[Array[Double]]]): String = {
+    val sb = new StringBuilder
+    for (c <- centroids; v <- c) sb.append(java.lang.Double.doubleToLongBits(v)).append(',')
+    sb.append('|')
+    for (j <- codebook; w <- j; v <- w)
+      sb.append(java.lang.Double.doubleToLongBits(v)).append(',')
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Encode a corpus INCREMENT for append-only growth of a served
+    * [[ivfPqIndex]] between retrains. Codes and list assignment are
+    * row-local given frozen models, so appended rows serve
+    * row-identically to a full rebuild (spec-asserted) — but ONLY
+    * under the exact models the index was built with: this validates
+    * the stored fingerprint and fails fast on drift (the
+    * retrain-and-rebuild boundary), rather than silently appending
+    * codes from a different code space, which every subsequent ADC
+    * scan would score as garbage. An unstamped index (built elsewhere)
+    * is accepted as-is. Write the result `mode("append")` with the
+    * same `partitionBy("list")` layout. */
+  def ivfPqIncrement(index: DataFrame, df: DataFrame, vecCol: Column, idCol: Column,
+      centroids: Array[Array[Double]],
+      codebook: Array[Array[Array[Double]]]): DataFrame = {
+    val stored = index.schema.find(_.name == "codes").map(_.metadata)
+      .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+    val key = "graft.ivfpq.model_fp"
+    if (stored.contains(key)) {
+      val fp = modelFingerprint(centroids, codebook)
+      require(stored.getString(key) == fp,
+        "ivfPqIncrement: the index was built under different centroids/codebook " +
+          "(model fingerprint mismatch) — an IVFADC index cannot mix code spaces; " +
+          "retrain-and-rebuild instead of appending")
+    }
+    ivfPqIndex(df, vecCol, idCol, centroids, codebook)
+  }
 
   /** [[ivfPqKnn]] against a PREBUILT [[ivfPqIndex]] — the serving
     * shape. Neither kernel runs at query time: the probe set is a

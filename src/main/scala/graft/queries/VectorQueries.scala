@@ -51,6 +51,31 @@ object VectorQueries {
     * codebook), so it is keyed on the dir like them. */
   private val ivfPqIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** v21's two-phase index: built from the even vec_ids, grown by the
+    * odd half through the fingerprint-validated
+    * [[graft.operators.Pq.ivfPqIncrement]] append path — same layout,
+    * same serving plan, provably the same answers as [[servedIvfPqIndex]]. */
+  private val ivfPqIncIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def servedIvfPqIncrementalIndex(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val path = ivfPqIncIndexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "ivfpq-inc-index")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      val emb = Tables.embeddings(s, d)
+      val cs = graft.GngQueries.trained(s, d).centroids
+      val cb = pqCodebook(s, d)
+      graft.operators.Pq.ivfPqIndex(emb.filter(col("vec_id") % 2 === 0),
+          col("embedding"), col("vec_id"), cs, cb)
+        .write.mode("overwrite").partitionBy("list").parquet(dir.toString)
+      graft.operators.Pq.ivfPqIncrement(s.read.parquet(dir.toString),
+          emb.filter(col("vec_id") % 2 === 1), col("embedding"), col("vec_id"), cs, cb)
+        .write.mode("append").partitionBy("list").parquet(dir.toString)
+      dir.toString
+    })
+    s.read.parquet(path)
+  }
+
   private[graft] def servedIvfPqIndex(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val path = ivfPqIndexCache.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory(
@@ -490,6 +515,22 @@ object VectorQueries {
             .as("centroid"))
         .orderBy(col("cluster"))
     }, kmeansOracle),
+
+    // Append-only IVFADC index growth: the index is built from half
+    // the corpus (even vec_ids), the odd half arrives later as an
+    // increment — encoded under the SAME frozen models via
+    // Pq.ivfPqIncrement (fingerprint-validated: drifted models fail
+    // fast at append time, the retrain-and-rebuild boundary) and
+    // parquet-appended into the partitioned layout. Codes and list
+    // assignment are row-local given frozen models, so serving the
+    // two-phase index must be indistinguishable from the full rebuild:
+    // same dump-time oracle as v11/v16.
+    QueryDef("v21_ivfpq_incremental", (s, d) =>
+      graft.operators.Pq.ivfPqKnnOnIndex(
+        servedIvfPqIncrementalIndex(s, d),
+        graft.GngQueries.trained(s, d).centroids, pqCodebook(s, d),
+        queryVector(s, d), k = 10, nProbe = 2),
+      ivfPqOracle),
 
     // ANN quality evaluation: recall@10 of the batched LSH path (v15's
     // exact machinery) against brute-force ground truth, per query, in

@@ -117,6 +117,51 @@ class PqSpec extends AnyFunSuite with SparkTestSupport {
       java.nio.file.Paths.get(dir))
   }
 
+  test("ivfPqIncrement: appended index serves identically to a full rebuild; drift fails fast") {
+    val df = anchored(90)
+    val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 9, iters = 5)
+    val cents = Array(Array.fill(8)(2.0), Array.fill(8)(12.0), Array.fill(8)(22.0))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-inc-spec").toString
+    try {
+      // phase 1: even ids; phase 2: odd ids appended under the SAME models
+      Pq.ivfPqIndex(df.filter(col("vec_id") % 2 === 0), col("embedding"), col("vec_id"),
+          cents, cb)
+        .write.mode("overwrite").partitionBy("list").parquet(dir)
+      Pq.ivfPqIncrement(spark.read.parquet(dir),
+          df.filter(col("vec_id") % 2 === 1), col("embedding"), col("vec_id"), cents, cb)
+        .write.mode("append").partitionBy("list").parquet(dir)
+      val appended = spark.read.parquet(dir)
+      // fingerprint survives the partitioned parquet round-trip
+      assert(appended.schema.find(_.name == "codes").get.metadata
+        .getString("graft.ivfpq.model_fp") === Pq.modelFingerprint(cents, cb))
+      for (qid <- Seq(0L, 7L, 41L); nProbe <- Seq(1, 2)) {
+        val q = df.filter(col("vec_id") === qid)
+          .select(col("embedding")).head().getSeq[Double](0).toArray
+        val inc = Pq.ivfPqKnnOnIndex(appended, cents, cb, q, k = 8, nProbe = nProbe)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val rebuilt = Pq.ivfPqKnn(df, col("embedding"), col("vec_id"), cents, cb, q,
+            k = 8, nProbe = nProbe)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(inc === rebuilt, s"qid=$qid nProbe=$nProbe")
+      }
+      // a drifted codebook is a different code space: refuse the append
+      val drifted = cb.map(_.map(_.map(_ + 0.25)))
+      val e = intercept[IllegalArgumentException] {
+        Pq.ivfPqIncrement(appended, df.filter(col("vec_id") % 2 === 1),
+          col("embedding"), col("vec_id"), cents, drifted)
+      }
+      assert(e.getMessage.contains("fingerprint mismatch"))
+      // an unstamped (externally-built) index is accepted as-is
+      val unstamped = appended.select(col("id"),
+        col("codes").as("codes"), col("list"))
+      Pq.ivfPqIncrement(unstamped.select(col("id"),
+          col("codes").as("codes",
+            org.apache.spark.sql.types.Metadata.empty), col("list")),
+        df.limit(1), col("embedding"), col("vec_id"), cents, drifted)
+    } finally graft.streaming.StreamingRelational.deleteRecursively(
+      java.nio.file.Paths.get(dir))
+  }
+
   test("ivfPqKnnBatch: every query's rows equal its single-query ivfPqKnnOnIndex answer") {
     val df = anchored(90)
     val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 9, iters = 5)
