@@ -462,7 +462,17 @@ object Dedup {
     * a left anti-ish join and never shuffle into a window. The final
     * joins are keyed on id/cluster — narrow rows, no content. */
   def canonicalPerCluster(scored: DataFrame, idCol: Column, scoreCol: Column,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame): DataFrame =
+    canonicalPerClusterOnComponents(scored, idCol, scoreCol, connectedComponents(pairs))
+
+  /** [[canonicalPerCluster]] over a PREBUILT components frame
+    * ([[connectedComponents]]'s (id, rep) output) — the production
+    * shape when several consumers (canonical selection, leakage-safe
+    * splits, cluster stats) share one clustering: compute the
+    * components ONCE, reuse the materialized table, instead of each
+    * consumer re-running the star-contraction loop. */
+  def canonicalPerClusterOnComponents(scored: DataFrame, idCol: Column,
+      scoreCol: Column, components: DataFrame): DataFrame = {
     // lazy localCheckpoint (Collapse's idiom): the scored base is
     // consumed twice (the clustered-subset argmax AND the final
     // verdict join); as a plain plan each reference re-scans the
@@ -471,7 +481,7 @@ object Dedup {
     // suffices.
     val base = scored.select(idCol.as("id"), scoreCol.as("score"))
       .localCheckpoint(false)
-    val comp = connectedComponents(pairs)
+    val comp = components
     val clustered = comp.join(base, "id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"rep").orderBy($"score".desc, $"id")
@@ -558,15 +568,22 @@ object Dedup {
   def leakageSafeSplit(df: DataFrame, textCol: Column, idCol: Column,
       threshold: Double = 0.5): DataFrame = {
     val pairs = minHashPairsVerified(df, textCol, idCol, threshold = threshold)
-    val comp = connectedComponents(pairs.select($"id_a", $"id_b"))
+    leakageSafeSplitOnComponents(df, idCol,
+      connectedComponents(pairs.select($"id_a", $"id_b")))
+  }
+
+  /** [[leakageSafeSplit]] over a PREBUILT components frame — see
+    * [[canonicalPerClusterOnComponents]]: one clustering, many
+    * consumers. */
+  def leakageSafeSplitOnComponents(df: DataFrame, idCol: Column,
+      components: DataFrame): DataFrame =
     df.select(idCol.as("id"))
-      .join(comp, Seq("id"), "left")
+      .join(components, Seq("id"), "left")
       .select($"id", coalesce($"rep", $"id").as("cluster"))
       .withColumn("h", substring(md5($"cluster".cast("string").cast("binary")), 1, 1))
       .select($"id", $"cluster",
         when($"h" === "0", "val").when($"h" === "1", "test")
           .otherwise("train").as("split"))
-  }
 
   private implicit class Str(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

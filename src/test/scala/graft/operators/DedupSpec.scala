@@ -240,6 +240,31 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(again === out)
   }
 
+  test("components reuse: one clustering feeds canonical selection AND the split identically") {
+    import spark.implicits._
+    // the production shape: compute connectedComponents ONCE, hand the
+    // (id, rep) frame to every consumer — answers must equal the
+    // end-to-end operators that cluster internally
+    val scored = Seq((1L, 0.3), (2L, 0.9), (3L, 0.5),
+      (10L, 0.7), (11L, 0.7), (20L, 0.1)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+    val viaComp = Dedup.canonicalPerClusterOnComponents(
+        scored, col("doc_id"), col("q"), comp)
+      .orderBy(col("id")).collect().toSeq
+    val endToEnd = Dedup.canonicalPerCluster(scored, col("doc_id"), col("q"), pairs)
+      .orderBy(col("id")).collect().toSeq
+    assert(viaComp === endToEnd)
+    val splitPairs = Dedup.minHashPairsVerified(docs, col("text"), col("doc_id"),
+      threshold = 0.5)
+    val splitComp = Dedup.connectedComponents(splitPairs.select(col("id_a"), col("id_b")))
+    val splitViaComp = Dedup.leakageSafeSplitOnComponents(docs, col("doc_id"), splitComp)
+      .orderBy(col("id")).collect().toSeq
+    val splitEndToEnd = Dedup.leakageSafeSplit(docs, col("text"), col("doc_id"))
+      .orderBy(col("id")).collect().toSeq
+    assert(splitViaComp === splitEndToEnd)
+  }
+
   test("passageDedup: corpus-wide first occurrence wins, docs reassemble in order") {
     import spark.implicits._
     // 4-token passages; shared passage "a b c d" appears in docs 1 (idx 0),
