@@ -815,6 +815,44 @@ object RelationalQueries {
           coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
           $"g_rflag", $"g_lstatus", $"n", $"sum_qty")
         .orderBy($"g_rflag", $"g_lstatus", $"rflag", $"lstatus")
+    },
+
+    // Incremental aggregate maintenance (materialized-view delta): the
+    // per-type statistics snapshot of the historical half is STORED
+    // (mergeable state — count/sum/min/max, never finalized averages),
+    // and the arriving half is aggregated alone and MERGED in; the
+    // history contributes only its state parquet at query time, never
+    // raw rows (plan-gated: the only scans are the state table and the
+    // increment). The oracle recomputes from the FULL table — merge
+    // associativity means the two must agree exactly; avg derives from
+    // (sum, cnt) at finalize, because an average cannot be merged from
+    // averages. Double sums round 2dp / avgs 4dp with the +1e-9 nudge
+    // in both engines (summation-order noise).
+    sql(
+      "q37_incremental_agg",
+      """SELECT event_type,
+        |  CAST(count(value) AS BIGINT) AS n_vals,
+        |  round(sum(value) + 1e-9, 2) AS sum_value,
+        |  round(avg(value) + 1e-9, 4) AS avg_value,
+        |  round(min(value), 4) AS min_value,
+        |  round(max(value), 4) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      import graft.operators.IncrementalAgg
+      val snapshot = s.read.parquet(incAggSnapshot(s, d))
+      val increment = IncrementalAgg.aggState(
+        Tables.events(s, d).filter(
+          substring(md5($"event_id".cast("string").cast("binary")), 1, 1) > "7"),
+        Seq($"event_type"), $"value")
+      IncrementalAgg.finalize(
+          IncrementalAgg.merge(snapshot, increment, Seq("event_type")),
+          Seq("event_type"))
+        .select($"event_type",
+          $"cnt".as("n_vals"),
+          round($"sum" + 1e-9, 2).as("sum_value"),
+          round($"avg" + 1e-9, 4).as("avg_value"),
+          round($"vmin", 4).as("min_value"),
+          round($"vmax", 4).as("max_value"))
+        .orderBy($"event_type")
     }
   )
 
@@ -826,6 +864,26 @@ object RelationalQueries {
     * exactly one bucket → one file per bucket → the read-back scan
     * reports both the partitioning AND the sort order, and the join
     * plans with neither Exchange nor Sort. */
+  /** q37's stored aggregate snapshot: the mergeable per-type state of
+    * the "historical" half of events (md5 half-bucket on event_id —
+    * q25/t17's RNG-free split primitive), written ONCE per data dir
+    * and read back from parquet — at query time the history
+    * contributes only this state table, never its raw rows. */
+  private val incAggSnapshotCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def incAggSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String =
+    incAggSnapshotCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "incagg-state")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      graft.operators.IncrementalAgg.aggState(
+          Tables.events(s, d).filter(
+            substring(md5($"event_id".cast("string").cast("binary")), 1, 1) <= "7"),
+          Seq($"event_type"), $"value")
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+
   private def bucketedPair(s: org.apache.spark.sql.SparkSession, d: String): (String, String) =
     this.synchronized {
       val tag = (scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff).toHexString

@@ -548,6 +548,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"exact top-10 must prune partially before the by-qid shuffle:\n$p")
   }
 
+  test("q37: incremental agg — history contributes only its state table, one increment scan") {
+    val p = plan("q37_incremental_agg")
+    // exactly two parquet scans: the stored per-type state (5-ish rows)
+    // and the increment's half of events — the historical raw rows are
+    // never re-read
+    assert(nodeCount(p, "Scan parquet") == 2,
+      s"history must be served from the snapshot state table alone:\n$p")
+    val reads = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(reads.exists(_.contains("cnt")) && reads.exists(_.contains("vmin")),
+      s"one scan must read the mergeable state schema: $reads")
+    assert(reads.exists(r => r.contains("event_id") && r.contains("value")),
+      s"the other scan is the pruned increment: $reads")
+    // the merge is a FULL OUTER over two STATE tables: the increment
+    // aggregates partial+final BELOW the join (fact rows never reach
+    // it), so both join sides are |keys|-sized at any SF — full outer
+    // cannot broadcast in Spark, and here it never needs to
+    assert(p.contains("SortMergeJoin FullOuter"), s"state merge must be full outer:\n$p")
+    assert(nodeCount(p, "HashAggregate") == 2,
+      s"the increment must reach the merge pre-aggregated (partial+final):\n$p")
+  }
+
   test("q36: grouping sets — one Expand, partial+final agg, pruned scan") {
     val p = plan("q36_grouping_sets")
     assert(nodeCount(p, "Expand") == 1,
