@@ -37,15 +37,22 @@ object IncrementalAgg {
   /** Merge two state tables (either side may be missing keys — a new
     * key in the increment, a quiet key in the snapshot). Output is
     * again a state table: merge(merge(a, b), c) == merge(a, merge(b,
-    * c)) and both == aggState over the unioned rows. */
+    * c)) and both == aggState over the unioned rows. Keys join
+    * NULL-SAFELY (`<=>`): groupBy treats NULL as one group, so the
+    * merge must too — a plain equi-join would emit a NULL-key row from
+    * EACH side instead of combining them, breaking the
+    * split-recompute law (spec-asserted). */
   def merge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
     val an = a.select(
-      keys.map(col) :+ struct(col("cnt"), col("sum"), col("vmin"), col("vmax")).as("sa"): _*)
+      keys.map(k => col(k).as(s"ka_$k")) :+
+        struct(col("cnt"), col("sum"), col("vmin"), col("vmax")).as("sa"): _*)
     val bn = b.select(
-      keys.map(col) :+ struct(col("cnt"), col("sum"), col("vmin"), col("vmax")).as("sb"): _*)
-    an.join(bn, keys, "full_outer")
+      keys.map(k => col(k).as(s"kb_$k")) :+
+        struct(col("cnt"), col("sum"), col("vmin"), col("vmax")).as("sb"): _*)
+    val cond = keys.map(k => col(s"ka_$k") <=> col(s"kb_$k")).reduce(_ && _)
+    an.join(bn, cond, "full_outer")
       .select(
-        keys.map(col) ++ Seq(
+        keys.map(k => coalesce(col(s"ka_$k"), col(s"kb_$k")).as(k)) ++ Seq(
           (coalesce(col("sa.cnt"), lit(0L)) + coalesce(col("sb.cnt"), lit(0L))).as("cnt"),
           // sum of an all-NULL/absent side is NULL; NULL + x must give x
           when(col("sa.sum").isNull, col("sb.sum"))

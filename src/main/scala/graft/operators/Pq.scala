@@ -217,22 +217,29 @@ object Pq {
     * the stored fingerprint and fails fast on drift (the
     * retrain-and-rebuild boundary), rather than silently appending
     * codes from a different code space, which every subsequent ADC
-    * scan would score as garbage. An unstamped index (built elsewhere)
-    * is accepted as-is. Write the result `mode("append")` with the
-    * same `partitionBy("list")` layout. */
+    * scan would score as garbage. An UNSTAMPED index (built outside
+    * [[ivfPqIndex]]) is refused too: appending stamped files into an
+    * unstamped directory would leave a mixed listing whose future
+    * validations depend on which footer Spark happens to sample for
+    * the schema — nondeterministic acceptance is worse than a rebuild.
+    * Write the result `mode("append")` with the same
+    * `partitionBy("list")` layout. */
   def ivfPqIncrement(index: DataFrame, df: DataFrame, vecCol: Column, idCol: Column,
       centroids: Array[Array[Double]],
       codebook: Array[Array[Array[Double]]]): DataFrame = {
     val stored = index.schema.find(_.name == "codes").map(_.metadata)
       .getOrElse(org.apache.spark.sql.types.Metadata.empty)
     val key = "graft.ivfpq.model_fp"
-    if (stored.contains(key)) {
-      val fp = modelFingerprint(centroids, codebook)
-      require(stored.getString(key) == fp,
-        "ivfPqIncrement: the index was built under different centroids/codebook " +
-          "(model fingerprint mismatch) — an IVFADC index cannot mix code spaces; " +
-          "retrain-and-rebuild instead of appending")
-    }
+    require(stored.contains(key),
+      "ivfPqIncrement: the index carries no model fingerprint (not built by " +
+        "ivfPqIndex) — appending would mix stamped and unstamped files and make " +
+        "future drift validation depend on footer sampling order; rebuild via " +
+        "ivfPqIndex instead")
+    val fp = modelFingerprint(centroids, codebook)
+    require(stored.getString(key) == fp,
+      "ivfPqIncrement: the index was built under different centroids/codebook " +
+        "(model fingerprint mismatch) — an IVFADC index cannot mix code spaces; " +
+        "retrain-and-rebuild instead of appending")
     ivfPqIndex(df, vecCol, idCol, centroids, codebook)
   }
 

@@ -840,8 +840,7 @@ object RelationalQueries {
       import graft.operators.IncrementalAgg
       val snapshot = s.read.parquet(incAggSnapshot(s, d))
       val increment = IncrementalAgg.aggState(
-        Tables.events(s, d).filter(
-          substring(md5($"event_id".cast("string").cast("binary")), 1, 1) > "7"),
+        Tables.events(s, d).filter(!Tables.inLowMd5Half($"event_id")),
         Seq($"event_type"), $"value")
       IncrementalAgg.finalize(
           IncrementalAgg.merge(snapshot, increment, Seq("event_type")),
@@ -877,8 +876,7 @@ object RelationalQueries {
         graft.streaming.StreamingRelational.scratchBase, "incagg-state")
       sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
       graft.operators.IncrementalAgg.aggState(
-          Tables.events(s, d).filter(
-            substring(md5($"event_id".cast("string").cast("binary")), 1, 1) <= "7"),
+          Tables.events(s, d).filter(Tables.inLowMd5Half($"event_id")),
           Seq($"event_type"), $"value")
         .write.mode("overwrite").parquet(dir.toString)
       dir.toString

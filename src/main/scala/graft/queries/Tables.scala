@@ -47,6 +47,19 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Deterministic md5 half-bucket: TRUE when the first hex char of
+    * md5(key) lands in 0–7 — the RNG-free ~50/50 split primitive
+    * (t17/t22's shard idiom). Every query that needs complementary
+    * halves (q37's history/increment, t30's ref/cur) MUST take both
+    * sides from THIS definition (predicate and its negation): two
+    * hand-spelled complements can drift and silently double-count or
+    * drop the boundary bucket. The DuckDB oracles spell the same
+    * expression textually — `substr(md5(CAST(k AS VARCHAR)), 1, 1) <= '7'`. */
+  def inLowMd5Half(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{md5, substring}
+    substring(md5(c.cast("string").cast("binary")), 1, 1) <= "7"
+  }
+
   /** Register all tables as temp views (for spark.sql users). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))

@@ -861,7 +861,7 @@ object TextQueries {
         |       - CAST(min(tchars_ref) AS DOUBLE) / min(tot_ref) + 1e-9, 2) END AS mean_chars_delta
         |FROM p GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val isRef = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) <= "7"
+      val isRef = Tables.inLowMd5Half(col("doc_id"))
       val c = Tables.documents(s, d)
         .groupBy(col("source"), col("lang"))
         .agg(

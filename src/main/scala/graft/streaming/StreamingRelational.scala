@@ -156,17 +156,27 @@ object StreamingRelational {
     * the static footer once to pick the stream schema). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosAsLong = spark.read.parquet(s"$dir/events.parquet")
-      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    // mirror Tables.events' three-way dispatch exactly — a footer the
+    // batch path can read must stream too (LTZ declared NTZ would make
+    // the parquet reader reject every s-query while batch works)
+    val probed = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val tsDdl = probed match {
+      case org.apache.spark.sql.types.LongType => "BIGINT"
+      case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
+      case _ => "TIMESTAMP_NTZ"
+    }
     // the file stream source requires a directory: stream the sf dir,
     // glob-filtered to the events table
-    val tsDdl = if (nanosAsLong) "BIGINT" else "TIMESTAMP_NTZ"
     val raw = spark.readStream
       .schema(s"event_id BIGINT, ts $tsDdl, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (nanosAsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw.withColumn("ts", col("ts").cast("timestamp"))
+    probed match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** The documents table as a stream — the "arriving crawl increment"

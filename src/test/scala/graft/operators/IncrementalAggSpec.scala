@@ -10,7 +10,8 @@ class IncrementalAggSpec extends AnyFunSuite with SparkTestSupport {
   private val rows = Seq(
     ("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
     ("b", Some(-2.0)),
-    ("c", None), ("c", None),            // all-NULL key
+    ("c", None), ("c", None),            // all-NULL values
+    (null, Some(4.0)), (null, Some(6.0)), // NULL grouping key
     ("d", Some(7.5)), ("d", Some(0.5)), ("d", Some(7.5)))
 
   private def df(xs: Seq[(String, Option[Double])]) = xs.toDF("k", "v")

@@ -151,13 +151,16 @@ class PqSpec extends AnyFunSuite with SparkTestSupport {
           col("embedding"), col("vec_id"), cents, drifted)
       }
       assert(e.getMessage.contains("fingerprint mismatch"))
-      // an unstamped (externally-built) index is accepted as-is
-      val unstamped = appended.select(col("id"),
-        col("codes").as("codes"), col("list"))
-      Pq.ivfPqIncrement(unstamped.select(col("id"),
-          col("codes").as("codes",
-            org.apache.spark.sql.types.Metadata.empty), col("list")),
-        df.limit(1), col("embedding"), col("vec_id"), cents, drifted)
+      // an unstamped (externally-built) index is refused too — appending
+      // stamped files into it would make future validation depend on
+      // which footer Spark samples
+      val e2 = intercept[IllegalArgumentException] {
+        Pq.ivfPqIncrement(appended.select(col("id"),
+            col("codes").as("codes",
+              org.apache.spark.sql.types.Metadata.empty), col("list")),
+          df.limit(1), col("embedding"), col("vec_id"), cents, cb)
+      }
+      assert(e2.getMessage.contains("no model fingerprint"))
     } finally graft.streaming.StreamingRelational.deleteRecursively(
       java.nio.file.Paths.get(dir))
   }
