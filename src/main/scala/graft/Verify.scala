@@ -15,6 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // oracle_sql.json is written LAST (dump-time oracles need the
+    // queries to have run) — so a crash mid-dump must not leave a
+    // PREVIOUS run's file behind, or the compare would grade this
+    // run's parquet against stale SQL and could pass falsely
+    Files.deleteIfExists(Paths.get(s"$outDir/oracle_sql.json"))
     // Local iteration aid: restrict the dump to a comma-separated query
     // subset. The driver never sets this — full sweep by default.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")

@@ -830,30 +830,43 @@ object RelationalQueries {
     // in both engines (summation-order noise).
     sql(
       "q37_incremental_agg",
-      """SELECT event_type,
-        |  CAST(count(value) AS BIGINT) AS n_vals,
-        |  round(sum(value) + 1e-9, 2) AS sum_value,
-        |  round(avg(value) + 1e-9, 4) AS avg_value,
-        |  round(min(value), 4) AS min_value,
-        |  round(max(value), 4) AS max_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      incrementalAggOracle) { (s, d) =>
       import graft.operators.IncrementalAgg
       val snapshot = s.read.parquet(incAggSnapshot(s, d))
       val increment = IncrementalAgg.aggState(
         Tables.events(s, d).filter(!Tables.inLowMd5Half($"event_id")),
         Seq($"event_type"), $"value")
-      IncrementalAgg.finalize(
-          IncrementalAgg.merge(snapshot, increment, Seq("event_type")),
-          Seq("event_type"))
-        .select($"event_type",
-          $"cnt".as("n_vals"),
-          round($"sum" + 1e-9, 2).as("sum_value"),
-          round($"avg" + 1e-9, 4).as("avg_value"),
-          round($"vmin", 4).as("min_value"),
-          round($"vmax", 4).as("max_value"))
-        .orderBy($"event_type")
+      finalizeIncAgg(IncrementalAgg.merge(snapshot, increment, Seq("event_type")))
     }
   )
+
+  /** q37/s08's shared oracle: the FULL-table recompute — merge
+    * associativity makes the incrementally-maintained state provably
+    * equal to it, however the increment arrives (one batch, many
+    * stream slices). LAZY: `all` above captures this during object
+    * init — a strict val declared after `all` would still be null at
+    * capture time (forward reference), silently voiding q37's oracle. */
+  private[graft] lazy val incrementalAggOracle: String =
+    """SELECT event_type,
+      |  CAST(count(value) AS BIGINT) AS n_vals,
+      |  round(sum(value) + 1e-9, 2) AS sum_value,
+      |  round(avg(value) + 1e-9, 4) AS avg_value,
+      |  round(min(value), 4) AS min_value,
+      |  round(max(value), 4) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** The ONE finalize-and-render for incrementally-maintained state
+    * (q37 batch, s08 streaming): derived avg, rounding contract, total
+    * order — shared so the two surfaces cannot drift. */
+  private[graft] def finalizeIncAgg(state: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.operators.IncrementalAgg.finalize(state, Seq("event_type"))
+      .select($"event_type",
+        $"cnt".as("n_vals"),
+        round($"sum" + 1e-9, 2).as("sum_value"),
+        round($"avg" + 1e-9, 4).as("avg_value"),
+        round($"vmin", 4).as("min_value"),
+        round($"vmax", 4).as("max_value"))
+      .orderBy($"event_type")
 
   /** Bucketed + in-bucket-sorted copies of lineitem/orders, written
     * ONCE per (catalog, SF dir) as EXTERNAL tables under the scratch
@@ -870,7 +883,7 @@ object RelationalQueries {
     * contributes only this state table, never its raw rows. */
   private val incAggSnapshotCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def incAggSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String =
+  private[graft] def incAggSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String =
     incAggSnapshotCache.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory(
         graft.streaming.StreamingRelational.scratchBase, "incagg-state")

@@ -178,6 +178,28 @@ object StreamingQueries {
             col("embedding"), col("vec_id"),
             dim = VectorQueries.EmbDim, k = 10, nBits = 4))
         .orderBy(col("qid"), col("rk"))
+    },
+
+    // STREAMING incremental-aggregate maintenance: q37's state loop
+    // with the increment arriving as a stream — each micro-batch
+    // aggregates ALONE and merges into the accumulated state
+    // (starting from the stored snapshot); merge associativity makes
+    // the final state invariant to batch slicing, so the shared
+    // full-recompute oracle verifies the streaming path bit-for-bit.
+    // The history again contributes only its state parquet.
+    sql(
+      "s08_stream_incremental_agg",
+      RelationalQueries.incrementalAggOracle) { (s, d) =>
+      import graft.operators.IncrementalAgg
+      val snapshot = s.read.parquet(RelationalQueries.incAggSnapshot(s, d))
+      RelationalQueries.finalizeIncAgg(
+        StreamingRelational.oneShotFold(s,
+          StreamingRelational.eventsStream(s, d)
+            .filter(!Tables.inLowMd5Half(col("event_id"))),
+          snapshot,
+          (state, batch) => IncrementalAgg.merge(state,
+            IncrementalAgg.aggState(batch, Seq(col("event_type")), col("value")),
+            Seq("event_type"))))
     }
   )
 }

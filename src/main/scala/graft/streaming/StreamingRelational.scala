@@ -230,6 +230,47 @@ object StreamingRelational {
     spark.read.parquet(out.toString)
   }
 
+  /** Streaming STATE MAINTENANCE: fold every micro-batch into an
+    * accumulated state table — `state := step(state, batch)` — and
+    * return the final state. The production shape for incrementally
+    * maintained aggregates (IncrementalAgg): the stored snapshot is
+    * `init`, each arriving increment batch merges in, and when `step`
+    * is associative/commutative the final state is invariant to how
+    * the stream slices into batches (spec-asserted with a 2-batch
+    * MemoryStream) — so the batch oracle verifies the streaming path.
+    *
+    * State is dimension-sized (one row per key), held as eagerly
+    * localCheckpoint'ed RDD blocks between triggers: the lineage cut
+    * keeps per-batch plan analysis flat over arbitrarily many batches
+    * (connectedComponents' idiom) instead of growing a
+    * merge-of-merge-of-merge tree. */
+  def oneShotFold(spark: SparkSession, streamed: DataFrame, init: DataFrame,
+      step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory(scratchBase, "graft-ckpt")
+    @volatile var state = init.localCheckpoint(true)
+    try confLock.synchronized {
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(shufKey)
+      try {
+        spark.conf.set(shufKey, math.min(prev.toInt, 8))
+        val q = streamed.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val prevState = state
+              state = step(prevState, batch).localCheckpoint(true)
+              prevState.unpersist()
+              ()
+            }
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set(shufKey, prev)
+    } finally deleteRecursively(ckpt)
+    state
+  }
+
   /** Watermarked tumbling-window aggregation: events per (hour, type)
     * with summed value. The 1-hour watermark bounds append-mode state;
     * under complete mode (verification) it is declared but not dropping. */

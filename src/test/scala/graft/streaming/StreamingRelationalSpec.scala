@@ -228,4 +228,46 @@ class StreamingRelationalSpec extends AnyFunSuite with SparkTestSupport {
     assert(sliced === oneBatch)
     assert(sliced.map(_._1) === Set(0L, 1L, 2L, 3L))
   }
+
+  test("state fold: batch slicing does not change the merged aggregate state") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    // s08's loop against a MemoryStream: snapshot + increment sliced
+    // into two micro-batches must equal snapshot + increment in one
+    // (merge associativity/commutativity, the invariant the shared
+    // full-recompute oracle relies on)
+    val snapRows = Seq(("a", 1.0), ("a", 3.0), ("b", -2.0))
+    val incRows = Seq(("a", 5.0), ("c", 7.0), ("b", 0.5), ("c", 2.5))
+    val snapshot = IncrementalAgg.aggState(
+      snapRows.toDF("k", "v"), Seq(col("k")), col("v"))
+    def stateOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val mem = MemoryStream[(String, Double)]
+    @volatile var state = snapshot.localCheckpoint(true)
+    val q = mem.toDF().toDF("k", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          state = IncrementalAgg.merge(state,
+            IncrementalAgg.aggState(batch, Seq(col("k")), col("v")),
+            Seq("k")).localCheckpoint(true)
+          ()
+        }
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData(incRows.take(2)); q.processAllAvailable()  // micro-batch 1
+      mem.addData(incRows.drop(2)); q.processAllAvailable()  // micro-batch 2
+    } finally q.stop()
+    val oneShot = IncrementalAgg.merge(snapshot,
+      IncrementalAgg.aggState(incRows.toDF("k", "v"), Seq(col("k")), col("v")),
+      Seq("k"))
+    assert(stateOf(state) === stateOf(oneShot))
+    // and both equal the full recompute over all rows
+    val recompute = IncrementalAgg.aggState(
+      (snapRows ++ incRows).toDF("k", "v"), Seq(col("k")), col("v"))
+    assert(stateOf(state) === stateOf(recompute))
+  }
 }
