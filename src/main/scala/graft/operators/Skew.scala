@@ -23,4 +23,36 @@ object Skew {
       .agg(count(lit(1)).as("pn"), sum(col("v")).as("ps"))
       .groupBy(col("key"))
       .agg(sum(col("pn")).as("n"), sum(col("ps")).as("total"))
+
+  /** Salted equi-join for HOT KEYS — the shuffle-join skew killer for
+    * the case AQE's split can't fully fix and a broadcast can't reach:
+    * the probe side's key domain is tiny/hot (a handful of keys would
+    * land on a handful of reducers), and the build side is too large
+    * to broadcast. The probe side gains a deterministic salt
+    * `pmod(saltSource, buckets)` (pass a uniformly-distributed column
+    * — a row id; NEVER rand(), which breaks retry/replay determinism);
+    * the build side replicates each row across ALL `buckets` salts; the
+    * join keys become (key, salt), so one hot key spreads over
+    * `buckets` reducers. Row-identical to the plain join (spec + q38
+    * oracle); cost is the build side × buckets, the standard trade.
+    * The build side is hinted `shuffle_hash` — forcing the shuffled
+    * plan this operator exists to fix (a broadcastable build side
+    * should just broadcast instead of salting).
+    *
+    * Join condition: `largeKey === smallKey` plus salt equality; key
+    * columns keep their names (pick distinct names on the two inputs,
+    * the house join convention). Output: large columns then small
+    * columns, salt dropped. */
+  def saltedJoin(large: DataFrame, largeKey: Column, saltSource: Column,
+      small: DataFrame, smallKey: Column, buckets: Int = 16): DataFrame = {
+    require(buckets > 0, s"salt buckets must be positive: $buckets")
+    val salted = large.withColumn("__graft_salt",
+      pmod(saltSource, lit(buckets)).cast("int"))
+    val replicated = small.withColumn("__graft_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted
+      .join(replicated.hint("shuffle_hash"),
+        largeKey === smallKey && salted("__graft_salt") === replicated("__graft_salt"))
+      .drop("__graft_salt")
+  }
 }

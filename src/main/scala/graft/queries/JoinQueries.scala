@@ -128,6 +128,41 @@ object JoinQueries {
           rightTieBreak = "event_id",
           tolerance = Some("INTERVAL 2 DAY"))
         .orderBy(col("event_id"))
+    },
+
+    // Salted hot-key join: events carry only 5 distinct event_types, so
+    // a plain shuffle join lands the whole fact table on 5 reducers no
+    // matter how many executors exist; Skew.saltedJoin spreads each key
+    // over 16 salt buckets (deterministic pmod(event_id), never rand())
+    // while the 5-row dimension replicates x16 — the standard trade
+    // when the build side is too big to broadcast at real scale (the
+    // shuffle_hash hint stands in for that here). Row-identical to the
+    // plain join: the oracle IS the plain join.
+    sql(
+      "j03_salted_join",
+      s"""WITH dim(d_type, weight) AS (VALUES
+         |  $weightsSqlValues)
+         |SELECT e.event_id, e.event_type, round(e.value * d.weight + 1e-9, 2) AS weighted
+         |FROM events e JOIN dim d ON e.event_type = d.d_type
+         |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dim = weights.toDF("d_type", "weight")
+      graft.operators.Skew.saltedJoin(
+          Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+          col("event_type"), col("event_id"),
+          dim, col("d_type"), buckets = 16)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * col("weight") + 1e-9, 2).as("weighted"))
+        .orderBy(col("event_id"))
     }
   )
+
+  /** j03's dimension — per-type scoring weights, literal in BOTH
+    * engines (j02's campaign-VALUES convention). */
+  private lazy val weights: Seq[(String, Double)] = Seq(
+    ("click", 1.5), ("error", 0.0), ("purchase", 5.0),
+    ("signup", 2.0), ("view", 0.5))
+
+  private lazy val weightsSqlValues: String = weights
+    .map { case (t, w) => s"('$t', $w)" }.mkString(",\n  ")
 }

@@ -493,6 +493,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("normalize_text"), s"kernel must not re-run at query time:\n$p")
   }
 
+  test("j03: salted join — both sides shuffle on (key, salt), no broadcast, no key-only exchange") {
+    val p = plan("j03_salted_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the salted build side must shuffle-hash, not broadcast (the demo's premise):\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"no broadcast:\n$p")
+    // every join exchange must carry the salt — a key-only partitioning
+    // would put the whole fact table back on 5 reducers
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("__graft_salt")),
+      s"all hash exchanges must include the salt: $exchanges")
+  }
+
   test("q34: sessionize — both windows share one sort, agg rides the window partitioning") {
     val p = plan("q34_sessionize")
     // lag-flag window and running-sum window both partition by user_id

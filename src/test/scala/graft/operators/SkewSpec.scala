@@ -30,6 +30,32 @@ class SkewSpec extends AnyFunSuite with SparkTestSupport {
     assert(partials.count() > 1) // the hot key split across salt buckets
   }
 
+  test("saltedJoin equals the plain join; each hot key spreads across salt partitions") {
+    import spark.implicits._
+    // one EXTREMELY hot key (90%), two cool ones; ids give the salt
+    val rows = (1 to 900).map(i => (i.toLong, "hot", i * 0.25)) ++
+      Seq((901L, "cool_a", 1.0), (902L, "cool_b", 2.0), (903L, "cool_a", 3.0))
+    val large = rows.toDF("id", "k", "v").repartition(8)
+    val dim = Seq(("hot", 10.0), ("cool_a", 20.0), ("cool_b", 30.0), ("unused", 0.0))
+      .toDF("dk", "w")
+    val salted = Skew.saltedJoin(large, col("k"), col("id"), dim, col("dk"), buckets = 4)
+    val got = salted.select(col("id"), col("k"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+    val plain = large.join(dim, col("k") === col("dk"))
+      .select(col("id"), col("k"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+    assert(got === plain)
+    assert(got.count(_._2 == "hot") === 900) // no rows lost or duplicated
+    // the hot key's rows really occupy every salt bucket
+    val spread = large.filter(col("k") === "hot")
+      .select(pmod(col("id"), lit(4)).cast("int").as("salt"))
+      .distinct().count()
+    assert(spread === 4)
+    // and the physical join partitions on (key, salt), never key alone
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("__graft_salt"), s"salt must reach the join keys:\n$p")
+  }
+
   // ---------------------------------------------------------------------
   // Adversarial skew for the banded LSH self-joins: a boilerplate-heavy
   // corpus (30% exact copies of ONE document) used to put m identical
