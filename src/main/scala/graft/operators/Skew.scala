@@ -33,8 +33,10 @@ object Skew {
     * — a row id; NEVER rand(), which breaks retry/replay determinism);
     * the build side replicates each row across ALL `buckets` salts; the
     * join keys become (key, salt), so one hot key spreads over
-    * `buckets` reducers. Row-identical to the plain join (spec + q38
+    * `buckets` reducers. Row-identical to the plain join (spec + j03's
     * oracle); cost is the build side × buckets, the standard trade.
+    * A NULL saltSource lands deterministically in bucket 0 (the row
+    * must still join — dropping it would break row-identity).
     * The build side is hinted `shuffle_hash` — forcing the shuffled
     * plan this operator exists to fix (a broadcastable build side
     * should just broadcast instead of salting).
@@ -47,7 +49,7 @@ object Skew {
       small: DataFrame, smallKey: Column, buckets: Int = 16): DataFrame = {
     require(buckets > 0, s"salt buckets must be positive: $buckets")
     val salted = large.withColumn("__graft_salt",
-      pmod(saltSource, lit(buckets)).cast("int"))
+      coalesce(pmod(saltSource, lit(buckets)).cast("int"), lit(0)))
     val replicated = small.withColumn("__graft_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted

@@ -73,25 +73,37 @@ object StreamingRelational {
     // can't interleave set/restore and leave the session capped.
     // Production streams (toParquetSink) are launched by callers under
     // their own conf and keep full parallelism.
+    runOneShot(spark, ckpt) { () =>
+      streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    spark.table(name)
+  }
+
+  private val confLock = new Object
+
+  /** The ONE one-shot harness shell shared by [[oneShot]] /
+    * [[oneShotServe]] / [[oneShotFold]]: cap
+    * spark.sql.shuffle.partitions to 8 under `confLock` (see the state
+    * -store cost note in [[oneShot]]), start the query, await
+    * AvailableNow drain, restore the conf, delete the checkpoint. One
+    * definition so a fix to the cap-and-restore logic can't miss a
+    * variant. */
+  private def runOneShot(spark: SparkSession, ckpt: java.nio.file.Path)(
+      start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try confLock.synchronized {
       val shufKey = "spark.sql.shuffle.partitions"
       val prev = spark.conf.get(shufKey)
       try {
         spark.conf.set(shufKey, math.min(prev.toInt, 8))
-        val q = streamed.writeStream
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt.toString)
-          .outputMode(mode)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        start().awaitTermination()
       } finally spark.conf.set(shufKey, prev)
     } finally deleteRecursively(ckpt)
-    spark.table(name)
-  }
-
-  private val confLock = new Object
 
   /** One sentinel parquet file per (JVM, sentinelTs): re-writing it per
     * call was measured at ~0.4 s/call, ×3 bench reps per streaming
@@ -211,22 +223,16 @@ object StreamingRelational {
     val ckpt = java.nio.file.Files.createTempDirectory(scratchBase, "graft-ckpt")
     val out = java.nio.file.Files.createTempDirectory(scratchBase, "graft-serve")
     sys.addShutdownHook(deleteRecursively(out))
-    try confLock.synchronized {
-      val shufKey = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(shufKey)
-      try {
-        spark.conf.set(shufKey, math.min(prev.toInt, 8))
-        val q = streamed.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            if (!batch.isEmpty)
-              serve(batch).write.mode("append").parquet(out.toString)
-          }
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally spark.conf.set(shufKey, prev)
-    } finally deleteRecursively(ckpt)
+    runOneShot(spark, ckpt) { () =>
+      streamed.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            serve(batch).write.mode("append").parquet(out.toString)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     spark.read.parquet(out.toString)
   }
 
@@ -248,26 +254,22 @@ object StreamingRelational {
       step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(scratchBase, "graft-ckpt")
     @volatile var state = init.localCheckpoint(true)
-    try confLock.synchronized {
-      val shufKey = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(shufKey)
-      try {
-        spark.conf.set(shufKey, math.min(prev.toInt, 8))
-        val q = streamed.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            if (!batch.isEmpty) {
-              val prevState = state
-              state = step(prevState, batch).localCheckpoint(true)
-              prevState.unpersist()
-              ()
-            }
+    runOneShot(spark, ckpt) { () =>
+      streamed.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            // superseded rounds' checkpoint blocks are freed by the
+            // ContextCleaner once unreferenced (the connectedComponents
+            // memory model — Dataset.unpersist would be a no-op here,
+            // it only uncaches CacheManager entries, not checkpoints)
+            state = step(state, batch).localCheckpoint(true)
+            ()
           }
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally spark.conf.set(shufKey, prev)
-    } finally deleteRecursively(ckpt)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     state
   }
 

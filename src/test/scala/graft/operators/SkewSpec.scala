@@ -54,6 +54,13 @@ class SkewSpec extends AnyFunSuite with SparkTestSupport {
     // and the physical join partitions on (key, salt), never key alone
     val p = salted.queryExecution.executedPlan.toString
     assert(p.contains("__graft_salt"), s"salt must reach the join keys:\n$p")
+    // a NULL saltSource must still join (bucket 0), preserving
+    // row-identity with the plain join
+    val withNull = Seq((Some(1L), "hot"), (None: Option[Long], "cool_a"))
+      .toDF("id", "k")
+    val nulled = Skew.saltedJoin(withNull, col("k"), col("id"), dim, col("dk"), 4)
+      .select(col("k"), col("w")).collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(nulled === Set(("hot", 10.0), ("cool_a", 20.0)))
   }
 
   // ---------------------------------------------------------------------
