@@ -828,6 +828,42 @@ object RelationalQueries {
     // (sum, cnt) at finalize, because an average cannot be merged from
     // averages. Double sums round 2dp / avgs 4dp with the +1e-9 nudge
     // in both engines (summation-order noise).
+    // The remaining rank-family window functions in one query (q08/q09
+    // cover row_number/rank/lag/running frames; q34 lag-gap; q35 LOCF):
+    // dense_rank / percent_rank / cume_dist on the tie-TOLERANT window
+    // (they depend only on rank and count, so price ties can't make
+    // them nondeterministic), nth_value on the tie-BROKEN refinement —
+    // whose ordering extends w1's, so Catalyst satisfies both Window
+    // nodes with ONE sort (plan-gated). percent_rank/cume_dist are
+    // exact small-integer divisions — bit-identical across engines.
+    sql(
+      "q38_window_suite",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(dense_rank() OVER w1 AS INT) AS dr,
+        |  round(percent_rank() OVER w1 + 1e-9, 6) AS pr,
+        |  round(cume_dist() OVER w1 + 1e-9, 6) AS cd,
+        |  round(nth_value(o_totalprice, 2) OVER (w2 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_price
+        |FROM orders
+        |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+        |       w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w1 = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
+      val w2 = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        // w2 computes FIRST: its (price DESC, orderkey) sort is a
+        // refinement of w1's required ordering, so the w1 Window node
+        // reuses it and the plan carries ONE window sort, not two
+        .withColumn("second_price", round(nth_value($"o_totalprice", 2).over(w2), 2))
+        .select($"o_custkey", $"o_orderkey",
+          dense_rank().over(w1).cast("int").as("dr"),
+          round(percent_rank().over(w1) + 1e-9, 6).as("pr"),
+          round(cume_dist().over(w1) + 1e-9, 6).as("cd"),
+          $"second_price")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
     sql(
       "q37_incremental_agg",
       incrementalAggOracle) { (s, d) =>

@@ -505,6 +505,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"all hash exchanges must include the salt: $exchanges")
   }
 
+  test("q38: window suite — the tie-broken sort serves both window specs") {
+    val p = plan("q38_window_suite")
+    assert(nodeCount(p, "Window") == 2, s"both window phases expected:\n$p")
+    // w2's (price DESC, orderkey) ordering refines w1's, so ONE sort
+    // (+ the output sort) serves both Window nodes
+    assert(nodeCount(p, "Sort") == 2,
+      s"rank metrics must reuse the nth_value window's sort:\n$p")
+    assert(nodeCount(p, "Exchange") == 2,
+      s"one by-customer shuffle + the output sort only:\n$p")
+  }
+
   test("q34: sessionize — both windows share one sort, agg rides the window partitioning") {
     val p = plan("q34_sessionize")
     // lag-flag window and running-sum window both partition by user_id
