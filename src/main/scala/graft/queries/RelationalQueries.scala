@@ -817,17 +817,6 @@ object RelationalQueries {
         .orderBy($"g_rflag", $"g_lstatus", $"rflag", $"lstatus")
     },
 
-    // Incremental aggregate maintenance (materialized-view delta): the
-    // per-type statistics snapshot of the historical half is STORED
-    // (mergeable state — count/sum/min/max, never finalized averages),
-    // and the arriving half is aggregated alone and MERGED in; the
-    // history contributes only its state parquet at query time, never
-    // raw rows (plan-gated: the only scans are the state table and the
-    // increment). The oracle recomputes from the FULL table — merge
-    // associativity means the two must agree exactly; avg derives from
-    // (sum, cnt) at finalize, because an average cannot be merged from
-    // averages. Double sums round 2dp / avgs 4dp with the +1e-9 nudge
-    // in both engines (summation-order noise).
     // The remaining rank-family window functions in one query (q08/q09
     // cover row_number/rank/lag/running frames; q34 lag-gap; q35 LOCF):
     // dense_rank / percent_rank / cume_dist on the tie-TOLERANT window
@@ -864,6 +853,17 @@ object RelationalQueries {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
+    // Incremental aggregate maintenance (materialized-view delta): the
+    // per-type statistics snapshot of the historical half is STORED
+    // (mergeable state — count/sum/min/max, never finalized averages),
+    // and the arriving half is aggregated alone and MERGED in; the
+    // history contributes only its state parquet at query time, never
+    // raw rows (plan-gated: the only scans are the state table and the
+    // increment). The oracle recomputes from the FULL table — merge
+    // associativity means the two must agree exactly; avg derives from
+    // (sum, cnt) at finalize, because an average cannot be merged from
+    // averages. Double sums round 2dp / avgs 4dp with the +1e-9 nudge
+    // in both engines (summation-order noise).
     sql(
       "q37_incremental_agg",
       incrementalAggOracle) { (s, d) =>

@@ -222,7 +222,9 @@ object StreamingRelational {
       serve: DataFrame => DataFrame): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(scratchBase, "graft-ckpt")
     val out = java.nio.file.Files.createTempDirectory(scratchBase, "graft-serve")
-    sys.addShutdownHook(deleteRecursively(out))
+    // one static hook owns every serve dir (sentinelCache's pattern) —
+    // a hook per call would accumulate hook threads over a long harness
+    serveDirs.add(out)
     runOneShot(spark, ckpt) { () =>
       streamed.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -233,7 +235,20 @@ object StreamingRelational {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    spark.read.parquet(out.toString)
+    // an all-empty stream never writes a file; reading the bare dir
+    // would throw "Unable to infer schema" — answer with the serve
+    // plan's own (empty) result over an empty batch instead
+    val served = java.nio.file.Files.list(out)
+    val hasFiles = try served.anyMatch(_.toString.endsWith(".parquet"))
+    finally served.close()
+    if (hasFiles) spark.read.parquet(out.toString)
+    else serve(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], streamed.schema))
+  }
+
+  private val serveDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  sys.addShutdownHook {
+    serveDirs.forEach(d => deleteRecursively(d))
   }
 
   /** Streaming STATE MAINTENANCE: fold every micro-batch into an

@@ -56,11 +56,14 @@ class SkewSpec extends AnyFunSuite with SparkTestSupport {
     assert(p.contains("__graft_salt"), s"salt must reach the join keys:\n$p")
     // a NULL saltSource must still join (bucket 0), preserving
     // row-identity with the plain join
+    // Seq compare, not Set: a regression that DUPLICATES the row (e.g.
+    // the null landing in several buckets) must fail, not dedup away
     val withNull = Seq((Some(1L), "hot"), (None: Option[Long], "cool_a"))
       .toDF("id", "k")
     val nulled = Skew.saltedJoin(withNull, col("k"), col("id"), dim, col("dk"), 4)
-      .select(col("k"), col("w")).collect().map(r => (r.getString(0), r.getDouble(1))).toSet
-    assert(nulled === Set(("hot", 10.0), ("cool_a", 20.0)))
+      .select(col("k"), col("w")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(nulled === Seq(("cool_a", 20.0), ("hot", 10.0)))
   }
 
   // ---------------------------------------------------------------------

@@ -185,6 +185,15 @@ class StreamingRelationalSpec extends AnyFunSuite with SparkTestSupport {
       col("embedding"), col("vec_id"),
       dim = graft.queries.VectorQueries.EmbDim, k = 10, nBits = 4)
 
+  test("oneShotServe: an all-empty stream yields an empty result, not a schema crash") {
+    val served = StreamingRelational.oneShotServe(spark,
+      StreamingRelational.embeddingsStream(spark, sf)
+        .filter(col("vec_id") === -1L),   // matches nothing
+      serveKnn)
+    assert(served.columns.toSeq === Seq("qid", "id", "score", "rk"))
+    assert(served.count() === 0L)
+  }
+
   test("oneShotServe: streamed ANN serving equals the batch operator") {
     val queries = graft.queries.Tables.embeddings(spark, sf)
       .filter(col("vec_id") % 10 === 0)
