@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
   * ones — an average cannot be merged from averages, so `finalize`
   * derives it at read time from (sum, count). Merging is associative
   * and commutative, so increments can arrive in any order and batch
-  * boundaries cannot change the result (spec-asserted: any split of
-  * the input merges to the full recompute).
+  * boundaries cannot change the result — EXACT up to floating-point
+  * summation order for the double `sum`: IEEE addition is not
+  * associative, so an adversarial value mix can differ from the full
+  * recompute in low-order bits (count/min/max are exact regardless).
+  * The query layer's round(+1e-9) render absorbs that headroom; the
+  * spec asserts bit-exact split-recompute equality on deliberately
+  * binary-exact fixture values, where summation order cannot matter.
   */
 object IncrementalAgg {
 

@@ -48,6 +48,13 @@ object Skew {
   def saltedJoin(large: DataFrame, largeKey: Column, saltSource: Column,
       small: DataFrame, smallKey: Column, buckets: Int = 16): DataFrame = {
     require(buckets > 0, s"salt buckets must be positive: $buckets")
+    // the salt column is added to BOTH sides and dropped by name at the
+    // end — an input that already carries the name would be silently
+    // overwritten on the probe side and stripped from the output, so
+    // refuse it loudly instead
+    require(!large.columns.contains("__graft_salt") && !small.columns.contains("__graft_salt"),
+      "saltedJoin: inputs must not already contain a __graft_salt column " +
+        "(it would be overwritten and dropped); rename it before joining")
     val salted = large.withColumn("__graft_salt",
       coalesce(pmod(saltSource, lit(buckets)).cast("int"), lit(0)))
     val replicated = small.withColumn("__graft_salt",

@@ -53,11 +53,16 @@ object Tables {
     * halves (q37's history/increment, t30's ref/cur) MUST take both
     * sides from THIS definition (predicate and its negation): two
     * hand-spelled complements can drift and silently double-count or
-    * drop the boundary bucket. The DuckDB oracles spell the same
-    * expression textually — `substr(md5(CAST(k AS VARCHAR)), 1, 1) <= '7'`. */
+    * drop the boundary bucket. A NULL key hashes to NULL, which would
+    * make BOTH the predicate and its negation NULL and silently drop
+    * the row from both halves — so NULL keys land deterministically in
+    * the LOW half (coalesce TRUE), keeping the two halves a true
+    * partition of the input. The DuckDB oracles spell the same
+    * expression textually —
+    * `coalesce(substr(md5(CAST(k AS VARCHAR)), 1, 1) <= '7', TRUE)`. */
   def inLowMd5Half(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{md5, substring}
-    substring(md5(c.cast("string").cast("binary")), 1, 1) <= "7"
+    import org.apache.spark.sql.functions.{coalesce, lit, md5, substring}
+    coalesce(substring(md5(c.cast("string").cast("binary")), 1, 1) <= "7", lit(true))
   }
 
   /** Register all tables as temp views (for spark.sql users). */

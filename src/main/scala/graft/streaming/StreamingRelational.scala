@@ -237,8 +237,12 @@ object StreamingRelational {
     }
     // an all-empty stream never writes a file; reading the bare dir
     // would throw "Unable to infer schema" — answer with the serve
-    // plan's own (empty) result over an empty batch instead
-    val served = java.nio.file.Files.list(out)
+    // plan's own (empty) result over an empty batch instead. The walk
+    // is RECURSIVE: a serve function that writes partitioned output
+    // puts its data files in subdirectories, and a top-level-only
+    // listing would misclassify that as empty and silently answer with
+    // the empty-batch plan
+    val served = java.nio.file.Files.walk(out)
     val hasFiles = try served.anyMatch(_.toString.endsWith(".parquet"))
     finally served.close()
     if (hasFiles) spark.read.parquet(out.toString)

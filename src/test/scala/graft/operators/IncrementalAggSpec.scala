@@ -7,6 +7,13 @@ import graft.SparkTestSupport
 class IncrementalAggSpec extends AnyFunSuite with SparkTestSupport {
   import spark.implicits._
 
+  // Fixture values are deliberately BINARY-EXACT (small dyadic
+  // rationals): the split-recompute and associativity tests assert
+  // bit-exact equality of the double `sum`, which holds for any
+  // summation order only when every partial sum is exactly
+  // representable. Arbitrary decimal values could differ from the full
+  // recompute in low-order bits (IEEE addition is not associative) —
+  // headroom the query layer's round(+1e-9) render absorbs.
   private val rows = Seq(
     ("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
     ("b", Some(-2.0)),

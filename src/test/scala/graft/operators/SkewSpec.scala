@@ -64,6 +64,14 @@ class SkewSpec extends AnyFunSuite with SparkTestSupport {
       .select(col("k"), col("w")).collect()
       .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
     assert(nulled === Seq(("cool_a", 20.0), ("hot", 10.0)))
+    // an input already carrying the internal salt column is refused
+    // loudly — silently overwriting it on the probe side and dropping
+    // it by name from BOTH sides would lose a caller's column
+    val clash = large.withColumn("__graft_salt", lit(9))
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(clash, col("k"), col("id"), dim, col("dk"), 4)
+    }
+    assert(e.getMessage.contains("__graft_salt"))
   }
 
   // ---------------------------------------------------------------------
