@@ -3,9 +3,11 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** The bench harness's failure-visibility and outlier-re-run contracts
-  * (round-7 orders: a broken query must fail LOUDLY, a >2×-vs-baseline
-  * measurement must carry its re-run, and the stdout line must parse). */
+/** The bench harness's failure-visibility, outlier-re-run, and
+  * artifact-size contracts (round-7/8 orders: a broken query must fail
+  * LOUDLY, a suspect measurement must carry its re-run, the slowest
+  * queries must ALWAYS carry one, and the stdout line must both parse
+  * and fit the driver's ~2000-char tail capture at full suite size). */
 class BenchSpec extends AnyFunSuite with SparkTestSupport {
 
   private val ok: (SparkSession, String) => DataFrame =
@@ -34,9 +36,12 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
   }
 
   test("outlier vs baseline triggers a recorded re-run; normal queries don't re-run") {
-    // baseline says "good" used to take 1ns → any real measurement is
-    // >2× → the policy must re-measure and keep both rep sets
-    val rs = Bench.measureAll(spark, "unused", Seq("good" -> ok), reps = 2,
+    // baseline says "good" used to take 1ns → a measurement past the
+    // +0.3s floor is suspect → the policy must re-measure and keep
+    // both rep sets (the query sleeps 400ms to clear the floor)
+    val slowOk: (SparkSession, String) => DataFrame =
+      (s, _) => { Thread.sleep(400); s.range(10).toDF("id") }
+    val rs = Bench.measureAll(spark, "unused", Seq("good" -> slowOk), reps = 2,
       Map("good" -> 1e-9))
     assert(rs.head.isOutlier && rs.head.rerunReps.size === 2)
     assert(rs.head.baseline.contains(1e-9))
@@ -44,7 +49,7 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     assert(detail.contains("rerun_reps") && detail.contains("baseline"))
     assert(Bench.compactJson(rs, "sf").contains("\"outliers\":{\"good\":"))
     // a generous baseline → no re-run
-    val calm = Bench.measureAll(spark, "unused", Seq("good" -> ok), reps = 2,
+    val calm = Bench.measureAll(spark, "unused", Seq("good" -> slowOk), reps = 2,
       Map("good" -> 1e9))
     assert(!calm.head.isOutlier)
     // no baseline at all → no re-run
@@ -52,25 +57,95 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     assert(!fresh.head.isOutlier)
   }
 
-  test("both JSON lines parse; compact line stays tail-capture sized") {
+  test("suspect threshold: 1.5x relative with a +0.3s absolute floor") {
+    // fast query: 1.5x alone is inside jitter — the +0.3s floor gates it
+    assert(!Bench.isSuspect(0.25, 0.1))  // 2.5x but only +0.15s
+    assert(Bench.isSuspect(0.45, 0.1))   // +0.35s over a 0.1s baseline
+    // slow query: the ratio dominates (r7's t21 case — 4.13 vs 2.3
+    // escaped at 2x; 1.5x catches it)
+    assert(Bench.isSuspect(4.13, 2.3))
+    assert(!Bench.isSuspect(2.5, 2.3))
+    // error sentinels and zero baselines never flag
+    assert(!Bench.isSuspect(5.0, 0.0) && !Bench.isSuspect(5.0, -1.0))
+  }
+
+  test("the slowest non-measurement queries always re-run, even with no baseline") {
+    val slow: (SparkSession, String) => DataFrame =
+      (s, _) => { Thread.sleep(30); s.range(10).toDF("id") }
     val rs = Bench.measureAll(spark, "unused",
-      Seq("a" -> ok, "b" -> ok, "bad" -> boom), reps = 1, Map("a" -> 1e-9))
+      Seq("fast" -> ok, "slow" -> slow, "gng_throughput" -> slow),
+      reps = 1, Map.empty, alwaysRerunSlowest = 1)
+    val byName = rs.map(m => m.name -> m).toMap
+    assert(byName("slow").isOutlier, "slowest query must carry a re-run")
+    // unconditional re-runs carry no baseline (nothing triggered them)
+    assert(byName("slow").baseline.isEmpty)
+    // measurement queries (training loops) are exempt from the slot
+    assert(!byName("gng_throughput").isOutlier)
+    assert(!byName("fast").isOutlier)
+  }
+
+  test("history: baseline is the per-query MIN over stored runs; round-trips; wrong SF discarded") {
+    val runs = Seq(Map("a" -> 2.0, "b" -> 0.5), Map("a" -> 1.0, "b" -> 0.9, "c" -> -1.0))
+    val base = Bench.baselinesFrom(runs)
+    assert(base === Map("a" -> 1.0, "b" -> 0.5)) // min per query; -1 never a baseline
+    val tmp = java.nio.file.Files.createTempFile("bench-hist", ".json")
+    Bench.writeHistory(tmp.toString, "sfX", runs :+ Map("a" -> 3.0), keep = 2)
+    val back = Bench.readHistory(tmp.toString, "sfX")
+    assert(back.size === 2, "history keeps only the last `keep` runs")
+    assert(back.last === Map("a" -> 3.0))
+    assert(Bench.readHistory(tmp.toString, "sfOther") === Nil)
+    assert(Bench.readHistory("/nonexistent/hist.json", "sfX") === Nil)
+  }
+
+  test("short keys: numbered prefixes are unique; gng names stay full; collisions fall back") {
+    val names = Seq("q01_pricing_summary", "t30_source_drift", "v17_knn_ivfpq_batch",
+      "gng_throughput", "a01_asof_signup")
+    val keys = Bench.shortKeys(names)
+    assert(keys("q01_pricing_summary") === "q01")
+    assert(keys("v17_knn_ivfpq_batch") === "v17")
+    assert(keys("gng_throughput") === "gng_throughput")
+    assert(keys.values.toSet.size === names.size, "keys must stay unique")
+    // a genuine prefix collision keeps BOTH full names
+    val clash = Bench.shortKeys(Seq("x01_alpha", "x01_beta", "y02_ok"))
+    assert(clash("x01_alpha") === "x01_alpha" && clash("x01_beta") === "x01_beta")
+    assert(clash("y02_ok") === "y02")
+  }
+
+  test("all three JSON lines parse; stdout line fits the tail capture at full suite size") {
+    val rs = Bench.measureAll(spark, "unused",
+      Seq("a01_x" -> ok, "b02_y" -> ok, "bad03_z" -> boom), reps = 1, Map("a01_x" -> 1e-9))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    for (line <- Seq(Bench.detailJson(rs, "sfX"), Bench.compactJson(rs, "sfX"))) {
+    for (line <- Seq(Bench.detailJson(rs, "sfX"), Bench.compactJson(rs, "sfX"),
+        Bench.compactStdoutJson(rs, "sfX"))) {
       val node = mapper.readTree(line) // throws on malformed JSON
       assert(node.get("metric").asText() === "total")
       assert(node.get("queries").size() === 3)
-      assert(node.get("errors").has("bad"))
+      assert(node.get("errors").size() === 1)
       assert(node.get("sf").asText() === "sfX")
     }
     // value aggregates only successful queries (bad contributes nothing)
     val total = mapper.readTree(Bench.compactJson(rs, "sfX")).get("value").asDouble()
     assert(total > 0)
+    // the stdout line is tagged with its key style and full-name twin
+    val stdout = mapper.readTree(Bench.compactStdoutJson(rs, "sfX"))
+    assert(stdout.get("keys").asText() === "short")
+    assert(stdout.get("full").asText() === "BENCH_COMPACT.json")
+    assert(stdout.get("queries").has("a01") && stdout.get("queries").has("bad03"))
+    // SIZE GATE: the real suite's names at plausible values must fit
+    // the driver's ~2000-char tail window with headroom — this is the
+    // structural fix for the r6/r7 truncated artifacts
+    val real = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex.map { case (n, i) =>
+      Bench.Measurement(n, Seq(((i % 7) + 0.123, 0L)), None)
+    }
+    val line = Bench.compactStdoutJson(real, "/root/testdata/sf0.1")
+    assert(line.length < 1900, s"stdout line must fit tail capture: ${line.length}")
+    val parsed = mapper.readTree(line)
+    assert(parsed.get("queries").size() === real.size)
     // round-trip through readBaselines: next round compares against this one
     val tmp = java.nio.file.Files.createTempFile("bench", ".json")
     java.nio.file.Files.writeString(tmp, Bench.detailJson(rs, "sfX"))
     val base = Bench.readBaselines(tmp.toString, "sfX")
-    assert(base.keySet === Set("a", "b", "bad") && base("a") > 0)
+    assert(base.keySet === Set("a01_x", "b02_y", "bad03_z") && base("a01_x") > 0)
     // a baseline from another SF dir must not apply (it would flag the
     // whole suite as outliers)
     assert(Bench.readBaselines(tmp.toString, "sfOther") === Map.empty)
