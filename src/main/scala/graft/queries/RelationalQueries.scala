@@ -509,6 +509,43 @@ object RelationalQueries {
         .orderBy($"event_type")
     },
 
+    // Sketch-based percentiles gated against exact — the quantile a
+    // 100 TB user actually runs: exact percentile materializes every
+    // group's values for a per-group sort, while approx_percentile
+    // (KLL/GK-style sketch) is a bounded-memory partial+final
+    // aggregate; at scale ONLY the sketch is feasible, and this query
+    // is the standing proof it can be trusted. Sketch internals differ
+    // per engine (q29's HLL precedent), so the hashed output carries
+    // the exact quantiles plus a within-band flag the estimate must
+    // satisfy (the oracle asserts TRUE): at accuracy 10000 the sketch
+    // guarantees rank error ≤ n/10000, so the estimate must lie
+    // between the exact 'p ± 0.001' quantiles — 10× the guaranteed
+    // rank band, so a flag failure means a broken sketch, never an
+    // unlucky one. Band endpoints get the ±1e-9 FP cushion.
+    sql(
+      "q39_approx_percentile",
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99,
+        |  TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS p99_in_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          expr("percentile(value, array(0.499, 0.5, 0.501, 0.899, 0.9, 0.901, " +
+            "0.989, 0.99, 0.991))").as("ex"),
+          expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("ap"))
+        .select($"event_type",
+          round($"ex" (1), 4).as("p50"),
+          round($"ex" (4), 4).as("p90"),
+          round($"ex" (7), 4).as("p99"),
+          ($"ap" (0) >= $"ex" (0) - 1e-9 && $"ap" (0) <= $"ex" (2) + 1e-9).as("p50_in_band"),
+          ($"ap" (1) >= $"ex" (3) - 1e-9 && $"ap" (1) <= $"ex" (5) + 1e-9).as("p90_in_band"),
+          ($"ap" (2) >= $"ex" (6) - 1e-9 && $"ap" (2) <= $"ex" (8) + 1e-9).as("p99_in_band"))
+        .orderBy($"event_type")
+    },
+
     // ---- analytic window functions ------------------------------------------------
     sql(
       "q27_window_analytics",
