@@ -457,30 +457,7 @@ object TextQueries {
     // the same per-cluster rank.
     sql(
       "t27_canonical_docs",
-      s"""WITH RECURSIVE
-         |sh AS (SELECT doc_id, ${Sql.shingleSet("text", 3)} AS s FROM documents),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |      WHERE ${Sql.listJaccard("a.s", "b.s")} >= 0.5),
-         |e(src, dst) AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
-         |reach(a, b) AS (
-         |  SELECT DISTINCT src, src FROM e
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
-         |comp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep
-         |         FROM reach GROUP BY a),
-         |q AS (SELECT doc_id, ${Sql.qualityScore("text")} AS quality FROM documents),
-         |best AS (SELECT rep, doc_id AS best_id FROM (
-         |  SELECT c.rep, c.doc_id,
-         |    row_number() OVER (PARTITION BY c.rep ORDER BY q.quality DESC, c.doc_id) AS rk
-         |  FROM comp c JOIN q ON q.doc_id = c.doc_id) WHERE rk = 1)
-         |SELECT q.doc_id, CAST(coalesce(c.rep, q.doc_id) AS BIGINT) AS cluster,
-         |  q.quality,
-         |  CAST(CASE WHEN c.rep IS NULL OR q.doc_id = b.best_id THEN 1 ELSE 0 END AS INT) AS keep
-         |FROM q
-         |LEFT JOIN comp c ON c.doc_id = q.doc_id
-         |LEFT JOIN best b ON b.rep = c.rep
-         |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+      canonicalDocsOracle) { (s, d) =>
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minHashPairsVerified(docs, col("text"), col("doc_id"), threshold = 0.5)
       Dedup.canonicalPerCluster(
@@ -537,23 +514,7 @@ object TextQueries {
     // recursive-CTE closure + the same md5 CASE.
     sql(
       "t29_leakage_split",
-      s"""WITH RECURSIVE
-         |sh AS (SELECT doc_id, ${Sql.shingleSet("text", 3)} AS s FROM documents),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |      WHERE ${Sql.listJaccard("a.s", "b.s")} >= 0.5),
-         |e(src, dst) AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
-         |reach(a, b) AS (
-         |  SELECT DISTINCT src, src FROM e
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
-         |comp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep
-         |         FROM reach GROUP BY a)
-         |SELECT d.doc_id, CAST(coalesce(c.rep, d.doc_id) AS BIGINT) AS cluster,
-         |  CASE substr(md5(CAST(coalesce(c.rep, d.doc_id) AS VARCHAR)), 1, 1)
-         |    WHEN '0' THEN 'val' WHEN '1' THEN 'test' ELSE 'train' END AS split
-         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      leakageSplitOracle) { (s, d) =>
       Dedup.leakageSafeSplit(Tables.documents(s, d), col("text"), col("doc_id"),
           threshold = 0.5)
         .select(col("id").as("doc_id"), col("cluster"), col("split"))
@@ -892,8 +853,106 @@ object TextQueries {
               - min(col("tchars_ref")).cast("double") / min(col("tot_ref")) + 1e-9, 2))
             .as("mean_chars_delta"))
         .orderBy(col("source"))
+    },
+
+    // t27 in its PRODUCTION shape: canonical selection over a PREBUILT
+    // near-dup components table (computed once per data dir, served
+    // from parquet) — the amortized cost when several consumers share
+    // one clustering. The end-to-end t27 keeps the CC cost visible in
+    // the bench; this row shows what each additional consumer pays:
+    // only the argmax window + id-keyed joins. Same oracle as t27 —
+    // reusing a materialized clustering must not change a row.
+    sql("t31_canonical_docs_prebuilt", canonicalDocsOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.canonicalPerClusterOnComponents(
+          docs.select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality")),
+          col("doc_id"), col("quality"),
+          prebuiltComponents(s, d))
+        .select(col("id").as("doc_id"), col("cluster"),
+          col("score").as("quality"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // t29's production twin over the same prebuilt components table:
+    // the split assignment is md5-bucket arithmetic on the cluster id —
+    // with the clustering amortized, a leakage-safe split costs one
+    // id-keyed join. Same oracle as t29.
+    sql("t32_leakage_split_prebuilt", leakageSplitOracle) { (s, d) =>
+      Dedup.leakageSafeSplitOnComponents(
+          Tables.documents(s, d), col("doc_id"), prebuiltComponents(s, d))
+        .select(col("id").as("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** The recursive-CTE transitive closure over the exhaustive
+    * exact-Jaccard pair set, ending in `comp(doc_id, rep)` — the shared
+    * WITH-body of the t27/t29 oracles and their prebuilt twins
+    * (t31/t32): ONE definition, so the end-to-end and amortized
+    * surfaces can never drift apart. */
+  private lazy val closureCompCtes: String =
+    s"""sh AS (SELECT doc_id, ${Sql.shingleSet("text", 3)} AS s FROM documents),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |      WHERE ${Sql.listJaccard("a.s", "b.s")} >= 0.5),
+       |e(src, dst) AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+       |comp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep
+       |         FROM reach GROUP BY a)""".stripMargin
+
+  /** t27/t31's oracle: closure + the t06 quality twin + per-cluster
+    * argmax (quality DESC, lowest id). */
+  private lazy val canonicalDocsOracle: String =
+    s"""WITH RECURSIVE
+       |$closureCompCtes,
+       |q AS (SELECT doc_id, ${Sql.qualityScore("text")} AS quality FROM documents),
+       |best AS (SELECT rep, doc_id AS best_id FROM (
+       |  SELECT c.rep, c.doc_id,
+       |    row_number() OVER (PARTITION BY c.rep ORDER BY q.quality DESC, c.doc_id) AS rk
+       |  FROM comp c JOIN q ON q.doc_id = c.doc_id) WHERE rk = 1)
+       |SELECT q.doc_id, CAST(coalesce(c.rep, q.doc_id) AS BIGINT) AS cluster,
+       |  q.quality,
+       |  CAST(CASE WHEN c.rep IS NULL OR q.doc_id = b.best_id THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM q
+       |LEFT JOIN comp c ON c.doc_id = q.doc_id
+       |LEFT JOIN best b ON b.rep = c.rep
+       |ORDER BY q.doc_id""".stripMargin
+
+  /** t29/t32's oracle: closure + the deterministic md5-bucket split on
+    * the cluster id. */
+  private lazy val leakageSplitOracle: String =
+    s"""WITH RECURSIVE
+       |$closureCompCtes
+       |SELECT d.doc_id, CAST(coalesce(c.rep, d.doc_id) AS BIGINT) AS cluster,
+       |  CASE substr(md5(CAST(coalesce(c.rep, d.doc_id) AS VARCHAR)), 1, 1)
+       |    WHEN '0' THEN 'val' WHEN '1' THEN 'test' ELSE 'train' END AS split
+       |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Prebuilt near-dup components table per data dir — t21's
+    * clustering (verified MinHash pairs → large-star/small-star CC)
+    * computed ONCE, written to scratch parquet, and served to every
+    * consumer (t31/t32): the production pattern where one corpus
+    * clustering feeds canonical selection, splits, and cluster stats
+    * without re-running the star-contraction loop per consumer. */
+  private val componentsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def prebuiltComponents(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val path = componentsCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "neardup-components")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      val pairs = Dedup.minHashPairsVerified(
+        Tables.documents(s, d), col("text"), col("doc_id"), threshold = 0.5)
+      Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+    s.read.parquet(path)
+  }
 
   /** Prebuilt MinHash signature index of the "existing" corpus
     * (doc_id % 5 ≠ 0), written ONCE per data dir and served from
