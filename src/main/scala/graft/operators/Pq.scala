@@ -251,14 +251,106 @@ object Pq {
     * the online [[ivfPqKnn]] with the same models (spec-asserted). */
   def ivfPqKnnOnIndex(index: DataFrame,
       centroids: Array[Array[Double]], codebook: Array[Array[Array[Double]]],
-      query: Array[Double], k: Int, nProbe: Int = 2): DataFrame = {
+      query: Array[Double], k: Int, nProbe: Int = 2): DataFrame =
+    adcRank(index.filter(col("list").isin(probeLists(centroids, query, nProbe): _*)),
+      codebook, query, k)
+
+  /** The shared ADC scoring tail: stored codes → m LUT lookups →
+    * TakeOrderedAndProject (ties to the lower id). */
+  private def adcRank(probed: DataFrame, codebook: Array[Array[Array[Double]]],
+      query: Array[Double], k: Int): DataFrame = {
     val lut = adcLut(codebook, query)
-    index
-      .filter(col("list").isin(probeLists(centroids, query, nProbe): _*))
+    probed
       .select(col("id"),
         round(PqOps.pqAdc(col("codes"), lut) + lit(1e-9), 4).as("adc_dist"))
       .orderBy(col("adc_dist"), col("id"))
       .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // Index lifecycle: DELETES. Takedowns, re-crawls, and dedup-driven
+  // removals must come OUT of a served index without a full rebuild.
+  // The mechanism is the LSM discipline: a delete appends a TOMBSTONE
+  // row — same (id, codes, list) schema with codes NULL (real rows
+  // always carry codes), list taken from the index itself so the
+  // tombstone lands in the partition of the row it kills and every
+  // probe that could surface the dead row also sees its tombstone.
+  // Serving resolves tombstones with a set-minus ([[ivfPqLive]]);
+  // COMPACTION ([[ivfPqCompact]]) rewrites only the affected lists to
+  // reclaim space and drop the markers.
+  //
+  // Semantics: a tombstone kills (list, id) as a SET-MINUS, not an
+  // ordered log — an append of the same id after its delete is still
+  // dead until the affected lists compact (there is no per-row version
+  // to order writes by; re-ingesting a previously deleted id is a
+  // compact-then-append, spec-asserted). Tombstones for ids absent
+  // from the index produce no rows (a no-op delete, not an error).
+  // ------------------------------------------------------------------
+
+  /** Tombstone rows for `deleteIds` (a 1-column frame of ids, or any
+    * frame + `idCol`): (id, NULL codes, list) — `write.mode("append").
+    * partitionBy("list")` them into the index directory. The list
+    * assignment comes from the INDEX (broadcast join by id), never
+    * from re-encoding: the raw vector may be long gone (that is the
+    * point of a takedown), and the index is the source of truth for
+    * where the row lives. The codes column keeps the index's model
+    * fingerprint metadata so stamped directories stay uniformly
+    * stamped ([[ivfPqIncrement]]'s validation). */
+  def ivfPqTombstones(index: DataFrame, deleteIds: DataFrame, idCol: Column): DataFrame = {
+    val codesField = index.schema.find(_.name == "codes")
+      .getOrElse(throw new IllegalArgumentException(
+        "ivfPqTombstones: index has no codes column"))
+    val ids = deleteIds.select(idCol.as("id")).distinct()
+    // dedup BEFORE attaching the stamped codes column: dropDuplicates
+    // plans as an aggregate whose first() wrapper strips alias
+    // metadata, and an unstamped tombstone file would wipe the model
+    // fingerprint from the directory's read-back schema
+    index.join(broadcast(ids), "id")
+      .select(col("id"), col("list"))
+      .dropDuplicates("id", "list")
+      .select(col("id"), lit(null).cast(codesField.dataType)
+        .as("codes", codesField.metadata), col("list"))
+  }
+
+  /** The LIVE view of a possibly-tombstoned index: real rows minus
+    * those with a tombstone in the same list. Apply AFTER any list/
+    * partition pruning — under a LeftAnti join Catalyst pushes the
+    * probe filter only to the left side, so resolving first would scan
+    * every list's tombstones per query ([[ivfPqKnnOnIndexLive]] orders
+    * it correctly). The tombstone side broadcasts: deletes are a tiny
+    * fraction of a served index by assumption, and compaction is the
+    * pressure valve when they stop being one. */
+  def ivfPqLive(index: DataFrame): DataFrame =
+    index.filter(col("codes").isNotNull)
+      .join(broadcast(index.filter(col("codes").isNull).select(col("list"), col("id"))),
+        Seq("list", "id"), "left_anti")
+
+  /** [[ivfPqKnnOnIndex]] over an index carrying tombstones: prune to
+    * the probed lists FIRST (both the data rows and the tombstones —
+    * one filter, one scan subtree, partition-prunable), resolve the
+    * set-minus, then rank. Serving a tombstoned index is row-identical
+    * to serving a rebuild without the deleted rows (spec-asserted,
+    * v22's oracle). */
+  def ivfPqKnnOnIndexLive(index: DataFrame,
+      centroids: Array[Array[Double]], codebook: Array[Array[Array[Double]]],
+      query: Array[Double], k: Int, nProbe: Int = 2): DataFrame = {
+    val probed = index.filter(col("list").isin(probeLists(centroids, query, nProbe): _*))
+    adcRank(ivfPqLive(probed), codebook, query, k)
+  }
+
+  /** Compaction: the live rows of the lists that contain tombstones —
+    * write with `partitionOverwriteMode=dynamic` + `partitionBy("list")`
+    * over the index directory and ONLY the affected list partitions
+    * rewrite (dead rows and markers drop together); untouched lists
+    * keep their files. After compaction the directory serves
+    * identically ([[ivfPqLive]] of a tombstone-free index is the index)
+    * and previously-deleted ids may be re-appended. At 100 TB this is
+    * the difference between rewriting the lists a takedown touched and
+    * rewriting the whole code table. */
+  def ivfPqCompact(index: DataFrame): DataFrame = {
+    val affected = index.filter(col("codes").isNull).select(col("list")).distinct()
+    ivfPqLive(index.join(broadcast(affected), "list")
+      .select(col("id"), col("codes"), col("list")))
   }
 
   /** BATCHED IVFADC serving: a whole query SET against the

@@ -191,6 +191,56 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------
+  // Bucket-index lifecycle: DELETES — the LSH twin of the IVFADC
+  // tombstone discipline ([[graft.operators.Pq.ivfPqTombstones]]):
+  // a delete appends a same-schema row with emb NULL (real index rows
+  // always carry their embedding), bucket taken from the index so the
+  // marker lives in the partition of the row it kills; serving
+  // resolves the set-minus through [[lshLive]]. Same semantics: a
+  // tombstone kills (bucket, id) regardless of append order —
+  // re-ingesting a deleted id is a compact-then-append
+  // ([[lshCompact]]). Unlike IVFADC there are no frozen models to
+  // fingerprint: signatures depend only on the seeded planes, so
+  // delete/append interleaving needs no validation beyond the schema.
+  // ------------------------------------------------------------------
+
+  /** Tombstone rows for `deleteIds` against an [[lshBuckets]] index:
+    * (id, NULL emb, bucket) — append them `partitionBy("bucket")` into
+    * the index directory. Bucket comes from the index (broadcast join
+    * by id), never from re-hashing: the raw vector may be gone. */
+  def lshTombstones(bucketed: DataFrame, deleteIds: DataFrame, idCol: Column): DataFrame = {
+    val embType = bucketed.schema.find(_.name == "emb")
+      .getOrElse(throw new IllegalArgumentException(
+        "lshTombstones: index has no emb column")).dataType
+    bucketed.join(broadcast(deleteIds.select(idCol.as("id")).distinct()), "id")
+      .select($"id", $"bucket")
+      .dropDuplicates("id", "bucket")
+      .select($"id", lit(null).cast(embType).as("emb"), $"bucket")
+  }
+
+  /** The LIVE view of a possibly-tombstoned bucket index: real rows
+    * minus tombstoned (bucket, id) pairs. [[lshKnnOnIndex]] /
+    * [[lshKnnBatch]] over this view serve row-identically to a rebuild
+    * without the deleted rows (spec-asserted, v23's oracle) — the
+    * radius histogram must count live rows only, so resolve BEFORE
+    * serving, not after: a tombstone's non-null bucket would otherwise
+    * inflate its bucket's occupancy by one instead of shrinking it. */
+  def lshLive(bucketed: DataFrame): DataFrame =
+    bucketed.filter($"emb".isNotNull)
+      .join(broadcast(bucketed.filter($"emb".isNull).select($"bucket", $"id")),
+        Seq("bucket", "id"), "left_anti")
+
+  /** Compaction: live rows of the buckets containing tombstones —
+    * write with `partitionOverwriteMode=dynamic` + `partitionBy
+    * ("bucket")` over the index dir; only affected bucket partitions
+    * rewrite ([[graft.operators.Pq.ivfPqCompact]]'s contract). */
+  def lshCompact(bucketed: DataFrame): DataFrame = {
+    val affected = bucketed.filter($"emb".isNull).select($"bucket").distinct()
+    lshLive(bucketed.join(broadcast(affected), "bucket")
+      .select($"id", $"emb", $"bucket"))
+  }
+
   /** BATCHED multiprobe kNN: a whole query SET against the bucket index
     * in ONE plan — the serving shape for bulk retrieval (re-ranking a
     * candidate file, building a retrieval training set). Single-query

@@ -76,6 +76,69 @@ object VectorQueries {
     s.read.parquet(path)
   }
 
+  /** v22's lifecycle index: the full [[servedIvfPqIndex]] layout taken
+    * through BOTH delete mechanisms — vec_id % 10 == 3 tombstoned then
+    * COMPACTED away (dynamic partition overwrite rewrites only the
+    * affected lists), vec_id % 10 == 7 tombstoned and LEFT in place so
+    * serving exercises the live-view set-minus. Serving it must be
+    * indistinguishable from an index rebuilt without either delete
+    * wave (the parameterized v11 oracle). */
+  private val ivfPqDelIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def servedIvfPqDeletedIndex(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val path = ivfPqDelIndexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "ivfpq-del-index")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      val emb = Tables.embeddings(s, d)
+      val cs = graft.GngQueries.trained(s, d).centroids
+      val cb = pqCodebook(s, d)
+      graft.operators.Pq.ivfPqIndex(emb, col("embedding"), col("vec_id"), cs, cb)
+        .write.mode("overwrite").partitionBy("list").parquet(dir.toString)
+      // wave 1: tombstone + compact. The compacted rows localCheckpoint
+      // before the dynamic-overwrite write because plain parquet cannot
+      // overwrite a path it is also reading (a transactional table
+      // format versions this instead; the lineage cut is the plain-dir
+      // equivalent).
+      graft.operators.Pq.ivfPqTombstones(s.read.parquet(dir.toString),
+          emb.filter(col("vec_id") % 10 === 3), col("vec_id"))
+        .write.mode("append").partitionBy("list").parquet(dir.toString)
+      graft.operators.Pq.ivfPqCompact(s.read.parquet(dir.toString))
+        .localCheckpoint(true)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("list").parquet(dir.toString)
+      // wave 2: tombstones only — serving resolves them
+      graft.operators.Pq.ivfPqTombstones(s.read.parquet(dir.toString),
+          emb.filter(col("vec_id") % 10 === 7), col("vec_id"))
+        .write.mode("append").partitionBy("list").parquet(dir.toString)
+      dir.toString
+    })
+    s.read.parquet(path)
+  }
+
+  /** v23's bucket index with deletes: [[servedIndex]]'s layout plus
+    * tombstones for vec_id % 10 == 3, left in place — serving through
+    * [[Similarity.lshLive]] must equal the multiprobe oracle over the
+    * corpus minus the deleted ids (histogram, radius, and ranking all
+    * shrink together). */
+  private val lshDelIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def servedDeletedIndex(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val path = lshDelIndexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "lsh-del-index")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshBuckets(emb, col("embedding"), col("vec_id"), nBits = 4, dim = EmbDim)
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir.toString)
+      Similarity.lshTombstones(s.read.parquet(dir.toString),
+          emb.filter(col("vec_id") % 10 === 3), col("vec_id"))
+        .write.mode("append").partitionBy("bucket").parquet(dir.toString)
+      dir.toString
+    })
+    s.read.parquet(path)
+  }
+
   private[graft] def servedIvfPqIndex(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val path = ivfPqIndexCache.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory(
@@ -532,6 +595,31 @@ object VectorQueries {
         queryVector(s, d), k = 10, nProbe = 2),
       ivfPqOracle),
 
+    // Index DELETES + compaction (v21's lifecycle complement): the
+    // served IVFADC index loses vec_id%10==3 via tombstone-then-COMPACT
+    // (dynamic overwrite rewrites only the affected list partitions)
+    // and vec_id%10==7 via tombstones left in place; serving resolves
+    // the set-minus per probe (prune lists FIRST, then anti-join the
+    // probed tombstones). Oracle: the v11 IVFADC oracle over the
+    // corpus minus both delete waves — serve-after-delete must be
+    // indistinguishable from rebuild-without-deleted.
+    QueryDef("v22_ivfpq_delete", (s, d) =>
+      graft.operators.Pq.ivfPqKnnOnIndexLive(
+        servedIvfPqDeletedIndex(s, d),
+        graft.GngQueries.trained(s, d).centroids, pqCodebook(s, d),
+        queryVector(s, d), k = 10, nProbe = 2),
+      ivfPqOracleFor("vec_id % 10 NOT IN (3, 7)")),
+
+    // The bucket-index delete twin: v07's served LSH index with
+    // vec_id%10==3 tombstoned, served through the live view — the
+    // radius histogram, probe escalation, and ranking all shrink
+    // together, so the answer equals the multiprobe oracle over the
+    // corpus minus the deleted ids.
+    sql("v23_knn_served_delete", multiprobeKnnSql("vec_id % 10 <> 3")) { (s, d) =>
+      Similarity.lshKnnOnIndex(
+        Similarity.lshLive(servedDeletedIndex(s, d)), queryVector(s, d), 10, nBits = 4)
+    },
+
     // ANN quality evaluation: recall@10 of the batched LSH path (v15's
     // exact machinery) against brute-force ground truth, per query, in
     // ONE plan — the measurement every approximate index must ship with
@@ -709,7 +797,15 @@ object VectorQueries {
 
   /** IVFADC: the v06 probe/assignment CTEs composed with the PQ
     * encode/LUT CTEs — both models inlined at dump time. */
-  private def ivfPqOracle: Option[String] =
+  private def ivfPqOracle: Option[String] = ivfPqOracleFor("TRUE")
+
+  /** [[ivfPqOracle]] parameterized by the CORPUS predicate — v22's
+    * serve-after-delete contract: serving a tombstoned (and partially
+    * compacted) index must equal this oracle over the corpus minus the
+    * deleted ids, i.e. a rebuild without them. The predicate restricts
+    * the ranked corpus only; the query vector (vec_id 0) must satisfy
+    * it. */
+  private def ivfPqOracleFor(corpusPred: String): Option[String] =
     for (cs <- graft.GngQueries.soleTrainedCentroids; cb <- solePqCodebook) yield {
       val queryDists = cs.zipWithIndex
         .map { case (c, i) => s"SELECT $i AS list, ${graft.GngQueries.distSql("qv", c)} AS d FROM q" }
@@ -717,7 +813,8 @@ object VectorQueries {
       val vecDists = cs.zipWithIndex
         .map { case (c, i) => s"SELECT vec_id, $i AS list, ${graft.GngQueries.distSql("v", c)} AS dsq FROM e" }
         .mkString("\nUNION ALL ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |           WHERE $corpusPred),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
          |cd AS ($queryDists),
          |probed AS (SELECT list FROM cd ORDER BY d, list LIMIT 2),

@@ -388,6 +388,50 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(df.collect().toSeq === online.collect().toSeq)
   }
 
+  /** Every file scan in the plan, descending through the AQE wrapper —
+    * joins put the whole tree behind an AdaptiveSparkPlanExec whose
+    * collectLeaves() sees no scans (v07/v16's join-free plans don't
+    * hit this). */
+  private def allFileScans(df: DataFrame): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => go(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(go)
+    }
+    go(df.queryExecution.executedPlan)
+  }
+
+  test("v22: delete-aware IVFADC serving — BOTH index scans prune to the probed lists") {
+    val df = SparkEntry.queries("v22_ivfpq_delete")(spark, sf)
+    // the live view is resolved AFTER the probe filter, so the data
+    // rows AND the tombstones descend from the same pruned subtree —
+    // a LeftAnti join would not push the filter to its right side, so
+    // ordering it wrong re-scans every list's tombstones per query
+    val scans = allFileScans(df)
+    assert(scans.nonEmpty, "delete-aware serving must read the parquet index")
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(_.name == "list")),
+        s"every index scan must prune to probed lists:\n${s.partitionFilters}")
+    }
+    val total = graft.queries.VectorQueries.servedIvfPqDeletedIndex(spark, sf)
+      .select("list").distinct().count()
+    scans.foreach(s => assert(s.selectedPartitions.partitionCount < total,
+      s"pruning must bite (${s.selectedPartitions.partitionCount} of $total lists)"))
+    // codes are STORED; neither kernel runs at query time
+    assert(!df.queryExecution.executedPlan.toString.contains("pq_encode"),
+      "encode kernel must not run at query time")
+  }
+
+  test("v23: delete-aware LSH serving — ranking scan prunes to the probed buckets") {
+    val df = SparkEntry.queries("v23_knn_served_delete")(spark, sf)
+    val scans = allFileScans(df)
+    assert(scans.exists(_.partitionFilters.exists(_.references.exists(_.name == "bucket"))),
+      s"radius filter must prune bucket partitions:\n${scans.map(_.partitionFilters)}")
+    // the signature kernel never runs at query time — buckets are stored
+    assert(!df.queryExecution.executedPlan.toString.contains("lsh_bands"),
+      "signature kernel must not run at query time")
+  }
+
   test("t27: canonical selection — scored base materialized once, no kernel re-run") {
     val p = plan("t27_canonical_docs")
     // the (id, score) base is localCheckpoint'ed: both consumers read

@@ -165,6 +165,119 @@ class PqSpec extends AnyFunSuite with SparkTestSupport {
       java.nio.file.Paths.get(dir))
   }
 
+  test("deletes: tombstoned serving == rebuild-without-deleted; interleaving is a set-minus") {
+    val df = anchored(90)
+    val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 9, iters = 5)
+    val cents = Array(Array.fill(8)(2.0), Array.fill(8)(12.0), Array.fill(8)(22.0))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-del-spec").toString
+    try {
+      Pq.ivfPqIndex(df, col("embedding"), col("vec_id"), cents, cb)
+        .write.mode("overwrite").partitionBy("list").parquet(dir)
+      // deleting an absent id is a no-op, not an error
+      assert(Pq.ivfPqTombstones(spark.read.parquet(dir),
+        Seq(999L).toDF("vec_id"), col("vec_id")).count() === 0)
+      val deleted = (0 until 90).map(_.toLong).filter(_ % 10 == 3)
+      Pq.ivfPqTombstones(spark.read.parquet(dir),
+          deleted.toDF("vec_id"), col("vec_id"))
+        .write.mode("append").partitionBy("list").parquet(dir)
+      val survivors = df.filter(!col("vec_id").isin(deleted: _*))
+      for (qid <- Seq(0L, 7L, 41L); nProbe <- Seq(1, 2, 3)) {
+        val q = df.filter(col("vec_id") === qid)
+          .select(col("embedding")).head().getSeq[Double](0).toArray
+        val served = Pq.ivfPqKnnOnIndexLive(spark.read.parquet(dir), cents, cb, q,
+            k = 8, nProbe = nProbe)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val rebuilt = Pq.ivfPqKnn(survivors, col("embedding"), col("vec_id"), cents, cb,
+            q, k = 8, nProbe = nProbe)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(served === rebuilt, s"qid=$qid nProbe=$nProbe")
+      }
+      // INTERLEAVING: a fingerprint-validated append AFTER the deletes —
+      // new rows serve, deleted rows stay dead
+      val extra = anchored(110).filter(col("vec_id") >= 90)
+      Pq.ivfPqIncrement(spark.read.parquet(dir), extra, col("embedding"),
+          col("vec_id"), cents, cb)
+        .write.mode("append").partitionBy("list").parquet(dir)
+      // and a re-append of a DELETED id before compaction: the tombstone
+      // is a set-minus, not an ordered log — the id stays dead
+      Pq.ivfPqIncrement(spark.read.parquet(dir),
+          df.filter(col("vec_id") === 3), col("embedding"), col("vec_id"), cents, cb)
+        .write.mode("append").partitionBy("list").parquet(dir)
+      val q0 = df.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Double](0).toArray
+      val allServed = Pq.ivfPqKnnOnIndexLive(spark.read.parquet(dir), cents, cb, q0,
+          k = 200, nProbe = 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(deleted.forall(!allServed.contains(_)), "deleted ids must stay dead")
+      assert((90L until 110L).forall(allServed.contains), "appended ids must serve")
+    } finally graft.streaming.StreamingRelational.deleteRecursively(
+      java.nio.file.Paths.get(dir))
+  }
+
+  test("compaction: only affected lists rewrite, markers clear, fingerprint survives, re-add works") {
+    val df = anchored(90)
+    val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 9, iters = 5)
+    val cents = Array(Array.fill(8)(2.0), Array.fill(8)(12.0), Array.fill(8)(22.0))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-compact-spec").toString
+    try {
+      Pq.ivfPqIndex(df, col("embedding"), col("vec_id"), cents, cb)
+        .write.mode("overwrite").partitionBy("list").parquet(dir)
+      // delete three ids from ONE list only, so the other lists'
+      // partitions must come through compaction untouched
+      val inList0 = spark.read.parquet(dir).filter(col("list") === 0)
+        .select(col("id")).collect().map(_.getLong(0)).sorted.take(3).toSeq
+      assert(inList0.size === 3, "fixture must populate list 0")
+      Pq.ivfPqTombstones(spark.read.parquet(dir), inList0.toDF("vec_id"), col("vec_id"))
+        .write.mode("append").partitionBy("list").parquet(dir)
+      def listFiles(list: Int): Map[String, Long] = {
+        val p = java.nio.file.Paths.get(dir, s"list=$list")
+        val s = java.nio.file.Files.list(p)
+        try {
+          val it = s.iterator()
+          val b = Map.newBuilder[String, Long]
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.toString.endsWith(".parquet"))
+              b += f.getFileName.toString -> java.nio.file.Files.getLastModifiedTime(f).toMillis
+          }
+          b.result()
+        } finally s.close()
+      }
+      val before1 = listFiles(1)
+      val before2 = listFiles(2)
+      Pq.ivfPqCompact(spark.read.parquet(dir))
+        .localCheckpoint(true)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("list").parquet(dir)
+      assert(listFiles(1) === before1 && listFiles(2) === before2,
+        "unaffected list partitions must not rewrite")
+      val compacted = spark.read.parquet(dir)
+      assert(compacted.filter(col("codes").isNull).count() === 0, "markers must clear")
+      // compacted rows == rebuild-without-deleted rows, codes included
+      val want = Pq.ivfPqIndex(df.filter(!col("vec_id").isin(inList0: _*)),
+          col("embedding"), col("vec_id"), cents, cb)
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2))).toSet
+      val got = compacted
+        .select(col("id"), col("codes"), col("list"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2))).toSet
+      assert(got === want)
+      // the model fingerprint survives compaction: a validated append
+      // still works, and RE-ADDING a previously-deleted id now serves
+      Pq.ivfPqIncrement(compacted, df.filter(col("vec_id") === inList0.head),
+          col("embedding"), col("vec_id"), cents, cb)
+        .write.mode("append").partitionBy("list").parquet(dir)
+      val q0 = df.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Double](0).toArray
+      val ids = Pq.ivfPqKnnOnIndexLive(spark.read.parquet(dir), cents, cb, q0,
+          k = 200, nProbe = 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.contains(inList0.head), "re-added id must serve after compaction")
+      assert(!ids.contains(inList0(1)) && !ids.contains(inList0(2)),
+        "still-deleted ids must stay dead")
+    } finally graft.streaming.StreamingRelational.deleteRecursively(
+      java.nio.file.Paths.get(dir))
+  }
+
   test("ivfPqKnnBatch: every query's rows equal its single-query ivfPqKnnOnIndex answer") {
     val df = anchored(90)
     val cb = Pq.train(df, col("embedding"), col("vec_id"), m = 2, k = 9, iters = 5)

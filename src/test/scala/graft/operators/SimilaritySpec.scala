@@ -92,6 +92,48 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
     assert(appended === rebuilt)
   }
 
+  test("lshLive: tombstoned index == rebuild-without-deleted (single + batch); compaction clears markers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lsh-del-spec").toString + "/idx"
+    Similarity.lshBuckets(embs, col("emb"), col("id"), nBits = 4, dim = 2)
+      .write.partitionBy("bucket").parquet(dir)
+    // deleting an absent id is a no-op
+    assert(Similarity.lshTombstones(spark.read.parquet(dir),
+      Seq(999L).toDF("id"), col("id")).count() === 0)
+    val deleted = Seq(2L, 5L)
+    Similarity.lshTombstones(spark.read.parquet(dir), deleted.toDF("id"), col("id"))
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+    val survivors = embs.filter(!col("id").isin(deleted: _*))
+    // single-query serving: live view == one-shot over survivors —
+    // the radius histogram must shrink WITH the corpus (a tombstone's
+    // non-null bucket counting as occupancy would break this)
+    val served = Similarity.lshKnnOnIndex(
+        Similarity.lshLive(spark.read.parquet(dir)), query, k = 5, nBits = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    val rebuilt = Similarity.lshKnn(survivors, col("emb"), col("id"), query, k = 5, nBits = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"))).toSeq
+    assert(served === rebuilt)
+    assert(served.forall(r => !deleted.contains(r._1)))
+    // batch serving over the live view matches per-query single serving
+    val queries = embs.filter(col("id").isin(1L, 4L))
+    val batch = Similarity.lshKnnBatch(Similarity.lshLive(spark.read.parquet(dir)),
+        queries, col("emb"), col("id"), dim = 2, k = 3, nBits = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    assert(batch.forall(r => !deleted.contains(r._2)))
+    // compaction: only live rows of affected buckets remain; the full
+    // live row set equals a rebuild without the deleted vectors
+    Similarity.lshCompact(spark.read.parquet(dir))
+      .localCheckpoint(true)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(dir)
+    val compacted = spark.read.parquet(dir)
+    assert(compacted.filter(col("emb").isNull).count() === 0, "markers must clear")
+    val wantIds = survivors.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(compacted.select(col("id")).collect().map(_.getLong(0)).toSet === wantIds)
+    graft.streaming.StreamingRelational.deleteRecursively(
+      java.nio.file.Paths.get(dir).getParent)
+  }
+
   test("lshKnnBatch: every query's rows equal its single-query lshKnnOnIndex answer") {
     import spark.implicits._
     // richer corpus so per-query radii actually differ
