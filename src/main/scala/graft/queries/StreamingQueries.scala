@@ -186,16 +186,25 @@ object StreamingQueries {
     // (starting from the stored snapshot); merge associativity makes
     // the final state invariant to batch slicing, so the shared
     // full-recompute oracle verifies the streaming path bit-for-bit.
-    // The history again contributes only its state parquet.
+    // The history again contributes only its state parquet. The state
+    // loop runs through the EXACTLY-ONCE store (EpochState): every
+    // micro-batch commits under its batch id behind an atomic pointer,
+    // so a crash between merge and commit cannot double-count on
+    // replay — the production form of the loop, oracled here
+    // (EpochStateSpec drives the crash halves explicitly).
     sql(
       "s08_stream_incremental_agg",
       RelationalQueries.incrementalAggOracle) { (s, d) =>
       import graft.operators.IncrementalAgg
       val snapshot = s.read.parquet(RelationalQueries.incAggSnapshot(s, d))
+      val stateDir = java.nio.file.Files.createTempDirectory(
+        StreamingRelational.scratchBase, "incagg-epochs")
+      StreamingRelational.registerScratch(stateDir)
       RelationalQueries.finalizeIncAgg(
-        StreamingRelational.oneShotFold(s,
+        StreamingRelational.oneShotFoldExactlyOnce(s,
           StreamingRelational.eventsStream(s, d)
             .filter(!Tables.inLowMd5Half(col("event_id"))),
+          stateDir.toString,
           snapshot,
           (state, batch) => IncrementalAgg.merge(state,
             IncrementalAgg.aggState(batch, Seq(col("event_type")), col("value")),

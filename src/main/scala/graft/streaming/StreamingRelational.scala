@@ -94,7 +94,8 @@ object StreamingRelational {
     * AvailableNow drain, restore the conf, delete the checkpoint. One
     * definition so a fix to the cap-and-restore logic can't miss a
     * variant. */
-  private def runOneShot(spark: SparkSession, ckpt: java.nio.file.Path)(
+  private def runOneShot(spark: SparkSession, ckpt: java.nio.file.Path,
+      cleanupCkpt: Boolean = true)(
       start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try confLock.synchronized {
       val shufKey = "spark.sql.shuffle.partitions"
@@ -103,7 +104,7 @@ object StreamingRelational {
         spark.conf.set(shufKey, math.min(prev.toInt, 8))
         start().awaitTermination()
       } finally spark.conf.set(shufKey, prev)
-    } finally deleteRecursively(ckpt)
+    } finally if (cleanupCkpt) deleteRecursively(ckpt)
 
   /** One sentinel parquet file per (JVM, sentinelTs): re-writing it per
     * call was measured at ~0.4 s/call, ×3 bench reps per streaming
@@ -255,6 +256,10 @@ object StreamingRelational {
     serveDirs.forEach(d => deleteRecursively(d))
   }
 
+  /** Register a scratch path for exit-time cleanup under the single
+    * static hook (a hook per call would accumulate hook threads). */
+  private[graft] def registerScratch(p: java.nio.file.Path): Unit = serveDirs.add(p)
+
   /** Streaming STATE MAINTENANCE: fold every micro-batch into an
     * accumulated state table — `state := step(state, batch)` — and
     * return the final state. The production shape for incrementally
@@ -290,6 +295,47 @@ object StreamingRelational {
         .start()
     }
     state
+  }
+
+  /** [[oneShotFold]] with EXACTLY-ONCE persistent state
+    * ([[graft.operators.EpochState]]): each micro-batch commits
+    * `step(state, batch)` under its batch id, so the crash window
+    * between "merge applied" and "state committed" cannot double-count
+    * — a restarted stream re-delivers the in-flight batch
+    * (foreachBatch's at-least-once contract) and the epoch stamp makes
+    * the re-application a no-op. This is the production shape for q37/
+    * s08's maintained aggregates: the in-memory fold above is the
+    * measurement/verification form (state dies with the job); this one
+    * survives a kill at ANY point with no loss and no double-apply
+    * (EpochStateSpec drives the two crash halves explicitly).
+    *
+    * `stateDir` persists across restarts — pass the SAME dir to the
+    * re-run and initialization is a no-op on committed state. The
+    * STREAMING CHECKPOINT lives inside it (`_ckpt`) and persists with
+    * it: batch ids are checkpoint-relative, so a restart with a fresh
+    * checkpoint would renumber new data from 0 and the epoch guard
+    * would wrongly skip it — checkpoint and epoch stamps must travel
+    * together or the guard guards the wrong thing. */
+  def oneShotFoldExactlyOnce(spark: SparkSession, streamed: DataFrame,
+      stateDir: String, init: DataFrame,
+      step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val ckpt = java.nio.file.Paths.get(stateDir, "_ckpt")
+    java.nio.file.Files.createDirectories(ckpt)
+    graft.operators.EpochState.init(spark, stateDir, init)
+    runOneShot(spark, ckpt, cleanupCkpt = false) { () =>
+      streamed.writeStream
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          if (!batch.isEmpty) {
+            graft.operators.EpochState.commit(spark, stateDir, epoch)(
+              state => step(state, batch))
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    graft.operators.EpochState.state(spark, stateDir)
   }
 
   /** Watermarked tumbling-window aggregation: events per (hour, type)
