@@ -1,0 +1,150 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftx
+import org.apache.spark.sql.types._
+
+/** REAL image-header decoding with pure byte arithmetic — no codec
+  * library needed: PNG dimensions live in the IHDR chunk at a fixed
+  * offset behind the signature, and JPEG dimensions live in the first
+  * SOF segment, reachable by the standard marker-segment walk. This
+  * replaces the arithmetic stub for the two formats whose headers are
+  * parseable without decompression (m03); formats that genuinely need
+  * a codec (RIFF media payloads etc.) keep the documented stub
+  * ([[graft.operators.Multimodal.decodeImageStub]]).
+  *
+  * Both parsers return `struct<width int, height int, channels int>`,
+  * NULL for anything that is not a well-formed header — truncation,
+  * wrong magic, a JPEG whose entropy data starts before any SOF. A
+  * malformed blob in a 100 TB crawl must yield a NULL to filter on,
+  * never an exception that kills the stage (ANSI-mode discipline).
+  */
+object ImageHeader {
+
+  /** `png_dims(payload)`: the IHDR width/height/channels, or NULL. */
+  def pngDims(payload: Column): Column =
+    graftx.column(PngDimsExpr(graftx.expr(payload)))
+
+  /** `jpeg_dims(payload)`: frame dimensions from the first SOF
+    * segment (baseline C0 through lossless CF, minus the non-frame
+    * C4/C8/CC), or NULL. */
+  def jpegDims(payload: Column): Column =
+    graftx.column(JpegDimsExpr(graftx.expr(payload)))
+
+  val dimsType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false)))
+}
+
+object ImageHeaderImpl {
+
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  @inline private def be16(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 8) | u8(b, i + 1)
+
+  @inline private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  private def row(w: Long, h: Long, channels: Int): InternalRow =
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue || channels <= 0) null
+    else InternalRow(w.toInt, h.toInt, channels)
+
+  /** PNG: 8-byte signature, then the IHDR chunk (the spec REQUIRES it
+    * first): length(4)=13, type(4)="IHDR", width(4) height(4) BE,
+    * bit depth(1), color type(1). Channels derive from the color type
+    * (0 gray=1, 2 RGB=3, 3 palette=1, 4 gray+alpha=2, 6 RGBA=4). */
+  def pngDims(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 26) return null
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { if (u8(bytes, i) != sig(i)) return null; i += 1 }
+    if (be32(bytes, 8) != 13L) return null // IHDR data length is fixed
+    if (u8(bytes, 12) != 'I' || u8(bytes, 13) != 'H' ||
+        u8(bytes, 14) != 'D' || u8(bytes, 15) != 'R') return null
+    val w = be32(bytes, 16)
+    val h = be32(bytes, 20)
+    val colorType = u8(bytes, 25)
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return null
+    }
+    row(w, h, channels)
+  }
+
+  /** True for the SOF markers that carry frame dimensions: C0–CF minus
+    * C4 (DHT), C8 (JPG extension), CC (DAC) — the JPEG spec's frame
+    * set. */
+  @inline private def isSof(m: Int): Boolean =
+    m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+  /** JPEG: SOI, then the marker-segment walk — optional 0xFF fill
+    * bytes, marker byte, then (for non-standalone markers) a 2-byte
+    * big-endian length covering itself. The first SOF segment carries
+    * precision(1), height(2), width(2), component count(1) = channels.
+    * The walk stops dead at SOS (entropy-coded data — every
+    * well-formed frame header precedes it) and EOI. */
+  def jpegDims(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 4) return null
+    if (u8(bytes, 0) != 0xff || u8(bytes, 1) != 0xd8) return null // SOI
+    var pos = 2
+    val n = bytes.length
+    while (pos + 1 < n) {
+      if (u8(bytes, pos) != 0xff) return null // marker misalignment
+      // 0xFF fill bytes may pad before any marker
+      while (pos + 1 < n && u8(bytes, pos + 1) == 0xff) pos += 1
+      if (pos + 1 >= n) return null
+      val marker = u8(bytes, pos + 1)
+      if (isSof(marker)) {
+        if (pos + 9 >= n) return null // truncated SOF
+        val h = be16(bytes, pos + 5)
+        val w = be16(bytes, pos + 7)
+        return row(w, h, u8(bytes, pos + 9))
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return null // EOI / SOS before any frame header
+      } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+        pos += 2 // standalone markers: TEM, RSTn, (nested) SOI
+      } else {
+        if (pos + 3 >= n) return null
+        val len = be16(bytes, pos + 2)
+        if (len < 2) return null
+        pos += 2 + len
+      }
+    }
+    null
+  }
+}
+
+abstract class DimsExpr extends UnaryExpression {
+  override def dataType: DataType = ImageHeader.dimsType
+  override def nullable: Boolean = true
+  protected def implName: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ImageHeaderImpl.$implName($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+}
+
+case class PngDimsExpr(child: Expression) extends DimsExpr {
+  override def prettyName: String = "png_dims"
+  override protected def implName: String = "pngDims"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageHeaderImpl.pngDims(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): PngDimsExpr =
+    copy(child = newChild)
+}
+
+case class JpegDimsExpr(child: Expression) extends DimsExpr {
+  override def prettyName: String = "jpeg_dims"
+  override protected def implName: String = "jpegDims"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageHeaderImpl.jpegDims(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): JpegDimsExpr =
+    copy(child = newChild)
+}

@@ -10,11 +10,13 @@ import graft.expressions.BinaryFeatures
   * codegen'd expression), so the plumbing — schema, partitioning,
   * pruning, null-safety — is production-real and 100 TB-ready.
   *
-  * The *decoders* are deterministic STUBS: actual image/audio codecs are
-  * not in this container, so [[decodeImageStub]] derives plausible
-  * dimensions arithmetically and [[BinaryFeatures]] embeds raw bytes
-  * instead of decoded pixels. Swapping in a real codec changes only the
-  * kernel behind each operator — the dataflow contract
+  * Header DECODING is real where headers are parseable without a
+  * codec: [[decodeImageHeader]] reads PNG IHDR / JPEG SOF dimensions
+  * with pure byte arithmetic. Full pixel/sample decoding remains
+  * STUBBED ([[decodeImageStub]] for unparsed formats, [[BinaryFeatures]]
+  * embeds raw bytes instead of decoded pixels) — actual image/audio
+  * codecs are not in this container. Swapping in a real codec changes
+  * only the kernel behind each operator — the dataflow contract
   * (`binary → struct` / `binary → array<double>`) stays identical.
   *
   * Scale notes: all ops are narrow (per-row) — no shuffle anywhere;
@@ -59,9 +61,24 @@ object Multimodal {
       fingerprint(payloadCol).as("fingerprint"),
       sniffFormat(payloadCol).as("format"))
 
+  /** REAL image-header decode: width/height/channels parsed from the
+    * PNG IHDR chunk or the first JPEG SOF segment with pure byte
+    * arithmetic ([[graft.expressions.ImageHeader]]) — no codec library
+    * involved, so this runs as a codegen'd kernel like every other
+    * scalar here. NULL for malformed/truncated headers and for formats
+    * without a parser (filter on it; never an exception mid-stage). */
+  def decodeImageHeader(payload: Column): Column = {
+    import graft.expressions.ImageHeader
+    when(sniffFormat(payload) === "png", ImageHeader.pngDims(payload))
+      .when(sniffFormat(payload) === "jpeg", ImageHeader.jpegDims(payload))
+      .otherwise(lit(null).cast(ImageHeader.dimsType))
+  }
+
   /** STUB image decode: dimension/channel metadata derived
     * arithmetically from the payload length (a real codec would parse
-    * the header). Deterministic and oracle-expressible. */
+    * the header — [[decodeImageHeader]] does exactly that for PNG/JPEG;
+    * this stub remains for formats without a header parser).
+    * Deterministic and oracle-expressible. */
   def decodeImageStub(payload: Column): Column = {
     val len = byteLength(payload)
     // floor(len/7) is exact: len < 2^31, so the double quotient is never

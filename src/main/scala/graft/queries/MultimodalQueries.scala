@@ -31,6 +31,35 @@ object MultimodalQueries {
     "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'image' " +
       "WHEN 2 THEN 'audio' ELSE 'text' END"
 
+  /** m03's payload: a WELL-FORMED image header synthesized from doc_id
+    * (all lengths/dims big-endian by formula), followed by the text
+    * bytes as body. JPEG headers interleave variable-length APP0/COM
+    * segments, a DHT, and a fill byte before the SOF0 so the parser
+    * must walk the marker-segment chain; PNG headers are a real
+    * signature + IHDR with a per-document color type. */
+  private val m03PayloadExpr = expr(
+    """unhex(CASE WHEN CAST(doc_id % 4 AS INT) = 0 THEN
+      |  concat('FFD8',
+      |    'FFE0', lpad(hex(10 + doc_id % 8), 4, '0'),
+      |    repeat('4A', CAST(8 + doc_id % 8 AS INT)),
+      |    'FFC4', '0005', '010203',
+      |    'FFFE', lpad(hex(6 + doc_id % 5), 4, '0'),
+      |    repeat('43', CAST(4 + doc_id % 5 AS INT)),
+      |    'FF',
+      |    'FFC0', lpad(hex(8 + 3 * (1 + (doc_id % 2) * 2)), 4, '0'), '08',
+      |    lpad(hex(120 + doc_id % 1000), 4, '0'),
+      |    lpad(hex(80 + (doc_id * 7) % 1000), 4, '0'),
+      |    lpad(hex(1 + (doc_id % 2) * 2), 2, '0'),
+      |    repeat('00', CAST(3 * (1 + (doc_id % 2) * 2) AS INT)))
+      |ELSE
+      |  concat('89504E470D0A1A0A', '0000000D', '49484452',
+      |    lpad(hex(16 + doc_id % 2000), 8, '0'),
+      |    lpad(hex(16 + (doc_id * 3) % 2000), 8, '0'),
+      |    '08', lpad(hex(CASE CAST((doc_id DIV 4) % 4 AS INT)
+      |      WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 6 END), 2, '0'),
+      |    '000000', 'DEADBEEF')
+      |END) || CAST(text AS BINARY)""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
 
     // Typed metadata over binary payloads: length, fingerprint, sniffed
@@ -75,25 +104,43 @@ object MultimodalQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
-    // STUB image decode + resize metadata for image-modality payloads.
+    // REAL image-header decode + resize metadata for image-modality
+    // payloads. Each document gets a synthesized-but-WELL-FORMED
+    // header: PNG = signature + IHDR (width/height/color type encoded
+    // big-endian by formula); JPEG = SOI + variable-length APP0 + a DHT
+    // (C4 — inside the C0–CF block but NOT a frame marker) + a
+    // variable-length COM + a 0xFF fill byte + SOF0 — so the kernel
+    // must genuinely WALK segments, not read a fixed offset. The
+    // oracle states the ground truth BY CONSTRUCTION (the same
+    // formulas that built the header), so the Spark side proves
+    // builder ∘ parser = identity byte-for-byte; real-file shapes
+    // (progressive SOF2, SOS-before-SOF, truncation) are spec
+    // territory (MultimodalSpec). Decoding is NULL-on-malformed —
+    // a bad blob in a 100 TB crawl filters out, never kills a stage.
     sql(
       "m03_image_decode",
-      s"""WITH b AS (SELECT doc_id, $payloadSql AS payload FROM documents
-         |           WHERE CAST(doc_id % 4 AS INT) IN (0, 1)),
-         |d AS (SELECT doc_id, octet_length(payload) AS len FROM b)
-         |SELECT doc_id,
-         |  CAST(16 + len % 240 AS INT) AS width,
-         |  CAST(16 + (len // 7) % 240 AS INT) AS height,
-         |  CAST(1 + len % 3 AS INT) AS channels,
-         |  CAST(224 * 224 * (1 + len % 3) AS INT) AS resized_est_bytes
-         |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 80 + (doc_id * 7) % 1000
+        |            ELSE 16 + doc_id % 2000 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 120 + doc_id % 1000
+        |            ELSE 16 + (doc_id * 3) % 2000 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 + (doc_id % 2) * 2
+        |       ELSE CASE (doc_id // 4) % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+        |            WHEN 2 THEN 2 ELSE 4 END END AS INT) AS channels,
+        |  CAST(224 * 224 * (CASE WHEN doc_id % 4 = 0 THEN 1 + (doc_id % 2) * 2
+        |       ELSE CASE (doc_id // 4) % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+        |            WHEN 2 THEN 2 ELSE 4 END END) AS INT) AS resized_est_bytes
+        |FROM documents WHERE CAST(doc_id % 4 AS INT) IN (0, 1)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
         .filter(expr("CAST(doc_id % 4 AS INT) IN (0, 1)"))
-        .withColumn("payload", payloadExpr)
-        .withColumn("meta", Multimodal.decodeImageStub(col("payload")))
+        .withColumn("payload", m03PayloadExpr)
+        .withColumn("meta", Multimodal.decodeImageHeader(col("payload")))
         .withColumn("resized", Multimodal.resizeStub(col("meta"), 224, 224))
       docs.select(
           col("doc_id"),
+          when(expr("CAST(doc_id % 4 AS INT) = 0"), "jpeg").otherwise("png").as("format"),
           col("meta.width").as("width"),
           col("meta.height").as("height"),
           col("meta.channels").as("channels"),

@@ -112,6 +112,25 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
     assert(g === i)
   }
 
+  test("ImageHeader expressions: codegen == interpreted incl. malformed and NULL") {
+    import spark.implicits._
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val png = b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 0, 0, 0, 13) ++
+      "IHDR".getBytes ++ b(0, 0, 0, 2, 0, 0, 0, 3, 8, 6, 0, 0, 0, 1, 2, 3, 4)
+    val jpg = b(0xFF, 0xD8, 0xFF, 0xFE, 0, 4, 1, 2,
+      0xFF, 0xC0, 0, 11, 8, 0, 5, 0, 6, 3, 0, 0, 0)
+    val bins = Seq((1L, Option(png)), (2L, Option(jpg)),
+      (3L, Option("garbage".getBytes)), (4L, Option(Array.emptyByteArray)),
+      (5L, None: Option[Array[Byte]])).toDF("id", "payload")
+    val (g, i) = bothWays(bins.select(col("id"),
+      ImageHeader.pngDims(col("payload")),
+      ImageHeader.jpegDims(col("payload"))))
+    assert(g === i)
+    // and the well-formed rows actually decode under both modes
+    assert(g.find(_.getLong(0) == 1L).get.getStruct(1).getInt(0) === 2)
+    assert(g.find(_.getLong(0) == 2L).get.getStruct(2).getInt(2) === 3)
+  }
+
   test("NearestCentroid: codegen == interpreted, GngOps-consistent winner") {
     val cents = Array(Array(0.0, 0.0, 0.0), Array(5.0, 5.0, 5.0))
     val (g, i) = bothWays(vecs.select(col("id"),

@@ -72,6 +72,89 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     assert(rows(1L) !== rows(2L))
   }
 
+  test("png_dims: real IHDR parsing — color-type channels, malformed -> NULL") {
+    import spark.implicits._
+    def png(w: Int, h: Int, colorType: Int): Array[Byte] =
+      bin(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+        0, 0, 0, 13) ++ "IHDR".getBytes ++                 // chunk length + type
+        bin(w >>> 24, (w >>> 16) & 0xff, (w >>> 8) & 0xff, w & 0xff,
+          h >>> 24, (h >>> 16) & 0xff, (h >>> 8) & 0xff, h & 0xff,
+          8, colorType, 0, 0, 0,                           // depth, color, c/f/i
+          0x1F, 0x15, 0xC4, 0x89)                          // CRC (unchecked)
+    val rows = Seq(
+      (1L, png(1, 1, 6)),        // the canonical 1x1 RGBA
+      (2L, png(640, 480, 2)),    // RGB
+      (3L, png(10000, 3, 0)),    // grayscale, wide
+      (4L, png(7, 9, 4)),        // gray+alpha
+      (5L, png(7, 9, 3)),        // palette -> 1 channel
+      (6L, png(0, 5, 2)),        // zero width: malformed
+      (7L, png(5, 5, 9)),        // invalid color type
+      (8L, bin(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 0, 0, 0, 13) ++
+        "IDAT".getBytes ++ Array.fill[Byte](17)(0)), // wrong first chunk
+      (9L, png(5, 5, 2).take(20)), // truncated mid-IHDR
+      (10L, "not a png at all".getBytes.map(identity)))
+      .toDF("id", "payload")
+    val got = rows.select(col("id"),
+        graft.expressions.ImageHeader.pngDims(col("payload")).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getStruct(1)).map(s => (s.getInt(0), s.getInt(1), s.getInt(2)))).toMap
+    assert(got(1L) === Some((1, 1, 4)))
+    assert(got(2L) === Some((640, 480, 3)))
+    assert(got(3L) === Some((10000, 3, 1)))
+    assert(got(4L) === Some((7, 9, 2)))
+    assert(got(5L) === Some((7, 9, 1)))
+    for (bad <- Seq(6L, 7L, 8L, 9L, 10L)) assert(got(bad).isEmpty, s"id=$bad must be NULL")
+  }
+
+  test("jpeg_dims: real segment walk — DHT skipped, fill bytes, SOF2, SOS/EOI stop") {
+    import spark.implicits._
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      bin(0xFF, marker, (payload.length + 2) >>> 8, (payload.length + 2) & 0xff) ++ payload
+    def sof(marker: Int, w: Int, h: Int, ncomp: Int): Array[Byte] =
+      seg(marker, bin(8, h >>> 8, h & 0xff, w >>> 8, w & 0xff, ncomp) ++
+        Array.fill[Byte](3 * ncomp)(0))
+    val soi = bin(0xFF, 0xD8)
+    val app0 = seg(0xE0, "JFIF".getBytes ++ bin(0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dht = seg(0xC4, bin(1, 2, 3)) // C4 sits in C0-CF but is NOT a frame
+    val com = seg(0xFE, "comment".getBytes)
+    val fill = bin(0xFF, 0xFF, 0xFF) // fill bytes pad before a marker
+    val rows = Seq(
+      (1L, soi ++ app0 ++ dht ++ com ++ sof(0xC0, 640, 480, 3) ++ "body".getBytes),
+      (2L, soi ++ app0 ++ fill.dropRight(1) ++ sof(0xC2, 1920, 1080, 3)), // progressive
+      (3L, soi ++ sof(0xC1, 8, 8, 1)),                  // extended sequential, gray
+      (4L, soi ++ app0 ++ seg(0xDA, bin(1, 0, 0)) ++ sof(0xC0, 9, 9, 3)), // SOS first
+      (5L, soi ++ app0 ++ bin(0xFF, 0xD9)),             // EOI, no frame
+      (6L, soi ++ app0.take(5)),                        // truncated segment
+      (7L, bin(0xFF, 0xC0, 0, 0)),                      // no SOI
+      (8L, soi ++ fill ++ sof(0xC0, 33, 44, 4)))        // pure fill run then SOF
+      .toDF("id", "payload")
+    val got = rows.select(col("id"),
+        graft.expressions.ImageHeader.jpegDims(col("payload")).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getStruct(1)).map(s => (s.getInt(0), s.getInt(1), s.getInt(2)))).toMap
+    assert(got(1L) === Some((640, 480, 3)))
+    assert(got(2L) === Some((1920, 1080, 3)))
+    assert(got(3L) === Some((8, 8, 1)))
+    for (bad <- Seq(4L, 5L, 6L, 7L)) assert(got(bad).isEmpty, s"id=$bad must be NULL")
+    assert(got(8L) === Some((33, 44, 4)))
+  }
+
+  test("decodeImageHeader dispatches by sniffed magic; non-image formats stay NULL") {
+    import spark.implicits._
+    val jpeg = bin(0xFF, 0xD8, 0xFF, 0xC0, 0, 11, 8, 0, 5, 0, 6, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val rows = Seq(
+      (1L, jpeg),
+      (2L, bin(0x52, 0x49, 0x46, 0x46) ++ "wav".getBytes), // riff: no parser
+      (3L, "plain".getBytes.map(identity)))
+      .toDF("id", "payload")
+    val got = rows.select(col("id"),
+        Multimodal.decodeImageHeader(col("payload")).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getStruct(1)).map(s => (s.getInt(0), s.getInt(1), s.getInt(2)))).toMap
+    assert(got(1L) === Some((6, 5, 3)))
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+  }
+
   test("decodeImageStub + resizeStub metadata arithmetic") {
     val m = payloads.filter(col("id") === 1L)
       .select(Multimodal.decodeImageStub(col("payload")).as("meta"))
