@@ -45,6 +45,27 @@ object GngQueries {
   private[graft] def soleTrainedCentroids: Option[Array[Array[Double]]] =
     soleTrainedModel.map(_.centroids)
 
+  /** KEYED multi-model training per data dir: one independent model
+    * per tenant key (label % 3 stands in for the tenant/source column)
+    * via [[graft.streaming.GStreamKeyed.fitKeyed]] — N models training
+    * in parallel across executors, none on the driver (the sharding
+    * SURVEY §2.9 T2 names as the single-global-state limitation). */
+  private val keyedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Long, graft.model.GngModel]]()
+
+  def trainedKeyed(s: org.apache.spark.sql.SparkSession, d: String): Map[Long, graft.model.GngModel] =
+    keyedCache.computeIfAbsent(d, _ => {
+      val pts = graft.streaming.GStreamKeyed.toKeyedPoints(
+        Tables.embeddings(s, d).withColumn("key", col("label") % 3),
+        "key", "embedding", "label", "vec_id")
+      graft.streaming.GStreamKeyed.fitKeyed(pts, GngParams(), defaultChunks)
+    })
+
+  private def soleTrainedKeyed: Option[Map[Long, graft.model.GngModel]] = {
+    val ms = new java.util.ArrayList(keyedCache.values())
+    if (ms.size == 1) Some(ms.get(0)) else None
+  }
+
   /** Squared Euclidean distance of SQL array column `arr` to one
     * centroid as an explicit left-associated term chain — the same
     * sequential accumulation order as
@@ -349,6 +370,30 @@ object GngQueries {
           count(lit(1)).as("n_clusters"))
     }, purityOracle),
 
+    // KEYED multi-model clustering: one independent GNG per tenant key
+    // (label % 3), trained IN PARALLEL across executors via
+    // groupByKey+mapGroups — each key's model provably identical to a
+    // single-model run on its partition (GStreamKeyedSpec), none of it
+    // on the driver. Every vector is assigned under ITS OWN tenant's
+    // model. Oracled at dump time: all three models' centroids inline,
+    // with the per-key restriction in the distance arms — so the
+    // hash-match verifies that sharding by key changed nothing about
+    // any tenant's assignment semantics.
+    QueryDef("gng_keyed_assignments", (s, d) => {
+      val models = trainedKeyed(s, d)
+      import s.implicits._
+      val pts = graft.streaming.GStreamKeyed.toKeyedPoints(
+        Tables.embeddings(s, d).withColumn("key", col("label") % 3),
+        "key", "embedding", "label", "vec_id")
+      val bc = s.sparkContext.broadcast(models.map { case (k, m) => k -> m.centroids })
+      pts.map { p =>
+        val (b1, _, d1) = graft.operators.GngOps.twoNearest(p.features, bc.value(p.key))
+        (p.id, p.key, b1, math.sqrt(d1))
+      }.toDF("vec_id", "key", "cluster", "dist")
+        .select(col("vec_id"), col("key"), col("cluster"), round(col("dist"), 4).as("dist"))
+        .orderBy(col("vec_id"))
+    }, keyedAssignmentsOracle),
+
     // Quantization error — the INTERNAL clustering metric beside
     // gng_purity's external one: mean squared distance of every vector
     // to its BMU (twoNearest's d1, the same left-assoc accumulation the
@@ -375,5 +420,28 @@ object GngQueries {
          |SELECT round(avg(dsq) + 1e-9, 4) AS mean_sq_dist,
          |  round(sqrt(avg(dsq)) + 1e-9, 4) AS rms_dist,
          |  count(*) AS n_points FROM win""".stripMargin
+    }
+
+  /** gng_keyed_assignments oracle (dump-time): EVERY key's trained
+    * centroids inline, and each vector ranks only against ITS key's
+    * model — the same left-assoc distance chains and low-index
+    * tie-break as [[assignmentsOracle]], with the per-key restriction
+    * in the distance arms' WHERE. */
+  private def keyedAssignmentsOracle: Option[String] =
+    soleTrainedKeyed.map { models =>
+      val arms = models.toSeq.sortBy(_._1).flatMap { case (key, m) =>
+        m.centroids.zipWithIndex.map { case (c, i) =>
+          s"SELECT vec_id, key, $i AS cluster, ${distSql("v", c)} AS dsq FROM e WHERE key = $key"
+        }
+      }.mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(label % 3 AS BIGINT) AS key,
+         |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS ($arms),
+         |win AS (SELECT vec_id, key, cluster, dsq FROM (
+         |  SELECT vec_id, key, cluster, dsq,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cluster) AS rk FROM d)
+         |  WHERE rk = 1)
+         |SELECT vec_id, key, cluster, round(sqrt(dsq), 4) AS dist
+         |FROM win ORDER BY vec_id""".stripMargin
     }
 }
