@@ -53,7 +53,7 @@ private[operators] object Collapse {
   def collapse(rows: DataFrame, fp: Column, id: Column, payload: Column)
       : (DataFrame, DataFrame) = {
     val keyed = rows.select(id.as("id"), payload.as("payload"), fp.as("fp"))
-    // lazy localCheckpoint: the consuming operators reference members
+    // localCheckpoint: the consuming operators reference members
     // and reps 5-7 times (self-joins, verify, expansion); as plain
     // plans each reference re-scans the source and re-runs the
     // fingerprint kernel (column pruning specializes the subtrees, so
@@ -65,15 +65,28 @@ private[operators] object Collapse {
     // DISTINCT payloads + an (id, rep) map — the same order of data a
     // single shuffle of the operator would spill; a serving pipeline
     // would stage the same two tables to parquet.
+    //
+    // EAGER (true), deliberately, everywhere a checkpoint feeds a
+    // broadcast: a LAZY checkpoint materializes inside whichever
+    // thread first computes it — often a broadcast-exchange thread —
+    // and Spark's RDDCheckpointData.checkpoint takes a GLOBAL class
+    // lock while the DAG scheduler's getCacheLocs holds the RDD's own
+    // monitor; two threads checkpointing concurrently deadlock the
+    // scheduler (observed live in an sf0.1 verify run: the
+    // broadcast-exchange thread held RDDCheckpointData$ while
+    // dag-scheduler-event-loop held the RDD monitor, each waiting on
+    // the other). Eager checkpoints run their materializing job from
+    // the caller's thread, one at a time — the same single
+    // materialization pass, with no concurrent-checkpoint window.
     val reps = keyed
       .groupBy(col("fp"))
       .agg(min(col("id")).as("rep"), first(col("payload")).as("payload"),
         count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val members = keyed.select(col("id"), col("fp"))
       .join(reps.select(col("fp"), col("rep")), "fp")
       .select(col("id"), col("rep"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     (members, reps.select(col("rep"), col("payload"), col("cnt")))
   }
 

@@ -473,14 +473,14 @@ object Dedup {
     * consumer re-running the star-contraction loop. */
   def canonicalPerClusterOnComponents(scored: DataFrame, idCol: Column,
       scoreCol: Column, components: DataFrame): DataFrame = {
-    // lazy localCheckpoint (Collapse's idiom): the scored base is
+    // eager localCheckpoint (Collapse's idiom): the scored base is
     // consumed twice (the clustered-subset argmax AND the final
     // verdict join); as a plain plan each reference re-scans the
     // corpus and re-runs the score kernel — at 100 TB that is two
     // full text passes where one narrow (id, score) materialization
     // suffices.
     val base = scored.select(idCol.as("id"), scoreCol.as("score"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val comp = components
     val clustered = comp.join(base, "id")
     val w = org.apache.spark.sql.expressions.Window
@@ -531,10 +531,10 @@ object Dedup {
     // fingerprint stream AND the keep-set join) consume this. As a
     // plain plan each branch would re-scan the source and re-run the
     // normalize+split kernel — at 100 TB that is two full text passes
-    // where one materialization suffices (lazy localCheckpoint, the
+    // where one materialization suffices (eager localCheckpoint, the
     // Collapse idiom).
     val docs = df.select(idCol.as("id"), passages.as("passages"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // Narrow fingerprint stream: (id, p_idx, fp) — no text beyond here.
     val fps = docs.select($"id",
       posexplode(transform($"passages", p => md5(p.cast("binary"))))

@@ -424,12 +424,14 @@ object Pq {
     // dedup ONCE and feed the same representatives to both stages:
     // two independent dropDuplicates could pick DIFFERENT embeddings
     // for a duplicated qid, making the shortlist and the exact
-    // re-rank score against different queries. Lazy localCheckpoint —
-    // both stages consume it (the lshKnnBatch idiom).
+    // re-rank score against different queries. Eager localCheckpoint —
+    // both stages consume it (the lshKnnBatch idiom; eager so the
+    // materialization never runs inside a broadcast-exchange thread,
+    // see Collapse.collapse).
     val q = queries.select(qidCol.as("qid"), asDouble(qembCol).as("qemb"))
       .filter(col("qemb").isNotNull)
       .dropDuplicates("qid")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val short = ivfPqKnnBatch(index, q, col("qemb"), col("qid"),
         centroids, codebook, k = shortlist, nProbe)
       .select(col("qid"), col("id"))

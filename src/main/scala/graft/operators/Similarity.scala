@@ -273,15 +273,17 @@ object Similarity {
     val planes = hyperplanes(nBits, dim, seed)
     // null embeddings drop BEFORE the qid-dedup, so a (valid, null)
     // duplicate pair can never collapse to the null row and silently
-    // erase a usable query; lazy localCheckpoint because q feeds three
+    // erase a usable query; eager localCheckpoint because q feeds three
     // consumers (histogram, probe set, final embedding attach) that
     // would otherwise each re-scan the query set and re-run the
-    // signature kernel (the Collapse idiom — |Q| narrow rows)
+    // signature kernel (the Collapse idiom — |Q| narrow rows; EAGER, so
+    // the checkpoint never materializes inside a broadcast-exchange
+    // thread — see Collapse.collapse for the deadlock this closes)
     val q = queries.select(qidCol.as("qid"), asDouble(qembCol).as("qemb"),
         lshSignature(qembCol, planes).as("qsig"))
       .filter($"qemb".isNotNull)
       .dropDuplicates("qid")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val counts = bucketed.filter($"bucket".isNotNull)
       .groupBy($"bucket").agg(count(lit(1)).as("n"))
     val wq = org.apache.spark.sql.expressions.Window

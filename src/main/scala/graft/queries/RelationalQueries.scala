@@ -772,7 +772,7 @@ object RelationalQueries {
     // |event_types| × |hours| — dimension-table sized, built from a
     // broadcast 1-row range — and BOTH spine inputs (type set, hour
     // range) are derived from the hourly aggregate, which is
-    // materialized ONCE via lazy localCheckpoint (Collapse's idiom):
+    // materialized ONCE via eager localCheckpoint (Collapse's idiom):
     // date_trunc is monotone, so min/max over hourly hours equal the
     // truncated global min/max, and without the materialization
     // Catalyst pushes those aggregates straight back to the base table
@@ -805,7 +805,7 @@ object RelationalQueries {
       val hourly = ev
         .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
         .agg(round(avg($"value") + 1e-9, 4).as("avg_value"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val rng = hourly.agg(min($"hour").as("hmin"), max($"hour").as("hmax"))
       val spine = hourly.select($"event_type").distinct()
         .crossJoin(broadcast(rng))
