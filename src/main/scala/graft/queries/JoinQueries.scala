@@ -154,6 +154,39 @@ object JoinQueries {
         .select(col("event_id"), col("event_type"),
           round(col("value") * col("weight") + 1e-9, 2).as("weighted"))
         .orderBy(col("event_id"))
+    },
+
+    // Bloom-filter semi-join reduction: the dimension is filtered to a
+    // nation subset and the fact side is pruned BEFORE its shuffle by a
+    // Bloom sketch of the surviving supplier keys (BloomPrune — a
+    // distributed treeAggregate build, then a codegen'd plan-constant
+    // probe). The merge hint models the at-scale case where the dim is
+    // too big to broadcast (with a broadcast join the prune would be
+    // moot). No false negatives ⇒ row-identical to the plain join,
+    // which IS the oracle; false positives die in the real join.
+    sql(
+      "q40_bloom_join",
+      """SELECT s.s_suppkey, s.s_name,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE s.s_nationkey IN (5, 8, 12, 19)
+        |GROUP BY s.s_suppkey, s.s_name
+        |ORDER BY s.s_suppkey""".stripMargin) { (s, d) =>
+      val dim = Tables.supplier(s, d)
+        .filter(col("s_nationkey").isin(5, 8, 12, 19))
+        .select(col("s_suppkey"), col("s_name"))
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      graft.operators.BloomPrune.bloomJoin(
+          fact, "l_suppkey", dim, "s_suppkey",
+          expectedNumItems = 1000L, dimJoinHint = Some("merge"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + 1e-9, 2)
+            .as("revenue"))
+        .orderBy(col("s_suppkey"))
     }
   )
 

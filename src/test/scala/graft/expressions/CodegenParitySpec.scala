@@ -281,4 +281,20 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
         TextHash.minHashSig(lit("the quick brown fox jumps high"), 3, 16))))
     assert(g === i)
   }
+
+  test("BloomMightContain: codegen == interpreted; inserted keys always hit; NULL → NULL") {
+    import spark.implicits._
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq(1L, 2L, 3L, 500L).foreach(bloom.putLong)
+    val keys = (Seq(1L, 2L, 3L, 4L, 99L, 500L).map(Option(_)) :+
+      Option.empty[Long]).toDF("k")
+    val probe = keys.select(col("k"),
+      graft.expressions.BloomOps.bloomMightContain(col("k"), bloom).as("hit"))
+    val (g, i) = bothWays(probe)
+    assert(g === i)
+    val hits = g.map(r => Option(r.get(0)) -> r.get(1)).toMap
+    // no false negatives on inserted keys; NULL key probes to NULL
+    Seq(1L, 2L, 3L, 500L).foreach(k => assert(hits(Some(k)) === true))
+    assert(hits(None) === null)
+  }
 }
