@@ -670,4 +670,33 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(reads.exists(r => r.contains("l_suppkey") && r.count(_ == ',') <= 2),
       s"fact scan must prune to the join key + measures: $reads")
   }
+
+  test("q41: SCD2 build is ONE hash shuffle — windows, version agg, chain all reuse it") {
+    val p = plan("q41_scd2_history")
+    assert(nodeCount(p, "Scan parquet") == 1, s"one pass over the log:\n$p")
+    // Exchange 1 = the user_id hash the whole pipeline shares;
+    // Exchange 2 = the output orderBy. The (key, version) aggregate and
+    // the valid_to chain must NOT introduce their own.
+    assert(nodeCount(p, "Exchange") == 2,
+      s"flag/number/agg/chain must share the key clustering:\n$p")
+    assert(nodeCount(p, "Window") == 3, s"lag + running-sum + lead:\n$p")
+  }
+
+  test("q42: SCD2 merge reads the STORED dim; all key-set joins broadcast") {
+    val p = plan("q42_scd2_merge")
+    // the dimension arrives as parquet state (valid_from in a read
+    // schema), never re-derived from the log inside this plan
+    val reads = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(reads.exists(_.contains("valid_from")),
+      s"dim must be served from its snapshot parquet: $reads")
+    // touched-key semi/anti joins and the version-rebase join all
+    // broadcast the small side — a 100 TB dim never sort-merges against
+    // an increment-sized key set
+    assert(p.contains("BroadcastHashJoin"), s"key-set joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"),
+      s"no shuffle or nested-loop joins in the merge:\n$p")
+    // increment-side time filter reaches the event scans
+    assert(p.contains("GreaterThanOrEqual(ts,"),
+      s"increment cutoff must push into the log scan:\n$p")
+  }
 }
