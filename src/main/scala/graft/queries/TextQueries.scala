@@ -882,6 +882,56 @@ object TextQueries {
           Tables.documents(s, d), col("doc_id"), prebuiltComponents(s, d))
         .select(col("id").as("doc_id"), col("cluster"), col("split"))
         .orderBy(col("doc_id"))
+    },
+
+    // Heavy hitters via count-min sketch, gated against exact counts
+    // (q29/q39's sketch-trust pattern, now for an UNBOUNDED key
+    // domain): at 100 TB the token vocabulary is billions of keys, so
+    // the exact global count — a full shuffle of every occurrence — is
+    // off the table; the CMS build is a treeAggregate into one
+    // ~1 MB counter array and the probe (CmsEstimate, a plan-constant
+    // codegen pass) answers any candidate set without a join. The
+    // hashed output carries the exact top-20 (feasible at test scale)
+    // plus the guarantee flag: est ∈ [cnt, cnt + 2·eps·N] — eps·N is
+    // the proven bound at confidence 0.999, doubled so a flag failure
+    // means a broken sketch, never an unlucky row. The oracle asserts
+    // TRUE.
+    sql(
+      "t33_heavy_hitters",
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(${Sql.normalizeText("text")}, ' ')) AS term
+         |  FROM documents),
+         |counts AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks WHERE term <> ''
+         |  GROUP BY term),
+         |ranked AS (
+         |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rk
+         |  FROM counts)
+         |SELECT CAST(rk AS INT) AS rk, term, cnt, TRUE AS cms_in_band
+         |FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.HeavyHitters
+      val eps = 1e-4
+      val terms = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val cms = HeavyHitters.sketch(terms, "term", eps = eps)
+      // total occurrences joins in as a broadcast 1-row aggregate
+      // (t15's n_docs idiom) — the in-band slack is data-derived, not a
+      // baked-in literal
+      val nDf = terms.agg(count(lit(1)).as("n_tokens"))
+      val top = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(20) // TakeOrdered, no global window
+      val ranked = top.withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+      HeavyHitters.withEstimates(ranked, col("term"), cms)
+        .crossJoin(broadcast(nDf))
+        .select(
+          col("rk").cast("int").as("rk"), col("term"), col("cnt"),
+          (col("cms_est") >= col("cnt") &&
+            col("cms_est") <= col("cnt") +
+              ceil(lit(2 * eps) * col("n_tokens")).cast("long")).as("cms_in_band"))
+        .orderBy(col("rk"))
     }
   )
 

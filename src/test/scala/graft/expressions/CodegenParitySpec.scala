@@ -282,6 +282,27 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
     assert(g === i)
   }
 
+  test("CmsEstimate: codegen == interpreted; String-keyed build matches probe; NULL → NULL") {
+    import spark.implicits._
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(1e-3, 0.999, 42)
+    // build with java Strings — exactly what stat.countMinSketch adds
+    Seq("a", "a", "a", "b", "b", "zzz").foreach(cms.add)
+    val keys = (Seq("a", "b", "zzz", "absent").map(Option(_)) :+
+      Option.empty[String]).toDF("k")
+    val probe = keys.select(col("k"),
+      graft.expressions.SketchOps.cmsEstimate(col("k"), cms).as("est"))
+    val (g, i) = bothWays(probe)
+    assert(g === i)
+    val est = g.map(r => Option(r.get(0)) -> r.get(1)).toMap
+    // one-sided guarantee: estimates never undercount; here no
+    // collisions are possible at width 2000 over 3 keys
+    assert(est(Some("a")) === 3L)
+    assert(est(Some("b")) === 2L)
+    assert(est(Some("zzz")) === 1L)
+    assert(est(Some("absent")) === 0L)
+    assert(est(None) === null)
+  }
+
   test("BloomMightContain: codegen == interpreted; inserted keys always hit; NULL → NULL") {
     import spark.implicits._
     val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
