@@ -943,8 +943,53 @@ object RelationalQueries {
           key = "user_id", ts = "ts", tieBreak = "event_id",
           attrs = Seq("event_type"))
         .orderBy($"user_id", $"version_no")
+    },
+
+    // Small-file compaction with a content-preservation proof: the
+    // events table is fragmented into 64 micro-batch-sized files (the
+    // streaming-ingest pathology), compacted by BYTE budget through a
+    // shuffle-free coalesce rewrite, and the query hashes row count +
+    // two checksums computed FROM THE COMPACTED FILES against the
+    // oracle's originals — plus the files-shrank flag from the
+    // compaction report. Identical aggregates ⇒ the rewrite lost and
+    // invented nothing.
+    sql(
+      "q43_compaction",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+        |  round(sum(value) + 1e-9, 2) AS sum_value,
+        |  TRUE AS files_compacted""".stripMargin + "\nFROM events") { (s, d) =>
+      val (outDir, report) = compactedEvents(s, d)
+      s.read.parquet(outDir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum($"event_id").as("sum_event_id"),
+          round(sum($"value") + 1e-9, 2).as("sum_value"))
+        .select($"n_rows", $"sum_event_id", $"sum_value",
+          lit(report.filesAfter < report.filesBefore).as("files_compacted"))
     }
   )
+
+  /** q43's fixture + compaction, once per sf-dir: events re-written as
+    * 64 small files (micro-batch debris), then compacted under a 4 MB
+    * per-file budget into a fresh directory. */
+  private val compactionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, graft.operators.Compaction.Report)]()
+
+  private[graft] def compactedEvents(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, graft.operators.Compaction.Report) =
+    compactionCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "compact")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(base))
+      val fragDir = s"$base/fragmented"
+      val outDir = s"$base/compacted"
+      Tables.events(s, d).repartition(64)
+        .write.mode("overwrite").parquet(fragDir)
+      val report = graft.operators.Compaction.compact(
+        s, fragDir, outDir, targetBytes = 4L * 1024 * 1024)
+      (outDir, report)
+    })
 
   /** q42's stored dimension: SCD2 state over the log's first half,
     * built once per sf-dir and persisted (q37's incAggSnapshot
