@@ -653,6 +653,47 @@ object VectorQueries {
           count(col("hit")).as("n_hit"),
           round(count(col("hit")) / 10.0 + 1e-9, 4).as("recall"))
         .orderBy(col("qid"))
+    },
+
+    // Embedding-space near-dup CLUSTERS: v05's banded cosine pairs
+    // closed into connected components (the t21 large-star/small-star
+    // engine — O(log d) rounds, skew-collapsed) with a per-cluster
+    // size. This is semantic dedup's grouping step: text-identical
+    // dedup misses paraphrases, and pairwise cosine verdicts alone
+    // over-delete (A~B, B~C, A≁C still form one group). Oracle: the
+    // exact LSH-twin pair SQL + a recursive-CTE closure — quadratic
+    // reachability lives ONLY in DuckDB.
+    sql(
+      "v24_embedding_clusters", {
+        val planes = Similarity.hyperplanes(3, EmbDim)
+        s"""WITH RECURSIVE
+           |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |s AS (SELECT vec_id, v, ${sigSql("v", planes)} AS sig FROM e0),
+           |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |      FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+           |      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.2),
+           |e(src, dst) AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+           |reach(a, b) AS (
+           |  SELECT DISTINCT src, src FROM e
+           |  UNION
+           |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+           |cc AS (
+           |  SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS cluster_rep
+           |  FROM reach GROUP BY a)
+           |SELECT vec_id, cluster_rep,
+           |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+           |FROM cc ORDER BY vec_id""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, d), col("embedding"), col("vec_id"),
+        threshold = 0.2, nBits = 3, nBands = 1, centered = false)
+      graft.operators.Dedup.connectedComponents(
+          pairs.select(col("id_a"), col("id_b")))
+        .select(col("id").as("vec_id"), col("rep").as("cluster_rep"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
+        .orderBy(col("vec_id"))
     }
   )
 
