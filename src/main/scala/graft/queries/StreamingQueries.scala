@@ -209,6 +209,107 @@ object StreamingQueries {
           (state, batch) => IncrementalAgg.merge(state,
             IncrementalAgg.aggState(batch, Seq(col("event_type")), col("value")),
             Seq("event_type"))))
+    },
+
+    // Watermark LATE-DATA accounting: a controlled four-file arrival —
+    // md5-low half (minus the max-ts rows) → the max-ts "heartbeat"
+    // rows → the high half, now mostly stale → far-future sentinel —
+    // one micro-batch per file. Spark keeps TWO watermark values per
+    // batch (measured here, and the reason for the heartbeat): the
+    // LATE-RECORD filter uses the PREVIOUS batch's watermark while
+    // EVICTION uses the current one, so a row is only dropped one full
+    // batch after the watermark passed its window. By batch 3 the
+    // late-filter watermark stands at max(ts) - 1h, so the high half
+    // reaches the hourly aggregation ONLY where its window is still
+    // open (window_end > watermark) — exactly the discard a 100 TB
+    // streaming pipeline must be able to PREDICT, not just observe.
+    // The oracle replays that rule in SQL; a hash-match proves the
+    // engine's late-row semantics are the documented ones,
+    // batch-for-batch.
+    sql(
+      "s09_stream_late_data",
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |p1 AS (
+        |  SELECT e.* FROM events e, mx
+        |  WHERE coalesce(substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <= '7', TRUE)
+        |    AND e.ts < mx.m),
+        |hb AS (SELECT e.* FROM events e, mx WHERE e.ts = mx.m),
+        |p2 AS (
+        |  SELECT e.* FROM events e, mx
+        |  WHERE NOT coalesce(substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <= '7', TRUE)
+        |    AND e.ts < mx.m),
+        |wm AS (SELECT m - INTERVAL 1 HOUR AS w FROM mx),
+        |kept AS (
+        |  SELECT * FROM p1
+        |  UNION ALL
+        |  SELECT * FROM hb
+        |  UNION ALL
+        |  SELECT p2.* FROM p2, wm
+        |  WHERE date_trunc('hour', p2.ts) + INTERVAL 1 HOUR > wm.w)
+        |SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value) + 1e-9, 2) AS total_value
+        |FROM kept GROUP BY 1 ORDER BY hour""".stripMargin) { (s, d) =>
+      val stream = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lateArrivalDir(s, d))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")) + 1e-9, 2).as("total_value"))
+        .select(col("window.start").as("hour"), col("n"), col("total_value"))
+      StreamingRelational.oneShot(s, agg).orderBy(col("hour"))
     }
   )
+
+  /** s09's arrival fixture, once per sf-dir: four parquet files with
+    * strictly increasing mtimes so `maxFilesPerTrigger=1` under
+    * AvailableNow replays them as four ordered micro-batches —
+    * 0001 = the low-md5 half minus the max-ts rows (spans the whole
+    * month), 0002 = the max-ts "heartbeat" rows (their batch promotes
+    * max(ts)-1h from eviction-watermark to LATE-FILTER watermark —
+    * Spark filters late records against the PREVIOUS batch's
+    * watermark, so without this batch nothing in 0003 would drop),
+    * 0003 = the high half (almost all of it now late), 0004 = the
+    * far-future sentinel whose batch pushes the watermark past every
+    * real window so the final no-data micro-batch flushes them (its
+    * own window stays open and never reaches the append sink —
+    * eventsStreamWithSentinel's exclusion argument). */
+  private val lateArrivalCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def lateArrivalDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    lateArrivalCache.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths}
+      import s.implicits._
+      val base = Files.createTempDirectory(StreamingRelational.scratchBase, "late-arrival")
+      StreamingRelational.registerScratch(base)
+      val streamDir = Files.createDirectories(Paths.get(s"$base/in"))
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.parquet(tmp)
+        import scala.jdk.CollectionConverters._
+        val part = Files.list(Paths.get(tmp)).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+        val dest = streamDir.resolve(name)
+        Files.move(part, dest)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      val ev = Tables.events(s, d)
+      val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val t0 = System.currentTimeMillis() - 60000
+      writeOne(ev.filter(Tables.inLowMd5Half(col("event_id")) && col("ts") < lit(mx)),
+        "0001.parquet", t0)
+      writeOne(ev.filter(col("ts") === lit(mx)), "0002.parquet", t0 + 10000)
+      writeOne(ev.filter(!Tables.inLowMd5Half(col("event_id")) && col("ts") < lit(mx)),
+        "0003.parquet", t0 + 20000)
+      writeOne(
+        Seq((-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), -1L,
+          "__sentinel__", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        "0004.parquet", t0 + 30000)
+      streamDir.toString
+    })
 }
