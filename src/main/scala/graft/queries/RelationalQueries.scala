@@ -967,8 +967,124 @@ object RelationalQueries {
           round(sum($"value") + 1e-9, 2).as("sum_value"))
         .select($"n_rows", $"sum_event_id", $"sum_value",
           lit(report.filesAfter < report.filesBefore).as("files_compacted"))
+    },
+
+    // Incremental DISTINCT-count maintenance: q37's state algebra
+    // cannot hold count(DISTINCT user_id) — distinct counts do not
+    // merge — so the production answer is a MERGEABLE sketch state:
+    // the stored snapshot keeps one HLL sketch (datasketches
+    // hll_sketch_agg) per event_type over the historical half, the
+    // increment sketches its half alone, and the merge is hll_union on
+    // the state rows. Two flags make the claim hashable: merge_exact
+    // asserts the merged sketch's estimate EQUALS the full-data
+    // sketch's (HLL union is lossless over unions of streams — the
+    // incremental path loses nothing vs a rebuild), and
+    // hll_within_5pct gates the estimate against the exact distinct
+    // (q29's trust pattern). The oracle asserts both TRUE with exact
+    // counts.
+    sql(
+      "q44_incremental_distinct",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS merge_exact, TRUE AS hll_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val snapshot = s.read.parquet(hllSnapshot(s, d))
+      val inc = Tables.events(s, d)
+        .filter(!Tables.inLowMd5Half($"event_id"))
+        .groupBy($"event_type")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk_i"))
+      val merged = snapshot.join(inc, Seq("event_type"), "full_outer")
+        .select($"event_type",
+          when($"sk".isNotNull && $"sk_i".isNotNull,
+            expr("hll_union(sk, sk_i)"))
+            .otherwise(coalesce($"sk", $"sk_i")).as("sk_m"))
+        .select($"event_type",
+          expr("hll_sketch_estimate(sk_m)").as("est_inc"))
+      val full = Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          countDistinct($"user_id").as("exact_users"),
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_full"))
+      full.join(merged, Seq("event_type"))
+        .select($"event_type", $"exact_users",
+          ($"est_inc" === $"est_full").as("merge_exact"),
+          (abs($"est_full" - $"exact_users").cast("double") /
+            greatest($"exact_users", lit(1L)) <= 0.05).as("hll_within_5pct"))
+        .orderBy($"event_type")
+    },
+
+    // Declarative data-quality expectations (Expectations.report): the
+    // publish gate an ingest pipeline runs — not-null, range, value
+    // domain, key uniqueness, and two referential-integrity checks over
+    // lineitem, as one report row per constraint. All scan-local checks
+    // fuse into ONE aggregate over ONE scan regardless of constraint
+    // count; each FK is a broadcast anti-join (plan-gated). The fixture
+    // is deliberately mixed: this synthetic lineitem really does repeat
+    // (l_orderkey, l_linenumber) and has quantities above 45, so the
+    // report proves violation COUNTING, not just all-green flags.
+    sql(
+      "q45_quality_checks",
+      """WITH r(check_name, violations, ord) AS (
+        |  SELECT 'orderkey_not_null',
+        |    CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT), 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'quantity_range',
+        |    CAST(count(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 45)) AS BIGINT), 1
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount_range',
+        |    CAST(count(*) FILTER (WHERE NOT (l_discount BETWEEN 0 AND 0.1)) AS BIGINT), 2
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'returnflag_domain',
+        |    CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT), 3
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'line_unique',
+        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT), 4
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'fk_orders', CAST(count(*) AS BIGINT), 5 FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'fk_part', CAST(count(*) AS BIGINT), 6 FROM lineitem
+        |  WHERE l_partkey IS NOT NULL
+        |    AND l_partkey NOT IN (SELECT p_partkey FROM part))
+        |SELECT check_name, violations, violations = 0 AS passed
+        |FROM r ORDER BY ord""".stripMargin) { (s, d) =>
+      import graft.operators.Expectations._
+      report(Tables.lineitem(s, d), Seq(
+        rowCheck("orderkey_not_null", $"l_orderkey".isNull),
+        rowCheck("quantity_range", !$"l_quantity".between(1, 45)),
+        rowCheck("discount_range", !$"l_discount".between(0, 0.1)),
+        rowCheck("returnflag_domain", !$"l_returnflag".isin("A", "N", "R")),
+        uniqueKey("line_unique", "l_orderkey", "l_linenumber"),
+        foreignKey("fk_orders", Seq("l_orderkey"),
+          Tables.orders(s, d), Seq("o_orderkey")),
+        foreignKey("fk_part", Seq("l_partkey"),
+          Tables.part(s, d), Seq("p_partkey"))))
     }
   )
+
+  /** q44's stored sketch state: one HLL per event_type over the
+    * historical (low-md5) half, persisted once per sf-dir — the
+    * mergeable-distinct counterpart of incAggSnapshot. */
+  private val hllSnapshotCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def hllSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String =
+    hllSnapshotCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "hll-state")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      Tables.events(s, d)
+        .filter(Tables.inLowMd5Half($"event_id"))
+        .groupBy($"event_type")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
 
   /** q43's fixture + compaction, once per sf-dir: events re-written as
     * 64 small files (micro-batch debris), then compacted under a 4 MB

@@ -671,6 +671,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"fact scan must prune to the join key + measures: $reads")
   }
 
+  test("t33: CMS probe is a plan constant; exact top-k is TakeOrdered, not a global sort") {
+    val p = plan("t33_heavy_hitters")
+    assert(p.contains("cms_estimate"),
+      s"estimates must come from the plan-constant sketch probe:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded TakeOrdered, never a full sort:\n$p")
+    // the total-occurrences side rides in as a broadcast 1-row agg
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"n_tokens must broadcast:\n$p")
+  }
+
+  test("q45: scan-local checks fuse; FKs are broadcast anti-joins") {
+    val p = plan("q45_quality_checks")
+    // 5 scan-local constraints + 2 FK probes + 2 dim key sets = 4 scans
+    // of lineitem at most (1 fused agg + 2 FK probes) and NEVER one
+    // scan per constraint
+    assert(nodeCount(p, "Scan parquet") <= 5,
+      s"constraints must not multiply scans:\n$p")
+    assert("BroadcastHashJoin LeftAnti".r.findAllIn(p).size == 2,
+      s"both FKs must be broadcast anti-joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dimension key sets must never shuffle-join the fact:\n$p")
+  }
+
   test("q41: SCD2 build is ONE hash shuffle — windows, version agg, chain all reuse it") {
     val p = plan("q41_scd2_history")
     assert(nodeCount(p, "Scan parquet") == 1, s"one pass over the log:\n$p")
