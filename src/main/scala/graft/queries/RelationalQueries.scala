@@ -973,42 +973,52 @@ object RelationalQueries {
     // cannot hold count(DISTINCT user_id) — distinct counts do not
     // merge — so the production answer is a MERGEABLE sketch state:
     // the stored snapshot keeps one HLL sketch (datasketches
-    // hll_sketch_agg) per event_type over the historical half, the
-    // increment sketches its half alone, and the merge is hll_union on
-    // the state rows. Two flags make the claim hashable: merge_exact
-    // asserts the merged sketch's estimate EQUALS the full-data
-    // sketch's (HLL union is lossless over unions of streams — the
-    // incremental path loses nothing vs a rebuild), and
-    // hll_within_5pct gates the estimate against the exact distinct
-    // (q29's trust pattern). The oracle asserts both TRUE with exact
-    // counts.
+    // hll_sketch_agg, lgK=14) per event_type over the historical half,
+    // the increment sketches its half alone, and the merge is
+    // hll_union on the state rows. Two flags make the claim hashable:
+    // split_invariant asserts the merged estimate is IDENTICAL under a
+    // completely different increment partitioning (event-id parity vs
+    // md5 halves) — union register state depends only on the data,
+    // never on how increments arrived, which is q37's
+    // batch-slicing-invariance claim in sketch form. (Deliberately NOT
+    // compared against the single-stream sketch: datasketches serves
+    // streamed sketches from the HIP estimator but unions from the
+    // composite one, so that equality would be false even with
+    // identical registers.) hll_within_5pct gates the served estimate
+    // against the exact distinct (q29's trust pattern). The oracle
+    // asserts both TRUE with exact counts.
     sql(
       "q44_incremental_distinct",
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-        |  TRUE AS merge_exact, TRUE AS hll_within_5pct
+        |  TRUE AS split_invariant, TRUE AS hll_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      def halfSketch(pred: org.apache.spark.sql.Column, as: String) =
+        Tables.events(s, d).filter(pred).groupBy($"event_type")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as(as))
+      def mergedEst(a: org.apache.spark.sql.DataFrame, an: String,
+          b: org.apache.spark.sql.DataFrame, bn: String, as: String) =
+        a.join(b, Seq("event_type"), "full_outer")
+          .select($"event_type",
+            when(col(an).isNotNull && col(bn).isNotNull,
+              expr(s"hll_union($an, $bn)"))
+              .otherwise(coalesce(col(an), col(bn))).as("sk_m"))
+          .select($"event_type", expr("hll_sketch_estimate(sk_m)").as(as))
       val snapshot = s.read.parquet(hllSnapshot(s, d))
-      val inc = Tables.events(s, d)
-        .filter(!Tables.inLowMd5Half($"event_id"))
-        .groupBy($"event_type")
-        .agg(expr("hll_sketch_agg(user_id)").as("sk_i"))
-      val merged = snapshot.join(inc, Seq("event_type"), "full_outer")
-        .select($"event_type",
-          when($"sk".isNotNull && $"sk_i".isNotNull,
-            expr("hll_union(sk, sk_i)"))
-            .otherwise(coalesce($"sk", $"sk_i")).as("sk_m"))
-        .select($"event_type",
-          expr("hll_sketch_estimate(sk_m)").as("est_inc"))
-      val full = Tables.events(s, d)
-        .groupBy($"event_type")
-        .agg(
-          countDistinct($"user_id").as("exact_users"),
-          expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_full"))
-      full.join(merged, Seq("event_type"))
+      val estInc = mergedEst(
+        snapshot,
+        "sk", halfSketch(!Tables.inLowMd5Half($"event_id"), "sk_i"), "sk_i",
+        "est_inc")
+      val estAlt = mergedEst(
+        halfSketch($"event_id" % 2 === 0, "sk_e"), "sk_e",
+        halfSketch($"event_id" % 2 =!= 0, "sk_o"), "sk_o",
+        "est_alt")
+      val exact = Tables.events(s, d).groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      exact.join(estInc, Seq("event_type")).join(estAlt, Seq("event_type"))
         .select($"event_type", $"exact_users",
-          ($"est_inc" === $"est_full").as("merge_exact"),
-          (abs($"est_full" - $"exact_users").cast("double") /
+          ($"est_inc" === $"est_alt").as("split_invariant"),
+          (abs($"est_inc" - $"exact_users").cast("double") /
             greatest($"exact_users", lit(1L)) <= 0.05).as("hll_within_5pct"))
         .orderBy($"event_type")
     },
@@ -1081,7 +1091,7 @@ object RelationalQueries {
       Tables.events(s, d)
         .filter(Tables.inLowMd5Half($"event_id"))
         .groupBy($"event_type")
-        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
         .write.mode("overwrite").parquet(dir.toString)
       dir.toString
     })
