@@ -40,10 +40,36 @@ case class BloomMightContain(child: Expression, bloom: BloomFilter)
     copy(child = newChild)
 }
 
+/** [[BloomMightContain]] for STRING keys (doc fingerprints, URLs,
+  * shingle hashes rendered as text). The filter was built over java
+  * Strings (`stat.bloomFilter` adds Row values; `putString` hashes the
+  * UTF-8 bytes), so the probe hands the UTF8String's bytes to
+  * `mightContainBinary` — byte-identical hashing with no toString
+  * allocation per row. */
+case class BloomMightContainString(child: Expression, bloom: BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_str"
+  override protected def nullSafeEval(a: Any): Any =
+    bloom.mightContainBinary(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[BloomFilter].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.mightContainBinary($a.getBytes())")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainString =
+    copy(child = newChild)
+}
+
 object BloomOps {
   /** Column wrapper: TRUE when `key` (a BIGINT column) might be in
     * `bloom`; NULL key → NULL (a filter drops it, matching inner-join
     * semantics on NULL keys). */
   def bloomMightContain(key: Column, bloom: BloomFilter): Column =
     graftx.column(BloomMightContain(graftx.expr(key), bloom))
+
+  /** [[bloomMightContain]] for STRING keys. */
+  def bloomMightContainString(key: Column, bloom: BloomFilter): Column =
+    graftx.column(BloomMightContainString(graftx.expr(key), bloom))
 }

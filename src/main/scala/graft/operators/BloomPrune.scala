@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.util.sketch.BloomFilter
 
 import graft.expressions.BloomOps
@@ -51,6 +52,37 @@ object BloomPrune {
     * NULL keys drop (they cannot match an inner join either). */
   def prune(fact: DataFrame, factKey: Column, bloom: BloomFilter): DataFrame =
     fact.filter(BloomOps.bloomMightContain(factKey, bloom))
+
+  /** [[keyBloom]] over a STRING key column (fingerprints, URLs). */
+  def keyBloomString(dim: DataFrame, key: String, expectedNumItems: Long,
+      fpp: Double = 0.01): BloomFilter =
+    dim.stat.bloomFilter(key, expectedNumItems, fpp)
+
+  /** EXACT anti-join (blocklist subtraction) with a bloom pre-screen —
+    * the decontamination/takedown shape when the blocklist is too big
+    * to broadcast: rows the filter clears are DEFINITELY clean (no
+    * false negatives) and skip the join entirely; only the flagged
+    * sliver (true hits + ~fpp of the rest) joins the blocklist for the
+    * exact verdict. The result is row-identical to the plain anti-join
+    * at any fpp — false positives are exonerated by the join — which
+    * is what s10's oracle proves. At 100 TB this turns an
+    * every-row-shuffles anti-join into a ~MB broadcast test plus a
+    * join over a fraction of the input. */
+  def verifiedAntiJoinString(df: DataFrame, key: String,
+      blocklist: DataFrame, blockKey: String, bloom: BloomFilter): DataFrame = {
+    require(!df.columns.contains("__graft_bl"),
+      "verifiedAntiJoinString: __graft_bl is a reserved marker column name")
+    val flagged = df.withColumn("__graft_bl",
+      BloomOps.bloomMightContainString(df(key), bloom))
+    // NULL keys: mightContain is NULL → neither branch would keep the
+    // row, but a NULL key cannot match any blocklist entry, so the
+    // anti-join KEEPS it — route NULLs through the definitely-clean arm
+    val clean = flagged.filter(!coalesce(col("__graft_bl"), lit(false)))
+    val suspects = flagged.filter(col("__graft_bl"))
+      .join(blocklist.select(col(blockKey)),
+        flagged(key) === blocklist(blockKey), "left_anti")
+    clean.union(suspects).drop("__graft_bl")
+  }
 
   /** The fused form: build the filter from `dim.key`, prune `fact`,
     * and inner-join the pruned fact to `dim`. The join itself still

@@ -261,6 +261,39 @@ object StreamingQueries {
           round(sum(col("value")) + 1e-9, 2).as("total_value"))
         .select(col("window.start").as("hour"), col("n"), col("total_value"))
       StreamingRelational.oneShot(s, agg).orderBy(col("hour"))
+    },
+
+    // Streaming decontamination via bloom pre-screen + exact verify
+    // (BloomPrune.verifiedAntiJoinString): the arriving crawl drops
+    // documents whose content fingerprint is on the eval-set blocklist.
+    // The bloom (built ONCE from the static blocklist, a ~KB plan
+    // constant) clears the definitely-clean rows without touching the
+    // join; only the flagged sliver anti-joins the blocklist for the
+    // exact verdict — so the result is row-identical to the plain
+    // anti-join at any fpp, which IS the oracle (s06's
+    // same-operator-both-modes discipline: the batch operator runs
+    // unchanged on the stream). At scale the blocklist is too big to
+    // broadcast per batch — the bloom is the part that ships.
+    sql(
+      "s10_stream_decontam",
+      s"""WITH b AS (
+         |  SELECT DISTINCT ${graft.functions.TextFunctions.Sql.fingerprint("text")} AS fp
+         |  FROM documents WHERE doc_id % 7 = 0)
+         |SELECT d.doc_id FROM documents d
+         |LEFT JOIN b ON ${graft.functions.TextFunctions.Sql.fingerprint("d.text")} = b.fp
+         |WHERE b.fp IS NULL ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions
+      import graft.operators.BloomPrune
+      val block = Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+        .select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+      val bloom = BloomPrune.keyBloomString(block, "fp",
+        expectedNumItems = 1000L, fpp = 0.01)
+      val stream = StreamingRelational.documentsStream(s, d)
+        .withColumn("fp_doc", TextFunctions.fingerprint(col("text")))
+      StreamingRelational.oneShot(s,
+          BloomPrune.verifiedAntiJoinString(stream, "fp_doc", block, "fp", bloom)
+            .select(col("doc_id")))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -303,6 +303,21 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
     assert(est(None) === null)
   }
 
+  test("BloomMightContainString: codegen == interpreted; UTF-8 byte hashing matches putString") {
+    import spark.implicits._
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.001)
+    Seq("alpha", "uñïcodé", "").foreach(bloom.putString)
+    val keys = (Seq("alpha", "uñïcodé", "", "missing-key").map(Option(_)) :+
+      Option.empty[String]).toDF("k")
+    val probe = keys.select(col("k"),
+      graft.expressions.BloomOps.bloomMightContainString(col("k"), bloom).as("hit"))
+    val (g, i) = bothWays(probe)
+    assert(g === i)
+    val hits = g.map(r => Option(r.get(0)) -> r.get(1)).toMap
+    Seq("alpha", "uñïcodé", "").foreach(k => assert(hits(Some(k)) === true))
+    assert(hits(None) === null)
+  }
+
   test("BloomMightContain: codegen == interpreted; inserted keys always hit; NULL → NULL") {
     import spark.implicits._
     val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)

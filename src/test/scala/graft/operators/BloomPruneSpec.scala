@@ -47,6 +47,32 @@ class BloomPruneSpec extends AnyFunSuite with SparkTestSupport {
     assert(!ids.contains(9999L))
   }
 
+  test("verified anti-join == plain anti-join at any fpp; NULL keys survive") {
+    val rows = ((1 to 500).map(i => Some(s"k$i")) :+ Option.empty[String])
+      .toDF("key")
+    val block = (1 to 500 by 3).map(i => s"k$i").toDF("bk")
+    val plain = rows.join(block, $"key" === $"bk", "left_anti")
+      .select($"key").collect().map(r => Option(r.getString(0))).toSet
+    // fpp deliberately TERRIBLE (saturated tiny filter): exactness must
+    // not depend on the bloom being selective
+    for (fpp <- Seq(0.0001, 0.5)) {
+      val bloom = BloomPrune.keyBloomString(block, "bk", 10L, fpp)
+      val got = BloomPrune.verifiedAntiJoinString(rows, "key", block, "bk", bloom)
+        .select($"key").collect().map(r => Option(r.getString(0))).toSet
+      assert(got === plain, s"fpp=$fpp diverged")
+    }
+    assert(plain.contains(None), "NULL key must survive the anti-join")
+  }
+
+  test("string bloom probe hashes like the distributed build (UTF-8 bytes)") {
+    val block = Seq("plain", "uñïcodé-ключ", "", "a b\tc").toDF("bk")
+    val bloom = BloomPrune.keyBloomString(block, "bk", 10L, 0.001)
+    val probed = block.select($"bk",
+      graft.expressions.BloomOps.bloomMightContainString($"bk", bloom).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    probed.foreach { case (k, hit) => assert(hit, s"inserted key '$k' missed") }
+  }
+
   test("underestimated expectedNumItems degrades fpp, never correctness") {
     val bigDim = (1L to 5000L by 7).toDF("dk")
     val bloom = BloomPrune.keyBloom(bigDim, "dk", expectedNumItems = 10L)
