@@ -113,6 +113,40 @@ class Scd2Spec extends AnyFunSuite with SparkTestSupport {
     Scd2.applyIncrement(dim, ok, "k", "t", "id", Seq("attr")).collect()
   }
 
+  test("randomized: merge == rebuild over 20 random logs × 3 cuts each (seeded)") {
+    val rng = new scala.util.Random(20240814L)
+    val attrs = Array(Some("a"), Some("b"), Some("c"), None)
+    for (trial <- 1 to 20) {
+      // random log: 5 keys, 1-12 events each, second-granularity ts in a
+      // 2-day range (collisions likely → tie-break exercised), attrs
+      // from a 4-letter alphabet incl. NULL (runs collapse)
+      var id = 0L
+      val rows = for {
+        k <- 1L to 5L
+        _ <- 0 until (1 + rng.nextInt(12))
+      } yield {
+        id += 1
+        val t = ts("2024-01-01 00:00:00").getTime + rng.nextInt(48 * 3600) * 1000L
+        (k, new Timestamp(t), id, attrs(rng.nextInt(attrs.length)))
+      }
+      val log = rows.toDF("k", "t", "id", "attr")
+      val full = collectSorted(build(log))
+      val tsSorted = rows.map(_._2.getTime).distinct.sorted
+      for (_ <- 1 to 3) {
+        // cut at a random observed ts: history strictly before, increment at/after
+        val cutMs = tsSorted(rng.nextInt(tsSorted.length))
+        val cut = new Timestamp(cutMs)
+        val hist = log.filter($"t" < lit(cut))
+        if (hist.limit(1).count() > 0) { // empty dims are a different operator contract
+          val merged = Scd2.applyIncrement(build(hist),
+            log.filter($"t" >= lit(cut)), "k", "t", "id", Seq("attr"))
+          assert(collectSorted(merged) === full,
+            s"trial $trial cut $cut diverged (seed fixed — reproducible)")
+        }
+      }
+    }
+  }
+
   test("untouched keys pass through byte-identical") {
     val dim = build(log)
     val inc = Seq((2L, ts("2024-01-07 00:00:00"), 40L, Some("y")))
