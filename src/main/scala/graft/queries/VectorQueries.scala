@@ -694,6 +694,41 @@ object VectorQueries {
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
         .orderBy(col("vec_id"))
+    },
+
+    // Scalar-quantized (SQ8) kNN — the compression rung below PQ
+    // (v10): one byte per DIMENSION, trained by a single vec_min_max
+    // aggregate pass (no codebook, no sample), served by the
+    // codes-only scan + plan-constant ADC + TakeOrdered shape. The
+    // oracle recomputes the ENTIRE quantization pipeline in SQL —
+    // per-dimension ranges, the floor(+0.5)-clamped codes, the
+    // dequantized distances — so a hash-pass pins the exact
+    // quantization arithmetic, not merely "some top-10".
+    sql(
+      "v25_knn_sq8",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |x AS (SELECT vec_id, i, v[i] AS val
+        |      FROM e, unnest(generate_series(1, len(v))) AS s(i)),
+        |dims AS (SELECT i, min(val) mn, max(val) mx FROM x GROUP BY i),
+        |q AS (SELECT i, val AS qv FROM x WHERE vec_id = 0),
+        |dq AS (
+        |  SELECT x.vec_id, x.i,
+        |    CASE WHEN d.mx = d.mn THEN d.mn
+        |         ELSE d.mn + least(greatest(floor((x.val - d.mn) / ((d.mx - d.mn) / 255.0) + 0.5), 0), 255)
+        |                     * ((d.mx - d.mn) / 255.0)
+        |    END AS deq
+        |  FROM x JOIN dims d USING (i)),
+        |dist AS (
+        |  SELECT dq.vec_id, round(sum((q.qv - dq.deq) * (q.qv - dq.deq)) + 1e-9, 4) AS qdist
+        |  FROM dq JOIN q ON dq.i = q.i
+        |  GROUP BY dq.vec_id)
+        |SELECT vec_id AS id, qdist FROM dist ORDER BY qdist, id LIMIT 10""".stripMargin) { (s, d) =>
+      import graft.operators.Sq
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val r = Sq.train(emb, col("v"))
+      val index = Sq.encodeIndex(emb, col("v"), col("vec_id"), r)
+      Sq.sqKnn(index, queryVector(s, d), r, k = 10)
     }
   )
 

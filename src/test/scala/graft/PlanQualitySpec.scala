@@ -682,6 +682,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"n_tokens must broadcast:\n$p")
   }
 
+  test("v25: SQ8 serving is a narrow codes scan + TakeOrdered, no shuffle") {
+    val p = plan("v25_knn_sq8")
+    assert(p.contains("sq_adc"), s"distance must be the plan-constant ADC kernel:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$p")
+    assert(!p.contains("Exchange"), s"SQ8 ranking must not shuffle:\n$p")
+  }
+
   test("q45: scan-local checks fuse; FKs are broadcast anti-joins") {
     val p = plan("q45_quality_checks")
     // 5 scan-local constraints + 2 FK probes + 2 dim key sets = 4 scans

@@ -303,6 +303,30 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
     assert(est(None) === null)
   }
 
+  test("SqEncode/SqAdc: codegen == interpreted; encode∘adc round-trips a stored vector") {
+    import spark.implicits._
+    val mins = Array(0.0, -10.0, 5.0)
+    val scales = Array(1.0 / 255, 20.0 / 255, 0.0)
+    val rows = Seq((1L, Seq(0.5, 3.25, 5.0)), (2L, Seq(1.0, -10.0, 5.0)))
+      .toDF("id", "v")
+    val enc = rows.select(col("id"),
+      graft.expressions.SqOps.sqEncode(col("v"), mins, scales).as("c"))
+    val probe = enc.select(col("id"), col("c"),
+      graft.expressions.SqOps.sqAdc(col("c"),
+        Array(0.5, 3.25, 5.0), mins, scales).as("d"))
+    val (g, i) = bothWays(probe)
+    assert(g === i)
+    // querying with row 1's own vector: residual ≤ Σ (scale/2)²
+    val self = g.find(_.getLong(0) == 1L).get.getDouble(2)
+    val bound = scales.map(s => (s / 2) * (s / 2)).sum + 1e-12
+    assert(self <= bound, s"self-distance $self exceeds quantization bound $bound")
+    // ragged code/query is an error
+    intercept[Exception] {
+      rows.select(graft.expressions.SqOps.sqEncode(col("v"),
+        Array(0.0), Array(1.0))).collect()
+    }
+  }
+
   test("BloomMightContainString: codegen == interpreted; UTF-8 byte hashing matches putString") {
     import spark.implicits._
     val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.001)
