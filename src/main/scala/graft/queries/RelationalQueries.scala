@@ -919,7 +919,7 @@ object RelationalQueries {
     // aggregate, and the valid_to chain all reuse the user_id
     // clustering (plan-gated). The oracle spells the identical window
     // algebra in DuckDB.
-    sql("q41_scd2_history", scd2Oracle) { (s, d) =>
+    sql("q41_scd2_history", scd2OracleSql) { (s, d) =>
       graft.operators.Scd2.fromChangeLog(
           Tables.events(s, d), key = "user_id", ts = "ts",
           tieBreak = "event_id", attrs = Seq("event_type"))
@@ -935,7 +935,7 @@ object RelationalQueries {
     // refused via last_seen_ts. The oracle is the FULL-log rebuild
     // (q41's SQL verbatim): merge == rebuild is the exactness claim,
     // and this query is its standing hash-proof.
-    sql("q42_scd2_merge", scd2Oracle) { (s, d) =>
+    sql("q42_scd2_merge", scd2OracleSql) { (s, d) =>
       import graft.operators.Scd2
       val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
       val dim = s.read.parquet(scd2Snapshot(s, d))
@@ -1138,10 +1138,12 @@ object RelationalQueries {
       dir.toString
     })
 
-  /** q41/q42's shared oracle: SCD2 from the full change log. q42
-    * (incremental merge) deliberately uses the SAME full-log SQL — the
-    * merge's correctness claim IS equality with the rebuild. */
-  private lazy val scd2Oracle: String =
+  /** q41/q42/s11's shared oracle: SCD2 from the full change log. The
+    * incremental merge (q42) and the streaming fold (s11) deliberately
+    * use the SAME full-log SQL — the maintenance paths' correctness
+    * claim IS equality with the rebuild. LAZY (incrementalAggOracle's
+    * forward-reference note). */
+  private[graft] lazy val scd2OracleSql: String =
     """WITH flagged AS (
       |  SELECT user_id, ts, event_type, event_id,
       |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type

@@ -294,6 +294,34 @@ object StreamingQueries {
           BloomPrune.verifiedAntiJoinString(stream, "fp_doc", block, "fp", bloom)
             .select(col("doc_id")))
         .orderBy(col("doc_id"))
+    },
+
+    // STREAMING SCD2 maintenance: the change log arrives as four
+    // time-contiguous weekly micro-batches (oldest first) and each
+    // batch folds into the dimension via Scd2.applyIncrement — only
+    // touched keys' current rows replay per batch, out-of-order
+    // arrivals would fail loud, and after the last batch the
+    // maintained dimension must equal the full-log rebuild (q41's
+    // oracle verbatim — q42's merge==rebuild claim, now proven under
+    // MULTI-step arrival, each step merging into the previous step's
+    // output rather than a freshly built dim).
+    sql(
+      "s11_stream_scd2",
+      RelationalQueries.scd2OracleSql) { (s, d) =>
+      import graft.operators.Scd2
+      val stream = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scd2ArrivalDir(s, d))
+      val empty = Scd2.fromChangeLog(
+        Tables.events(s, d).filter(lit(false)),
+        key = "user_id", ts = "ts", tieBreak = "event_id",
+        attrs = Seq("event_type"))
+      StreamingRelational.oneShotFold(s, stream, empty,
+          (dim, batch) => Scd2.applyIncrement(dim, batch,
+            key = "user_id", ts = "ts", tieBreak = "event_id",
+            attrs = Seq("event_type")))
+        .orderBy(col("user_id"), col("version_no"))
     }
   )
 
@@ -314,35 +342,60 @@ object StreamingQueries {
 
   private def lateArrivalDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     lateArrivalCache.computeIfAbsent(d, _ => {
-      import java.nio.file.{Files, Paths}
       import s.implicits._
-      val base = Files.createTempDirectory(StreamingRelational.scratchBase, "late-arrival")
-      StreamingRelational.registerScratch(base)
-      val streamDir = Files.createDirectories(Paths.get(s"$base/in"))
-      def writeOne(df: org.apache.spark.sql.DataFrame, name: String, mtimeMs: Long): Unit = {
-        val tmp = s"$base/tmp_$name"
-        df.coalesce(1).write.parquet(tmp)
-        import scala.jdk.CollectionConverters._
-        val part = Files.list(Paths.get(tmp)).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
-        val dest = streamDir.resolve(name)
-        Files.move(part, dest)
-        Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-      }
       val ev = Tables.events(s, d)
       val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
-      val t0 = System.currentTimeMillis() - 60000
-      writeOne(ev.filter(Tables.inLowMd5Half(col("event_id")) && col("ts") < lit(mx)),
-        "0001.parquet", t0)
-      writeOne(ev.filter(col("ts") === lit(mx)), "0002.parquet", t0 + 10000)
-      writeOne(ev.filter(!Tables.inLowMd5Half(col("event_id")) && col("ts") < lit(mx)),
-        "0003.parquet", t0 + 20000)
-      writeOne(
+      orderedArrivalDir(s, "late-arrival", Seq(
+        ev.filter(Tables.inLowMd5Half(col("event_id")) && col("ts") < lit(mx)),
+        ev.filter(col("ts") === lit(mx)),
+        ev.filter(!Tables.inLowMd5Half(col("event_id")) && col("ts") < lit(mx)),
         Seq((-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), -1L,
           "__sentinel__", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
-        "0004.parquet", t0 + 30000)
-      streamDir.toString
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")))
+    })
+
+  /** Write `slices` as one parquet file each, strictly increasing
+    * mtimes, into a fresh stream-input directory — the replayable
+    * ordered-arrival primitive behind s09 and s11: with
+    * `maxFilesPerTrigger=1` under AvailableNow, slice k IS micro-batch
+    * k. */
+  private def orderedArrivalDir(s: org.apache.spark.sql.SparkSession,
+      tag: String, slices: Seq[org.apache.spark.sql.DataFrame]): String = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory(StreamingRelational.scratchBase, tag)
+    StreamingRelational.registerScratch(base)
+    val streamDir = Files.createDirectories(Paths.get(s"$base/in"))
+    val t0 = System.currentTimeMillis() - 60000
+    slices.zipWithIndex.foreach { case (df, k) =>
+      val name = f"${k + 1}%04d.parquet"
+      val tmp = s"$base/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val dest = streamDir.resolve(name)
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + 10000L * k))
+    }
+    streamDir.toString
+  }
+
+  /** s11's arrival fixture: the events log sliced into four
+    * time-contiguous weeks, arriving oldest-first — the in-order
+    * increment stream SCD2 maintenance consumes. */
+  private val scd2ArrivalCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def scd2ArrivalDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    scd2ArrivalCache.computeIfAbsent(d, _ => {
+      val ev = Tables.events(s, d)
+      def wk(lo: String, hi: String) = ev.filter(
+        col("ts") >= lit(lo).cast("timestamp") &&
+          col("ts") < lit(hi).cast("timestamp"))
+      orderedArrivalDir(s, "scd2-arrival", Seq(
+        wk("1900-01-01 00:00:00", "2024-01-08 00:00:00"),
+        wk("2024-01-08 00:00:00", "2024-01-16 00:00:00"),
+        wk("2024-01-16 00:00:00", "2024-01-24 00:00:00"),
+        wk("2024-01-24 00:00:00", "2100-01-01 00:00:00")))
     })
 }
