@@ -107,6 +107,15 @@ object Scd2 {
   def applyIncrement(dim: DataFrame, updates: DataFrame, key: String,
       ts: String, tieBreak: String, attrs: Seq[String]): DataFrame = {
     val outCols = dim.columns.toSeq
+    // NULL keys cannot take the incremental path: the semi/anti key
+    // routing is ANSI-join-based (NULL matches nothing), so a
+    // NULL-keyed dim row would pass through "untouched" while a
+    // NULL-keyed update would rebuild from scratch — two version
+    // chains for one (NULL) key. fromChangeLog handles NULL keys fine
+    // (window partitioning groups them); the MERGE refuses them.
+    require(updates.filter(col(key).isNull).isEmpty,
+      s"scd2 merge: NULL-keyed update rows — NULL keys cannot be merged " +
+        "incrementally (join-based key routing); rebuild with fromChangeLog")
     val touchedKeys = updates.select(col(key)).distinct()
 
     val current = dim.filter(col("is_current"))

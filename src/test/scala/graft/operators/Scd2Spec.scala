@@ -147,6 +147,19 @@ class Scd2Spec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("NULL-keyed updates are refused (two version chains would collide)") {
+    val dim = build(log)
+    val nullKey = Seq((Option.empty[Long], ts("2024-01-09 00:00:00"), 50L, Some("x")))
+      .toDF("k", "t", "id", "attr")
+    val e = intercept[IllegalArgumentException] {
+      Scd2.applyIncrement(dim, nullKey, "k", "t", "id", Seq("attr"))
+    }
+    assert(e.getMessage.contains("NULL-keyed"))
+    // …while fromChangeLog itself handles NULL keys as a normal group
+    val withNull = log.union(nullKey)
+    assert(build(withNull).filter($"k".isNull).count() === 1L)
+  }
+
   test("untouched keys pass through byte-identical") {
     val dim = build(log)
     val inc = Seq((2L, ts("2024-01-07 00:00:00"), 40L, Some("y")))
