@@ -87,6 +87,30 @@ object Scd2 {
             col("is_current")): _*)
   }
 
+  /** Temporal (point-in-time) lookup against the SCD2 table — the
+    * canonical consumer: enrich each fact row with the dimension
+    * attributes VALID AT its timestamp, i.e. the version with
+    * `valid_from <= ts < valid_to` (open current row covers the tail).
+    *
+    * Implemented on [[AsOfJoin.backward]] rather than an interval
+    * join: versions are contiguous per key, so "the interval covering
+    * ts" IS "the latest version starting at or before ts" — ONE
+    * shuffle by key, never the O(fact × versions-per-key) pair blowup.
+    * The version_no tie-break resolves same-instant supersessions
+    * (a zero-width [t, t) version loses to the version that replaced
+    * it at t — exactly the interval semantics, since no ts lies in a
+    * zero-width interval). Facts before a key's first version (or for
+    * unknown keys) get NULL payload.
+    *
+    * @param payload dim columns to carry, renamed as given (e.g.
+    *                `Seq("version_no" -> "version_no", "attr" -> "attr_at_ts")`)
+    */
+  def lookup(fact: DataFrame, dim: DataFrame, key: String, factTs: String,
+      payload: Seq[(String, String)]): DataFrame =
+    AsOfJoin.backward(fact, dim, key,
+      leftTs = factTs, rightTs = "valid_from",
+      rightPayload = payload, rightTieBreak = "version_no")
+
   /** Merge a batch of new change events into an existing SCD2 table.
     *
     * Result is IDENTICAL to `fromChangeLog(originalLog ∪ updates)`

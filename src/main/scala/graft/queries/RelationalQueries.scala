@@ -1023,6 +1023,49 @@ object RelationalQueries {
         .orderBy($"event_type")
     },
 
+    // Temporal lookup against the SCD2 dimension (Scd2.lookup): every
+    // event enriched with the version (and tracked attribute) VALID AT
+    // its timestamp — the canonical SCD2 consumer, run as a single-
+    // shuffle as-of join instead of an interval join (versions are
+    // contiguous, so "covering interval" == "latest version at or
+    // before ts"; a zero-width same-instant version correctly loses to
+    // its superseder). The oracle is an explicit validity-INTERVAL
+    // join over the independently re-derived version table — the two
+    // formulations must agree row-for-row, including at exact
+    // boundaries.
+    sql(
+      "q46_scd2_lookup",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |              OR lag(event_id) OVER w IS NULL THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version_no FROM flagged),
+        |ver AS (
+        |  SELECT user_id, version_no, min(event_type) AS event_type,
+        |    min(ts) AS valid_from
+        |  FROM numbered GROUP BY user_id, version_no),
+        |fin AS (
+        |  SELECT *, lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_no) AS valid_to
+        |  FROM ver)
+        |SELECT e.event_id, e.user_id, e.ts, f.version_no, f.event_type AS state_type
+        |FROM events e JOIN fin f ON e.user_id = f.user_id
+        |  AND f.valid_from <= e.ts AND (f.valid_to IS NULL OR e.ts < f.valid_to)
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      import graft.operators.Scd2
+      val events = Tables.events(s, d)
+      val dim = Scd2.fromChangeLog(events, key = "user_id", ts = "ts",
+        tieBreak = "event_id", attrs = Seq("event_type"))
+      Scd2.lookup(
+          events.select($"event_id", $"user_id", $"ts"), dim,
+          key = "user_id", factTs = "ts",
+          payload = Seq("version_no" -> "version_no", "event_type" -> "state_type"))
+        .orderBy($"event_id")
+    },
+
     // Declarative data-quality expectations (Expectations.report): the
     // publish gate an ingest pipeline runs — not-null, range, value
     // domain, key uniqueness, and two referential-integrity checks over

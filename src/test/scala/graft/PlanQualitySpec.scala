@@ -689,6 +689,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("Exchange"), s"SQ8 ranking must not shuffle:\n$p")
   }
 
+  test("q46: SCD2 temporal lookup keeps the as-of single-shuffle shape") {
+    val p = plan("q46_scd2_lookup")
+    // the dim build shares the fact's user_id clustering; budget: the
+    // shared hash exchange + (possibly) one for the union's window +
+    // the output sort — NEVER an interval-join pair explosion
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"temporal lookup must never plan as an interval/nested-loop join:\n$p")
+    assert(nodeCount(p, "Exchange") <= 3,
+      s"lookup is the one-shuffle as-of family (+build+sort):\n$p")
+  }
+
   test("q45: scan-local checks fuse; FKs are broadcast anti-joins") {
     val p = plan("q45_quality_checks")
     // 5 scan-local constraints + 2 FK probes + 2 dim key sets = 4 scans

@@ -147,6 +147,30 @@ class Scd2Spec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("lookup: interval semantics at every boundary class") {
+    val dim = build(log)
+    val facts = Seq(
+      (100L, 1L, ts("2023-12-31 00:00:00")), // before k1's first version → NULL
+      (101L, 1L, ts("2024-01-01 00:00:00")), // exactly valid_from → v1 (a)
+      (102L, 1L, ts("2024-01-02 23:00:00")), // inside v1 → a
+      (103L, 1L, ts("2024-01-03 00:00:00")), // exactly v1's valid_to → v2 (b)
+      (104L, 1L, ts("2024-06-01 00:00:00")), // far future → current (a, v3)
+      (105L, 2L, ts("2024-01-01 12:00:00")), // zero-width x@t superseded by y@t → y
+      (106L, 9L, ts("2024-01-01 00:00:00"))) // unknown key → NULL
+      .toDF("fid", "k", "ft")
+    val out = Scd2.lookup(facts, dim, key = "k", factTs = "ft",
+        payload = Seq("version_no" -> "vn", "attr" -> "attr_at"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.getString(4)))).toMap
+    assert(out(100L) === (None, None))
+    assert(out(101L) === (Some(1L), Some("a")))
+    assert(out(102L) === (Some(1L), Some("a")))
+    assert(out(103L) === (Some(2L), Some("b")))
+    assert(out(104L) === (Some(3L), Some("a")))
+    assert(out(105L) === (Some(2L), Some("y")))
+    assert(out(106L) === (None, None))
+  }
+
   test("NULL-keyed updates are refused (two version chains would collide)") {
     val dim = build(log)
     val nullKey = Seq((Option.empty[Long], ts("2024-01-09 00:00:00"), 50L, Some("x")))
