@@ -43,11 +43,15 @@ object Compaction {
   private[graft] def dataFiles(dir: String): Seq[Path] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala
-      .filter(f => Files.isRegularFile(f))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .filterNot(_.getFileName.toString.startsWith("."))
-      .toSeq.sortBy(_.toString)
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(f => Files.isRegularFile(f))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .toSeq.sortBy(_.toString)
+      finally s.close() // Files.list holds a directory handle until closed
+    }
   }
 
   /** Compact `inputDir`'s parquet files into `outputDir`, sized so each

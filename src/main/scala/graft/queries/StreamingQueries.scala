@@ -371,8 +371,11 @@ object StreamingQueries {
       val tmp = s"$base/tmp_$name"
       df.coalesce(1).write.parquet(tmp)
       import scala.jdk.CollectionConverters._
-      val part = Files.list(Paths.get(tmp)).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val listing = Files.list(Paths.get(tmp))
+      val part =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+        finally listing.close()
       val dest = streamDir.resolve(name)
       Files.move(part, dest)
       Files.setLastModifiedTime(dest,
