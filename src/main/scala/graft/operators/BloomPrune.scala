@@ -53,10 +53,13 @@ object BloomPrune {
   def prune(fact: DataFrame, factKey: Column, bloom: BloomFilter): DataFrame =
     fact.filter(BloomOps.bloomMightContain(factKey, bloom))
 
-  /** [[keyBloom]] over a STRING key column (fingerprints, URLs). */
+  /** [[keyBloom]] over a STRING key column (fingerprints, URLs) —
+    * same distributed build (`stat.bloomFilter` adds whatever the
+    * column holds); the separate name documents which PROBE expression
+    * matches ([[graft.expressions.BloomMightContainString]]). */
   def keyBloomString(dim: DataFrame, key: String, expectedNumItems: Long,
       fpp: Double = 0.01): BloomFilter =
-    dim.stat.bloomFilter(key, expectedNumItems, fpp)
+    keyBloom(dim, key, expectedNumItems, fpp)
 
   /** EXACT anti-join (blocklist subtraction) with a bloom pre-screen —
     * the decontamination/takedown shape when the blocklist is too big

@@ -65,9 +65,28 @@ object Compaction {
     require(before.nonEmpty, s"compact: no parquet data files under $inputDir")
     val bytesBefore = before.map(Files.size).sum
     val target = math.max(1L, (bytesBefore + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(inputDir)
-      .coalesce(target)
-      .write.mode("errorifexists").parquet(outputDir)
+    // coalesce(n) can only MERGE scan partitions, never split them — if
+    // the scan's file-packing (maxPartitionBytes + openCostInBytes,
+    // which charges ~4 MB per file by default) lands BELOW `target`
+    // partitions, coalesce is a silent no-op above that count and the
+    // byte budget is blown by however much a scan partition packed. Pin
+    // the scan split size to the output budget for THIS read
+    // (runOneShot's set-and-restore discipline) so scan partitions ≈
+    // ceil(bytes/targetBytes) ≥ target and the coalesce really governs.
+    val mpbKey = "spark.sql.files.maxPartitionBytes"
+    val ocKey = "spark.sql.files.openCostInBytes"
+    val prevMpb = spark.conf.get(mpbKey)
+    val prevOc = spark.conf.get(ocKey)
+    try {
+      spark.conf.set(mpbKey, targetBytes.toString)
+      spark.conf.set(ocKey, "0")
+      spark.read.parquet(inputDir)
+        .coalesce(target)
+        .write.mode("errorifexists").parquet(outputDir)
+    } finally {
+      spark.conf.set(mpbKey, prevMpb)
+      spark.conf.set(ocKey, prevOc)
+    }
     val after = dataFiles(outputDir)
     Report(before.size, after.size, bytesBefore, after.map(Files.size).sum, target)
   }

@@ -32,7 +32,8 @@ object HeavyHitters {
 
   /** Distributed CMS build over string column `key`. eps bounds the
     * overcount (eps·N), delta its failure probability; width =
-    * ceil(2/eps), depth = ceil(ln(1/delta)) counters. Fixed seed ⇒
+    * ceil(2/eps), depth = ceil(log2(1/delta)) counters (Spark sizes
+    * depth base-2: delta=0.001 -> depth 10, not ln's 7). Fixed seed ⇒
     * deterministic estimates for a given dataset. (Spark's API takes
     * CONFIDENCE = 1-delta; passing delta raw would collapse the sketch
     * to depth 1.) */

@@ -131,27 +131,35 @@ object Scd2 {
   def applyIncrement(dim: DataFrame, updates: DataFrame, key: String,
       ts: String, tieBreak: String, attrs: Seq[String]): DataFrame = {
     val outCols = dim.columns.toSeq
-    // NULL keys cannot take the incremental path: the semi/anti key
-    // routing is ANSI-join-based (NULL matches nothing), so a
-    // NULL-keyed dim row would pass through "untouched" while a
-    // NULL-keyed update would rebuild from scratch — two version
-    // chains for one (NULL) key. fromChangeLog handles NULL keys fine
-    // (window partitioning groups them); the MERGE refuses them.
-    require(updates.filter(col(key).isNull).isEmpty,
-      s"scd2 merge: NULL-keyed update rows — NULL keys cannot be merged " +
-        "incrementally (join-based key routing); rebuild with fromChangeLog")
     val touchedKeys = updates.select(col(key)).distinct()
 
     val current = dim.filter(col("is_current"))
       .join(touchedKeys, Seq(key), "left_semi")
 
-    // out-of-order refusal: an update at or before last_seen_ts cannot
-    // be merged exactly — collapsed same-attr events inside the current
-    // version are gone from the dimension
-    val late = updates.as("u")
-      .join(current.select(col(key), col("last_seen_ts")).as("c"), Seq(key))
-      .filter(col(s"u.$ts") <= col("last_seen_ts"))
-      .count()
+    // ONE fused validation job (this runs per micro-batch in the s11
+    // streaming fold — two separate driver-blocking actions would
+    // double the per-batch latency floor):
+    //  - NULL keys cannot take the incremental path: the semi/anti key
+    //    routing is ANSI-join-based (NULL matches nothing), so a
+    //    NULL-keyed dim row would pass through "untouched" while a
+    //    NULL-keyed update rebuilt from scratch — two version chains
+    //    for one key. (fromChangeLog itself handles NULL keys fine.)
+    //    NULL-keyed updates survive the left_outer below unmatched.
+    //  - out-of-order refusal: an update at or before its key's
+    //    last_seen_ts cannot merge exactly — collapsed same-attr
+    //    events inside the current version are gone from the dimension.
+    val viol = updates
+      .join(current.select(col(key), col("last_seen_ts")), Seq(key), "left_outer")
+      .agg(
+        sum(when(col(key).isNull, 1L).otherwise(0L)).as("nullKeys"),
+        sum(when(col(ts) <= col("last_seen_ts"), 1L).otherwise(0L)).as("late"))
+      .head()
+    val (nullKeys, late) =
+      (if (viol.isNullAt(0)) 0L else viol.getLong(0),
+        if (viol.isNullAt(1)) 0L else viol.getLong(1))
+    require(nullKeys == 0L,
+      s"scd2 merge: $nullKeys NULL-keyed update row(s) — NULL keys cannot be " +
+        "merged incrementally (join-based key routing); rebuild with fromChangeLog")
     require(late == 0L,
       s"scd2 merge: $late update row(s) at or before their key's last_seen_ts " +
         "— out-of-order increments need a full-log rebuild")

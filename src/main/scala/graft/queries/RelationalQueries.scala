@@ -998,11 +998,17 @@ object RelationalQueries {
           .agg(expr("hll_sketch_agg(user_id, 14)").as(as))
       def mergedEst(a: org.apache.spark.sql.DataFrame, an: String,
           b: org.apache.spark.sql.DataFrame, bn: String, as: String) =
+        // a one-sided key must STILL estimate through hll_union (self-
+        // union: identical registers, same estimate class) — a bare
+        // coalesce would serve the streamed sketch's HIP estimate and
+        // reintroduce the HIP-vs-composite mismatch for keys present in
+        // only one half of one split
         a.join(b, Seq("event_type"), "full_outer")
           .select($"event_type",
             when(col(an).isNotNull && col(bn).isNotNull,
               expr(s"hll_union($an, $bn)"))
-              .otherwise(coalesce(col(an), col(bn))).as("sk_m"))
+              .when(col(an).isNotNull, expr(s"hll_union($an, $an)"))
+              .otherwise(expr(s"hll_union($bn, $bn)")).as("sk_m"))
           .select($"event_type", expr("hll_sketch_estimate(sk_m)").as(as))
       val snapshot = s.read.parquet(hllSnapshot(s, d))
       val estInc = mergedEst(

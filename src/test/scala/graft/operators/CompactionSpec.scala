@@ -48,6 +48,23 @@ class CompactionSpec extends AnyFunSuite with SparkTestSupport {
     assert(r.filesAfter === 1, "target above total bytes → one file")
   }
 
+  test("byte budget is honored even when scan file-packing would merge everything") {
+    // 64 tiny files: the DEFAULT openCostInBytes (4 MB/file) would pack
+    // the whole directory into ~3 scan partitions, silently capping
+    // coalesce() far below the requested file count — compact() must
+    // pin the split size so the budget governs
+    val in = fragmented(64)
+    val out = freshOut("budget")
+    val total = Compaction.dataFiles(in).map(java.nio.file.Files.size).sum
+    val targetBytes = total / 10 // ask for ~10 output files
+    val r = Compaction.compact(spark, in, out, targetBytes)
+    assert(r.targetFiles >= 10)
+    assert(r.filesAfter === r.targetFiles,
+      s"coalesce was capped by scan packing: ${r.filesAfter} < ${r.targetFiles}")
+    // and the session confs were restored
+    assert(spark.conf.get("spark.sql.files.openCostInBytes") !== "0")
+  }
+
   test("empty input fails loud; bad target refused") {
     val empty = tmp("empty")
     intercept[IllegalArgumentException] {
