@@ -132,6 +132,20 @@ object GraftExtensions {
       (args: Seq[Expression]) => RollingFingerprintExpr(args(0))),
     ("repetition_stats",
       new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "repetition_stats"),
-      (args: Seq[Expression]) => RepetitionStatsExpr(args(0)))
+      (args: Seq[Expression]) => RepetitionStatsExpr(args(0))),
+    ("vec_min_max",
+      new ExpressionInfo(classOf[VectorMinMax].getName, "vec_min_max"),
+      (args: Seq[Expression]) => VectorMinMax(args(0)).toAggregateExpression()),
+    ("sq_encode",
+      new ExpressionInfo(classOf[SqEncode].getName, "sq_encode"),
+      (args: Seq[Expression]) => SqEncode(args(0),
+        vectorArg(args(1), "mins", "sq_encode"),
+        vectorArg(args(2), "scales", "sq_encode"))),
+    ("sq_adc",
+      new ExpressionInfo(classOf[SqAdc].getName, "sq_adc"),
+      (args: Seq[Expression]) => SqAdc(args(0),
+        vectorArg(args(1), "query", "sq_adc"),
+        vectorArg(args(2), "mins", "sq_adc"),
+        vectorArg(args(3), "scales", "sq_adc")))
   )
 }

@@ -72,6 +72,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(1) === 0)
   }
 
+  test("SQ8 kernels and vec_min_max callable from SQL") {
+    // 2-d toy: dim0 range [0,10] → scale 10/255; dim1 constant → scale 0
+    val row = spark.sql(
+      """SELECT sq_adc(
+        |    sq_encode(array(5d, 7d), array(0d, 7d), array(0.0392156862745098d, 0d)),
+        |    array(5d, 7d), array(0d, 7d), array(0.0392156862745098d, 0d)) AS selfd""".stripMargin)
+      .head()
+    // self-distance bounded by (scale/2)^2 on the one quantized dim
+    assert(row.getDouble(0) <= math.pow(0.0392156862745098 / 2, 2) + 1e-12)
+    val mm = spark.sql(
+      """SELECT vec_min_max(v) AS mm FROM VALUES (array(1d, 5d)), (array(3d, 2d)) AS t(v)""")
+      .head().getSeq[Double](0)
+    assert(mm === Seq(1.0, 2.0, 3.0, 5.0)) // [mins ++ maxes]
+  }
+
   test("non-literal config args are rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_sig('a b c', 1 + 2, 16)").head()
