@@ -322,8 +322,67 @@ object StreamingQueries {
             key = "user_id", ts = "ts", tieBreak = "event_id",
             attrs = Seq("event_type")))
         .orderBy(col("user_id"), col("version_no"))
+    },
+
+    // STREAMING heavy-hitter maintenance: the document corpus arrives
+    // as three md5-sliced micro-batches, each batch builds its own CMS
+    // (the same distributed treeAggregate as t33), and the per-batch
+    // sketches MERGE — CMS is a LINEAR sketch (counters are sums), so
+    // the merged state is counter-identical to the single-pass batch
+    // sketch no matter how the stream was sliced. The proof is the
+    // oracle itself: s12 shares t33's oracle verbatim, so the streamed
+    // sketch must reproduce the batch path's exact top-20 flags. The
+    // ~1 MB state is the whole per-batch transfer — the unbounded-
+    // domain frequency monitor a 100 TB ingest keeps without ever
+    // shuffling the token domain.
+    sql("s12_stream_heavy_hitters", TextQueries.heavyHittersOracle) { (s, d) =>
+      import org.apache.spark.util.sketch.CountMinSketch
+      import s.implicits._
+      val slices = documentSliceDir(s, d)
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(slices)
+      val init = Seq((Option.empty[Array[Byte]], 0L)).toDF("sketch", "n")
+      val state = StreamingRelational.oneShotFold(s, stream, init,
+        (state, batch) => {
+          val bSketch = graft.operators.HeavyHitters.sketch(
+            TextQueries.docTerms(batch), "term", eps = TextQueries.HhEps)
+          val row = state.head()
+          val merged =
+            if (row.isNullAt(0)) bSketch
+            else {
+              val prior = CountMinSketch.readFrom(
+                new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+              prior.mergeInPlace(bSketch)
+              prior
+            }
+          val out = new java.io.ByteArrayOutputStream()
+          merged.writeTo(out)
+          // totalCount is cumulative after the merge — it IS the running n
+          Seq((Option(out.toByteArray), merged.totalCount()))
+            .toDF("sketch", "n")
+        })
+      val finalRow = state.head()
+      require(!finalRow.isNullAt(0), "s12: stream delivered no documents")
+      val cms = CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(finalRow.getAs[Array[Byte]](0)))
+      TextQueries.heavyHitterReport(s, d, cms)
     }
   )
+
+  /** s12's arrival fixture: the documents table in three md5-sliced
+    * micro-batches (any slicing works — CMS linearity is the claim). */
+  private val docSliceCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def documentSliceDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    docSliceCache.computeIfAbsent(d, _ => {
+      val docs = Tables.documents(s, d)
+      orderedArrivalDir(s, "doc-slices", Seq(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2)))
+    })
 
   /** s09's arrival fixture, once per sf-dir: four parquet files with
     * strictly increasing mtimes so `maxFilesPerTrigger=1` under

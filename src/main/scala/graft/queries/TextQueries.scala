@@ -896,44 +896,62 @@ object TextQueries {
     // the proven bound at confidence 0.999, doubled so a flag failure
     // means a broken sketch, never an unlucky row. The oracle asserts
     // TRUE.
-    sql(
-      "t33_heavy_hitters",
-      s"""WITH toks AS (
-         |  SELECT unnest(string_split(${Sql.normalizeText("text")}, ' ')) AS term
-         |  FROM documents),
-         |counts AS (
-         |  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks WHERE term <> ''
-         |  GROUP BY term),
-         |ranked AS (
-         |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rk
-         |  FROM counts)
-         |SELECT CAST(rk AS INT) AS rk, term, cnt, TRUE AS cms_in_band
-         |FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      import graft.operators.HeavyHitters
-      val eps = 1e-4
-      val terms = Tables.documents(s, d)
-        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
-        .filter(col("term") =!= "")
-      val cms = HeavyHitters.sketch(terms, "term", eps = eps)
-      // total occurrences joins in as a broadcast 1-row aggregate
-      // (t15's n_docs idiom) — the in-band slack is data-derived, not a
-      // baked-in literal
-      val nDf = terms.agg(count(lit(1)).as("n_tokens"))
-      val top = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("term")).limit(20) // TakeOrdered, no global window
-      val ranked = top.withColumn("rk",
-        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
-      HeavyHitters.withEstimates(ranked, col("term"), cms)
-        .crossJoin(broadcast(nDf))
-        .select(
-          col("rk").cast("int").as("rk"), col("term"), col("cnt"),
-          (col("cms_est") >= col("cnt") &&
-            col("cms_est") <= col("cnt") +
-              ceil(lit(2 * eps) * col("n_tokens")).cast("long")).as("cms_in_band"))
-        .orderBy(col("rk"))
+    sql("t33_heavy_hitters", heavyHittersOracle) { (s, d) =>
+      val cms = graft.operators.HeavyHitters.sketch(
+        docTerms(Tables.documents(s, d)), "term", eps = HhEps)
+      heavyHitterReport(s, d, cms)
     }
   )
+
+  /** t33/s12's shared eps — the merged streaming sketch must be
+    * parameter-identical to the batch one or mergeInPlace refuses. */
+  private[queries] val HhEps = 1e-4
+
+  /** Non-empty normalized tokens of a documents frame. */
+  private[queries] def docTerms(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+
+  /** t33/s12's shared finish: exact top-20 (feasible at test scale)
+    * decorated with the sketch's in-band flag — est ∈
+    * [cnt, cnt + 2·eps·N], the proven bound doubled so a flag failure
+    * means a broken sketch, never an unlucky row. Total occurrences
+    * join in as a broadcast 1-row aggregate (t15's n_docs idiom) so the
+    * slack is data-derived, not a baked-in literal. */
+  private[queries] def heavyHitterReport(s: org.apache.spark.sql.SparkSession,
+      d: String, cms: org.apache.spark.util.sketch.CountMinSketch): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docTerms(Tables.documents(s, d))
+    val nDf = terms.agg(count(lit(1)).as("n_tokens"))
+    val top = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(20) // TakeOrdered, no global window
+    val ranked = top.withColumn("rk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+    graft.operators.HeavyHitters.withEstimates(ranked, col("term"), cms)
+      .crossJoin(broadcast(nDf))
+      .select(
+        col("rk").cast("int").as("rk"), col("term"), col("cnt"),
+        (col("cms_est") >= col("cnt") &&
+          col("cms_est") <= col("cnt") +
+            ceil(lit(2 * HhEps) * col("n_tokens")).cast("long")).as("cms_in_band"))
+      .orderBy(col("rk"))
+  }
+
+  /** t33/s12's shared oracle: exact top-20 with the in-band flags the
+    * sketch (batch-built or stream-merged — CMS is LINEAR, so the two
+    * are counter-identical) must satisfy. */
+  private[queries] lazy val heavyHittersOracle: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(${Sql.normalizeText("text")}, ' ')) AS term
+       |  FROM documents),
+       |counts AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks WHERE term <> ''
+       |  GROUP BY term),
+       |ranked AS (
+       |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rk
+       |  FROM counts)
+       |SELECT CAST(rk AS INT) AS rk, term, cnt, TRUE AS cms_in_band
+       |FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin
 
   /** The recursive-CTE transitive closure over the exhaustive
     * exact-Jaccard pair set, ending in `comp(doc_id, rep)` — the shared

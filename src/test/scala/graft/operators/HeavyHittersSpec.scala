@@ -34,6 +34,17 @@ class HeavyHittersSpec extends AnyFunSuite with SparkTestSupport {
     assert(engine("nope") === 0L)
   }
 
+  test("linearity: merging per-slice sketches == the single-pass sketch (s12's claim)") {
+    val full = HeavyHitters.sketch(keys, "key", eps = 1e-3)
+    val slices = (0 until 3).map(r =>
+      HeavyHitters.sketch(keys.filter(expr(s"crc32(key) % 3 = $r")), "key", eps = 1e-3))
+    val merged = slices.reduce { (a, b) => a.mergeInPlace(b); a }
+    assert(merged.totalCount() === full.totalCount())
+    for (i <- 1 to 100)
+      assert(merged.estimateCount(s"k$i") === full.estimateCount(s"k$i"),
+        s"k$i drifted under slicing")
+  }
+
   test("sketch build is merge-consistent: partitioning does not change estimates") {
     val one = HeavyHitters.sketch(keys.coalesce(1), "key", eps = 1e-3)
     val many = HeavyHitters.sketch(keys.repartition(16), "key", eps = 1e-3)
