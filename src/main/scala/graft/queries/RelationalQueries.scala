@@ -1072,6 +1072,31 @@ object RelationalQueries {
         .orderBy($"event_id")
     },
 
+    // Incremental Z-order-clustered ingest (ZOrderTable): the low-md5
+    // half CREATES the cell-partitioned table (ranges trained once and
+    // persisted with a layout fingerprint), the high half APPENDS under
+    // the STORED ranges (drifted quantization would split cells —
+    // fingerprint-refused; out-of-range values clamp into edge cells),
+    // and a rectangle query serves from the two-phase table via
+    // PartitionFilters cell pruning + exact re-filter (plan-gated).
+    // The oracle is the PLAIN filter over the full table — hash
+    // equality proves the whole create/append/query lifecycle loses
+    // and invents nothing.
+    sql(
+      "q47_zorder_ingest",
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 20 AND 60
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, price""".stripMargin) { (s, d) =>
+      graft.operators.ZOrderTable.boxQuery(
+          s, zorderTableDir(s, d), "l_partkey", "l_suppkey",
+          aLo = 100L, aHi = 300L, bLo = 20L, bHi = 60L)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          round($"l_extendedprice", 2).as("price"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", $"price")
+    },
+
     // Declarative data-quality expectations (Expectations.report): the
     // publish gate an ingest pipeline runs — not-null, range, value
     // domain, key uniqueness, and two referential-integrity checks over
@@ -1150,6 +1175,29 @@ object RelationalQueries {
     * per-file budget into a fresh directory. */
   private val compactionCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, graft.operators.Compaction.Report)]()
+
+  /** q47's two-phase clustered table, once per sf-dir: created from
+    * the low-md5 lineitem half (3-bit cells over partkey × suppkey),
+    * grown by appending the high half under the stored ranges. */
+  private val zorderTableCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def zorderTableDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    zorderTableCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "zorder-table")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(base))
+      val dir = s"$base/table"
+      val cols = Seq($"l_orderkey", $"l_linenumber", $"l_partkey",
+        $"l_suppkey", $"l_extendedprice")
+      val li = Tables.lineitem(s, d).select(cols: _*)
+      graft.operators.ZOrderTable.create(
+        li.filter(Tables.inLowMd5Half($"l_orderkey")),
+        "l_partkey", "l_suppkey", bits = 3, dir = dir)
+      graft.operators.ZOrderTable.append(
+        li.filter(!Tables.inLowMd5Half($"l_orderkey")),
+        "l_partkey", "l_suppkey", dir = dir)
+      dir
+    })
 
   private[graft] def compactedEvents(
       s: org.apache.spark.sql.SparkSession, d: String): (String, graft.operators.Compaction.Report) =

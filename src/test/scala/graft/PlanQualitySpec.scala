@@ -689,6 +689,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("Exchange"), s"SQ8 ranking must not shuffle:\n$p")
   }
 
+  test("q47: box query prunes the clustered table's cells at listing time") {
+    val p = plan("q47_zorder_ingest")
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*zcell".r.findFirstIn(p).nonEmpty,
+      s"the cell IN-list must prune partition directories:\n$p")
+    // the exact box predicate also reaches the row filter
+    assert(p.contains("GreaterThanOrEqual(l_partkey,100)"),
+      s"exact re-filter must push down:\n$p")
+    assert(nodeCount(p, "Exchange") <= 1, s"scan + output sort only:\n$p")
+  }
+
   test("q46: SCD2 temporal lookup keeps the as-of single-shuffle shape") {
     val p = plan("q46_scd2_lookup")
     // the dim build shares the fact's user_id clustering; budget: the
