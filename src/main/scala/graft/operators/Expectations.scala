@@ -49,6 +49,36 @@ object Expectations {
   def foreignKey(name: String, keys: Seq[String], ref: DataFrame,
       refKeys: Seq[String]): Check = ForeignKey(name, keys, ref, refKeys)
 
+  /** Row-level verdicts — the QUARANTINE side of a streaming gate:
+    * every row failing at least one check, tagged with the
+    * comma-joined names (declaration order) of the checks it failed.
+    * Clean rows are `df` minus these — derivable with the same
+    * predicates, no join.
+    *
+    * Row checks only: uniqueness and FK verdicts depend on rows
+    * outside the one being judged, so they are NOT batch-invariant —
+    * a streaming gate evaluating them per micro-batch would pass rows
+    * a whole-table gate rejects. Refused loudly rather than silently
+    * weakened. Because row checks are per-row, the quarantine set is
+    * provably invariant to micro-batch slicing: the streamed union of
+    * per-batch quarantines equals the batch gate over the full table
+    * (s13's oracle IS that claim). NULL predicate results count as
+    * NOT violating, matching [[report]]. */
+  def quarantine(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "expectations: at least one check")
+    val rcs = checks.map {
+      case RowCheck(n, v) => (n, v)
+      case c => throw new IllegalArgumentException(
+        s"quarantine: only row checks are batch-invariant; '${c.name}' is not")
+    }
+    // concat_ws skips NULLs (identically in DuckDB — oracle-portable),
+    // so each unfired check simply vanishes from the tag
+    val failed = concat_ws(",",
+      rcs.map { case (n, v) => when(coalesce(v, lit(false)), lit(n)) }: _*)
+    df.withColumn("failed_checks", failed)
+      .filter(col("failed_checks") =!= "")
+  }
+
   /** Evaluate every check against `df` → (check_name, violations,
     * passed), one row per check, in the order given. */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {

@@ -317,6 +317,57 @@ object Similarity {
       .select($"qid", $"id", $"score", $"rk")
   }
 
+  /** Batched RADIUS (range) search: every corpus vector with cosine
+    * ≥ `threshold` against each query — the "all matches above a score
+    * floor" retrieval mode (dedup candidate pull, recall-first
+    * filtering), as opposed to top-k's fixed result size.
+    *
+    * Structure mirrors [[lshKnnBatch]]'s serving shape — query set ×
+    * served bucket index in ONE plan, probes broadcast as bare
+    * (qid, bucket) pairs — but with a FIXED hamming probe radius
+    * `maxHamming` (the recall dial; nBits widens to a full scan)
+    * instead of the adaptive per-query histogram: a threshold query has
+    * no target candidate count to adapt toward, so the histogram pass
+    * would buy nothing. And because the result is "everything above the
+    * floor", there is NO window, NO sort, NO top-k state anywhere —
+    * matches stream straight from the probed partitions through the
+    * cosine filter, which is the part that matters when one hot query
+    * matches 10^6 rows at 100 TB (a top-k would buffer them; this
+    * pipelines them).
+    *
+    * Approximation contract (same as every single-table LSH probe):
+    * recall over the probed buckets is exact; a true match whose bucket
+    * differs from the query's in more than `maxHamming` bits is missed.
+    * The oracle twins this exactly (same inlined planes, same radius
+    * join, same threshold), so the hash-compare proves the implementation
+    * — the recall/width trade is the caller's documented knob.
+    *
+    * Output: (qid, id, score), score = round(cosine, 4) ≥ threshold. */
+  def lshRadiusBatch(bucketed: DataFrame, queries: DataFrame, qembCol: Column,
+      qidCol: Column, dim: Int, threshold: Double, nBits: Int = 8,
+      maxHamming: Int = 1, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    // same hygiene as lshKnnBatch: null embeddings drop before the
+    // qid-dedup; eager localCheckpoint because q feeds two consumers
+    // (probe set, embedding attach) that would otherwise re-run the
+    // signature kernel per consumer
+    val q = queries.select(qidCol.as("qid"), asDouble(qembCol).as("qemb"),
+        lshSignature(qembCol, planes).as("qsig"))
+      .filter($"qemb".isNotNull)
+      .dropDuplicates("qid")
+      .localCheckpoint(true)
+    val buckets = bucketed.filter($"bucket".isNotNull)
+      .select($"bucket").distinct()
+    val probes = q.crossJoin(broadcast(buckets))
+      .filter(bit_count($"bucket".bitwiseXOR($"qsig")) <= maxHamming)
+      .select($"qid", $"bucket")
+    bucketed.join(broadcast(probes), "bucket")
+      .join(broadcast(q.select($"qid", $"qemb")), "qid")
+      .select($"qid", $"id",
+        round(cosineSimilarity(asDouble($"emb"), $"qemb"), 4).as("score"))
+      .filter($"score" >= threshold)
+  }
+
   /** Embedding near-dup pairs: multi-band LSH blocking + exact cosine
     * verify. Each vector gets `nBands` independent `nBits`-bit
     * signatures; candidates are pairs sharing ANY band's bucket — union

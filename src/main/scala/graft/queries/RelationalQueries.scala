@@ -1149,6 +1149,113 @@ object RelationalQueries {
           Tables.orders(s, d), Seq("o_orderkey")),
         foreignKey("fk_part", Seq("l_partkey"),
           Tables.part(s, d), Seq("p_partkey"))))
+    },
+
+    // ---- unpivot (wide → long melt) --------------------------------------------
+    // The inverse of q22's pivot: lineitem's four measure columns melt
+    // into (measure, val) rows — the long format feature pipelines and
+    // per-metric monitoring feed on. Spark's native unpivot is a NARROW
+    // Expand (4× row fan-out map-side, no shuffle of its own), and the
+    // partial hash aggregate collapses the fan-out back to
+    // |flags|×|measures| groups before the only shuffle — so melting a
+    // 100 TB fact costs one scan, never a 4× shuffle.
+    sql(
+      "q48_unpivot",
+      """SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(val), 2) AS total
+        |FROM (
+        |  SELECT l_returnflag, 'discount' AS measure, l_discount AS val FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'quantity', l_quantity FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'tax', l_tax FROM lineitem)
+        |GROUP BY l_returnflag, measure
+        |ORDER BY l_returnflag, measure""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          $"l_discount".as("discount"), $"l_extendedprice".as("extendedprice"),
+          $"l_quantity".as("quantity"), $"l_tax".as("tax"))
+        .unpivot(Array($"l_returnflag"),
+          Array($"discount", $"extendedprice", $"quantity", $"tax"),
+          "measure", "val")
+        .groupBy($"l_returnflag", $"measure")
+        .agg(count(lit(1)).as("n"), round(sum($"val"), 2).as("total"))
+        .orderBy($"l_returnflag", $"measure")
+    },
+
+    // ---- snapshot diff / reconciliation ----------------------------------------
+    // TableDiff.drift: which keys were added / removed / changed
+    // between two versions of the events table. The "new" snapshot is
+    // derived deterministically (md5-'f' keys deleted, error-type
+    // values doubled, md5-'0' keys cloned under shifted ids), so the
+    // oracle can rebuild both sides and full-outer-join them with exact
+    // value comparison — while the operator shuffles only
+    // (key, xxhash64 fingerprint) pairs, never payload columns: the
+    // compare cost at 100 TB is two narrow scans plus a 16-byte-row
+    // join, and hash-equality with the oracle's exact compare proves
+    // the fingerprint path labels every key identically.
+    sql(
+      "q49_table_diff",
+      """WITH a AS (SELECT event_id, user_id, event_type, value FROM events),
+        |b AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CASE WHEN event_type = 'error' THEN value * 2 ELSE value END AS value
+        |  FROM events WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <> 'f'
+        |  UNION ALL
+        |  SELECT event_id + 100000000, user_id, 'synthetic', value
+        |  FROM events WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'),
+        |d AS (
+        |  SELECT coalesce(a.event_id, b.event_id) AS event_id,
+        |    CASE WHEN b.event_id IS NULL THEN 'removed'
+        |         WHEN a.event_id IS NULL THEN 'added'
+        |         WHEN a.user_id IS DISTINCT FROM b.user_id
+        |           OR a.event_type IS DISTINCT FROM b.event_type
+        |           OR a.value IS DISTINCT FROM b.value THEN 'changed'
+        |         ELSE 'same' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.event_id = b.event_id)
+        |SELECT event_id, status FROM d
+        |WHERE status <> 'same' ORDER BY event_id""".stripMargin) { (s, d) =>
+      val hex1 = substring(md5($"event_id".cast("string").cast("binary")), 1, 1)
+      val snapA = Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      val snapB = snapA.filter(hex1 =!= "f")
+        .withColumn("value",
+          when($"event_type" === "error", $"value" * 2).otherwise($"value"))
+        .unionAll(snapA.filter(hex1 === "0")
+          .select(($"event_id" + 100000000L).as("event_id"), $"user_id",
+            lit("synthetic").as("event_type"), $"value"))
+      graft.operators.TableDiff
+        .drift(snapA, snapB, keys = Seq("event_id"),
+          compare = Seq("user_id", "event_type", "value"))
+        .orderBy($"event_id")
+    },
+
+    // ---- schema evolution at the scan ------------------------------------------
+    // One table, two file generations: the "old" files lack the
+    // `quality` column, the "new" files (appended later) carry it. A
+    // single mergeSchema parquet scan serves the union schema with
+    // NULL backfill for the old files — which is how a 100 TB table
+    // adds a column: ZERO bytes of history rewritten, one footer-merge
+    // at planning time, and readers see one relation (not a UNION of
+    // two scans — plan-gated: exactly one Scan node). count(quality)
+    // vs count(*) proves the backfill is NULL exactly on the old half.
+    sql(
+      "q50_schema_evolution",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(quality) AS BIGINT) AS n_quality,
+        |  round(sum(quality) + 1e-9, 2) AS sum_quality
+        |FROM (
+        |  SELECT event_type, CAST(NULL AS DOUBLE) AS quality FROM events
+        |  WHERE coalesce(substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <= '7', TRUE)
+        |  UNION ALL
+        |  SELECT event_type, round(value * 0.01 + 1e-9, 4) FROM events
+        |  WHERE NOT coalesce(substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <= '7', TRUE))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      s.read.option("mergeSchema", "true").parquet(evolvedEventsDir(s, d))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          count($"quality").as("n_quality"),
+          round(sum($"quality") + 1e-9, 2).as("sum_quality"))
+        .orderBy($"event_type")
     }
   )
 
@@ -1167,6 +1274,29 @@ object RelationalQueries {
         .groupBy($"event_type")
         .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
         .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+
+  /** q50's evolving table, once per sf-dir: the low-md5 half of events
+    * written under the ORIGINAL schema, the high half appended later
+    * WITH the new `quality` column — two file generations in one
+    * directory, exactly what a column-add leaves behind on a table
+    * whose history is too big to rewrite. */
+  private val evolvedDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def evolvedEventsDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    evolvedDirCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "evolving-table")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      val ev = Tables.events(s, d)
+      ev.filter(Tables.inLowMd5Half($"event_id"))
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .write.mode("overwrite").parquet(dir.toString)
+      ev.filter(!Tables.inLowMd5Half($"event_id"))
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          round($"value" * 0.01 + 1e-9, 4).as("quality"))
+        .write.mode("append").parquet(dir.toString)
       dir.toString
     })
 

@@ -368,8 +368,62 @@ object StreamingQueries {
       val cms = CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(finalRow.getAs[Array[Byte]](0)))
       TextQueries.heavyHitterReport(s, d, cms)
+    },
+
+    // STREAMING quality gate with quarantine: events arrive as three
+    // micro-batches and each batch splits ROW-LOCALLY via
+    // Expectations.quarantine — violating rows (tagged with every
+    // check they failed) to the quarantine sink, the rest publish.
+    // Row checks judge a row by itself, so the union of per-batch
+    // quarantines is provably invariant to how the stream slices; the
+    // oracle IS the whole-table batch gate, making that claim the
+    // hash-compare. Per batch this is one narrow scan-and-filter — no
+    // state store, no shuffle, nothing accumulates — the gate shape
+    // that keeps up with any ingest rate. (Uniqueness/FK checks are
+    // NOT batch-invariant and quarantine() refuses them loudly;
+    // they stay in the batch publish gate, q45.)
+    sql(
+      "s13_stream_quality",
+      """SELECT event_id,
+        |  concat_ws(',',
+        |    CASE WHEN value > 300 THEN 'value_le_300' END,
+        |    CASE WHEN user_id >= 100 THEN 'user_lt_100' END,
+        |    CASE WHEN event_type NOT IN ('click', 'error', 'purchase', 'signup', 'view')
+        |         THEN 'type_domain' END) AS failed_checks
+        |FROM events
+        |WHERE value > 300 OR user_id >= 100
+        |   OR event_type NOT IN ('click', 'error', 'purchase', 'signup', 'view')
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import graft.operators.Expectations
+      val stream = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(eventSliceDir(s, d))
+      StreamingRelational.oneShotServe(s, stream, batch =>
+        Expectations.quarantine(batch, Seq(
+            Expectations.rowCheck("value_le_300", col("value") > 300),
+            Expectations.rowCheck("user_lt_100", col("user_id") >= 100),
+            Expectations.rowCheck("type_domain",
+              !col("event_type").isin("click", "error", "purchase", "signup", "view"))))
+          .select(col("event_id"), col("failed_checks")))
+        .orderBy(col("event_id"))
     }
   )
+
+  /** s13's arrival fixture: the events table (gate columns only) in
+    * three id-sliced micro-batches — any slicing works; row-local
+    * checks make the quarantine batch-invariant. */
+  private val eventSliceCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def eventSliceDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    eventSliceCache.computeIfAbsent(d, _ => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      orderedArrivalDir(s, "event-slices", Seq(
+        ev.filter(col("event_id") % 3 === 0),
+        ev.filter(col("event_id") % 3 === 1),
+        ev.filter(col("event_id") % 3 === 2)))
+    })
 
   /** s12's arrival fixture: the documents table in three md5-sliced
     * micro-batches (any slicing works — CMS linearity is the claim). */

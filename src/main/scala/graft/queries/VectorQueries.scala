@@ -537,6 +537,36 @@ object VectorQueries {
         .orderBy(col("qid"), col("rk"))
     },
 
+    // Batched RADIUS search: every corpus vector with cosine ≥ 0.2
+    // against each of the three queries — the recall-first "all matches
+    // above a score floor" retrieval mode (dedup candidate pull),
+    // served from the same bucket index as v15 but with NO top-k
+    // machinery at all: no histogram, no window, no sort — a hot query
+    // matching 10^6 rows pipelines them instead of buffering a top-k
+    // state. Fixed hamming-1 probe radius is the documented recall
+    // knob; the oracle is the exact LSH twin (same inlined planes, same
+    // radius join, same threshold), v05's discipline.
+    sql(
+      "v26_radius_search", {
+        val planes = Similarity.hyperplanes(4, EmbDim)
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |s AS (SELECT vec_id, v, ${sigSql("v", planes)} AS bucket FROM e),
+           |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM s
+           |      WHERE vec_id IN (0, 17, 42)),
+           |m AS (SELECT q.qid, s.vec_id AS id,
+           |        round(list_cosine_similarity(s.v, q.qv), 4) AS score
+           |      FROM q JOIN s ON bit_count(xor(s.bucket, q.qb)) <= 1)
+           |SELECT qid, id, score FROM m WHERE score >= 0.2
+           |ORDER BY qid, id""".stripMargin
+      }) { (s, d) =>
+      Similarity.lshRadiusBatch(
+          servedIndex(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id").isin(0L, 17L, 42L)),
+          col("embedding"), col("vec_id"), dim = EmbDim,
+          threshold = 0.2, nBits = 4, maxHamming = 1)
+        .orderBy(col("qid"), col("id"))
+    },
+
     sql(
       "v13_semantic_decontam",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -752,4 +752,49 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(p.contains("GreaterThanOrEqual(ts,"),
       s"increment cutoff must push into the log scan:\n$p")
   }
+
+  test("q48: unpivot is one scan + one narrow Expand; fan-out collapses before the shuffle") {
+    val p = plan("q48_unpivot")
+    assert(nodeCount(p, "Scan parquet") == 1, s"melt must not re-scan per measure:\n$p")
+    assert(nodeCount(p, "Expand") == 1, s"unpivot plans as a single Expand:\n$p")
+    // Exchange 1 = the group-by hash (AFTER the partial aggregate eats
+    // the 4x fan-out), Exchange 2 = the output orderBy
+    assert(nodeCount(p, "Exchange") == 2,
+      s"partial agg must collapse the melt before the only data shuffle:\n$p")
+    assert(!p.contains("Union"), s"melt is Expand, never a 4-branch union:\n$p")
+  }
+
+  test("q49: table diff hashes payloads below the join and prunes both scans") {
+    val p = plan("q49_table_diff")
+    // payload columns collapse to xxhash64 fingerprints pre-join
+    assert(p.contains("xxhash64"), s"diff must compare fingerprints, not rows:\n$p")
+    // every events scan prunes to key+compare columns — ts and props
+    // (events' widest column) must never be read
+    val reads = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(reads.nonEmpty)
+    assert(reads.forall(r => !r.contains("props") && !r.contains("ts")),
+      s"unused payload columns must prune out of the scans: $reads")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q50: schema evolution serves from ONE merged scan, not a union of generations") {
+    val p = plan("q50_schema_evolution")
+    assert(nodeCount(p, "Scan parquet") == 1,
+      s"mixed-schema files must read as one relation:\n$p")
+    assert(!p.contains("Union"), s"no per-generation union:\n$p")
+    val read = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(read.contains("quality"),
+      s"merged schema must surface the evolved column: $read")
+  }
+
+  test("v26: radius search carries no top-k state — no window, no pre-output sort") {
+    val p = plan("v26_radius_search")
+    assert(!p.contains("Window"), s"threshold search must not rank:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe set and query embeddings must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the only Sort is the deterministic output ordering
+    assert(nodeCount(p, "Sort\\b") <= 1,
+      s"matches must pipeline, not buffer through sorts:\n$p")
+  }
 }

@@ -70,4 +70,43 @@ class ExpectationsSpec extends AnyFunSuite with SparkTestSupport {
     }
     intercept[IllegalArgumentException] { report(df, Nil) }
   }
+
+  private def gateChecks = Seq(
+    rowCheck("id_not_null", $"id".isNull),
+    rowCheck("qty_range", !$"qty".between(1, 25)),
+    rowCheck("flag_domain", !$"flag".isin("A", "B")))
+
+  test("quarantine tags each failing row with every failed check, declaration order") {
+    val q = quarantine(df, gateChecks)
+      .collect().map(r => (r.getAs[Any]("qty"), r.getAs[String]("failed_checks")))
+    // only the (None, 30, "C") row violates — and it fails all three;
+    // qty=NULL is NOT a range violation (NULL predicate = not violating)
+    assert(q.toSeq === Seq((30, "id_not_null,qty_range,flag_domain")))
+  }
+
+  test("quarantine + clean is a partition of the input (no row lost or duplicated)") {
+    val quarantined = quarantine(df, gateChecks).drop("failed_checks")
+    val clean = df.exceptAll(quarantined)
+    assert(quarantined.count() + clean.count() === df.count())
+    assert(clean.unionAll(quarantined).exceptAll(df).isEmpty)
+  }
+
+  test("quarantine is batch-invariant: sliced union equals the whole-table gate") {
+    val whole = quarantine(df, gateChecks).collect().toSet
+    val sliced = quarantine(df.filter($"flag" === "A"), gateChecks)
+      .unionAll(quarantine(df.filter($"flag" =!= "A"), gateChecks))
+      .collect().toSet
+    assert(sliced === whole)
+  }
+
+  test("quarantine refuses non-row checks loudly") {
+    val e = intercept[IllegalArgumentException] {
+      quarantine(df, Seq(rowCheck("ok", $"id".isNull), uniqueKey("u", "id")))
+    }
+    assert(e.getMessage.contains("batch-invariant"))
+    intercept[IllegalArgumentException] {
+      quarantine(df, Seq(foreignKey("fk", Seq("ref_id"), refs, Seq("r_id"))))
+    }
+    intercept[IllegalArgumentException] { quarantine(df, Nil) }
+  }
 }

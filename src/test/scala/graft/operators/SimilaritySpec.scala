@@ -185,6 +185,80 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
     } finally index.unpersist()
   }
 
+  test("lshRadiusBatch: exactly the probed-bucket rows at or above the threshold") {
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      val ang = i * 0.157
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat))
+    }
+    val corpus = rows.toDF("id", "emb")
+    val index = Similarity.lshBuckets(corpus, col("emb"), col("id"), nBits = 4, dim = 2)
+    val buckets = index.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
+    val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val qids = Seq(0L, 7L, 23L)
+    val got = Similarity.lshRadiusBatch(index, corpus.filter(col("id").isin(qids: _*)),
+        col("emb"), col("id"), dim = 2, threshold = 0.5, nBits = 4, maxHamming = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id")) -> r.getAs[Double]("score"))
+      .toMap
+    val expected = (for {
+      q <- qids
+      (id, b) <- buckets
+      if java.lang.Long.bitCount(b ^ buckets(q)) <= 1
+      s = BigDecimal(cos(vecs(q), vecs(id))).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if s >= 0.5
+    } yield (q, id) -> s).toMap
+    assert(got.keySet === expected.keySet)
+    for ((k, s) <- expected)
+      assert(math.abs(got(k) - s) < 2e-4, s"score drift at $k") // rounding-boundary slack
+    // each query matches itself at 1.0
+    for (q <- qids) assert(got((q, q)) === 1.0)
+  }
+
+  test("lshRadiusBatch: maxHamming = nBits is exact full-corpus radius search") {
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      val ang = i * 0.157
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat))
+    }
+    val corpus = rows.toDF("id", "emb")
+    val index = Similarity.lshBuckets(corpus, col("emb"), col("id"), nBits = 4, dim = 2)
+    val got = Similarity.lshRadiusBatch(index, corpus.filter(col("id") === 0L),
+        col("emb"), col("id"), dim = 2, threshold = 0.8, nBits = 4, maxHamming = 4)
+      .collect().map(_.getAs[Long]("id")).toSet
+    // cos(i*0.157) >= 0.8 ⇔ angle <= ~0.6435 ⇒ ids 0..4 (and the
+    // near-2π tail 36..39 wraps back under the angle bound)
+    val expected = rows.collect {
+      case (id, v) if v(0) >= 0.8 - 1e-12 => id
+    }.toSet
+    assert(got === expected)
+    assert(got.contains(0L) && got.size >= 5)
+  }
+
+  test("lshRadiusBatch: duplicate qids collapse, null-embedding queries drop") {
+    import spark.implicits._
+    val corpus = (0 until 20).map { i =>
+      (i.toLong, Array(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat))
+    }.toDF("id", "emb")
+    val index = Similarity.lshBuckets(corpus, col("emb"), col("id"), nBits = 4, dim = 2)
+    val queries = Seq(
+      (100L, Array(1.0f, 0.0f)), (100L, Array(1.0f, 0.0f)),
+      (101L, null: Array[Float])
+    ).toDF("qid", "emb")
+    val got = Similarity.lshRadiusBatch(index, queries, col("emb"), col("qid"),
+        dim = 2, threshold = 0.9, nBits = 4, maxHamming = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id")))
+    assert(got.map(_._1).toSet === Set(100L))
+    // duplicate qid contributes ONCE: ids are unique per query
+    assert(got.length === got.distinct.length)
+    assert(got.map(_._2).toSet === Set(0L, 1L)) // cos(0)=1, cos(0.3)≈0.955
+  }
+
   test("lshKnnBatch: null-embedding query yields no rows, others unaffected") {
     import spark.implicits._
     val corpus = (0 until 20).map { i =>

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSupport
+
+/** Snapshot reconciliation: status labeling, multi-column keys, the
+  * narrow-shuffle design claim, and the internal-name guard. */
+class TableDiffSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private lazy val a = Seq(
+    (1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0)).toDF("k", "s", "v")
+  private lazy val b = Seq(
+    (2L, "y", 2.0), (3L, "zz", 3.0), (4L, "w", 4.0)).toDF("k", "s", "v")
+
+  test("diff labels added / removed / changed / same, one row per key") {
+    val m = TableDiff.diff(a, b, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("drift keeps only non-same; summary counts every status") {
+    val drift = TableDiff.drift(a, b, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(drift === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    val sum = TableDiff.summary(a, b, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum === Map("removed" -> 1L, "same" -> 1L, "changed" -> 1L, "added" -> 1L))
+  }
+
+  test("composite keys: a key-column change reads as remove+add, not change") {
+    // with (k, s) as the key, 3/"z" → 3/"zz" is two different keys
+    val m = TableDiff.diff(a, b, Seq("k", "s"), Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(m((1L, "x")) === "removed")
+    assert(m((2L, "y")) === "same")
+    assert(m((3L, "z")) === "removed")
+    assert(m((3L, "zz")) === "added")
+    assert(m((4L, "w")) === "added")
+  }
+
+  test("identical snapshots drift nothing; disjoint snapshots drift everything") {
+    assert(TableDiff.drift(a, a, Seq("k"), Seq("s", "v")).isEmpty)
+    val disjoint = TableDiff.diff(a, b.withColumn("k", col("k") + 100L),
+      Seq("k"), Seq("s", "v")).collect().map(_.getString(1))
+    assert(disjoint.count(_ == "removed") === 3)
+    assert(disjoint.count(_ == "added") === 3)
+  }
+
+  test("payloads never cross the join: only keys and fingerprints are join inputs") {
+    val df = TableDiff.diff(a, b, Seq("k"), Seq("s", "v"))
+    val joined = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joined.nonEmpty)
+    val joinInputs = joined.head.children.flatMap(_.output.map(_.name)).toSet
+    assert(joinInputs === Set("k", "__fp_a", "__fp_b"),
+      s"payload columns must be hashed below the join, saw $joinInputs")
+  }
+
+  test("key columns colliding with internal fingerprint names are refused") {
+    val bad = a.withColumnRenamed("k", "__fp_a")
+    intercept[IllegalArgumentException] {
+      TableDiff.diff(bad, bad, Seq("__fp_a"), Seq("s", "v"))
+    }
+  }
+}
