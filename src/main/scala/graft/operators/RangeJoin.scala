@@ -73,4 +73,42 @@ object RangeJoin {
       .where(ptTs >= lo && ptTs < hi)
       .drop("__cell")
   }
+
+  /** Interval × interval OVERLAP join: every (left, right) pair whose
+    * half-open windows intersect — `llo < rhi AND rlo < lhi`. The
+    * grid trick generalizes from [[pointInInterval]]: both sides
+    * explode onto cells, the equi-join runs on the cell, and the exact
+    * overlap predicate re-checks.
+    *
+    * Dedup-free by construction: an overlapping pair shares MANY cells,
+    * so the join alone would duplicate it per shared cell — instead the
+    * match is credited to exactly ONE cell, the first both sides cover:
+    * `cell(max(llo, rlo)) = max(cell(llo), cell(rlo))` (the cell map is
+    * monotone). Both intervals contain `max(llo, rlo)` whenever they
+    * overlap (it is the overlap's start, strictly below both his at µs
+    * resolution), so that cell always joins, and the equality filter
+    * keeps it alone — no `dropDuplicates` shuffle chasing the output.
+    *
+    * Same contract as pointInInterval otherwise: half-open [lo, hi),
+    * `div`-truncated µs cells (identical monotone mapping both sides),
+    * column names must not collide across the two inputs, and cell
+    * width tunes interval replication — pick it near the SHORTER
+    * side's typical length. */
+  def intervalOverlap(left: DataFrame, llo: Column, lhi: Column,
+      right: DataFrame, rlo: Column, rhi: Column,
+      cellMicros: Long): DataFrame = {
+    require(cellMicros > 0, s"cellMicros must be positive: $cellMicros")
+    def onGrid(df: DataFrame, lo: Column, hi: Column, startCell: String) =
+      df.withColumn("__lo_us", unix_micros(lo))
+        .withColumn("__hi_us", unix_micros(hi))
+        .withColumn(startCell, expr(s"__lo_us div $cellMicros"))
+        .withColumn("__cell", explode(expr(
+          s"sequence(__lo_us div $cellMicros, (__hi_us - 1) div $cellMicros)")))
+        .drop("__lo_us", "__hi_us")
+    onGrid(left, llo, lhi, "__lstart")
+      .join(onGrid(right, rlo, rhi, "__rstart"), "__cell")
+      .where(llo < rhi && rlo < lhi)
+      .where(col("__cell") === greatest(col("__lstart"), col("__rstart")))
+      .drop("__cell", "__lstart", "__rstart")
+  }
 }

@@ -76,6 +76,43 @@ object JoinQueries {
         .orderBy(col("event_id"), col("campaign"))
     },
 
+    // Interval × interval OVERLAP join: per-user daily activity
+    // windows [first event, last event + 1h) against the campaign
+    // windows — "which campaigns were live while this user was
+    // active". Both sides are intervals, so this is the overlap
+    // generalization of j02: same day-wide grid cells, but each
+    // overlapping pair is credited to exactly ONE shared cell
+    // (max of the two start cells), so the equi-join needs no
+    // dedup shuffle behind it. Oracle: DuckDB's native inequality
+    // join over the same derived windows.
+    sql(
+      "j04_interval_overlap",
+      s"""WITH c(campaign, lo, hi) AS (VALUES
+         |  $campaignsSqlValues),
+         |a AS (SELECT user_id, date_trunc('day', ts) AS day,
+         |        min(ts) AS a_lo, max(ts) + INTERVAL 1 HOUR AS a_hi
+         |      FROM events GROUP BY 1, 2)
+         |SELECT a.user_id, a.day, c.campaign
+         |FROM a JOIN c ON a.a_lo < c.hi AND c.lo < a.a_hi
+         |ORDER BY a.user_id, a.day, c.campaign""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val windows = campaigns
+        .map { case (n, lo, hi) =>
+          (n, java.sql.Timestamp.valueOf(lo), java.sql.Timestamp.valueOf(hi))
+        }
+        .toDF("campaign", "lo", "hi")
+      val activity = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(min(col("ts")).as("a_lo"),
+          (max(col("ts")) + expr("INTERVAL 1 HOUR")).as("a_hi"))
+      RangeJoin.intervalOverlap(
+          activity, col("a_lo"), col("a_hi"),
+          windows, col("lo"), col("hi"),
+          cellMicros = 86400L * 1000000L)
+        .select(col("user_id"), col("day"), col("campaign"))
+        .orderBy(col("user_id"), col("day"), col("campaign"))
+    },
+
     // FORWARD as-of: for every event, the user's NEXT signup at or
     // after the event (merge_asof direction='forward') — same
     // one-shuffle union+window plan as a01, mirrored to

@@ -1256,8 +1256,79 @@ object RelationalQueries {
           count($"quality").as("n_quality"),
           round(sum($"quality") + 1e-9, 2).as("sum_quality"))
         .orderBy($"event_type")
+    },
+
+    // ---- CDC apply (insert / update / DELETE merge) -----------------------------
+    // Cdc.applyChanges: the change-feed fold Upsert (q31) cannot do —
+    // deletes remove keys, per-key netting keeps only the latest
+    // change, and untouched rows leave via an anti join against the
+    // increment-sized key set (the snapshot is never content-
+    // shuffled). Users with user_id % 4 == 1 get no changes, so all
+    // three arms (carry / upsert / delete) are exercised. The oracle
+    // replays the same netting declaratively; s14 folds the SAME
+    // change log in three seq-ordered micro-batches into the same
+    // oracle — the composition law CdcSpec asserts directly.
+    sql("q51_cdc_apply", cdcApplyOracle) { (s, d) =>
+      graft.operators.Cdc
+        .applyChanges(cdcSnapshot(s, d), cdcChanges(s, d), key = "user_id")
+        .orderBy($"user_id")
     }
   )
+
+  /** q51/s14's initial state: each user's latest (event_type, value)
+    * from the low-md5 half of the log — the keyed snapshot a CDC feed
+    * maintains. */
+  private[graft] def cdcSnapshot(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, d).filter(Tables.inLowMd5Half($"event_id"))
+      .select($"user_id", $"event_type", $"value", $"ts", $"event_id")
+      .withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
+      .select($"user_id", $"event_type", $"value")
+  }
+
+  /** q51/s14's change batch: the high-md5 half of the log as a CDC
+    * feed — error events delete the user's row, signups insert,
+    * everything else updates; event_id is the change-log position
+    * (netting order). Every fourth user is left untouched so the
+    * carry arm is non-trivial. */
+  private[graft] def cdcChanges(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, d)
+      .filter(!Tables.inLowMd5Half($"event_id") && $"user_id" % 4 =!= 1)
+      .select($"user_id", $"event_type", $"value",
+        when($"event_type" === "error", "D")
+          .when($"event_type" === "signup", "I")
+          .otherwise("U").as("op"),
+        $"event_id".as("seq"))
+
+  /** q51/s14's shared oracle: the whole-log CDC apply — snapshot from
+    * the low half, netting over the high half, carry/upsert/delete.
+    * LAZY (incrementalAggOracle's forward-reference note). */
+  private[graft] lazy val cdcApplyOracle: String =
+    """WITH snap AS (
+      |  SELECT user_id, event_type, value FROM (
+      |    SELECT user_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events
+      |    WHERE coalesce(substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <= '7', TRUE))
+      |  WHERE rn = 1),
+      |chg AS (
+      |  SELECT user_id, event_type, value,
+      |    CASE WHEN event_type = 'error' THEN 'D'
+      |         WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+      |    event_id AS seq
+      |  FROM events
+      |  WHERE NOT coalesce(substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <= '7', TRUE)
+      |    AND user_id % 4 <> 1),
+      |net AS (
+      |  SELECT user_id, event_type, value, op FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+      |    FROM chg) WHERE rn = 1)
+      |SELECT user_id, event_type, value FROM (
+      |  SELECT s.user_id, s.event_type, s.value FROM snap s
+      |  LEFT JOIN net n ON s.user_id = n.user_id WHERE n.user_id IS NULL
+      |  UNION ALL
+      |  SELECT user_id, event_type, value FROM net WHERE op <> 'D')
+      |ORDER BY user_id""".stripMargin
 
   /** q44's stored sketch state: one HLL per event_type over the
     * historical (low-md5) half, persisted once per sf-dir — the

@@ -407,8 +407,45 @@ object StreamingQueries {
               !col("event_type").isin("click", "error", "purchase", "signup", "view"))))
           .select(col("event_id"), col("failed_checks")))
         .orderBy(col("event_id"))
+    },
+
+    // STREAMING CDC maintenance: q51's change feed arrives as three
+    // seq-contiguous micro-batches (oldest log positions first) and
+    // each batch folds into the snapshot via Cdc.applyChanges — the
+    // live table a change-capture pipeline keeps. Netting composes
+    // across any seq-contiguous slicing (CdcSpec's composition law),
+    // so the folded state must equal the one-big-apply — the oracle is
+    // q51's verbatim (s11/q42's maintenance==rebuild discipline, now
+    // with a DELETE arm in play).
+    sql("s14_stream_cdc", RelationalQueries.cdcApplyOracle) { (s, d) =>
+      val stream = s.readStream
+        .schema("user_id BIGINT, event_type STRING, value DOUBLE, op STRING, seq BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdcSliceDir(s, d))
+      StreamingRelational.oneShotFold(s, stream,
+          RelationalQueries.cdcSnapshot(s, d),
+          (snap, batch) => graft.operators.Cdc.applyChanges(snap, batch, key = "user_id"))
+        .orderBy(col("user_id"))
     }
   )
+
+  /** s14's arrival fixture: the CDC change feed in three
+    * seq-CONTIGUOUS micro-batches (thirds of the seq range) — netting
+    * only composes when later batches carry later log positions per
+    * key, which range slicing guarantees globally. */
+  private val cdcSliceCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdcSliceDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    cdcSliceCache.computeIfAbsent(d, _ => {
+      val chg = RelationalQueries.cdcChanges(s, d)
+      val bounds = chg.agg(min(col("seq")), max(col("seq"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      orderedArrivalDir(s, "cdc-slices", Seq(
+        chg.filter(col("seq") <= t1),
+        chg.filter(col("seq") > t1 && col("seq") <= t2),
+        chg.filter(col("seq") > t2)))
+    })
 
   /** s13's arrival fixture: the events table (gate columns only) in
     * three id-sliced micro-batches — any slicing works; row-local

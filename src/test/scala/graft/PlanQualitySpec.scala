@@ -787,6 +787,26 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"merged schema must surface the evolved column: $read")
   }
 
+  test("j04: interval overlap is a hash join on the grid cell, not a nested loop") {
+    val p = plan("j04_interval_overlap")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi join on __cell:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"overlap join must not fall back to a nested loop:\n$p")
+    // the single-credit-cell filter replaces any dedup of shared cells
+    assert(!p.contains("Deduplicate") && !p.contains("Distinct"),
+      s"pair dedup must be free (credit cell), not a shuffle:\n$p")
+  }
+
+  test("q51: CDC apply — untouched snapshot rows leave via an anti join on bare keys") {
+    val p = plan("q51_cdc_apply")
+    assert(p.contains("LeftAnti"), s"carry arm must be a LEFT ANTI join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // the bare-keys guarantee (no payload through the anti join's build
+    // side) is pinned structurally on the optimized plan in CdcSpec —
+    // node counts here are unstable under AQE's tree duplication
+  }
+
   test("v26: radius search carries no top-k state — no window, no pre-output sort") {
     val p = plan("v26_radius_search")
     assert(!p.contains("Window"), s"threshold search must not rank:\n$p")

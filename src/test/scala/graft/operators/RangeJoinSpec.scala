@@ -69,4 +69,38 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestSupport {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got === Seq(2L -> "x", 3L -> "x", 4L -> "x"))
   }
+
+  // second interval set for the overlap join: adjacency (half-open ⇒
+  // no overlap), containment, multi-cell spans, and a disjoint tail
+  private lazy val rights = Seq(
+    ("r1", ts("2024-01-02 12:00:00"), ts("2024-01-04 00:00:00")), // overlaps a, c; ADJACENT to b
+    ("r2", ts("2024-01-01 06:00:00"), ts("2024-01-01 07:00:00")), // inside a only
+    ("r3", ts("2023-12-25 00:00:00"), ts("2024-02-15 00:00:00")), // contains everything
+    ("r4", ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00"))  // overlaps nothing
+  ).toDF("rname", "rlo", "rhi")
+
+  private def naiveOverlap = intervals
+    .join(rights, col("lo") < col("rhi") && col("rlo") < col("hi"))
+    .select("name", "rname").orderBy("name", "rname")
+    .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+  private def gridOverlap(cellMicros: Long) = RangeJoin
+    .intervalOverlap(intervals, col("lo"), col("hi"),
+      rights, col("rlo"), col("rhi"), cellMicros)
+    .select("name", "rname").orderBy("name", "rname")
+    .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+  test("intervalOverlap matches the nested-loop reference; adjacency is NOT overlap") {
+    val expected = Seq("a" -> "r1", "a" -> "r2", "a" -> "r3", "b" -> "r3",
+      "c" -> "r1", "c" -> "r3", "d" -> "r3")
+    assert(naiveOverlap === expected) // b↔r1 adjacent at 12:00 — excluded
+    assert(gridOverlap(86400L * 1000000L) === expected)
+  }
+
+  test("intervalOverlap is cell-width independent — one credit cell per pair") {
+    val expected = naiveOverlap
+    // hour cells: a↔r3 shares ~48 cells, r3 spans ~1250 — still one row
+    for (w <- Seq(3600L * 1000000L, 86400L * 1000000L, 9999999937L))
+      assert(gridOverlap(w) === expected, s"cellMicros=$w")
+  }
 }
