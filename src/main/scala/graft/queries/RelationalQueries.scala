@@ -1272,6 +1272,40 @@ object RelationalQueries {
       graft.operators.Cdc
         .applyChanges(cdcSnapshot(s, d), cdcChanges(s, d), key = "user_id")
         .orderBy($"user_id")
+    },
+
+    // ---- moment statistics suite ------------------------------------------------
+    // The distribution-drift monitor: correlation, covariance, spread,
+    // shape (skewness/kurtosis), and geometric mean per group — every
+    // one a SINGLE-PASS mergeable co-moment aggregate (partial+final,
+    // no per-group value buffers), so the whole panel costs one scan
+    // at any scale; exact quantiles (the non-mergeable stat) stay in
+    // q26/q39. Definition care: Spark's skewness/kurtosis are
+    // POPULATION moments (g1, excess g2) while DuckDB's skewness is
+    // the bias-corrected sample statistic — the oracle converts via
+    // g1 = G1·(n-2)/sqrt(n(n-1)) and uses kurtosis_pop, which is
+    // Fisher's definition on both engines.
+    sql(
+      "q52_stats_suite",
+      """SELECT event_type,
+        |  round(corr(value, user_id) + 1e-9, 4) AS corr_vu,
+        |  round(covar_samp(value, user_id) + 1e-9, 4) AS covar_vu,
+        |  round(stddev_samp(value) + 1e-9, 4) AS sd_value,
+        |  round(skewness(value) * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)) + 1e-9, 4)
+        |    AS skew_value,
+        |  round(kurtosis_pop(value) + 1e-9, 4) AS kurt_value,
+        |  round(exp(avg(ln(value + 1))) + 1e-9, 4) AS geomean_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          round(corr($"value", $"user_id") + 1e-9, 4).as("corr_vu"),
+          round(covar_samp($"value", $"user_id") + 1e-9, 4).as("covar_vu"),
+          round(stddev_samp($"value") + 1e-9, 4).as("sd_value"),
+          round(skewness($"value") + 1e-9, 4).as("skew_value"),
+          round(kurtosis($"value") + 1e-9, 4).as("kurt_value"),
+          round(exp(avg(log($"value" + 1))) + 1e-9, 4).as("geomean_value"))
+        .orderBy($"event_type")
     }
   )
 

@@ -900,8 +900,48 @@ object TextQueries {
       val cms = graft.operators.HeavyHitters.sketch(
         docTerms(Tables.documents(s, d)), "term", eps = HhEps)
       heavyHitterReport(s, d, cms)
+    },
+
+    // Inverted-index keyword retrieval: a 3-term AND query served from
+    // the prebuilt term→postings index (InvertedIndex) — the corpus is
+    // NOT scanned at query time; only the query terms' hash-bucket
+    // partitions are even listed (PartitionFilters, plan-gated), the
+    // AND is a plain count over distinct postings, and only matched
+    // doc ids leave the index before the broadcast metadata join.
+    // 'dup' is deliberately rare in the synthetic corpus, so the
+    // conjunction is selective. Oracle: the logical AND query over the
+    // same normalize+split tokenizer (t33's SQL twin).
+    sql(
+      "t34_inverted_index",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(${Sql.normalizeText("text")}, ' ')) AS term
+         |  FROM documents),
+         |hit AS (
+         |  SELECT doc_id FROM toks WHERE term IN ('spark', 'merge', 'dup')
+         |  GROUP BY doc_id HAVING count(DISTINCT term) = 3)
+         |SELECT h.doc_id, d.lang, d.source
+         |FROM hit h JOIN documents d USING (doc_id) ORDER BY h.doc_id""".stripMargin) { (s, d) =>
+      graft.operators.InvertedIndex.lookupAll(
+          s, invertedIndexDir(s, d), Seq("spark", "merge", "dup"))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")), "doc_id")
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** t34's served index, built ONCE per sf-dir: distinct (term, doc_id)
+    * postings hash-bucketed into 8 partition directories. */
+  private val invIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def invertedIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    invIndexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "inv-index")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      graft.operators.InvertedIndex.build(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        nBuckets = 8, dir = dir.toString)
+      dir.toString
+    })
 
   /** t33/s12's shared eps — the merged streaming sketch must be
     * parameter-identical to the batch one or mergeInPlace refuses. */

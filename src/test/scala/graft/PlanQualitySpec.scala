@@ -787,6 +787,26 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"merged schema must surface the evolved column: $read")
   }
 
+  test("t34: inverted-index lookup prunes to the query terms' buckets; corpus joins broadcast") {
+    val df = SparkEntry.queries("t34_inverted_index")(spark, sf)
+    val scan = allFileScans(df).find(_.output.exists(_.name == "term"))
+    assert(scan.nonEmpty, "lookup must read the prebuilt postings parquet")
+    assert(scan.get.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+      s"term-bucket predicate must prune at listing time:\n${scan.get.partitionFilters}")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the term IN filter also pushes into the postings scan
+    assert(p.contains("In(term"), s"term predicate must push down:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q52: the whole stats panel is one partial+final pass over one scan") {
+    val p = plan("q52_stats_suite")
+    assert(nodeCount(p, "Scan parquet") == 1, s"six stats must not re-scan:\n$p")
+    assert(nodeCount(p, "HashAggregate") == 2, s"moments must merge partial+final:\n$p")
+    assert(!p.contains("Window"), s"co-moment stats need no value buffers or sorts:\n$p")
+    assert(nodeCount(p, "Exchange") == 2, s"one data shuffle + the output sort:\n$p")
+  }
+
   test("j04: interval overlap is a hash join on the grid cell, not a nested loop") {
     val p = plan("j04_interval_overlap")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
