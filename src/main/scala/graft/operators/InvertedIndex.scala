@@ -55,6 +55,56 @@ object InvertedIndex {
       .readTree(java.nio.file.Files.readString(meta)).get("nBuckets").asInt()
   }
 
+  /** Append new documents' postings under the STORED bucket modulus —
+    * incremental index growth (the v21 discipline: an increment encoded
+    * under a guessed modulus would land terms in the wrong directories
+    * and silently vanish from lookups; reading `_meta.json` makes that
+    * impossible). Caller contract: `docs` are NEW doc ids — re-adding
+    * an id duplicates its postings (delete it first). */
+  def append(docs: DataFrame, idCol: Column, textCol: Column, dir: String): Unit = {
+    val n = readNBuckets(dir)
+    docs.select(idCol.as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(textCol)).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+      .withColumn("bucket", pmod(hash(col("term")), lit(n)))
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+  }
+
+  /** Tombstone whole documents (takedowns, dedup removals). Doc-level —
+    * one tombstone row per id under `dir/_deletes/`, NOT a per-term
+    * rewrite: a delete costs O(1) rows no matter how many terms the
+    * document had. Idempotent (re-deleting dedups at read). */
+  def delete(spark: SparkSession, dir: String, docIds: Seq[Long]): Unit = {
+    require(docIds.nonEmpty, "invertedIndex: empty delete set")
+    import spark.implicits._
+    docIds.toDF("doc_id").write.mode("append")
+      .parquet(java.nio.file.Paths.get(dir, "_deletes").toString)
+  }
+
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(dir, "_deletes")
+    if (java.nio.file.Files.exists(p)) Some(spark.read.parquet(p.toString).distinct())
+    else None
+  }
+
+  /** Rewrite the postings without tombstoned docs and clear the
+    * tombstones — bounds the serve-time anti-join as deletes pile up.
+    * The rewrite lands in a fresh directory (readers of the old one
+    * are never torn); the returned path is the new index root. */
+  def compact(spark: SparkSession, dir: String, outDir: String): String = {
+    val n = readNBuckets(dir)
+    val live = tombstones(spark, dir) match {
+      case Some(t) => spark.read.parquet(dir).join(t, Seq("doc_id"), "left_anti")
+      case None => spark.read.parquet(dir)
+    }
+    live.select(col("doc_id"), col("term"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "_meta.json"), s"""{"nBuckets":$n}""")
+    outDir
+  }
+
   /** Doc ids containing ALL of `terms` (conjunctive keyword query).
     * Terms are normalized-token literals; unknown terms simply match
     * nothing (an AND including one returns empty). */
@@ -69,7 +119,7 @@ object InvertedIndex {
     val buckets = distinctTerms.toDF("term")
       .select(pmod(hash(col("term")), lit(n)).as("bucket"))
       .collect().map(_.getInt(0)).distinct.toSeq
-    spark.read.parquet(dir)
+    val matched = spark.read.parquet(dir)
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(distinctTerms: _*))
       .groupBy(col("doc_id"))
@@ -78,5 +128,13 @@ object InvertedIndex {
       .agg(count(lit(1)).as("__nt"))
       .filter(col("__nt") === distinctTerms.size)
       .select(col("doc_id"))
+    // tombstones apply AFTER the intersection — the anti join runs on
+    // the result-sized hit set, not the postings (v22's live-view
+    // ordering argument); the `_deletes` dir is `_`-prefixed, so the
+    // postings scan never reads it
+    tombstones(spark, dir) match {
+      case Some(t) => matched.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => matched
+    }
   }
 }

@@ -911,22 +911,63 @@ object TextQueries {
     // 'dup' is deliberately rare in the synthetic corpus, so the
     // conjunction is selective. Oracle: the logical AND query over the
     // same normalize+split tokenizer (t33's SQL twin).
+    sql("t34_inverted_index", indexAndOracle) { (s, d) =>
+      indexServe(s, d, invertedIndexDir(s, d))
+    },
+
+    // Incremental index growth: the index is CREATED from the low-md5
+    // half of the corpus and GROWN by appending the high half's
+    // postings under the STORED bucket modulus (_meta.json — a guessed
+    // modulus would scatter terms across wrong directories and
+    // silently lose them from lookups). Serving the two-phase index
+    // must be indistinguishable from t34's one-shot build: the oracle
+    // is t34's verbatim.
+    sql("t35_index_increment", indexAndOracle) { (s, d) =>
+      indexServe(s, d, incrementalIndexDir(s, d))
+    },
+
+    // Index deletes (takedowns / dedup removals): doc-level tombstones
+    // under the index — O(1) rows per deleted doc, no per-term
+    // rewrite — applied as a broadcast anti join AFTER the
+    // intersection, so the serve cost is hit-set-sized. Serving the
+    // tombstoned index must equal querying a corpus that never had
+    // those docs (the oracle excludes doc_id % 7 = 0 declaratively);
+    // InvertedIndexSpec proves tombstoned == compacted == rebuilt.
     sql(
-      "t34_inverted_index",
+      "t36_index_delete",
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split(${Sql.normalizeText("text")}, ' ')) AS term
-         |  FROM documents),
+         |  FROM documents WHERE doc_id % 7 <> 0),
          |hit AS (
          |  SELECT doc_id FROM toks WHERE term IN ('spark', 'merge', 'dup')
          |  GROUP BY doc_id HAVING count(DISTINCT term) = 3)
          |SELECT h.doc_id, d.lang, d.source
          |FROM hit h JOIN documents d USING (doc_id) ORDER BY h.doc_id""".stripMargin) { (s, d) =>
-      graft.operators.InvertedIndex.lookupAll(
-          s, invertedIndexDir(s, d), Seq("spark", "merge", "dup"))
-        .join(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")), "doc_id")
-        .orderBy(col("doc_id"))
+      indexServe(s, d, deletedIndexDir(s, d))
     }
   )
+
+  /** t34-family serve: the 3-term AND lookup joined to the matched
+    * docs' metadata — ONE definition so the build / increment / delete
+    * variants cannot drift in rendering. */
+  private def indexServe(s: org.apache.spark.sql.SparkSession, d: String,
+      indexDir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.InvertedIndex.lookupAll(s, indexDir, Seq("spark", "merge", "dup"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** t34/t35/s15's shared oracle: the logical AND query over the same
+    * normalize+split tokenizer (t33's SQL twin) — every index lifecycle
+    * state must answer exactly this. */
+  private[queries] lazy val indexAndOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(${Sql.normalizeText("text")}, ' ')) AS term
+       |  FROM documents),
+       |hit AS (
+       |  SELECT doc_id FROM toks WHERE term IN ('spark', 'merge', 'dup')
+       |  GROUP BY doc_id HAVING count(DISTINCT term) = 3)
+       |SELECT h.doc_id, d.lang, d.source
+       |FROM hit h JOIN documents d USING (doc_id) ORDER BY h.doc_id""".stripMargin
 
   /** t34's served index, built ONCE per sf-dir: distinct (term, doc_id)
     * postings hash-bucketed into 8 partition directories. */
@@ -940,6 +981,44 @@ object TextQueries {
       graft.operators.InvertedIndex.build(
         Tables.documents(s, d), col("doc_id"), col("text"),
         nBuckets = 8, dir = dir.toString)
+      dir.toString
+    })
+
+  /** t35's two-phase index: created from the low-md5 half, grown by
+    * the high half through the metadata-validated append path. */
+  private val invIncIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def incrementalIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    invIncIndexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "inv-index-inc")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      val docs = Tables.documents(s, d)
+      graft.operators.InvertedIndex.build(
+        docs.filter(Tables.inLowMd5Half(col("doc_id"))), col("doc_id"), col("text"),
+        nBuckets = 8, dir = dir.toString)
+      graft.operators.InvertedIndex.append(
+        docs.filter(!Tables.inLowMd5Half(col("doc_id"))), col("doc_id"), col("text"),
+        dir.toString)
+      dir.toString
+    })
+
+  /** t36's tombstoned index: a full build with every doc_id % 7 == 0
+    * document deleted (its own directory — tombstones are state, and
+    * t34's pristine index must stay pristine). */
+  private val invDelIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deletedIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    invDelIndexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "inv-index-del")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      val docs = Tables.documents(s, d)
+      graft.operators.InvertedIndex.build(
+        docs, col("doc_id"), col("text"), nBuckets = 8, dir = dir.toString)
+      val doomed = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      graft.operators.InvertedIndex.delete(s, dir.toString, doomed)
       dir.toString
     })
 

@@ -69,6 +69,53 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestSupport {
     assert(e.getMessage.contains("_meta.json"))
   }
 
+  test("incremental append == one-shot rebuild, for every query") {
+    val d2 = java.nio.file.Files.createTempDirectory("inv-inc").toString + "/idx"
+    InvertedIndex.build(docs.filter($"doc_id" <= 2), col("doc_id"), col("text"),
+      nBuckets = 4, dir = d2)
+    InvertedIndex.append(docs.filter($"doc_id" > 2), col("doc_id"), col("text"), d2)
+    for (q <- Seq(Seq("spark", "merge"), Seq("merge"), Seq("spark", "merge", "fast")))
+      assert(
+        InvertedIndex.lookupAll(spark, d2, q).collect().map(_.getLong(0)).toSet ===
+          InvertedIndex.lookupAll(spark, dir, q).collect().map(_.getLong(0)).toSet,
+        s"query $q")
+  }
+
+  test("delete tombstones == rebuild without the docs; compact clears them; delete is idempotent") {
+    val d2 = java.nio.file.Files.createTempDirectory("inv-del").toString + "/idx"
+    InvertedIndex.build(docs, col("doc_id"), col("text"), nBuckets = 4, dir = d2)
+    InvertedIndex.delete(spark, d2, Seq(2L, 4L))
+    InvertedIndex.delete(spark, d2, Seq(4L)) // re-delete: no effect
+    val rebuilt = java.nio.file.Files.createTempDirectory("inv-reb").toString + "/idx"
+    InvertedIndex.build(docs.filter(!$"doc_id".isin(2L, 4L)),
+      col("doc_id"), col("text"), nBuckets = 4, dir = rebuilt)
+    def ids(d: String, q: String*) =
+      InvertedIndex.lookupAll(spark, d, q).collect().map(_.getLong(0)).toSet
+    assert(ids(d2, "spark", "merge") === Set(1L))
+    assert(ids(d2, "spark", "merge") === ids(rebuilt, "spark", "merge"))
+    assert(ids(d2, "merge") === ids(rebuilt, "merge"))
+    // compaction rewrites the postings live and drops the tombstones
+    val compacted = java.nio.file.Files.createTempDirectory("inv-cmp").toString + "/idx"
+    InvertedIndex.compact(spark, d2, compacted)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(compacted, "_deletes")))
+    assert(ids(compacted, "merge") === ids(rebuilt, "merge"))
+    assert(ids(compacted, "spark", "merge") === Set(1L))
+  }
+
+  test("delete and append interleave: a re-added doc id serves again after compaction") {
+    val d2 = java.nio.file.Files.createTempDirectory("inv-il").toString + "/idx"
+    InvertedIndex.build(docs, col("doc_id"), col("text"), nBuckets = 4, dir = d2)
+    InvertedIndex.delete(spark, d2, Seq(1L))
+    assert(!InvertedIndex.lookupAll(spark, d2, Seq("fast"))
+      .collect().map(_.getLong(0)).contains(1L))
+    // takedown reversed: compact away the tombstone, then re-add
+    val d3 = java.nio.file.Files.createTempDirectory("inv-il2").toString + "/idx"
+    InvertedIndex.compact(spark, d2, d3)
+    InvertedIndex.append(docs.filter($"doc_id" === 1L), col("doc_id"), col("text"), d3)
+    assert(InvertedIndex.lookupAll(spark, d3, Seq("spark", "merge", "fast"))
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
   test("empty term list and non-positive bucket counts are refused") {
     intercept[IllegalArgumentException] { InvertedIndex.lookupAll(spark, dir, Nil) }
     intercept[IllegalArgumentException] {
