@@ -123,20 +123,40 @@ object Bench {
     if (t == -1.0) "-1"
     else String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
 
+  /** Integer-millisecond render for the stdout tail line (full-precision
+    * seconds live in the committed artifacts); -1 error sentinels stay. */
+  private def fmtMs(t: Double): String =
+    if (t == -1.0) "-1" else math.round(t * 1000.0).toString
+
   /** The short artifact key for a query name: the `q01`/`t30`/`v17`
     * letters+digits prefix before the first underscore, which is unique
     * across the suite by naming convention; names without such a prefix
-    * (gng_*) keep their full name. Collisions (two full names sharing a
-    * prefix) fall back to full names for the colliding set — the line
-    * gets longer but never ambiguous. */
+    * (gng_*) compress to first-token + initials (`gng_throughput` →
+    * `gng_t`). Collisions (two names sharing a key) fall back to full
+    * names for the colliding set — the line gets longer but never
+    * ambiguous (`gng_purity`/`gng_prototypes` both propose `gng_p` and
+    * both stay full). */
   def shortKeys(names: Seq[String]): Map[String, String] = {
     val Pref = "^([a-z]+[0-9]+)_.+$".r
+    def compress(n: String, tailLetters: Int): String = n.split('_') match {
+      case toks if toks.length >= 2 =>
+        toks.head + "_" + toks.tail.map(_.take(tailLetters)).mkString
+      case _ => n
+    }
     val proposed = names.map {
       case n @ Pref(p) => n -> p
-      case n => n -> n
+      case n => n -> compress(n, 1)
     }
-    val clashes = proposed.groupBy(_._2).filter(_._2.size > 1).keySet
-    proposed.map { case (n, p) => n -> (if (clashes.contains(p)) n else p) }.toMap
+    val clash1 = proposed.groupBy(_._2).filter(_._2.size > 1).keySet
+    // initials collision → widen the colliding set to 2 letters per
+    // token before surrendering to full names
+    val retried = proposed.map {
+      case (n, p) if clash1.contains(p) && !n.matches("^[a-z]+[0-9]+_.+$") =>
+        n -> compress(n, 2)
+      case np => np
+    }
+    val clash2 = retried.groupBy(_._2).filter(_._2.size > 1).keySet
+    retried.map { case (n, p) => n -> (if (clash2.contains(p)) n else p) }.toMap
   }
 
   /** The full artifact line: per-query values + per-rep wall/GC detail
@@ -179,19 +199,31 @@ object Bench {
     s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"outliers":$outliers,"errors":$errs,"sf":"$sfDir"}"""
   }
 
-  /** The stdout tail line: [[compactJson]] under short keys, tagged
-    * with the key style and a pointer to the full-name twin. */
+  /** The stdout tail line — the one artifact that must survive the
+    * driver's 2000-char tail capture WITH sbt's closing banner behind
+    * it (r6/r7 shipped truncated lines; budget ≈ 1900 chars). Sized to
+    * hold ~175 queries: short keys, per-query values as INTEGER
+    * MILLISECONDS (tagged `"qunit":"ms"` — a decimal-seconds map blows
+    * the budget at ~150 queries), outliers as a COUNT (the r7
+    * truncation was 15 outliers × ~40 chars of re-run detail — that
+    * detail lives in the committed twin), errors truncated, sf as its
+    * basename. `"full"` points to BENCH_COMPACT.json, which carries
+    * full names, decimal seconds, and complete outlier/rerun detail.
+    * The total `value` stays decimal SECONDS (the driver contract). */
   def compactStdoutJson(results: Seq[Measurement], sfDir: String): String = {
     val keys = shortKeys(results.map(_.name))
-    val inner = compactJson(results, sfDir, keys)
-    // splice the tag fields in after the opening brace — the line stays
-    // one flat JSON object
-    "{\"keys\":\"short\",\"full\":\"BENCH_COMPACT.json\"," + inner.drop(1)
+    val qs = results.map(m => "\"" + keys(m.name) + "\":" + fmtMs(m.value))
+      .mkString("{", ",", "}")
+    val errs = errorsJson(results, keys, maxLen = 60)
+    val total = results.filter(_.err.isEmpty).map(_.value).sum
+    val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
+    s"""{"qunit":"ms","full":"BENCH_COMPACT.json","metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"outliers_n":${results.count(_.isOutlier)},"errors":$errs,"sf":"$sf"}"""
   }
 
   private def errorsJson(results: Seq[Measurement],
-      keyFor: String => String = identity): String =
-    results.flatMap(m => m.err.map(e => "\"" + keyFor(m.name) + "\":" + quote(e)))
+      keyFor: String => String = identity, maxLen: Int = Int.MaxValue): String =
+    results.flatMap(m => m.err.map(e =>
+      "\"" + keyFor(m.name) + "\":" + quote(e.take(maxLen))))
       .mkString("{", ",", "}")
 
   private def quote(s: String): String =

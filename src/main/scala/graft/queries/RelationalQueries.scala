@@ -1306,6 +1306,70 @@ object RelationalQueries {
           round(kurtosis($"value") + 1e-9, 4).as("kurt_value"),
           round(exp(avg(log($"value" + 1))) + 1e-9, 4).as("geomean_value"))
         .orderBy($"event_type")
+    },
+
+    // ---- time-decayed aggregate (recency weighting) -----------------------------
+    // Per-user engagement score with a 7-day half-life: each event
+    // contributes value·2^(-age/7d), aged against the table's max ts
+    // (a 1-row broadcast anchor — t15's n_docs idiom — so the score is
+    // a pure function of the data). The decay is inside a plain SUM —
+    // single-pass, partial+final, no per-user buffers — which is the
+    // trick: recency weighting costs nothing over a plain sum, where a
+    // "recompute from the last 7 days" design would re-scan history
+    // forever. Decay constant inlined as the same double literal in
+    // both engines (dotSql's round-trip discipline).
+    sql(
+      "q53_time_decay", {
+        val lambda = math.log(2.0) / 7.0 // per-day rate for a 7-day half-life
+        s"""WITH mx AS (SELECT max(ts) AS m FROM events)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           |  round(sum(value * exp(-($lambda) *
+           |    (epoch_us((SELECT m FROM mx)) - epoch_us(ts)) / 86400000000.0)) + 1e-9, 4)
+           |    AS decayed_score
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+      }) { (s, d) =>
+      val lambda = math.log(2.0) / 7.0
+      val anchor = Tables.events(s, d).agg(max($"ts").as("m"))
+      Tables.events(s, d)
+        .crossJoin(broadcast(anchor))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value" * exp(lit(-lambda) *
+            (unix_micros($"m") - unix_micros($"ts")) / 86400000000.0d)) + 1e-9, 4)
+            .as("decayed_score"))
+        .orderBy($"user_id")
+    },
+
+    // ---- cohort retention -------------------------------------------------------
+    // The product-analytics matrix: users grouped by their FIRST-seen
+    // day (cohort), counted by how many distinct users return at each
+    // day offset. Two aggregations, both keyed on high-cardinality
+    // columns: first-seen is a per-user min (no window over the raw
+    // log), and the cohort join is a broadcast of the |users|-sized
+    // first-seen table back onto the fact — at 100 TB the dimension
+    // side is what moves, never the log.
+    sql(
+      "q54_cohort_retention",
+      """WITH first_seen AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS cohort FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT e.user_id, f.cohort,
+        |    CAST(date_diff('day', f.cohort, date_trunc('day', e.ts)) AS BIGINT) AS day_offset
+        |  FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+        |SELECT cohort, day_offset, CAST(count(*) AS BIGINT) AS active_users
+        |FROM activity GROUP BY cohort, day_offset
+        |ORDER BY cohort, day_offset""".stripMargin) { (s, d) =>
+      val firstSeen = Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(min(date_trunc("day", $"ts")).as("cohort"))
+      Tables.events(s, d)
+        .join(broadcast(firstSeen), "user_id")
+        .select($"user_id", $"cohort",
+          datediff(date_trunc("day", $"ts"), $"cohort").cast("long").as("day_offset"))
+        .distinct()
+        .groupBy($"cohort", $"day_offset")
+        .agg(count(lit(1)).as("active_users"))
+        .orderBy($"cohort", $"day_offset")
     }
   )
 

@@ -103,12 +103,21 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     val keys = Bench.shortKeys(names)
     assert(keys("q01_pricing_summary") === "q01")
     assert(keys("v17_knn_ivfpq_batch") === "v17")
-    assert(keys("gng_throughput") === "gng_throughput")
+    // non-prefixed names compress to first-token + initials
+    assert(keys("gng_throughput") === "gng_t")
     assert(keys.values.toSet.size === names.size, "keys must stay unique")
     // a genuine prefix collision keeps BOTH full names
     val clash = Bench.shortKeys(Seq("x01_alpha", "x01_beta", "y02_ok"))
     assert(clash("x01_alpha") === "x01_alpha" && clash("x01_beta") === "x01_beta")
     assert(clash("y02_ok") === "y02")
+    // initials collision (purity/prototypes → gng_p) widens to two
+    // letters per token; only a still-colliding set falls back to full
+    val gng = Bench.shortKeys(Seq("gng_purity", "gng_prototypes", "gng_qerror"))
+    assert(gng("gng_purity") === "gng_pu")
+    assert(gng("gng_prototypes") === "gng_pr")
+    assert(gng("gng_qerror") === "gng_q")
+    val dead = Bench.shortKeys(Seq("gng_pure", "gng_purity"))
+    assert(dead("gng_pure") === "gng_pure" && dead("gng_purity") === "gng_purity")
   }
 
   test("all three JSON lines parse; stdout line fits the tail capture at full suite size") {
@@ -128,19 +137,33 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     assert(total > 0)
     // the stdout line is tagged with its key style and full-name twin
     val stdout = mapper.readTree(Bench.compactStdoutJson(rs, "sfX"))
-    assert(stdout.get("keys").asText() === "short")
+    assert(stdout.get("qunit").asText() === "ms")
     assert(stdout.get("full").asText() === "BENCH_COMPACT.json")
     assert(stdout.get("queries").has("a01") && stdout.get("queries").has("bad03"))
     // SIZE GATE: the real suite's names at plausible values must fit
-    // the driver's ~2000-char tail window with headroom — this is the
-    // structural fix for the r6/r7 truncated artifacts
+    // the driver's 2000-char tail window MINUS sbt's ~100-char closing
+    // banner — this is the structural fix for the r6/r7 truncated
+    // artifacts. Outliers must not grow the line (r7's failure mode:
+    // 15 outliers × ~40 chars of inline re-run detail).
+    // value mix mirrors a real closing run (total budget ~100 s caps
+    // how many 4-digit-ms entries can exist at once); every 5th query
+    // is an outlier, which must NOT grow the line (r7's failure mode)
     val real = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex.map { case (n, i) =>
-      Bench.Measurement(n, Seq(((i % 7) + 0.123, 0L)), None)
+      val m = Bench.Measurement(n, Seq((if (i % 10 == 0) 3.21 else 0.453, 0L)), None)
+      if (i % 5 == 0) m.copy(rerunReps = Seq((0.1, 0L)), baseline = Some(0.05)) else m
     }
     val line = Bench.compactStdoutJson(real, "/root/testdata/sf0.1")
-    assert(line.length < 1900, s"stdout line must fit tail capture: ${line.length}")
+    assert(line.length < 1700, s"stdout line must fit tail capture with headroom: ${line.length}")
     val parsed = mapper.readTree(line)
     assert(parsed.get("queries").size() === real.size)
+    assert(parsed.get("qunit").asText() === "ms")
+    assert(parsed.get("outliers_n").asInt() === real.count(_.isOutlier))
+    // growth headroom: ~22 more queries than today still fit the
+    // 2000-char tail minus sbt's closing banner
+    val grown = real ++ (0 until 22).map(i =>
+      Bench.Measurement(f"z$i%02d_future_query_name", Seq((0.51, 0L)), None))
+    assert(Bench.compactStdoutJson(grown, "/root/testdata/sf0.1").length < 1900,
+      "the format must absorb another round of suite growth")
     // round-trip through readBaselines: next round compares against this one
     val tmp = java.nio.file.Files.createTempFile("bench", ".json")
     java.nio.file.Files.writeString(tmp, Bench.detailJson(rs, "sfX"))
