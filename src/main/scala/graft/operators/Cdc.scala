@@ -54,10 +54,13 @@ object Cdc {
       s"cdc: changes must carry ${expected.mkString(",")}, " +
         s"got ${changes.columns.mkString(",")}")
 
+    // coalesce: a NULL op must fail with a readable message, not a
+    // NULL-propagated one (concat of NULL is NULL)
     val opOk = col(opCol).isin("I", "U", "D")
     val validated = changes.withColumn(opCol,
       when(opOk, col(opCol)).otherwise(raise_error(
-        concat(lit(s"cdc: unknown op '"), col(opCol), lit(s"' (want I/U/D)")))))
+        concat(lit(s"cdc: unknown op '"), coalesce(col(opCol), lit("NULL")),
+          lit(s"' (want I/U/D)")))))
 
     // netting: the latest change per key is the batch's whole effect
     val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)

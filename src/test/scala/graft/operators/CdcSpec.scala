@@ -77,13 +77,20 @@ class CdcSpec extends AnyFunSuite with SparkTestSupport {
     assert(whole(5L) === ("e2", 7.0))
   }
 
-  test("an op outside I/U/D fails the job loudly") {
+  test("an op outside I/U/D fails the job loudly — including a NULL op") {
     val bad = Seq((2L, "b", 1.0, "X", 1L)).toDF("k", "attr", "v", "op", "seq")
     val e = intercept[Exception] {
       Cdc.applyChanges(snap, bad, "k").collect()
     }
     assert(e.getMessage.contains("unknown op") ||
       Option(e.getCause).exists(_.getMessage.contains("unknown op")))
+    val nul = Seq((2L, "b", 1.0, null.asInstanceOf[String], 1L))
+      .toDF("k", "attr", "v", "op", "seq")
+    val e2 = intercept[Exception] {
+      Cdc.applyChanges(snap, nul, "k").collect()
+    }
+    val msg = e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("unknown op 'NULL'"), s"NULL op must keep a readable message: $msg")
   }
 
   test("schema contract: missing op/seq or key columns are refused up front") {
