@@ -32,28 +32,66 @@ import org.apache.spark.sql.functions._
   */
 object InvertedIndex {
 
-  /** Tokenize `textCol` ([[graft.functions.TextFunctions.tokens]]),
-    * dedup to (term, doc_id), bucket, and write under `dir`. */
-  def build(docs: DataFrame, idCol: Column, textCol: Column,
-      nBuckets: Int, dir: String): Unit = {
-    require(nBuckets > 0, s"invertedIndex: nBuckets must be positive: $nBuckets")
+  /** Index layout parameters + the corpus statistics BM25 needs.
+    * `totalLen` (not avgdl) is stored because it is ADDITIVE — an
+    * append combines stats exactly instead of re-averaging. */
+  final case class Meta(nBuckets: Int, nDocs: Long, totalLen: Long) {
+    def avgdl: Double = if (nDocs == 0) 0.0 else totalLen.toDouble / nDocs
+  }
+
+  /** One row per (doc, distinct term): tf (in-doc occurrences) and
+    * dlen (the doc's total token count, denormalized onto every
+    * posting — Lucene's norms-in-the-list layout — so scoring never
+    * joins a corpus-sized doc-length table). */
+  private def postingsOf(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     docs.select(idCol.as("doc_id"),
         explode(graft.functions.TextFunctions.tokens(textCol)).as("term"))
       .filter(col("term") =!= "")
-      .distinct()
-      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "_meta.json"), s"""{"nBuckets":$nBuckets}""")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .withColumn("dlen", sum(col("tf")).over(w).cast("int"))
   }
 
-  private def readNBuckets(dir: String): Int = {
+  /** Tokenize `textCol` ([[graft.functions.TextFunctions.tokens]]),
+    * aggregate to (term, doc_id, tf, dlen) postings, bucket, and write
+    * under `dir` with the corpus stats in `_meta.json`. */
+  def build(docs: DataFrame, idCol: Column, textCol: Column,
+      nBuckets: Int, dir: String): Unit = {
+    require(nBuckets > 0, s"invertedIndex: nBuckets must be positive: $nBuckets")
+    val posts = postingsOf(docs, idCol, textCol)
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+    posts.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val stats = spark(docs).read.parquet(dir)
+      .agg(sum(col("tf")).as("total"), countDistinct(col("doc_id")).as("n")).head()
+    writeMeta(dir, Meta(nBuckets,
+      if (stats.isNullAt(1)) 0L else stats.getLong(1),
+      if (stats.isNullAt(0)) 0L else stats.getLong(0)))
+  }
+
+  private def spark(df: DataFrame): SparkSession = df.sparkSession
+
+  private def writeMeta(dir: String, m: Meta): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, "_meta.json.tmp")
+    java.nio.file.Files.writeString(tmp,
+      s"""{"nBuckets":${m.nBuckets},"nDocs":${m.nDocs},"totalLen":${m.totalLen}}""")
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "_meta.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[graft] def readMeta(dir: String): Meta = {
     val meta = java.nio.file.Paths.get(dir, "_meta.json")
     require(java.nio.file.Files.exists(meta),
       s"invertedIndex: $dir has no _meta.json — not a built index")
-    new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(java.nio.file.Files.readString(meta)).get("nBuckets").asInt()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(meta))
+    Meta(node.get("nBuckets").asInt(),
+      if (node.has("nDocs")) node.get("nDocs").asLong() else 0L,
+      if (node.has("totalLen")) node.get("totalLen").asLong() else 0L)
   }
+
+  private def readNBuckets(dir: String): Int = readMeta(dir).nBuckets
 
   /** Append new documents' postings under the STORED bucket modulus —
     * incremental index growth (the v21 discipline: an increment encoded
@@ -62,13 +100,19 @@ object InvertedIndex {
     * impossible). Caller contract: `docs` are NEW doc ids — re-adding
     * an id duplicates its postings (delete it first). */
   def append(docs: DataFrame, idCol: Column, textCol: Column, dir: String): Unit = {
-    val n = readNBuckets(dir)
-    docs.select(idCol.as("doc_id"),
-        explode(graft.functions.TextFunctions.tokens(textCol)).as("term"))
-      .filter(col("term") =!= "")
-      .distinct()
-      .withColumn("bucket", pmod(hash(col("term")), lit(n)))
-      .write.mode("append").partitionBy("bucket").parquet(dir)
+    val m = readMeta(dir)
+    val posts = postingsOf(docs, idCol, textCol)
+      .withColumn("bucket", pmod(hash(col("term")), lit(m.nBuckets)))
+      .localCheckpoint(true) // stats + write must see the SAME increment
+    posts.write.mode("append").partitionBy("bucket").parquet(dir)
+    // corpus stats combine EXACTLY because totalLen/nDocs are additive
+    // over disjoint doc sets — BM25 over the grown index is
+    // bit-identical to a full rebuild (spec-asserted)
+    val inc = posts.agg(sum(col("tf")).as("total"),
+      countDistinct(col("doc_id")).as("n")).head()
+    writeMeta(dir, Meta(m.nBuckets,
+      m.nDocs + (if (inc.isNullAt(1)) 0L else inc.getLong(1)),
+      m.totalLen + (if (inc.isNullAt(0)) 0L else inc.getLong(0))))
   }
 
   /** Tombstone whole documents (takedowns, dedup removals). Doc-level —
@@ -98,11 +142,59 @@ object InvertedIndex {
       case Some(t) => spark.read.parquet(dir).join(t, Seq("doc_id"), "left_anti")
       case None => spark.read.parquet(dir)
     }
-    live.select(col("doc_id"), col("term"), col("bucket"))
+    live.select(col("doc_id"), col("term"), col("tf"), col("dlen"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outDir, "_meta.json"), s"""{"nBuckets":$n}""")
+    // stats recomputed over the survivors — compaction is also where
+    // BM25's nDocs/avgdl shed the tombstoned docs (until then they are
+    // documented as stale-inclusive, like every tombstone design)
+    val stats = spark.read.parquet(outDir)
+      .agg(sum(col("tf")).as("total"), countDistinct(col("doc_id")).as("n")).head()
+    writeMeta(outDir, Meta(n,
+      if (stats.isNullAt(1)) 0L else stats.getLong(1),
+      if (stats.isNullAt(0)) 0L else stats.getLong(0)))
     outDir
+  }
+
+  /** BM25-ranked top-k retrieval (Lucene's formulation:
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)), tf-saturation k1, length
+    * normalization b) — OR semantics: a doc matching ANY query term
+    * scores on the terms it matches. Everything rides the pruned
+    * postings scan: df per term is a tiny aggregate over exactly the
+    * probed buckets (a term's postings live in ONE bucket), dlen is
+    * denormalized on the posting row so no doc-length join exists,
+    * N/avgdl come from `_meta.json` as plan constants, and the top-k
+    * is TakeOrdered on the 4-dp-rounded score (rounded BEFORE ranking
+    * so the order — and therefore the k-boundary — is reproducible
+    * across engines; ties break on doc_id). Tombstoned docs are
+    * excluded from results but remain in N/avgdl until [[compact]]
+    * (the standard stale-stats trade of tombstone designs). */
+  def bm25TopK(spark: SparkSession, dir: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "invertedIndex: at least one query term")
+    require(k > 0, s"invertedIndex: k must be positive: $k")
+    val distinctTerms = terms.distinct
+    val m = readMeta(dir)
+    require(m.nDocs > 0, s"invertedIndex: $dir has no documents")
+    import spark.implicits._
+    val buckets = distinctTerms.toDF("term")
+      .select(pmod(hash(col("term")), lit(m.nBuckets)).as("bucket"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val hits = spark.read.parquet(dir)
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(distinctTerms: _*))
+    val df = hits.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) +
+      (lit(m.nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dlen") / lit(m.avgdl)))
+    val scored = hits.join(broadcast(df), "term")
+      .groupBy(col("doc_id"))
+      .agg(round(sum(contrib) + 1e-9, 4).as("score"))
+    val live = tombstones(spark, dir) match {
+      case Some(t) => scored.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => scored
+    }
+    live.orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
   /** Doc ids containing ALL of `terms` (conjunctive keyword query).

@@ -944,6 +944,40 @@ object TextQueries {
          |SELECT h.doc_id, d.lang, d.source
          |FROM hit h JOIN documents d USING (doc_id) ORDER BY h.doc_id""".stripMargin) { (s, d) =>
       indexServe(s, d, deletedIndexDir(s, d))
+    },
+
+    // BM25-ranked retrieval (Lucene's formulation) over the served
+    // inverted index: OR-semantics scoring of a 3-term query, top-10
+    // by the 4-dp-rounded score (rounded BEFORE ranking so the
+    // k-boundary is engine-reproducible; ties on doc_id). Everything
+    // rides the bucket-pruned postings scan — df is a tiny aggregate
+    // over the probed buckets (a term's postings live in ONE bucket),
+    // dlen is denormalized on the posting row (no doc-length join),
+    // N/avgdl are plan constants from _meta.json. The oracle re-derives
+    // tf/dlen/df/N/avgdl from the raw corpus and scores with the same
+    // formula — the index must be a lossless rearrangement.
+    sql(
+      "t37_bm25_search",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(${Sql.normalizeText("text")}, ' ')) AS term
+         |  FROM documents),
+         |tc AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |       FROM toks WHERE term <> '' GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, sum(tf) AS dlen FROM tc GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dlen) AS avgdl FROM dl),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tc
+         |       WHERE term IN ('spark', 'merge', 'dup') GROUP BY term),
+         |sc AS (
+         |  SELECT tc.doc_id,
+         |    round(sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+         |      (tc.tf * 2.2) / (tc.tf + 1.2 * (0.25 + 0.75 * dl.dlen / st.avgdl)))
+         |      + 1e-9, 4) AS score
+         |  FROM tc JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  GROUP BY tc.doc_id)
+         |SELECT doc_id, score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      graft.operators.InvertedIndex.bm25TopK(
+        s, invertedIndexDir(s, d), Seq("spark", "merge", "dup"), k = 10)
     }
   )
 

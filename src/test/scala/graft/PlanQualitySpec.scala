@@ -807,6 +807,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(nodeCount(p, "Exchange") == 2, s"one data shuffle + the output sort:\n$p")
   }
 
+  test("t37: BM25 — pruned postings scan, broadcast df, TakeOrdered top-k") {
+    val df = SparkEntry.queries("t37_bm25_search")(spark, sf)
+    val scan = allFileScans(df).find(_.output.exists(_.name == "tf"))
+    assert(scan.nonEmpty, "scoring must read the prebuilt postings parquet")
+    assert(scan.get.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+      s"term-bucket predicate must prune at listing time:\n${scan.get.partitionFilters}")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not globally sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the per-term df table must broadcast:\n$p")
+  }
+
   test("j04: interval overlap is a hash join on the grid cell, not a nested loop") {
     val p = plan("j04_interval_overlap")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),

@@ -116,6 +116,66 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestSupport {
       .collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
+  test("bm25 scores match the hand-computed Lucene formula; ranking on rounded score") {
+    val got = InvertedIndex.bm25TopK(spark, dir, Seq("spark", "merge"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // reference: recompute from the fixture (normalized tokens)
+    val toks = Map(
+      1L -> Seq("spark", "merge", "fast"),
+      2L -> Seq("spark", "spark", "merge", "merge"),
+      3L -> Seq("merge", "only", "here"),
+      4L -> Seq("spark", "merge"),
+      5L -> Seq("nothing", "relevant"))
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    def df(t: String) = toks.values.count(_.contains(t)).toDouble
+    def score(d: Long): Double = {
+      val s = Seq("spark", "merge").map { t =>
+        val tf = toks(d).count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * toks(d).size / avgdl))
+      }.sum
+      BigDecimal(s + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = Seq(1L, 2L, 3L, 4L).map(d => d -> score(d))
+      .sortBy { case (d, sc) => (-sc, d) }.take(5)
+    assert(got.toSeq === expected)
+    // doc 2's repeated terms saturate, not double: tf=2 scores < 2x tf=1
+    assert(got.toMap.apply(2L) < 2 * got.toMap.apply(4L))
+  }
+
+  test("bm25 over an incrementally-grown index == full rebuild (stats are additive)") {
+    val inc = java.nio.file.Files.createTempDirectory("inv-bm-inc").toString + "/idx"
+    InvertedIndex.build(docs.filter($"doc_id" <= 2), col("doc_id"), col("text"),
+      nBuckets = 4, dir = inc)
+    InvertedIndex.append(docs.filter($"doc_id" > 2), col("doc_id"), col("text"), inc)
+    assert(InvertedIndex.readMeta(inc) === InvertedIndex.readMeta(dir))
+    val a = InvertedIndex.bm25TopK(spark, inc, Seq("spark", "merge"), k = 5).collect().toSeq
+    val b = InvertedIndex.bm25TopK(spark, dir, Seq("spark", "merge"), k = 5).collect().toSeq
+    assert(a === b)
+  }
+
+  test("bm25 excludes tombstoned docs; compaction refreshes the corpus stats") {
+    val d2 = java.nio.file.Files.createTempDirectory("inv-bm-del").toString + "/idx"
+    InvertedIndex.build(docs, col("doc_id"), col("text"), nBuckets = 4, dir = d2)
+    InvertedIndex.delete(spark, d2, Seq(2L))
+    val served = InvertedIndex.bm25TopK(spark, d2, Seq("spark"), k = 5)
+      .collect().map(_.getLong(0))
+    assert(!served.contains(2L) && served.nonEmpty)
+    // stats still count the tombstoned doc (documented staleness) ...
+    assert(InvertedIndex.readMeta(d2).nDocs === 5L)
+    // ... until compaction recomputes them over the survivors
+    val cmp = java.nio.file.Files.createTempDirectory("inv-bm-cmp").toString + "/idx"
+    InvertedIndex.compact(spark, d2, cmp)
+    assert(InvertedIndex.readMeta(cmp).nDocs === 4L)
+    val rebuilt = java.nio.file.Files.createTempDirectory("inv-bm-reb").toString + "/idx"
+    InvertedIndex.build(docs.filter($"doc_id" =!= 2L), col("doc_id"), col("text"),
+      nBuckets = 4, dir = rebuilt)
+    assert(InvertedIndex.bm25TopK(spark, cmp, Seq("spark", "merge"), 5).collect().toSeq ===
+      InvertedIndex.bm25TopK(spark, rebuilt, Seq("spark", "merge"), 5).collect().toSeq)
+  }
+
   test("empty term list and non-positive bucket counts are refused") {
     intercept[IllegalArgumentException] { InvertedIndex.lookupAll(spark, dir, Nil) }
     intercept[IllegalArgumentException] {
