@@ -34,6 +34,12 @@ object ImageHeader {
   def jpegDims(payload: Column): Column =
     graftx.column(JpegDimsExpr(graftx.expr(payload)))
 
+  /** `gif_dims(payload)`: the logical-screen dimensions from a
+    * GIF87a/GIF89a header — LITTLE-endian u16s, unlike PNG/JPEG's
+    * big-endian fields — or NULL. */
+  def gifDims(payload: Column): Column =
+    graftx.column(GifDimsExpr(graftx.expr(payload)))
+
   val dimsType: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
@@ -117,6 +123,23 @@ object ImageHeaderImpl {
     }
     null
   }
+
+  @inline private def le16(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+
+  /** GIF: 6-byte version signature ("GIF87a" / "GIF89a"), then the
+    * logical screen descriptor — width(2) height(2) LITTLE-endian,
+    * packed(1), background(1), aspect(1). GIF pixels are always
+    * palette-indexed, so channels = 1 (the PNG color-type-3
+    * convention). */
+  def gifDims(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 13) return null
+    if (u8(bytes, 0) != 'G' || u8(bytes, 1) != 'I' || u8(bytes, 2) != 'F' ||
+        u8(bytes, 3) != '8' ||
+        (u8(bytes, 4) != '7' && u8(bytes, 4) != '9') ||
+        u8(bytes, 5) != 'a') return null
+    row(le16(bytes, 6), le16(bytes, 8), 1)
+  }
 }
 
 abstract class DimsExpr extends UnaryExpression {
@@ -146,5 +169,14 @@ case class JpegDimsExpr(child: Expression) extends DimsExpr {
   override protected def nullSafeEval(input: Any): Any =
     ImageHeaderImpl.jpegDims(input.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): JpegDimsExpr =
+    copy(child = newChild)
+}
+
+case class GifDimsExpr(child: Expression) extends DimsExpr {
+  override def prettyName: String = "gif_dims"
+  override protected def implName: String = "gifDims"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageHeaderImpl.gifDims(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): GifDimsExpr =
     copy(child = newChild)
 }

@@ -71,6 +71,7 @@ object Multimodal {
     import graft.expressions.ImageHeader
     when(sniffFormat(payload) === "png", ImageHeader.pngDims(payload))
       .when(sniffFormat(payload) === "jpeg", ImageHeader.jpegDims(payload))
+      .when(sniffFormat(payload) === "gif", ImageHeader.gifDims(payload))
       .otherwise(lit(null).cast(ImageHeader.dimsType))
   }
 

@@ -31,12 +31,14 @@ object MultimodalQueries {
     "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'image' " +
       "WHEN 2 THEN 'audio' ELSE 'text' END"
 
-  /** m03's payload: a WELL-FORMED image header synthesized from doc_id
-    * (all lengths/dims big-endian by formula), followed by the text
-    * bytes as body. JPEG headers interleave variable-length APP0/COM
-    * segments, a DHT, and a fill byte before the SOF0 so the parser
-    * must walk the marker-segment chain; PNG headers are a real
-    * signature + IHDR with a per-document color type. */
+  /** m03's payload: a WELL-FORMED image header synthesized from doc_id,
+    * followed by the text bytes as body. JPEG headers interleave
+    * variable-length APP0/COM segments, a DHT, and a fill byte before
+    * the SOF0 so the parser must walk the marker-segment chain; PNG
+    * headers are a real signature + IHDR with a per-document color
+    * type (big-endian dims); every doc_id % 8 == 5 document gets a
+    * GIF89a header instead — LITTLE-endian dims, so the parser's
+    * byte-order handling is exercised in both directions. */
   private val m03PayloadExpr = expr(
     """unhex(CASE WHEN CAST(doc_id % 4 AS INT) = 0 THEN
       |  concat('FFD8',
@@ -51,6 +53,13 @@ object MultimodalQueries {
       |    lpad(hex(80 + (doc_id * 7) % 1000), 4, '0'),
       |    lpad(hex(1 + (doc_id % 2) * 2), 2, '0'),
       |    repeat('00', CAST(3 * (1 + (doc_id % 2) * 2) AS INT)))
+      |WHEN CAST(doc_id % 8 AS INT) = 5 THEN
+      |  concat('474946383961',
+      |    substr(lpad(hex(16 + doc_id % 2000), 4, '0'), 3, 2),
+      |    substr(lpad(hex(16 + doc_id % 2000), 4, '0'), 1, 2),
+      |    substr(lpad(hex(16 + (doc_id * 3) % 2000), 4, '0'), 3, 2),
+      |    substr(lpad(hex(16 + (doc_id * 3) % 2000), 4, '0'), 1, 2),
+      |    '000000')
       |ELSE
       |  concat('89504E470D0A1A0A', '0000000D', '49484452',
       |    lpad(hex(16 + doc_id % 2000), 8, '0'),
@@ -120,15 +129,18 @@ object MultimodalQueries {
     sql(
       "m03_image_decode",
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 4 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'jpeg'
+        |       WHEN doc_id % 8 = 5 THEN 'gif' ELSE 'png' END AS format,
         |  CAST(CASE WHEN doc_id % 4 = 0 THEN 80 + (doc_id * 7) % 1000
         |            ELSE 16 + doc_id % 2000 END AS INT) AS width,
         |  CAST(CASE WHEN doc_id % 4 = 0 THEN 120 + doc_id % 1000
         |            ELSE 16 + (doc_id * 3) % 2000 END AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 + (doc_id % 2) * 2
+        |       WHEN doc_id % 8 = 5 THEN 1
         |       ELSE CASE (doc_id // 4) % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
         |            WHEN 2 THEN 2 ELSE 4 END END AS INT) AS channels,
         |  CAST(224 * 224 * (CASE WHEN doc_id % 4 = 0 THEN 1 + (doc_id % 2) * 2
+        |       WHEN doc_id % 8 = 5 THEN 1
         |       ELSE CASE (doc_id // 4) % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
         |            WHEN 2 THEN 2 ELSE 4 END END) AS INT) AS resized_est_bytes
         |FROM documents WHERE CAST(doc_id % 4 AS INT) IN (0, 1)
@@ -140,7 +152,9 @@ object MultimodalQueries {
         .withColumn("resized", Multimodal.resizeStub(col("meta"), 224, 224))
       docs.select(
           col("doc_id"),
-          when(expr("CAST(doc_id % 4 AS INT) = 0"), "jpeg").otherwise("png").as("format"),
+          when(expr("CAST(doc_id % 4 AS INT) = 0"), "jpeg")
+            .when(expr("CAST(doc_id % 8 AS INT) = 5"), "gif")
+            .otherwise("png").as("format"),
           col("meta.width").as("width"),
           col("meta.height").as("height"),
           col("meta.channels").as("channels"),

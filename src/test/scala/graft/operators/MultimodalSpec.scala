@@ -139,13 +139,38 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     assert(got(8L) === Some((33, 44, 4)))
   }
 
+  test("gif_dims: little-endian screen descriptor; 87a and 89a; malformed -> NULL") {
+    import spark.implicits._
+    def gif(ver: Char, w: Int, h: Int): Array[Byte] =
+      s"GIF8${ver}a".getBytes ++
+        bin(w & 0xff, w >>> 8, h & 0xff, h >>> 8, 0, 0, 0)
+    val rows = Seq(
+      (1L, gif('9', 640, 480)),
+      (2L, gif('7', 1, 1)),
+      (3L, gif('9', 300, 2)),          // LE: 300 = 0x2C 0x01 — a BE parse reads 11265
+      (4L, gif('9', 0, 5)),            // zero width: malformed
+      (5L, gif('9', 5, 5).take(9)),    // truncated descriptor
+      (6L, "GIF90a".getBytes ++ bin(1, 0, 1, 0, 0, 0, 0)), // unknown version
+      (7L, "not gif".getBytes.map(identity)))
+      .toDF("id", "payload")
+    val got = rows.select(col("id"),
+        graft.expressions.ImageHeader.gifDims(col("payload")).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getStruct(1)).map(s => (s.getInt(0), s.getInt(1), s.getInt(2)))).toMap
+    assert(got(1L) === Some((640, 480, 1)))
+    assert(got(2L) === Some((1, 1, 1)))
+    assert(got(3L) === Some((300, 2, 1)))
+    for (bad <- Seq(4L, 5L, 6L, 7L)) assert(got(bad).isEmpty, s"id=$bad must be NULL")
+  }
+
   test("decodeImageHeader dispatches by sniffed magic; non-image formats stay NULL") {
     import spark.implicits._
     val jpeg = bin(0xFF, 0xD8, 0xFF, 0xC0, 0, 11, 8, 0, 5, 0, 6, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     val rows = Seq(
       (1L, jpeg),
       (2L, bin(0x52, 0x49, 0x46, 0x46) ++ "wav".getBytes), // riff: no parser
-      (3L, "plain".getBytes.map(identity)))
+      (3L, "plain".getBytes.map(identity)),
+      (4L, "GIF89a".getBytes ++ bin(2, 1, 3, 1, 0, 0, 0))) // gif now dispatches
       .toDF("id", "payload")
     val got = rows.select(col("id"),
         Multimodal.decodeImageHeader(col("payload")).as("m"))
@@ -153,6 +178,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
         Option(r.getStruct(1)).map(s => (s.getInt(0), s.getInt(1), s.getInt(2)))).toMap
     assert(got(1L) === Some((6, 5, 3)))
     assert(got(2L).isEmpty && got(3L).isEmpty)
+    assert(got(4L) === Some((258, 259, 1)))
   }
 
   test("decodeImageStub + resizeStub metadata arithmetic") {

@@ -103,4 +103,27 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestSupport {
     for (w <- Seq(3600L * 1000000L, 86400L * 1000000L, 9999999937L))
       assert(gridOverlap(w) === expected, s"cellMicros=$w")
   }
+
+  test("intervalOverlap: randomized parity with the nested-loop reference (seeded)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    def randIntervals(n: Int, tag: String) = (0 until n).map { i =>
+      val lo = t0 + rng.nextInt(30 * 86400).toLong * 1000L
+      val len = (1L + rng.nextInt(5 * 86400)) * 1000L
+      (s"$tag$i", new Timestamp(lo), new Timestamp(lo + len))
+    }
+    val ls = randIntervals(120, "L").toDF("lname", "llo", "lhi")
+    val rs = randIntervals(40, "R").toDF("rname", "rlo", "rhi")
+    val expected = ls.join(rs, col("llo") < col("rhi") && col("rlo") < col("lhi"))
+      .select("lname", "rname").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(expected.nonEmpty && expected.size < 120 * 40) // non-trivial fixture
+    for (w <- Seq(3600L * 1000000L, 86400L * 1000000L)) {
+      val got = RangeJoin.intervalOverlap(ls, col("llo"), col("lhi"),
+          rs, col("rlo"), col("rhi"), w)
+        .select("lname", "rname").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(got.length === got.distinct.length, s"duplicates at cellMicros=$w")
+      assert(got.toSet === expected, s"cellMicros=$w")
+    }
+  }
 }

@@ -59,6 +59,27 @@ class TableDiffSpec extends AnyFunSuite with SparkTestSupport {
       s"payload columns must be hashed below the join, saw $joinInputs")
   }
 
+  test("randomized mutation sets are recovered exactly (seeded)") {
+    val rng = new scala.util.Random(13)
+    val base = (0L until 500L).map(k => (k, s"p$k", rng.nextDouble()))
+    val removed = rng.shuffle(base.map(_._1).toList).take(60).toSet
+    val changed = rng.shuffle(base.map(_._1).filterNot(removed).toList).take(80).toSet
+    val added = (1000L until 1040L).toSet
+    val aDf = base.toDF("k", "s", "v")
+    val bRows = base.filterNot(r => removed(r._1))
+      .map { case (k, s, v) => if (changed(k)) (k, s, v + 1.0) else (k, s, v) } ++
+      added.toSeq.map(k => (k, s"new$k", 0.5))
+    val bDf = bRows.toDF("k", "s", "v")
+    val got = TableDiff.drift(aDf, bDf, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === removed.size + changed.size + added.size)
+    removed.foreach(k => assert(got(k) === "removed", s"k=$k"))
+    changed.foreach(k => assert(got(k) === "changed", s"k=$k"))
+    added.foreach(k => assert(got(k) === "added", s"k=$k"))
+    // and the untouched majority never surfaces
+    assert(!got.keySet.exists(k => !removed(k) && !changed(k) && !added(k)))
+  }
+
   test("key columns colliding with internal fingerprint names are refused") {
     val bad = a.withColumnRenamed("k", "__fp_a")
     intercept[IllegalArgumentException] {
