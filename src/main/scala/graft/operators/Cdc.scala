@@ -69,7 +69,11 @@ object Cdc {
       .filter(col("__rn") === 1)
       .drop("__rn")
 
-    val untouched = snapshot.join(net.select(col(key)), Seq(key), "left_anti")
+    // the touched-key set is increment-sized — hint it explicitly so a
+    // missing size estimate on the post-window subtree can never
+    // degrade this into a SortMergeJoin that shuffles the snapshot
+    // (the content-never-shuffles guarantee this operator is built on)
+    val untouched = snapshot.join(broadcast(net.select(col(key))), Seq(key), "left_anti")
     val upserted = net.filter(col(opCol) =!= "D")
       .select(payloadCols.map(col): _*)
     untouched.unionByName(upserted)

@@ -62,6 +62,11 @@ object InvertedIndex {
     val posts = postingsOf(docs, idCol, textCol)
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
     posts.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    // stats from a column-pruned re-read of the WRITTEN index (tf +
+    // doc_id only) — deliberately not localCheckpoint(posts): a full
+    // corpus build's postings are corpus-scale and caching them to
+    // score two scalars costs more than this narrow columnar scan
+    // (append caches because its increment is increment-sized)
     val stats = spark(docs).read.parquet(dir)
       .agg(sum(col("tf")).as("total"), countDistinct(col("doc_id")).as("n")).head()
     writeMeta(dir, Meta(nBuckets,
@@ -98,9 +103,23 @@ object InvertedIndex {
     * under a guessed modulus would land terms in the wrong directories
     * and silently vanish from lookups; reading `_meta.json` makes that
     * impossible). Caller contract: `docs` are NEW doc ids — re-adding
-    * an id duplicates its postings (delete it first). */
+    * a live id duplicates its postings. Re-adding a TOMBSTONED id is
+    * REFUSED loudly: the tombstone would keep the new postings
+    * invisible and the next [[compact]] would silently drop them —
+    * compact the tombstones away first (takedown reversal,
+    * spec-asserted), then append. */
   def append(docs: DataFrame, idCol: Column, textCol: Column, dir: String): Unit = {
     val m = readMeta(dir)
+    val sess = spark(docs)
+    tombstones(sess, dir).foreach { t =>
+      val clash = docs.select(idCol.as("doc_id")).distinct()
+        .join(broadcast(t), "doc_id").limit(5)
+        .collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"invertedIndex: appending tombstoned doc ids ${clash.mkString(",")} — " +
+          "their postings would stay invisible and compact() would drop them; " +
+          "compact the index first")
+    }
     val posts = postingsOf(docs, idCol, textCol)
       .withColumn("bucket", pmod(hash(col("term")), lit(m.nBuckets)))
       .localCheckpoint(true) // stats + write must see the SAME increment

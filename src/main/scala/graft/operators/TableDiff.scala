@@ -27,10 +27,12 @@ import org.apache.spark.sql.functions._
   * (a NULL key never equi-joins, so it would always report as
   * added+removed; duplicate keys would cross-multiply in the join).
   * The fingerprint compare inherits xxhash64's collision bound: a
-  * changed row is mislabeled `same` with probability 2^-64 per key —
+  * changed row is mislabeled `same` with probability ~2^-64 per key —
   * the standard trade accepted by every hash-based reconciler; pass the
   * compare columns themselves as keys to force exact comparison of a
-  * suspect subset.
+  * suspect subset. NULL arrangements are disambiguated explicitly
+  * (each column hashes alongside its isNull flag), so a value moving
+  * between columns via NULLs is always `changed`, never `same`.
   */
 object TableDiff {
 
@@ -42,8 +44,17 @@ object TableDiff {
     require(!keys.exists(Set("__fp_a", "__fp_b")),
       "TableDiff: key columns collide with internal fingerprint names")
 
+    // xxhash64 SKIPS null children (the running hash passes through
+    // unchanged), so hashing the bare columns would make
+    // (NULL, 'x') and ('x', NULL) collide deterministically — a
+    // changed row labeled `same` every run, not a 2^-64 accident.
+    // Interleaving each column with its isNull flag (0/1, never null)
+    // disambiguates every null arrangement: rows differing only in
+    // null positions fold different flag sequences.
     def fingerprinted(df: DataFrame, fpName: String): DataFrame =
-      df.select(keys.map(col) :+ xxhash64(compare.map(col): _*).as(fpName): _*)
+      df.select(keys.map(col) :+
+        xxhash64(compare.flatMap(c =>
+          Seq(col(c).isNull.cast("int"), col(c))): _*).as(fpName): _*)
 
     val fa = fingerprinted(a, "__fp_a")
     val fb = fingerprinted(b, "__fp_b")

@@ -448,14 +448,26 @@ object StreamingQueries {
         .option("maxFilesPerTrigger", 1)
         .parquet(documentSliceDir(s, d))
       import s.implicits._
-      val state = StreamingRelational.oneShotFold(s, stream,
+      val state = StreamingRelational.oneShotFoldWithEpoch(s, stream,
         Seq(0L).toDF("n_batches"),
-        (st, batch) => {
-          if (!java.nio.file.Files.exists(idx.resolve("_meta.json")))
-            InvertedIndex.build(batch, col("doc_id"), col("text"),
-              nBuckets = 8, dir = idx.toString)
-          else
-            InvertedIndex.append(batch, col("doc_id"), col("text"), idx.toString)
+        (st, batch, epoch) => {
+          // idempotence marker: foreachBatch is at-least-once, and a
+          // re-delivered batch re-appending its postings would break
+          // lookupAll's distinct-postings invariant (count == q would
+          // silently drop matching docs). Marker written AFTER the
+          // append: redelivery after a completed-but-uncommitted batch
+          // skips cleanly; a crash INSIDE the append itself leaves
+          // partial files that only compact()'s staged rewrite can
+          // reconcile — documented, not hidden.
+          val marker = idx.resolve(s"_applied_$epoch")
+          if (!java.nio.file.Files.exists(marker)) {
+            if (!java.nio.file.Files.exists(idx.resolve("_meta.json")))
+              InvertedIndex.build(batch, col("doc_id"), col("text"),
+                nBuckets = 8, dir = idx.toString)
+            else
+              InvertedIndex.append(batch, col("doc_id"), col("text"), idx.toString)
+            java.nio.file.Files.createFile(marker)
+          }
           st.select((col("n_batches") + 1L).as("n_batches"))
         })
       require(state.head().getLong(0) >= 3L, "s15: expected three arriving batches")

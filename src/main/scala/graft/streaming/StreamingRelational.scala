@@ -297,6 +297,31 @@ object StreamingRelational {
     state
   }
 
+  /** [[oneShotFold]] passing the micro-batch id into `step` — for
+    * folds whose step performs EXTERNAL side effects (growing an
+    * on-disk index, appending to a table): foreachBatch is
+    * at-least-once, so a re-delivered batch would re-run the side
+    * effect; the id lets the step keep an idempotence marker and skip
+    * batches it has already applied (s15's `_applied_N` files). */
+  def oneShotFoldWithEpoch(spark: SparkSession, streamed: DataFrame, init: DataFrame,
+      step: (DataFrame, DataFrame, Long) => DataFrame): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory(scratchBase, "graft-ckpt")
+    @volatile var state = init.localCheckpoint(true)
+    runOneShot(spark, ckpt) { () =>
+      streamed.writeStream
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          if (!batch.isEmpty) {
+            state = step(state, batch, epoch).localCheckpoint(true)
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    state
+  }
+
   /** [[oneShotFold]] with EXACTLY-ONCE persistent state
     * ([[graft.operators.EpochState]]): each micro-batch commits
     * `step(state, batch)` under its batch id, so the crash window

@@ -832,7 +832,11 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
 
   test("q51: CDC apply — untouched snapshot rows leave via an anti join on bare keys") {
     val p = plan("q51_cdc_apply")
-    assert(p.contains("LeftAnti"), s"carry arm must be a LEFT ANTI join:\n$p")
+    // hinted explicitly in Cdc.applyChanges — a missing size estimate on
+    // the post-window key set must never degrade this to a sort-merge
+    // that shuffles the snapshot
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+      s"carry arm must be a BROADCAST anti join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
     // the bare-keys guarantee (no payload through the anti join's build
     // side) is pinned structurally on the optimized plan in CdcSpec —

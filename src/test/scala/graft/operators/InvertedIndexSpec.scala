@@ -102,6 +102,22 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestSupport {
     assert(ids(compacted, "spark", "merge") === Set(1L))
   }
 
+  test("appending a tombstoned doc id is refused loudly (postings would vanish at compact)") {
+    val d2 = java.nio.file.Files.createTempDirectory("inv-tg").toString + "/idx"
+    InvertedIndex.build(docs, col("doc_id"), col("text"), nBuckets = 4, dir = d2)
+    InvertedIndex.delete(spark, d2, Seq(3L))
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.append(docs.filter($"doc_id" === 3L), col("doc_id"), col("text"), d2)
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // non-tombstoned ids still append fine on the same index
+    InvertedIndex.append(
+      docs.filter($"doc_id" === 1L).select($"doc_id" + 100L as "doc_id", $"text"),
+      col("doc_id"), col("text"), d2)
+    assert(InvertedIndex.lookupAll(spark, d2, Seq("fast"))
+      .collect().map(_.getLong(0)).toSet === Set(1L, 101L))
+  }
+
   test("delete and append interleave: a re-added doc id serves again after compaction") {
     val d2 = java.nio.file.Files.createTempDirectory("inv-il").toString + "/idx"
     InvertedIndex.build(docs, col("doc_id"), col("text"), nBuckets = 4, dir = d2)

@@ -80,6 +80,23 @@ class TableDiffSpec extends AnyFunSuite with SparkTestSupport {
     assert(!got.keySet.exists(k => !removed(k) && !changed(k) && !added(k)))
   }
 
+  test("NULL arrangements are changes, not collisions (xxhash64 skips null children)") {
+    // a value MOVING between columns via NULLs must read as changed:
+    // bare xxhash64(c1, c2) would hash (NULL,'x') and ('x',NULL)
+    // identically because null children leave the running hash untouched
+    val a2 = Seq((1L, Option.empty[String], Option("x")),
+      (2L, Option("y"), Option.empty[String]),
+      (3L, Option.empty[String], Option.empty[String]))
+      .toDF("k", "s1", "s2")
+    val b2 = Seq((1L, Option("x"), Option.empty[String]), // null-shift → changed
+      (2L, Option("y"), Option.empty[String]), // identical incl. null → same
+      (3L, Option.empty[String], Option.empty[String])) // all-null both sides → same
+      .toDF("k", "s1", "s2")
+    val m = TableDiff.diff(a2, b2, Seq("k"), Seq("s1", "s2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "changed", 2L -> "same", 3L -> "same"))
+  }
+
   test("key columns colliding with internal fingerprint names are refused") {
     val bad = a.withColumnRenamed("k", "__fp_a")
     intercept[IllegalArgumentException] {
