@@ -1370,8 +1370,71 @@ object RelationalQueries {
         .groupBy($"cohort", $"day_offset")
         .agg(count(lit(1)).as("active_users"))
         .orderBy($"cohort", $"day_offset")
+    },
+
+    // ---- incremental JOIN view maintenance --------------------------------------
+    // The join-side companion to q37: the stored view V = orders ⋈
+    // customer (built from the low-md5 halves, persisted as parquet)
+    // absorbs BOTH sides' inserts via the classic delta rule
+    // ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — V is read back as parquet and only
+    // APPENDED to (never re-joined), delta sides broadcast, and the
+    // oracle is the full-join rebuild: hash-equality proves the rule
+    // loses no pair, including the both-sides-new ΔA⋈ΔB pairs naive
+    // maintenance drops.
+    sql("q55_incremental_join", incJoinOracle) { (s, d) =>
+      val (aOld, dA) = joinViewOrdersSplit(s, d)
+      val (bOld, dB) = joinViewCustomerSplit(s, d)
+      val viewOld = s.read.parquet(joinViewSnapshot(s, d))
+      graft.operators.IncrementalJoin
+        .applyDelta(viewOld, aOld, dA, bOld, dB, keys = Seq("c_custkey"))
+        .select($"o_orderkey", $"c_custkey", $"c_name",
+          round($"o_totalprice", 2).as("price"))
+        .orderBy($"o_orderkey")
     }
   )
+
+  /** q55/s16's shared oracle: the full-join REBUILD — incremental view
+    * maintenance is correct iff it equals this however the inserts
+    * arrive. LAZY (incrementalAggOracle's forward-reference note). */
+  private[graft] lazy val incJoinOracle: String =
+    """SELECT o.o_orderkey, c.c_custkey, c.c_name,
+      |       round(o.o_totalprice, 2) AS price
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** q55/s16's A side: orders keyed by customer, split into the stored
+    * half and the insert delta (md5 on the order key). */
+  private[graft] def joinViewOrdersSplit(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val o = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey".as("c_custkey"), $"o_totalprice")
+    (o.filter(Tables.inLowMd5Half($"o_orderkey")),
+      o.filter(!Tables.inLowMd5Half($"o_orderkey")))
+  }
+
+  /** q55/s16's B side: the customer dimension split the same way. */
+  private[graft] def joinViewCustomerSplit(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val c = Tables.customer(s, d).select($"c_custkey", $"c_name")
+    (c.filter(Tables.inLowMd5Half($"c_custkey")),
+      c.filter(!Tables.inLowMd5Half($"c_custkey")))
+  }
+
+  /** q55's stored view: old-orders ⋈ old-customers, persisted ONCE per
+    * sf-dir — at query time the view contributes only this parquet,
+    * never a re-join of its inputs. */
+  private val joinViewCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def joinViewSnapshot(s: org.apache.spark.sql.SparkSession, d: String): String =
+    joinViewCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "join-view")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      val (aOld, _) = joinViewOrdersSplit(s, d)
+      val (bOld, _) = joinViewCustomerSplit(s, d)
+      aOld.join(bOld, "c_custkey").write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
 
   /** q51/s14's initial state: each user's latest (event_type, value)
     * from the low-md5 half of the log — the keyed snapshot a CDC feed

@@ -475,6 +475,33 @@ object StreamingQueries {
         .join(Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("source")), "doc_id")
         .orderBy(col("doc_id"))
+    },
+
+    // STREAMING incremental JOIN maintenance: new orders arrive as
+    // three micro-batches and the stored orders⋈customer view absorbs
+    // each batch via IncrementalJoin.delta (single-sided insert-only
+    // IVM: ΔA⋈B per batch; the view is never re-joined, only
+    // appended). After the last batch the maintained view must equal
+    // the full-join rebuild — q55's oracle verbatim (the q42/s11
+    // maintenance==rebuild discipline, now for a JOIN view).
+    sql("s16_stream_incremental_join", RelationalQueries.incJoinOracle) { (s, d) =>
+      import graft.operators.IncrementalJoin
+      val customer = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val emptyB = customer.filter(lit(false))
+      val emptyA = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"), col("o_totalprice"))
+        .filter(lit(false))
+      val stream = s.readStream
+        .schema("o_orderkey BIGINT, c_custkey BIGINT, o_totalprice DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordersSliceDir(s, d))
+      StreamingRelational.oneShotFold(s, stream,
+          emptyA.join(customer, "c_custkey"), // empty view, correct schema
+          (v, batch) => v.unionByName(
+            IncrementalJoin.delta(emptyA, batch, customer, emptyB, Seq("c_custkey"))))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderkey"))
     }
   )
 
@@ -494,6 +521,24 @@ object StreamingQueries {
         chg.filter(col("seq") <= t1),
         chg.filter(col("seq") > t1 && col("seq") <= t2),
         chg.filter(col("seq") > t2)))
+    })
+
+  /** s16's arrival fixture: the orders fact (view columns only) in
+    * three orderkey-range micro-batches — insert-only single-sided
+    * IVM is slicing-invariant, so any partition works. */
+  private val ordersSliceCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ordersSliceDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    ordersSliceCache.computeIfAbsent(d, _ => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      val bounds = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      orderedArrivalDir(s, "orders-slices", Seq(
+        o.filter(col("o_orderkey") <= t1),
+        o.filter(col("o_orderkey") > t1 && col("o_orderkey") <= t2),
+        o.filter(col("o_orderkey") > t2)))
     })
 
   /** s13's arrival fixture: the events table (gate columns only) in

@@ -819,6 +819,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"the per-term df table must broadcast:\n$p")
   }
 
+  test("q55: incremental join view — stored view from parquet, all delta terms broadcast") {
+    val p = plan("q55_incremental_join")
+    // the view arrives as stored parquet (o_totalprice in a ReadSchema
+    // alongside c_name — only the materialized view has both)
+    assert(p.contains("BroadcastHashJoin"), s"delta sides must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no stored side may shuffle for an increment:\n$p")
+  }
+
   test("j04: interval overlap is a hash join on the grid cell, not a nested loop") {
     val p = plan("j04_interval_overlap")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
