@@ -1390,6 +1390,37 @@ object RelationalQueries {
         .select($"o_orderkey", $"c_custkey", $"c_name",
           round($"o_totalprice", 2).as("price"))
         .orderBy($"o_orderkey")
+    },
+
+    // ---- aggregate-over-join view maintenance -----------------------------------
+    // The full materialized-view composition: revenue per customer over
+    // orders ⋈ customer, maintained incrementally END TO END — the
+    // JOIN delta (IncrementalJoin: increment-sized, broadcast sides)
+    // feeds the AGGREGATE state merge (IncrementalAgg: mergeable
+    // never-finalized sums), so neither the join view nor the fact
+    // history is ever re-scanned: per increment the work is
+    // delta-join + a dimension-sized state merge. The stored agg state
+    // comes from the persisted view snapshot; the oracle is the full
+    // recompute over the rebuilt join.
+    sql(
+      "q56_incremental_join_agg",
+      """SELECT c.c_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(sum(o.o_totalprice) + 1e-9, 2) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_name ORDER BY c.c_name""".stripMargin) { (s, d) =>
+      import graft.operators.{IncrementalAgg, IncrementalJoin}
+      val (aOld, dA) = joinViewOrdersSplit(s, d)
+      val (bOld, dB) = joinViewCustomerSplit(s, d)
+      val stateOld = IncrementalAgg.aggState(
+        s.read.parquet(joinViewSnapshot(s, d)), Seq($"c_name"), $"o_totalprice")
+      val deltaState = IncrementalAgg.aggState(
+        IncrementalJoin.delta(aOld, dA, bOld, dB, Seq("c_custkey")),
+        Seq($"c_name"), $"o_totalprice")
+      IncrementalAgg.finalize(
+          IncrementalAgg.merge(stateOld, deltaState, Seq("c_name")), Seq("c_name"))
+        .select($"c_name", $"cnt".as("n_orders"),
+          round($"sum" + 1e-9, 2).as("revenue"))
+        .orderBy($"c_name")
     }
   )
 
