@@ -217,7 +217,8 @@ object Bench {
     val errs = errorsJson(results, keys, maxLen = 60)
     val total = results.filter(_.err.isEmpty).map(_.value).sum
     val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
-    s"""{"qunit":"ms","full":"BENCH_COMPACT.json","metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"outliers_n":${results.count(_.isOutlier)},"errors":$errs,"sf":"$sf"}"""
+    val totalStr = String.format(java.util.Locale.ROOT, "%.1f", Double.box(total))
+    s"""{"qunit":"ms","full":"BENCH_COMPACT.json","metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"outliers_n":${results.count(_.isOutlier)},"errors":$errs,"sf":"$sf"}"""
   }
 
   private def errorsJson(results: Seq[Measurement],

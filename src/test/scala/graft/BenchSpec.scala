@@ -158,9 +158,13 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     assert(parsed.get("queries").size() === real.size)
     assert(parsed.get("qunit").asText() === "ms")
     assert(parsed.get("outliers_n").asInt() === real.count(_.isOutlier))
-    // growth headroom: ~22 more queries than today still fit the
-    // 2000-char tail minus sbt's closing banner
-    val grown = real ++ (0 until 22).map(i =>
+    // growth headroom: ~18 more queries than today still fit the
+    // 2000-char tail minus sbt's closing banner. The headroom window
+    // SHRINKS as the suite grows (~11 chars/query); past ~172 queries
+    // the per-query map itself outgrows the capture and the format
+    // needs a redesign (e.g. split lines the driver's parser joins) —
+    // compress or redesign then, never relax this gate.
+    val grown = real ++ (0 until 18).map(i =>
       Bench.Measurement(f"z$i%02d_future_query_name", Seq((0.51, 0L)), None))
     assert(Bench.compactStdoutJson(grown, "/root/testdata/sf0.1").length < 1900,
       "the format must absorb another round of suite growth")
