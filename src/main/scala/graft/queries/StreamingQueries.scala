@@ -484,6 +484,43 @@ object StreamingQueries {
     // appended). After the last batch the maintained view must equal
     // the full-join rebuild — q55's oracle verbatim (the q42/s11
     // maintenance==rebuild discipline, now for a JOIN view).
+    // STREAMING aggregate-over-join maintenance (q56's streaming leg):
+    // each arriving order batch delta-joins the customer dimension and
+    // MERGES into the per-customer revenue state — the state is
+    // dimension-sized and mergeable (never-finalized sums), so a batch
+    // costs one broadcast delta join + one state merge regardless of
+    // history size. Final render must equal the full recompute (q56's
+    // oracle verbatim).
+    sql("s17_stream_incremental_join_agg",
+      """SELECT c.c_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(sum(o.o_totalprice) + 1e-9, 2) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_name ORDER BY c.c_name""".stripMargin) { (s, d) =>
+      import graft.operators.{IncrementalAgg, IncrementalJoin}
+      val customer = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val emptyB = customer.filter(lit(false))
+      val emptyA = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"), col("o_totalprice"))
+        .filter(lit(false))
+      val stream = s.readStream
+        .schema("o_orderkey BIGINT, c_custkey BIGINT, o_totalprice DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ordersSliceDir(s, d))
+      val state0 = IncrementalAgg.aggState(
+        emptyA.join(customer, "c_custkey"), Seq(col("c_name")), col("o_totalprice"))
+      IncrementalAgg.finalize(
+          StreamingRelational.oneShotFold(s, stream, state0,
+            (st, batch) => IncrementalAgg.merge(st,
+              IncrementalAgg.aggState(
+                IncrementalJoin.delta(emptyA, batch, customer, emptyB, Seq("c_custkey")),
+                Seq(col("c_name")), col("o_totalprice")),
+              Seq("c_name"))),
+          Seq("c_name"))
+        .select(col("c_name"), col("cnt").as("n_orders"),
+          round(col("sum") + 1e-9, 2).as("revenue"))
+        .orderBy(col("c_name"))
+    },
+
     sql("s16_stream_incremental_join", RelationalQueries.incJoinOracle) { (s, d) =>
       import graft.operators.IncrementalJoin
       val customer = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))

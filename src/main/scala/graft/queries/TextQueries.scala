@@ -956,6 +956,40 @@ object TextQueries {
     // N/avgdl are plan constants from _meta.json. The oracle re-derives
     // tf/dlen/df/N/avgdl from the raw corpus and scores with the same
     // formula — the index must be a lossless rearrangement.
+    // Phrase search in ONE text pass: adjacent-token ("merge batch")
+    // matches found by pairing each token with its successor via a
+    // lead() window over (doc, position) — no positional index, no
+    // token self-join (a position self-join would tokenize the corpus
+    // twice and shuffle both term lists; the window shuffles each
+    // doc's tokens once, partitioned by doc_id so partitions stay
+    // document-sized at any corpus scale). Positions come from
+    // posexplode and are engine-internal — only adjacency matters, and
+    // the oracle replays the same lead() over DuckDB's subscripts.
+    sql(
+      "t38_phrase_search",
+      s"""WITH n AS (SELECT doc_id, ${Sql.normalizeText("text")} AS t FROM documents),
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split(t, ' ')) AS term,
+         |         generate_subscripts(string_split(t, ' '), 1) AS pos
+         |  FROM n),
+         |w AS (SELECT doc_id, term,
+         |        lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |      FROM toks)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM w WHERE term = 'merge' AND nxt = 'batch'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+        .withColumn("nxt", lead(col("term"), 1).over(w))
+        .filter(col("term") === "merge" && col("nxt") === "batch")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+
     sql(
       "t37_bm25_search",
       s"""WITH toks AS (

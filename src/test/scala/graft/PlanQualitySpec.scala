@@ -819,6 +819,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"the per-term df table must broadcast:\n$p")
   }
 
+  test("t38: phrase search is one tokenize pass — window adjacency, no token self-join") {
+    val p = plan("t38_phrase_search")
+    assert(nodeCount(p, "Scan parquet") == 1, s"one corpus pass:\n$p")
+    assert(nodeCount(p, "Generate") == 1, s"one posexplode:\n$p")
+    assert(nodeCount(p, "Window") == 1, s"adjacency via one lead() window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no positional self-join:\n$p")
+  }
+
   test("q55: incremental join view — stored view from parquet, all delta terms broadcast") {
     val p = plan("q55_incremental_join")
     // the view arrives as stored parquet (o_totalprice in a ReadSchema
