@@ -990,26 +990,7 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
-    sql(
-      "t37_bm25_search",
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(${Sql.normalizeText("text")}, ' ')) AS term
-         |  FROM documents),
-         |tc AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-         |       FROM toks WHERE term <> '' GROUP BY doc_id, term),
-         |dl AS (SELECT doc_id, sum(tf) AS dlen FROM tc GROUP BY doc_id),
-         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dlen) AS avgdl FROM dl),
-         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tc
-         |       WHERE term IN ('spark', 'merge', 'dup') GROUP BY term),
-         |sc AS (
-         |  SELECT tc.doc_id,
-         |    round(sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
-         |      (tc.tf * 2.2) / (tc.tf + 1.2 * (0.25 + 0.75 * dl.dlen / st.avgdl)))
-         |      + 1e-9, 4) AS score
-         |  FROM tc JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-         |  GROUP BY tc.doc_id)
-         |SELECT doc_id, score FROM sc
-         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    sql("t37_bm25_search", bm25Sql(10)) { (s, d) =>
       graft.operators.InvertedIndex.bm25TopK(
         s, invertedIndexDir(s, d), Seq("spark", "merge", "dup"), k = 10)
     }
@@ -1023,6 +1004,28 @@ object TextQueries {
     graft.operators.InvertedIndex.lookupAll(s, indexDir, Seq("spark", "merge", "dup"))
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")), "doc_id")
       .orderBy(col("doc_id"))
+
+  /** t37/v27's BM25 oracle: tf/dlen/df/N/avgdl re-derived from the raw
+    * corpus, Lucene's formula, top-k on the pre-rounded score. */
+  private[queries] def bm25Sql(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(${Sql.normalizeText("text")}, ' ')) AS term
+       |  FROM documents),
+       |tc AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |       FROM toks WHERE term <> '' GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, sum(tf) AS dlen FROM tc GROUP BY doc_id),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dlen) AS avgdl FROM dl),
+       |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tc
+       |       WHERE term IN ('spark', 'merge', 'dup') GROUP BY term),
+       |sc AS (
+       |  SELECT tc.doc_id,
+       |    round(sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+       |      (tc.tf * 2.2) / (tc.tf + 1.2 * (0.25 + 0.75 * dl.dlen / st.avgdl)))
+       |      + 1e-9, 4) AS score
+       |  FROM tc JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |  GROUP BY tc.doc_id)
+       |SELECT doc_id, score FROM sc
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
 
   /** t34/t35/s15's shared oracle: the logical AND query over the same
     * normalize+split tokenizer (t33's SQL twin) — every index lifecycle
@@ -1041,7 +1044,7 @@ object TextQueries {
     * postings hash-bucketed into 8 partition directories. */
   private val invIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def invertedIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+  private[queries] def invertedIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     invIndexCache.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory(
         graft.streaming.StreamingRelational.scratchBase, "inv-index")

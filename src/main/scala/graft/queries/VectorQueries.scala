@@ -178,7 +178,7 @@ object VectorQueries {
     * CORPUS (histogram AND ranking — the pre-filter must come before
     * the radius choice or the exact-k guarantee is lost); the query
     * vector always comes from the unfiltered table. */
-  private def multiprobeKnnSql(corpusPred: String): String = {
+  private def multiprobeKnnSql(corpusPred: String, k: Int = 10): String = {
     val planes = Similarity.hyperplanes(4, EmbDim)
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |s AS (SELECT vec_id, label, v, ${sigSql("v", planes)} AS bucket FROM e),
@@ -186,11 +186,11 @@ object VectorQueries {
        |ds AS (SELECT vec_id, v, bit_count(xor(bucket, (SELECT qb FROM q))) AS hd
        |       FROM s WHERE $corpusPred),
        |cum AS (SELECT hd, sum(count(*)) OVER (ORDER BY hd) AS c FROM ds GROUP BY hd),
-       |r AS (SELECT coalesce(min(hd), 4) AS rsel FROM cum WHERE c >= 30)
+       |r AS (SELECT coalesce(min(hd), 4) AS rsel FROM cum WHERE c >= ${3 * k})
        |SELECT vec_id AS id,
        |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 4) AS score
        |FROM ds WHERE hd <= (SELECT rsel FROM r)
-       |ORDER BY score DESC, id LIMIT 10""".stripMargin
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
   private lazy val unfilteredKnnSql: String = multiprobeKnnSql("TRUE")
@@ -535,6 +535,51 @@ object VectorQueries {
           Tables.embeddings(s, d).filter(col("vec_id").isin(0L, 17L, 42L)),
           col("embedding"), col("vec_id"), dim = EmbDim, k = 10, nBits = 4)
         .orderBy(col("qid"), col("rk"))
+    },
+
+    // HYBRID retrieval: the modern search-engine composition — BM25
+    // keyword top-20 (t37's index) and multiprobe ANN top-20 (v03's
+    // path, vec_id ⇔ doc_id) fused by reciprocal-rank fusion
+    // rrf = Σ 1/(60 + rank_i), the score-scale-free combiner every
+    // hybrid deployment uses (raw BM25 and cosine are incomparable;
+    // ranks always are). Each leg is its own pruned serving plan; the
+    // fusion is a 20×20-row full-outer join — nothing corpus-sized
+    // moves. RRF is rounded BEFORE the final ranking (t37's
+    // k-boundary discipline) and the oracle recomputes both legs and
+    // the fusion declaratively.
+    sql(
+      "v27_hybrid_search", {
+        s"""WITH kw AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS kwrank
+           |  FROM (${TextQueries.bm25Sql(20)})),
+           |sem AS (
+           |  SELECT id AS doc_id, row_number() OVER (ORDER BY score DESC, id) AS semrank
+           |  FROM (${multiprobeKnnSql("TRUE", 20)})),
+           |f AS (
+           |  SELECT coalesce(kw.doc_id, sem.doc_id) AS doc_id,
+           |    round(coalesce(1.0 / (60 + kwrank), 0) +
+           |          coalesce(1.0 / (60 + semrank), 0), 6) AS rrf
+           |  FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id)
+           |SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val kw = graft.operators.InvertedIndex.bm25TopK(
+          s, TextQueries.invertedIndexDir(s, d), Seq("spark", "merge", "dup"), k = 20)
+        .withColumn("kwrank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("kwrank"))
+      val sem = Similarity.lshKnn(
+          Tables.embeddings(s, d), col("embedding"), col("vec_id"),
+          queryVector(s, d), 20, nBits = 4)
+        .withColumn("semrank",
+          row_number().over(Window.orderBy(col("score").desc, col("id"))))
+        .select(col("id").as("doc_id"), col("semrank"))
+      kw.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("kwrank")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("semrank")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
     },
 
     // Batched RADIUS search: every corpus vector with cosine ≥ 0.2
