@@ -521,6 +521,60 @@ object StreamingQueries {
         .orderBy(col("c_name"))
     },
 
+    // STREAMING quantile-state maintenance: per-type latency/value
+    // percentiles kept as a MERGEABLE Greenwald-Khanna summary
+    // (QuantileState — the sketch behind Spark's approxQuantile) that
+    // each micro-batch folds into; the GK merge preserves the ε rank
+    // bound, so the maintained state answers ε-accurate percentiles
+    // after ANY slicing without re-scanning history. Rendering follows
+    // q39/s12's sketch-vs-exact discipline: exact quantiles for the
+    // values, the STREAMED state only has to land inside the ±2ε-rank
+    // band (a deterministic guarantee — GK is not probabilistic), so
+    // the flags are the oracle's TRUE twin.
+    sql(
+      "s18_stream_quantiles",
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99,
+        |  TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS p99_in_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      import graft.operators.QuantileState
+      import s.implicits._
+      val stream = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(eventSliceDir(s, d))
+      val init = Seq.empty[(String, Array[Byte])].toDF("event_type", "sk")
+      val stateDf = StreamingRelational.oneShotFold(s, stream, init,
+        (st, batch) => {
+          val prior = QuantileState.deserialize(st.collect()
+            .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap)
+          val merged = QuantileState.mergeStates(prior,
+            QuantileState.sketch(batch, "event_type", "value"))
+          QuantileState.serialize(merged).toSeq.toDF("event_type", "sk")
+        })
+      val state = QuantileState.deserialize(stateDf.collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap)
+      require(state.nonEmpty, "s18: stream delivered no events")
+      // exact values + ±2ε-rank band edges (ε = 0.001), one aggregate
+      val bands = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.498, 0.5, 0.502, 0.898, 0.9, 0.902, " +
+          "0.988, 0.99, 0.992))").as("ex"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val out = bands.toSeq.map { case (t, ex) =>
+        def inBand(q: Double, lo: Int, hi: Int) =
+          QuantileState.query(state, t, q)
+            .exists(e => e >= ex(lo) - 1e-9 && e <= ex(hi) + 1e-9)
+        (t, r4(ex(1)), r4(ex(4)), r4(ex(7)),
+          inBand(0.5, 0, 2), inBand(0.9, 3, 5), inBand(0.99, 6, 8))
+      }
+      out.toDF("event_type", "p50", "p90", "p99",
+          "p50_in_band", "p90_in_band", "p99_in_band")
+        .orderBy(col("event_type"))
+    },
+
     sql("s16_stream_incremental_join", RelationalQueries.incJoinOracle) { (s, d) =>
       import graft.operators.IncrementalJoin
       val customer = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
