@@ -77,6 +77,34 @@ class CdcSpec extends AnyFunSuite with SparkTestSupport {
     assert(whole(5L) === ("e2", 7.0))
   }
 
+  test("randomized logs match an in-memory reference fold (seeded, 3 slicings)") {
+    val rng = new scala.util.Random(29)
+    val keys = (1L to 20L).toSeq
+    val log = (1L to 120L).map { seq =>
+      val k = keys(rng.nextInt(keys.size))
+      val op = Seq("I", "U", "D")(rng.nextInt(3))
+      (k, s"a$seq", rng.nextInt(1000).toDouble, op, seq)
+    }
+    // reference: replay the log row-by-row over a plain Map
+    val ref = log.foldLeft(
+      snap.collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap) {
+      case (m, (k, attr, v, op, _)) =>
+        if (op == "D") m - k else m.updated(k, (attr, v))
+    }
+    val logDf = log.toDF("k", "attr", "v", "op", "seq")
+    assert(state(Cdc.applyChanges(snap, logDf, "k")) === ref)
+    // and folding any seq-contiguous slicing leaves the same state
+    for (cuts <- Seq(Seq(40L, 80L), Seq(1L, 119L), Seq(60L, 60L))) {
+      val Seq(c1, c2) = cuts
+      val folded = Seq(
+        logDf.filter($"seq" <= c1),
+        logDf.filter($"seq" > c1 && $"seq" <= c2),
+        logDf.filter($"seq" > c2))
+        .foldLeft(snap)((st, b) => if (b.isEmpty) st else Cdc.applyChanges(st, b, "k"))
+      assert(state(folded) === ref, s"cuts $cuts")
+    }
+  }
+
   test("an op outside I/U/D fails the job loudly — including a NULL op") {
     val bad = Seq((2L, "b", 1.0, "X", 1L)).toDF("k", "attr", "v", "op", "seq")
     val e = intercept[Exception] {

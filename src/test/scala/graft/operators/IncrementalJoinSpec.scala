@@ -61,6 +61,22 @@ class IncrementalJoinSpec extends AnyFunSuite with SparkTestSupport {
     assert(joins.size === 3, s"all three delta terms must broadcast:\n${d.queryExecution.sparkPlan}")
   }
 
+  test("randomized increments: maintained view equals the rebuild (seeded)") {
+    val rng = new scala.util.Random(31)
+    def side(tag: String, n: Int) =
+      (0 until n).map(i => (rng.nextInt(40).toLong, s"$tag$i"))
+    val a0 = side("a", 60); val b0 = side("b", 25)
+    val da = side("na", 20); val db = side("nb", 10)
+    val a0Df = a0.toDF("k", "av"); val b0Df = b0.toDF("k", "bv")
+    val daDf = da.toDF("k", "av"); val dbDf = db.toDF("k", "bv")
+    val maintained = rows(IncrementalJoin.applyDelta(
+      a0Df.join(b0Df, "k"), a0Df, daDf, b0Df, dbDf, Seq("k")))
+    val rebuilt = rows(a0Df.unionByName(daDf).join(b0Df.unionByName(dbDf), "k"))
+    assert(maintained === rebuilt)
+    // duplicate keys cross-multiply identically on both paths
+    assert(maintained.size === rebuilt.size)
+  }
+
   test("empty key list is refused") {
     intercept[IllegalArgumentException] {
       IncrementalJoin.delta(aOld, dA, bOld, dB, Nil)
