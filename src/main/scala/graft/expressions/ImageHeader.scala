@@ -40,6 +40,18 @@ object ImageHeader {
   def gifDims(payload: Column): Column =
     graftx.column(GifDimsExpr(graftx.expr(payload)))
 
+  /** `wav_meta(payload)`: channels / sample rate / bits / data bytes
+    * from a RIFF-WAVE header via the chunk walk (fmt may sit behind
+    * other chunks; chunk bodies pad to even lengths), or NULL. */
+  def wavMeta(payload: Column): Column =
+    graftx.column(WavMetaExpr(graftx.expr(payload)))
+
+  val wavType: StructType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("data_bytes", LongType, nullable = false)))
+
   val dimsType: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
@@ -140,6 +152,47 @@ object ImageHeaderImpl {
         u8(bytes, 5) != 'a') return null
     row(le16(bytes, 6), le16(bytes, 8), 1)
   }
+
+  @inline private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  @inline private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    u8(b, i) == t.charAt(0) && u8(b, i + 1) == t.charAt(1) &&
+      u8(b, i + 2) == t.charAt(2) && u8(b, i + 3) == t.charAt(3)
+
+  /** RIFF-WAVE: "RIFF" size(4 LE) "WAVE", then a chunk walk — each
+    * chunk is id(4) size(4 LE) body, and bodies PAD to even lengths
+    * (the classic parser bug: an odd-sized LIST/fact chunk without the
+    * pad byte desynchronizes every later chunk). The "fmt " chunk
+    * carries audioFormat(2) channels(2) sampleRate(4) byteRate(4)
+    * blockAlign(2) bitsPerSample(2), all LITTLE-endian; "data"'s size
+    * is the PCM byte count. Returns (channels, sample_rate,
+    * bits_per_sample, data_bytes) once BOTH chunks are seen — a
+    * truncated or desynchronized header yields NULL, never a crash. */
+  def wavMeta(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 12) return null
+    if (!tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE")) return null
+    val n = bytes.length
+    var pos = 12
+    var channels = -1; var rate = -1L; var bits = -1; var dataBytes = -1L
+    while (pos + 8 <= n && (channels < 0 || dataBytes < 0)) {
+      val size = le32(bytes, pos + 4)
+      if (size < 0 || size > Int.MaxValue) return null
+      if (tag(bytes, pos, "fmt ")) {
+        if (size < 16 || pos + 8 + 16 > n) return null
+        channels = le16(bytes, pos + 10)
+        rate = le32(bytes, pos + 12)
+        bits = le16(bytes, pos + 22)
+      } else if (tag(bytes, pos, "data")) {
+        dataBytes = size // body may legitimately be truncated/absent here
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // even-length padding
+    }
+    if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0 || dataBytes < 0)
+      null
+    else InternalRow(channels, rate.toInt, bits, dataBytes)
+  }
 }
 
 abstract class DimsExpr extends UnaryExpression {
@@ -178,5 +231,20 @@ case class GifDimsExpr(child: Expression) extends DimsExpr {
   override protected def nullSafeEval(input: Any): Any =
     ImageHeaderImpl.gifDims(input.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): GifDimsExpr =
+    copy(child = newChild)
+}
+
+case class WavMetaExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ImageHeader.wavType
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_meta"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageHeaderImpl.wavMeta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ImageHeaderImpl.wavMeta($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(newChild: Expression): WavMetaExpr =
     copy(child = newChild)
 }

@@ -69,7 +69,65 @@ object MultimodalQueries {
       |    '000000', 'DEADBEEF')
       |END) || CAST(text AS BINARY)""".stripMargin)
 
+  private def le16(e: String) =
+    s"concat(substr(lpad(hex($e), 4, '0'), 3, 2), substr(lpad(hex($e), 4, '0'), 1, 2))"
+  private def le32(e: String) =
+    s"concat(substr(lpad(hex($e), 8, '0'), 7, 2), substr(lpad(hex($e), 8, '0'), 5, 2), " +
+      s"substr(lpad(hex($e), 8, '0'), 3, 2), substr(lpad(hex($e), 8, '0'), 1, 2))"
+
+  /** m06's payload: a WELL-FORMED RIFF-WAVE header synthesized from
+    * doc_id — all multi-byte fields LITTLE-endian by formula, and
+    * every doc_id % 3 == 0 document gets an ODD-sized LIST chunk (plus
+    * its pad byte) BEFORE the fmt chunk, so the parser must walk
+    * chunks with even-length padding, not read fixed offsets. */
+  private val m06PayloadExpr = expr(
+    s"""unhex(concat('52494646', ${le32("36 + 1000 + doc_id % 9000")}, '57415645',
+       |  CASE WHEN doc_id % 3 = 0
+       |       THEN concat('4C495354', ${le32("5")}, repeat('4A', 5), '00')
+       |       ELSE '' END,
+       |  '666D7420', ${le32("16")},
+       |  ${le16("1")}, ${le16("1 + doc_id % 2")},
+       |  ${le32("8000 * (1 + doc_id % 5)")},
+       |  ${le32("8000")}, ${le16("4")}, ${le16("8 * (1 + doc_id % 3)")},
+       |  '64617461', ${le32("1000 + doc_id % 9000")}))
+       |  || CAST(text AS BINARY)""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
+
+    // REAL audio-header decode for the audio modality (doc_id % 4 = 2):
+    // RIFF-WAVE fmt/data chunk walk with even-length padding (the
+    // classic desync bug an odd LIST chunk triggers — exercised by
+    // construction on every third doc), all fields little-endian.
+    // est_seconds derives from the PARSED fields (data / rate·ch·bits/8),
+    // not the header's byteRate, which is deliberately junk. The oracle
+    // states the ground truth by the same formulas that built the
+    // header (m03's builder-parser-identity discipline).
+    sql(
+      "m06_audio_meta",
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(8000 * (1 + doc_id % 5) AS INT) AS sample_rate,
+        |  CAST(8 * (1 + doc_id % 3) AS INT) AS bits_per_sample,
+        |  CAST(1000 + doc_id % 9000 AS BIGINT) AS data_bytes,
+        |  round((1000 + doc_id % 9000) /
+        |    (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * (8 * (1 + doc_id % 3)) / 8.0)
+        |    + 1e-9, 6) AS est_seconds
+        |FROM documents WHERE CAST(doc_id % 4 AS INT) = 2
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(expr("CAST(doc_id % 4 AS INT) = 2"))
+        .withColumn("payload", m06PayloadExpr)
+        .withColumn("m", graft.expressions.ImageHeader.wavMeta(col("payload")))
+        .select(col("doc_id"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bits_per_sample").as("bits_per_sample"),
+          col("m.data_bytes").as("data_bytes"),
+          round(col("m.data_bytes") /
+            (col("m.sample_rate") * col("m.channels") * col("m.bits_per_sample") / lit(8.0))
+            + 1e-9, 6).as("est_seconds"))
+        .orderBy(col("doc_id"))
+    },
 
     // Typed metadata over binary payloads: length, fingerprint, sniffed
     // format (magic bytes), declared modality.

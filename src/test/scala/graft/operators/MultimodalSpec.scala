@@ -163,6 +163,43 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     for (bad <- Seq(4L, 5L, 6L, 7L)) assert(got(bad).isEmpty, s"id=$bad must be NULL")
   }
 
+  test("wav_meta: chunk walk with even padding; malformed/desync -> NULL") {
+    import spark.implicits._
+    def le16b(v: Int) = bin(v & 0xff, v >>> 8)
+    def le32b(v: Int) = bin(v & 0xff, (v >>> 8) & 0xff, (v >>> 16) & 0xff, v >>> 24)
+    def chunk(id: String, body: Array[Byte], pad: Boolean = true): Array[Byte] =
+      id.getBytes ++ le32b(body.length) ++ body ++
+        (if (pad && body.length % 2 == 1) bin(0) else Array.empty[Byte])
+    def fmt(ch: Int, rate: Int, bits: Int): Array[Byte] =
+      chunk("fmt ", le16b(1) ++ le16b(ch) ++ le32b(rate) ++ le32b(rate * ch * bits / 8) ++
+        le16b(ch * bits / 8) ++ le16b(bits))
+    def wav(chunks: Array[Byte]*): Array[Byte] =
+      "RIFF".getBytes ++ le32b(4 + chunks.map(_.length).sum) ++ "WAVE".getBytes ++
+        chunks.flatten
+    val rows = Seq(
+      (1L, wav(fmt(2, 44100, 16), chunk("data", Array.fill[Byte](20)(7)))),
+      // odd-sized LIST before fmt: padding keeps the walk aligned
+      (2L, wav(chunk("LIST", Array.fill[Byte](5)(1)), fmt(1, 8000, 8),
+        chunk("data", Array.fill[Byte](9)(0)))),
+      // data chunk declared but body truncated — size still reported
+      (3L, wav(fmt(1, 16000, 24)) ++ "data".getBytes ++ le32b(500)),
+      // odd LIST WITHOUT its pad byte: desync → fmt never parses → NULL
+      (4L, wav(chunk("LIST", Array.fill[Byte](5)(1), pad = false), fmt(1, 8000, 8),
+        chunk("data", Array.fill[Byte](4)(0)))),
+      (5L, wav(chunk("data", Array.fill[Byte](8)(0)))), // no fmt → NULL
+      (6L, "RIFX".getBytes ++ le32b(4) ++ "WAVE".getBytes), // wrong magic
+      (7L, wav(fmt(0, 8000, 8), chunk("data", Array.empty[Byte]))) // zero channels
+    ).toDF("id", "payload")
+    val got = rows.select(col("id"),
+        graft.expressions.ImageHeader.wavMeta(col("payload")).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getInt(0), s.getInt(1), s.getInt(2), s.getLong(3)))).toMap
+    assert(got(1L) === Some((2, 44100, 16, 20L)))
+    assert(got(2L) === Some((1, 8000, 8, 9L)))
+    assert(got(3L) === Some((1, 16000, 24, 500L)))
+    for (bad <- Seq(4L, 5L, 6L, 7L)) assert(got(bad).isEmpty, s"id=$bad must be NULL")
+  }
+
   test("decodeImageHeader dispatches by sniffed magic; non-image formats stay NULL") {
     import spark.implicits._
     val jpeg = bin(0xFF, 0xD8, 0xFF, 0xC0, 0, 11, 8, 0, 5, 0, 6, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0)
