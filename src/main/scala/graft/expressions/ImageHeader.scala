@@ -174,20 +174,24 @@ object ImageHeaderImpl {
     if (bytes == null || bytes.length < 12) return null
     if (!tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE")) return null
     val n = bytes.length
-    var pos = 12
+    // the walk runs in LONG: a near-2^31 declared chunk size must step
+    // pos past n and end the walk as "fmt never seen" → NULL — Int
+    // arithmetic would wrap pos negative and index out of bounds (the
+    // adversarial-blob crash the NULL-never-throw contract forbids)
+    var pos = 12L
     var channels = -1; var rate = -1L; var bits = -1; var dataBytes = -1L
     while (pos + 8 <= n && (channels < 0 || dataBytes < 0)) {
-      val size = le32(bytes, pos + 4)
-      if (size < 0 || size > Int.MaxValue) return null
-      if (tag(bytes, pos, "fmt ")) {
+      val p = pos.toInt // pos + 8 <= n ⇒ in range
+      val size = le32(bytes, p + 4)
+      if (tag(bytes, p, "fmt ")) {
         if (size < 16 || pos + 8 + 16 > n) return null
-        channels = le16(bytes, pos + 10)
-        rate = le32(bytes, pos + 12)
-        bits = le16(bytes, pos + 22)
-      } else if (tag(bytes, pos, "data")) {
+        channels = le16(bytes, p + 10)
+        rate = le32(bytes, p + 12)
+        bits = le16(bytes, p + 22)
+      } else if (tag(bytes, p, "data")) {
         dataBytes = size // body may legitimately be truncated/absent here
       }
-      pos += 8 + size.toInt + (size.toInt & 1) // even-length padding
+      pos += 8L + size + (size & 1L) // even-length padding
     }
     if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0 || dataBytes < 0)
       null

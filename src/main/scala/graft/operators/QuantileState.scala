@@ -30,17 +30,30 @@ object QuantileState {
       eps: Double = 0.001): State = {
     require(eps > 0 && eps < 0.5, s"quantileState: eps out of range: $eps")
     val rows = df.select(col(keyCol).cast("string"), col(valueCol).cast("double")).rdd
-    rows.treeAggregate(Map.empty[String, QuantileSummaries])(
-      (m, row) =>
-        if (row.isNullAt(0) || row.isNullAt(1)) m
-        else {
+    // per-partition MUTABLE accumulator (the GngOps/BloomPrune
+    // treeAggregate idiom): an immutable-map `updated` per row would
+    // allocate an O(log n) node path for every input value
+    rows.treeAggregate(scala.collection.mutable.HashMap.empty[String, QuantileSummaries])(
+      (m, row) => {
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
           val k = row.getString(0)
           val qs = m.getOrElse(k,
             new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, eps))
-          m.updated(k, qs.insert(row.getDouble(1)))
-        },
-      (a, b) => mergeStates(compressAll(a), compressAll(b)))
-      .view.mapValues(_.compress()).toMap
+          m.update(k, qs.insert(row.getDouble(1)))
+        }
+        m
+      },
+      (a, b) => {
+        b.foreach { case (k, q) =>
+          val qc = if (q.compressed) q else q.compress()
+          a.update(k, a.get(k) match {
+            case Some(x) => (if (x.compressed) x else x.compress()).merge(qc)
+            case None => qc
+          })
+        }
+        a
+      })
+      .view.mapValues(q => if (q.compressed) q else q.compress()).toMap
   }
 
   private def compressAll(s: State): State =

@@ -588,8 +588,8 @@ object StreamingQueries {
         .parquet(ordersSliceDir(s, d))
       StreamingRelational.oneShotFold(s, stream,
           emptyA.join(customer, "c_custkey"), // empty view, correct schema
-          (v, batch) => v.unionByName(
-            IncrementalJoin.delta(emptyA, batch, customer, emptyB, Seq("c_custkey"))))
+          (v, batch) => IncrementalJoin.applyDelta(
+            v, emptyA, batch, customer, emptyB, Seq("c_custkey")))
         .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
           round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))

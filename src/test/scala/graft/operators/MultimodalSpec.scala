@@ -188,7 +188,12 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
         chunk("data", Array.fill[Byte](4)(0)))),
       (5L, wav(chunk("data", Array.fill[Byte](8)(0)))), // no fmt → NULL
       (6L, "RIFX".getBytes ++ le32b(4) ++ "WAVE".getBytes), // wrong magic
-      (7L, wav(fmt(0, 8000, 8), chunk("data", Array.empty[Byte]))) // zero channels
+      (7L, wav(fmt(0, 8000, 8), chunk("data", Array.empty[Byte]))), // zero channels
+      // adversarial: a near-2^31 declared chunk size must end the walk
+      // as NULL, never wrap pos negative and crash the task
+      (8L, wav("JUNK".getBytes ++ le32b(Int.MaxValue - 7) ++ fmt(1, 8000, 8).take(0))),
+      // and a full-u32 declared size (reads as ~4.29e9 unsigned)
+      (9L, wav("JUNK".getBytes ++ bin(0xFF, 0xFF, 0xFF, 0xFF)))
     ).toDF("id", "payload")
     val got = rows.select(col("id"),
         graft.expressions.ImageHeader.wavMeta(col("payload")).as("m"))
@@ -197,7 +202,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     assert(got(1L) === Some((2, 44100, 16, 20L)))
     assert(got(2L) === Some((1, 8000, 8, 9L)))
     assert(got(3L) === Some((1, 16000, 24, 500L)))
-    for (bad <- Seq(4L, 5L, 6L, 7L)) assert(got(bad).isEmpty, s"id=$bad must be NULL")
+    for (bad <- Seq(4L, 5L, 6L, 7L, 8L, 9L)) assert(got(bad).isEmpty, s"id=$bad must be NULL")
   }
 
   test("decodeImageHeader dispatches by sniffed magic; non-image formats stay NULL") {
