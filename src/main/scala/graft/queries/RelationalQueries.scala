@@ -1421,6 +1421,56 @@ object RelationalQueries {
         .select($"c_name", $"cnt".as("n_orders"),
           round($"sum" + 1e-9, 2).as("revenue"))
         .orderBy($"c_name")
+    },
+
+    // ---- DELETE-aware join-view maintenance (operator composition) --------------
+    // q55 scopes IncrementalJoin to insert-only and points deletes at
+    // CDC netting — this query CLOSES that scope by composition: the
+    // stored orders⋈customer view (keyed by the unique o_orderkey) is
+    // maintained under a full I/U/D change feed by applying
+    // Cdc.applyChanges DIRECTLY TO THE VIEW, with each change row
+    // pre-joined to its dimension payload (a broadcast of the
+    // increment into customer — the view's own delta shape). Because
+    // the dimension side is untouched, apply∘join == join∘apply — the
+    // oracle replays the feed on the BASE table and rebuilds the join,
+    // so hash-equality proves the commutation, deletes included.
+    sql(
+      "q57_cdc_join_view",
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE coalesce(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <= '7', TRUE)),
+        |chg AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN 'D'
+        |         WHEN o_orderkey % 10 = 4 THEN 'I' ELSE 'U' END AS op
+        |  FROM orders
+        |  WHERE NOT coalesce(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <= '7', TRUE)),
+        |applied AS (
+        |  SELECT s.o_orderkey, s.o_custkey, s.o_totalprice FROM snap s
+        |  LEFT JOIN chg c ON s.o_orderkey = c.o_orderkey WHERE c.o_orderkey IS NULL
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM chg WHERE op <> 'D')
+        |SELECT a.o_orderkey, c.c_custkey, c.c_name, round(a.o_totalprice, 2) AS price
+        |FROM applied a JOIN customer c ON a.o_custkey = c.c_custkey
+        |ORDER BY a.o_orderkey""".stripMargin) { (s, d) =>
+      val customer = Tables.customer(s, d).select($"c_custkey", $"c_name")
+      val o = Tables.orders(s, d)
+        .select($"o_orderkey", $"o_custkey".as("c_custkey"), $"o_totalprice")
+      val viewOld = o.filter(Tables.inLowMd5Half($"o_orderkey")).join(customer, "c_custkey")
+      // each change row carries its dimension payload — the view-delta
+      // shape: the increment broadcasts into customer, the view itself
+      // is only ever anti-joined/unioned by Cdc (never re-joined)
+      val chgView = o.filter(!Tables.inLowMd5Half($"o_orderkey"))
+        .withColumn("op",
+          when($"o_orderkey" % 10 === 3, "D")
+            .when($"o_orderkey" % 10 === 4, "I").otherwise("U"))
+        .withColumn("seq", $"o_orderkey")
+        .join(broadcast(customer), "c_custkey")
+      graft.operators.Cdc
+        .applyChanges(viewOld, chgView, key = "o_orderkey")
+        .select($"o_orderkey", $"c_custkey", $"c_name",
+          round($"o_totalprice", 2).as("price"))
+        .orderBy($"o_orderkey")
     }
   )
 
