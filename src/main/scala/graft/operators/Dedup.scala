@@ -442,6 +442,92 @@ object Dedup {
     labels.localCheckpoint(true)
   }
 
+  /** INCREMENTAL connected-components maintenance: merge a new batch's
+    * near-dup pairs into a STORED components table without re-clustering
+    * the corpus — the missing rung between [[incrementalNearDups]]
+    * (which finds a crawl increment's pairs against the stored
+    * signature index) and [[connectedComponents]] (which would
+    * otherwise re-run star contraction over every pair ever seen).
+    *
+    * Input:
+    *  - `stored` — (id, rep) as produced by [[connectedComponents]]:
+    *    a star forest whose rep is each component's MIN member id
+    *    (every clustered doc has a row, including the rep itself).
+    *    That minimality is the correctness precondition: it makes a
+    *    component's label recoverable from its rep alone.
+    *  - `newPairs` — (id_a, id_b) undirected edges from the increment:
+    *    new–new pairs and new–old pairs (old–old edges are already
+    *    folded into `stored`; passing extra ones is harmless).
+    *
+    * Output: (id, rep) over endpoints(stored) ∪ endpoints(newPairs),
+    * row-identical to `connectedComponents(storedPairs ∪ newPairs)`
+    * (IncrementalComponentsSpec asserts the equality, including the
+    * bridge case where one new edge merges two stored clusters).
+    *
+    * Why it is equal: contracting each stored component to its rep
+    * preserves connectivity, and because every rep is its component's
+    * min id, the min node of a merged component in the contracted
+    * graph IS the min member id of the merged component in the full
+    * graph. So star contraction over the BATCH-SIZED contracted graph
+    * yields exactly the labels a full recompute would.
+    *
+    * Scale shape — the whole point: the stored table (corpus-sized,
+    * served from parquet) is never shuffled. It is scanned twice, both
+    * times as the streamed side of a broadcast hash join against
+    * batch-sized build sides: once to look up the touched endpoints'
+    * stored reps, once to apply the rep→rep relabel map. The star
+    * contraction runs only on the contracted increment graph —
+    * O(batch) edges — regardless of corpus size. With daily crawls at
+    * 100 TB this turns clustering from a full-corpus O(log d) shuffle
+    * cascade per day into a per-increment cost. */
+  def mergeComponents(stored: DataFrame, newPairs: DataFrame): DataFrame = {
+    // the increment's pair pipeline (typically incrementalNearDups +
+    // a new-new banding pass) is expensive and referenced 3× below —
+    // materialize once (Collapse's eager-checkpoint idiom)
+    val p = newPairs.select($"id_a", $"id_b").distinct().localCheckpoint(true)
+    val touched = p.select($"id_a".as("id")).union(p.select($"id_b".as("id")))
+      .distinct()
+    // stored reps of the touched endpoints: INNER broadcast join with
+    // the batch-sized `touched` as the build side — the corpus-sized
+    // stored table streams map-side, no shuffle. Endpoints absent from
+    // stored (new docs, or old docs that were never clustered) simply
+    // miss here and fall through coalesce() below as themselves.
+    val storedTouched = stored.select($"id", $"rep")
+      .join(broadcast(touched), "id")
+      .localCheckpoint(true)
+    // contract: rewrite each new edge onto stored reps (or the raw id
+    // when unclustered) — both joins are small × small
+    val ra = storedTouched.select($"id".as("id_a"), $"rep".as("rep_a"))
+    val rb = storedTouched.select($"id".as("id_b"), $"rep".as("rep_b"))
+    val contracted = p
+      .join(ra, Seq("id_a"), "left")
+      .join(rb, Seq("id_b"), "left")
+      .select(coalesce($"rep_a", $"id_a").as("id_a"),
+        coalesce($"rep_b", $"id_b").as("id_b"))
+    // cluster the contracted increment graph: O(batch) nodes — the
+    // only star contraction in the whole maintenance pass. Nodes are
+    // touched stored reps ∪ unclustered endpoints; self-pairs survive
+    // distinct() so isolated contracted nodes still surface.
+    val sub = connectedComponents(contracted)
+    // relabel map keyed by stored rep. A contracted node is either a
+    // stored rep or an id absent from stored entirely (never a
+    // non-rep stored member — those were rewritten to their rep), so
+    // joining on rep touches exactly the merged components.
+    val repMap = sub.select($"id".as("rep"), $"rep".as("new_rep"))
+    val updated = stored.select($"id", $"rep")
+      .join(broadcast(repMap), Seq("rep"), "left")
+      .select($"id", coalesce($"new_rep", $"rep").as("rep"))
+    // endpoints not in stored gain their first label from `sub`; every
+    // frame here is batch-sized, so both joins broadcast their build
+    // side — the only shuffle in the whole merge is the increment's
+    // endpoint-distinct aggregation
+    val fresh = touched
+      .join(broadcast(storedTouched.select($"id")), Seq("id"), "left_anti")
+      .join(broadcast(sub), Seq("id"))
+      .select($"id", $"rep")
+    updated.unionByName(fresh)
+  }
+
   /** Canonical-document selection — the step every dedup pipeline ends
     * with: of each near-dup cluster, KEEP exactly the best-scoring
     * member (ties to the lowest id) and drop the rest; documents in no

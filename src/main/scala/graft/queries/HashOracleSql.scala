@@ -131,8 +131,16 @@ object HashOracleSql {
     * No banding-recall assumption anywhere — bucket mismatches fail the
     * hash compare. */
   def incrementalNearDups(n: Int, k: Int, rowsPerBand: Int,
-      threshold: Double, newPred: String): String = {
-    val ctes = minHashSigCtes(n, k) ++
+      threshold: Double, newPred: String): String =
+    "WITH " + incrementalPairCtes(n, k, rowsPerBand, newPred).mkString(",\n") +
+      s"\nSELECT new_id, dup_of, est_jaccard FROM agr WHERE est_jaccard >= $threshold ORDER BY new_id, dup_of"
+
+  /** CTEs ending in `agr(new_id, dup_of, est_jaccard)` — the t25
+    * incremental pipeline's pair set, reused verbatim by the t40
+    * closure oracle so both queries replay the identical banding. */
+  private def incrementalPairCtes(n: Int, k: Int, rowsPerBand: Int,
+      newPred: String): Seq[String] =
+    minHashSigCtes(n, k) ++
       Seq(
         s"bl AS (SELECT doc_id, CAST(j // $rowsPerBand AS INT) AS band, " +
           s"list(CASE WHEN mv < 0 THEN CAST(mv AS HUGEINT) + $M ELSE CAST(mv AS HUGEINT) END ORDER BY j) AS lanes " +
@@ -150,8 +158,38 @@ object HashOracleSql {
           "FROM cand c JOIN sigs sa ON sa.doc_id = c.new_id " +
           "JOIN sigs sb ON sb.doc_id = c.dup_of AND sb.j = sa.j " +
           "GROUP BY c.new_id, c.dup_of)")
-    "WITH " + ctes.mkString(",\n") +
-      s"\nSELECT new_id, dup_of, est_jaccard FROM agr WHERE est_jaccard >= $threshold ORDER BY new_id, dup_of"
+
+  /** t40: incremental components maintenance — the full-recompute
+    * equality oracle for [[graft.operators.Dedup.mergeComponents]].
+    * The pair universe is exactly what the Spark side folds together:
+    * old–old and new–new exact-Jaccard pairs (the t21/t09 exhaustive
+    * twin of the verified-banding pipeline) plus the t25 incremental
+    * new–old pairs (stored-signature agreement, replayed bit-exactly
+    * by [[incrementalPairCtes]]). The recursive CTE closes that union
+    * transitively and takes each node's min reachable id — which the
+    * incremental merge must reproduce row-for-row despite never
+    * re-clustering the old corpus. */
+  def incrementalComponents(n: Int, k: Int, rowsPerBand: Int,
+      threshold: Double, exactThreshold: Double, newPred: String): String = {
+    import graft.functions.TextFunctions.{Sql => T}
+    val ctes = incrementalPairCtes(n, k, rowsPerBand, newPred) ++ Seq(
+      s"shs AS (SELECT doc_id, ${T.shingleSet("text", 3)} AS s FROM documents)",
+      s"oldsh AS (SELECT doc_id, s FROM shs WHERE NOT ($newPred))",
+      s"newsh AS (SELECT doc_id, s FROM shs WHERE $newPred)",
+      "pold AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM oldsh a " +
+        s"JOIN oldsh b ON a.doc_id < b.doc_id WHERE ${T.listJaccard("a.s", "b.s")} >= $exactThreshold)",
+      "pnew AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM newsh a " +
+        s"JOIN newsh b ON a.doc_id < b.doc_id WHERE ${T.listJaccard("a.s", "b.s")} >= $exactThreshold)",
+      s"incr AS (SELECT new_id AS id_a, dup_of AS id_b FROM agr WHERE est_jaccard >= $threshold)",
+      "allp AS (SELECT id_a, id_b FROM pold UNION SELECT id_a, id_b FROM pnew " +
+        "UNION SELECT id_a, id_b FROM incr)",
+      "e(src, dst) AS (SELECT id_a, id_b FROM allp UNION ALL SELECT id_b, id_a FROM allp)",
+      """reach(a, b) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)""".stripMargin)
+    "WITH RECURSIVE " + ctes.mkString(",\n") +
+      "\nSELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep_id FROM reach GROUP BY a ORDER BY doc_id"
   }
 
   /** CTEs ending in `allsims(doc_id, u)`: the unsigned 64-bit SimHash of

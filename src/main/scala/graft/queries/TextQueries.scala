@@ -884,6 +884,35 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Incremental cluster maintenance — the last rung of the
+    // incremental-everything ladder (t25 finds a crawl increment's
+    // pairs against the stored signature index; this folds them into
+    // the STORED components table without re-clustering the corpus).
+    // The new batch (doc_id % 5 = 0) contributes its new–old pairs
+    // (t25's incrementalNearDups) and its new–new verified pairs; the
+    // old corpus contributes only its materialized (id, rep) table —
+    // scanned twice as the streamed side of broadcast joins, never
+    // shuffled, and the star contraction runs only on the contracted
+    // batch-sized graph (Dedup.mergeComponents). Oracle: full-recompute
+    // equality — the recursive-CTE transitive closure over the exact
+    // old–old/new–new pair sets plus the bit-exact t25 banding replay
+    // for new–old, min reachable id per node.
+    sql(
+      "t40_incremental_clusters",
+      HashOracleSql.incrementalComponents(n = 3, k = 16, rowsPerBand = 4,
+        threshold = 0.5, exactThreshold = 0.5, newPred = "doc_id % 5 = 0")) { (s, d) =>
+      val newDocs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      val incr = Dedup.incrementalNearDups(newDocs, col("text"), col("doc_id"),
+          dedupIndex(s, d))
+        .select(col("new_id").as("id_a"), col("dup_of").as("id_b"))
+      val nn = Dedup.minHashPairsVerified(newDocs, col("text"), col("doc_id"),
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.mergeComponents(prebuiltOldComponents(s, d), incr.unionByName(nn))
+        .select(col("id").as("doc_id"), col("rep").as("rep_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Heavy hitters via count-min sketch, gated against exact counts
     // (q29/q39's sketch-trust pattern, now for an UNBOUNDED key
     // domain): at 100 TB the token vocabulary is billions of keys, so
@@ -1205,6 +1234,29 @@ object TextQueries {
       sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
       val pairs = Dedup.minHashPairsVerified(
         Tables.documents(s, d), col("text"), col("doc_id"), threshold = 0.5)
+      Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+    s.read.parquet(path)
+  }
+
+  /** Prebuilt components table of the "existing" corpus only
+    * (doc_id % 5 ≠ 0, the same old/new split as [[dedupIndex]]) — the
+    * STORED cluster state a crawl-ingestion pipeline maintains: built
+    * once from the old corpus's verified pairs, then kept current by
+    * [[graft.operators.Dedup.mergeComponents]] folding each
+    * increment's pairs in (t40) instead of re-clustering. */
+  private val oldComponentsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def prebuiltOldComponents(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val path = oldComponentsCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "neardup-components-old")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      val pairs = Dedup.minHashPairsVerified(
+        Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0),
+        col("text"), col("doc_id"), threshold = 0.5)
       Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
         .write.mode("overwrite").parquet(dir.toString)
       dir.toString

@@ -301,6 +301,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"new-batch predicate must push down:\n$p")
   }
 
+  test("t40: incremental clusters — stored table relabels via broadcast, never shuffles") {
+    val p = plan("t40_incremental_clusters")
+    // the increment pipeline (kernels, banding, star contraction) ran
+    // inside eager checkpoints at build time; the SERVED merge plan
+    // must contain no text kernel at all
+    assert(nodeFree(p, "minhash_sig") == 0 && nodeFree(p, "band_hashes") == 0,
+      s"merge must serve stored state, not re-run signature kernels:\n$p")
+    // the corpus-sized stored table streams through broadcast hash
+    // joins (relabel map is the build side); the only shuffle allowed
+    // is the output sort's range partitioning
+    assert(p.contains("BroadcastHashJoin"), s"relabel must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stored side must not sort-merge:\n$p")
+    // ≤2 hash exchanges, both on the BATCH-sized side (the increment's
+    // endpoint-distinct agg); the stored parquet scan feeds its
+    // broadcast join directly — corpus rows are never repartitioned
+    assert(p.linesIterator.count(l =>
+        l.trim.startsWith("Arguments: hashpartitioning")) <= 2,
+      s"only the increment may shuffle at merge time:\n$p")
+    val scanIdx = p.linesIterator.indexWhere(_.contains("Scan parquet"))
+    val bhjIdx = p.linesIterator.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(bhjIdx >= 0 && bhjIdx < scanIdx,
+      s"stored scan must be a direct child of the broadcast relabel join:\n$p")
+  }
+
   test("q31: bucketed upsert — snapshot side joins in place, only the increment shuffles") {
     val p = plan("q31_bucketed_upsert")
     assert(p.contains("SortMergeJoin FullOuter"), s"upsert is one full-outer merge join:\n$p")
