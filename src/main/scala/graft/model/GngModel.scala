@@ -272,7 +272,11 @@ final class GngModel(val params: GngParams, val dim: Int) extends Serializable {
   // ---- snapshot renderers (reference on-disk format, batchStream.scala:97-101)
   def prototypeLines: Seq[String] = nodes.map(_.centroidString).toSeq
   def outdatedLines: Seq[String] = outdatedNodes.map(_.centroidString).toSeq
-  def edgeLines: Seq[String] = edges.map(_.mkString("[", ", ", "]")).toSeq
+  // reference-exact: batchStream.scala:99 writes each adjacency row via
+  // ArrayBuffer.toString, so the golden dirs (conf/test/results/DS1-200-3/
+  // Edges-92/part-00000) read `ArrayBuffer(0, 1, ...)` — byte-matching
+  // them keeps new snapshot dirs drop-in diffable against old ones
+  def edgeLines: Seq[String] = edges.map(_.mkString("ArrayBuffer(", ", ", ")")).toSeq
   def weightLines: Seq[String] = clusterWeights.map(_.toString).toSeq
 
   /** Idiomatic snapshot: symmetric edge list (srcIdx, dstIdx, age) —

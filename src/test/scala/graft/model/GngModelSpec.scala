@@ -142,7 +142,9 @@ class GngModelSpec extends AnyFunSuite {
   test("snapshot renderers match the reference formats") {
     val m = freshModel()
     assert(m.prototypeLines === Seq("0.0, 0.0", "10.0, 0.0"))
-    assert(m.edgeLines === Seq("[0, 1]", "[1, 0]"))
+    // the reference renders adjacency rows via ArrayBuffer.toString
+    // (batchStream.scala:99; golden Edges-92/part-00000) — byte-exact
+    assert(m.edgeLines === Seq("ArrayBuffer(0, 1)", "ArrayBuffer(1, 0)"))
     assert(m.weightLines === Seq("1.0", "1.0"))
     assert(m.edgeList === Seq((0, 1, 0.0)))
   }

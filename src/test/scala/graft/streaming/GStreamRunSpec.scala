@@ -61,6 +61,20 @@ class GStreamRunSpec extends AnyFunSuite with SparkTestSupport {
     assert(Files.exists(Paths.get(dirSortie, "Prototypes-1")))
     assert(Files.exists(Paths.get(dirSortie, "Edges-2")))
     assert(Files.exists(Paths.get(dirSortie, "Weights-3")))
+
+    // Edges rows render reference-exact: `ArrayBuffer(0, 1, ...)`
+    // (batchStream.scala:99 writes ArrayBuffer.toString; golden
+    // conf/test/results/DS1-200-3/Edges-92/part-00000) so new snapshot
+    // dirs byte-diff cleanly against old golden dirs
+    val edgeRows = Files.list(Paths.get(dirSortie, "Edges-2")).toArray
+      .map(_.toString)
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("part-"))
+      .filterNot(_.endsWith(".crc")).sorted
+      .flatMap(p => scala.io.Source.fromFile(p).getLines().toSeq)
+      .filter(_.nonEmpty)
+    assert(edgeRows.nonEmpty)
+    assert(edgeRows.forall(_.matches("""ArrayBuffer\(\d(, \d)*\)""")),
+      s"Edges rows must match the reference ArrayBuffer rendering: ${edgeRows.head}")
   }
 
   test("referenceCadence(91) reproduces the committed golden checkpoint set") {
