@@ -44,9 +44,19 @@ object Cdc {
   /** Apply `changes` (snapshot schema + `opCol` + `seqCol`) to
     * `snapshot` (unique non-NULL `key`). Returns the new snapshot,
     * same schema. `(key, seqCol)` must be unique in the batch — equal
-    * seqs for one key would make "latest" nondeterministic. */
+    * seqs for one key would make "latest" nondeterministic.
+    *
+    * `broadcastTouched` (default true) hints the touched-key anti join
+    * to broadcast — correct at real increment:snapshot ratios, where
+    * the batch's key set fits comfortably under the driver/executor
+    * broadcast limits. A batch approaching snapshot scale (bulk
+    * backfills, q51/s14-style half-table batches at large SF) can
+    * exceed those limits and fail the job; pass false there to let the
+    * planner fall back to a shuffled anti join — slower (the snapshot
+    * shuffles once) but bounded. */
   def applyChanges(snapshot: DataFrame, changes: DataFrame, key: String,
-      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+      opCol: String = "op", seqCol: String = "seq",
+      broadcastTouched: Boolean = true): DataFrame = {
     val payloadCols = snapshot.columns.toIndexedSeq
     require(payloadCols.contains(key), s"cdc: key '$key' missing from snapshot")
     val expected = payloadCols ++ Seq(opCol, seqCol)
@@ -62,8 +72,13 @@ object Cdc {
         concat(lit(s"cdc: unknown op '"), coalesce(col(opCol), lit("NULL")),
           lit(s"' (want I/U/D)")))))
 
-    // netting: the latest change per key is the batch's whole effect
-    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc)
+    // netting: the latest change per key is the batch's whole effect.
+    // The validated op is a TRAILING sort key (never reached — (key,
+    // seq) is unique) so the window's sort forces raise_error to
+    // evaluate on EVERY change row, including ones a later seq
+    // supersedes: "fails loudly on any bad op" must hold even when the
+    // bad row would otherwise be netted away before its filter ran
+    val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc, col(opCol))
     val net = validated
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -73,7 +88,9 @@ object Cdc {
     // missing size estimate on the post-window subtree can never
     // degrade this into a SortMergeJoin that shuffles the snapshot
     // (the content-never-shuffles guarantee this operator is built on)
-    val untouched = snapshot.join(broadcast(net.select(col(key))), Seq(key), "left_anti")
+    val touched = net.select(col(key))
+    val untouched = snapshot.join(
+      if (broadcastTouched) broadcast(touched) else touched, Seq(key), "left_anti")
     val upserted = net.filter(col(opCol) =!= "D")
       .select(payloadCols.map(col): _*)
     untouched.unionByName(upserted)

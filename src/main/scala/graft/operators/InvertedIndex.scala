@@ -44,8 +44,21 @@ object InvertedIndex {
     * posting — Lucene's norms-in-the-list layout — so scoring never
     * joins a corpus-sized doc-length table). */
   private def postingsOf(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    // fail FAST on non-integral ids: the tombstone machinery
+    // (delete(Seq[Long]), append's clash probe) reads doc ids as
+    // Long — an index built over e.g. string ids would work until the
+    // first delete/append, then throw a cast error or silently
+    // mis-join the tombstone set. Integral widths narrower than long
+    // are widened here so every stored index carries BIGINT doc ids.
+    val idType = docs.select(idCol).schema.head.dataType
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(idType),
+      s"invertedIndex: doc id column must be integral (stored as BIGINT; " +
+        s"delete/append tombstone handling joins on Long ids), got $idType")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    docs.select(idCol.as("doc_id"),
+    docs.select(idCol.cast("bigint").as("doc_id"),
         explode(graft.functions.TextFunctions.tokens(textCol)).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term"))

@@ -98,8 +98,16 @@ object RangeJoin {
       right: DataFrame, rlo: Column, rhi: Column,
       cellMicros: Long): DataFrame = {
     require(cellMicros > 0, s"cellMicros must be positive: $cellMicros")
+    // EMPTY intervals (lo >= hi) are dropped before the grid: they can
+    // overlap nothing, but Spark's sequence() counts DOWN for them
+    // (cell(hi-1) < cell(lo)), so an empty [x, x) would still land on
+    // its start cell — and the llo<rhi AND rlo<lhi predicate ACCEPTS an
+    // empty interval strictly inside the other side (x < b and a < x),
+    // emitting a match whose intersection is empty. The filter is the
+    // half-open contract made explicit, and it pushes to the scan.
     def onGrid(df: DataFrame, lo: Column, hi: Column, startCell: String) =
-      df.withColumn("__lo_us", unix_micros(lo))
+      df.where(lo < hi)
+        .withColumn("__lo_us", unix_micros(lo))
         .withColumn("__hi_us", unix_micros(hi))
         .withColumn(startCell, expr(s"__lo_us div $cellMicros"))
         .withColumn("__cell", explode(expr(

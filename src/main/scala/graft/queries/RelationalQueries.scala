@@ -1201,7 +1201,7 @@ object RelationalQueries {
         |         CASE WHEN event_type = 'error' THEN value * 2 ELSE value END AS value
         |  FROM events WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <> 'f'
         |  UNION ALL
-        |  SELECT event_id + 100000000, user_id, 'synthetic', value
+        |  SELECT -event_id - 1, user_id, 'synthetic', value
         |  FROM events WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'),
         |d AS (
         |  SELECT coalesce(a.event_id, b.event_id) AS event_id,
@@ -1220,8 +1220,12 @@ object RelationalQueries {
       val snapB = snapA.filter(hex1 =!= "f")
         .withColumn("value",
           when($"event_type" === "error", $"value" * 2).otherwise($"value"))
+        // cloned keys live in the NEGATIVE range (-id - 1): disjoint
+        // from real non-negative event_ids at EVERY scale factor —
+        // a fixed positive offset would collide once event_id reaches
+        // it, breaking TableDiff's unique-key precondition
         .unionAll(snapA.filter(hex1 === "0")
-          .select(($"event_id" + 100000000L).as("event_id"), $"user_id",
+          .select((-$"event_id" - 1L).as("event_id"), $"user_id",
             lit("synthetic").as("event_type"), $"value"))
       graft.operators.TableDiff
         .drift(snapA, snapB, keys = Seq("event_id"),

@@ -121,6 +121,29 @@ class CdcSpec extends AnyFunSuite with SparkTestSupport {
     assert(msg.contains("unknown op 'NULL'"), s"NULL op must keep a readable message: $msg")
   }
 
+  test("a bad op SUPERSEDED by a later seq for the same key still fails") {
+    // netting would drop the seq=1 row before any downstream filter
+    // evaluated its op; the validated op rides the netting window's
+    // sort order, so raise_error fires for every change row regardless
+    val bad = Seq(
+      (2L, "b1", 1.0, "X", 1L), // malformed, superseded…
+      (2L, "b2", 2.0, "U", 2L)) // …by this valid later change
+      .toDF("k", "attr", "v", "op", "seq")
+    val e = intercept[Exception] {
+      Cdc.applyChanges(snap, bad, "k").collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("unknown op"), s"superseded bad op must still fail: $msg")
+  }
+
+  test("broadcastTouched=false is row-identical (the huge-batch fallback)") {
+    val changes = Seq(
+      (2L, "b2", 21.0, "U", 1L), (3L, "c", 30.0, "D", 2L), (5L, "e", 50.0, "I", 3L))
+      .toDF("k", "attr", "v", "op", "seq")
+    assert(state(Cdc.applyChanges(snap, changes, "k", broadcastTouched = false))
+      === state(Cdc.applyChanges(snap, changes, "k")))
+  }
+
   test("schema contract: missing op/seq or key columns are refused up front") {
     intercept[IllegalArgumentException] {
       Cdc.applyChanges(snap, snap, "k") // no op/seq

@@ -198,4 +198,25 @@ class InvertedIndexSpec extends AnyFunSuite with SparkTestSupport {
       InvertedIndex.build(docs, col("doc_id"), col("text"), nBuckets = 0, dir = "/tmp/x")
     }
   }
+
+  test("non-integral doc ids are refused at build time; int ids widen to BIGINT") {
+    // string ids would work until delete()/append()'s Long-keyed
+    // tombstone handling — refuse up front with a readable message
+    val strIds = Seq(("a", "spark merge")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.build(strIds, col("doc_id"), col("text"), nBuckets = 2,
+        dir = java.nio.file.Files.createTempDirectory("inv-str").toString + "/idx")
+    }
+    assert(e.getMessage.contains("integral"))
+    // int ids are fine — widened so the stored index always carries
+    // BIGINT and delete(Seq[Long]) round-trips
+    val intIds = Seq((1, "spark merge"), (2, "merge only")).toDF("doc_id", "text")
+    val d2 = java.nio.file.Files.createTempDirectory("inv-int").toString + "/idx"
+    InvertedIndex.build(intIds, col("doc_id"), col("text"), nBuckets = 2, dir = d2)
+    assert(InvertedIndex.lookupAll(spark, d2, Seq("merge"))
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    InvertedIndex.delete(spark, d2, Seq(1L))
+    assert(InvertedIndex.lookupAll(spark, d2, Seq("merge"))
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+  }
 }

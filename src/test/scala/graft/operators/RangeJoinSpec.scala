@@ -104,6 +104,24 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestSupport {
       assert(gridOverlap(w) === expected, s"cellMicros=$w")
   }
 
+  test("intervalOverlap: EMPTY intervals ([x,x) and inverted) match nothing") {
+    // regression: an empty interval still lands on its start cell
+    // (sequence counts down), and the llo<rhi AND rlo<lhi predicate
+    // accepts an empty interval strictly INSIDE the other side — the
+    // lo<hi guard must drop these before the grid
+    val empties = Seq(
+      ("e1", ts("2024-01-01 06:00:00"), ts("2024-01-01 06:00:00")), // [x,x) inside a
+      ("e2", ts("2024-01-05 00:00:00"), ts("2024-01-03 00:00:00"))  // inverted
+    ).toDF("rname", "rlo", "rhi")
+    val got = RangeJoin.intervalOverlap(intervals, col("lo"), col("hi"),
+      empties, col("rlo"), col("rhi"), 3600L * 1000000L).collect()
+    assert(got.isEmpty, s"empty intervals must never match: ${got.toSeq}")
+    // and symmetrically on the left side
+    val got2 = RangeJoin.intervalOverlap(empties.toDF("name", "lo", "hi"),
+      col("lo"), col("hi"), rights, col("rlo"), col("rhi"), 3600L * 1000000L).collect()
+    assert(got2.isEmpty)
+  }
+
   test("intervalOverlap: randomized parity with the nested-loop reference (seeded)") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
