@@ -739,36 +739,26 @@ object VectorQueries {
     // exact LSH-twin pair SQL + a recursive-CTE closure — quadratic
     // reachability lives ONLY in DuckDB.
     sql(
-      "v24_embedding_clusters", {
-        val planes = Similarity.hyperplanes(3, EmbDim)
-        s"""WITH RECURSIVE
-           |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |s AS (SELECT vec_id, v, ${sigSql("v", planes)} AS sig FROM e0),
-           |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-           |      FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
-           |      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.2),
-           |e(src, dst) AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
-           |reach(a, b) AS (
-           |  SELECT DISTINCT src, src FROM e
-           |  UNION
-           |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
-           |cc AS (
-           |  SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS cluster_rep
-           |  FROM reach GROUP BY a)
-           |SELECT vec_id, cluster_rep,
-           |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
-           |FROM cc ORDER BY vec_id""".stripMargin
-      }) { (s, d) =>
+      "v24_embedding_clusters", embeddingClustersOracle) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val pairs = Similarity.cosineNearDupPairs(
         Tables.embeddings(s, d), col("embedding"), col("vec_id"),
         threshold = 0.2, nBits = 3, nBands = 1, centered = false)
       graft.operators.Dedup.connectedComponents(
           pairs.select(col("id_a"), col("id_b")))
-        .select(col("id").as("vec_id"), col("rep").as("cluster_rep"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
-        .orderBy(col("vec_id"))
+        .transform(sizedClusters)
+    },
+
+    // v24 in its PRODUCTION shape (the t31/t32 amortization pattern for
+    // the embedding side): the LSH banding + cosine verify + star
+    // contraction run ONCE per data dir into a materialized (id, rep)
+    // components table; each additional consumer pays only the
+    // id-keyed size window. Plan-gated: zero embedding kernels and
+    // zero joins at serve time. Same oracle as v24 — serving a
+    // materialized clustering must not change a row.
+    sql(
+      "v28_embedding_clusters_prebuilt", embeddingClustersOracle) { (s, d) =>
+      sizedClusters(prebuiltEmbClusters(s, d))
     },
 
     // Scalar-quantized (SQ8) kNN — the compression rung below PQ
@@ -806,6 +796,66 @@ object VectorQueries {
       Sq.sqKnn(index, queryVector(s, d), r, k = 10)
     }
   )
+
+  /** v24/v28's shared oracle: the exact LSH-twin pair SQL + a
+    * recursive-CTE closure — quadratic reachability lives ONLY in
+    * DuckDB. One definition for both the end-to-end and the
+    * prebuilt-serving query, so reusing a materialized clustering is
+    * pinned to byte-identical output (the t27/t31 oracle discipline). */
+  private lazy val embeddingClustersOracle: String = {
+    val planes = Similarity.hyperplanes(3, EmbDim)
+    s"""WITH RECURSIVE
+       |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v, ${sigSql("v", planes)} AS sig FROM e0),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |      FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.2),
+       |e(src, dst) AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+       |cc AS (
+       |  SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS cluster_rep
+       |  FROM reach GROUP BY a)
+       |SELECT vec_id, cluster_rep,
+       |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+       |FROM cc ORDER BY vec_id""".stripMargin
+  }
+
+  /** The consumer-side shaping both v24 and v28 share: (id, rep)
+    * components → (vec_id, cluster_rep, cluster_size) via the
+    * per-cluster count window. */
+  private def sizedClusters(components: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    components
+      .select(col("id").as("vec_id"), col("rep").as("cluster_rep"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Materialized embedding components per data dir (the
+    * TextQueries.prebuiltComponents twin on the vector side): LSH
+    * pair generation + star contraction run once, written to scratch
+    * parquet, served to every consumer. */
+  private val embClustersCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def prebuiltEmbClusters(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val path = embClustersCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "emb-components")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      val pairs = Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, d), col("embedding"), col("vec_id"),
+        threshold = 0.2, nBits = 3, nBands = 1, centered = false)
+      graft.operators.Dedup.connectedComponents(
+          pairs.select(col("id_a"), col("id_b")))
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+    s.read.parquet(path)
+  }
 
   /** v20's oracle: brute-force top-10 per query (same round-then-rank
     * tie-break) LEFT JOINed against the v15 multiprobe SQL verbatim —

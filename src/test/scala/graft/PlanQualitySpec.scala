@@ -325,6 +325,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"stored scan must be a direct child of the broadcast relabel join:\n$p")
   }
 
+  test("v28: prebuilt embedding clusters serve with zero kernels and zero joins") {
+    val p = plan("v28_embedding_clusters_prebuilt")
+    assert(nodeFree(p, "cosine") == 0 && nodeFree(p, "lsh_sig") == 0,
+      s"serving a materialized clustering must not touch embeddings:\n$p")
+    assert(nodeCount(p, "\\w*Join") == 0, s"serve is scan + window + sort:\n$p")
+    assert(p.contains("Window"), s"cluster_size is the only computed column:\n$p")
+  }
+
   test("q31: bucketed upsert — snapshot side joins in place, only the increment shuffles") {
     val p = plan("q31_bucketed_upsert")
     assert(p.contains("SortMergeJoin FullOuter"), s"upsert is one full-outer merge join:\n$p")
