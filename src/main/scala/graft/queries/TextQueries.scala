@@ -884,6 +884,47 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL BPE tokenization against the compiled merges table — the
+    // token count t13's regex estimate stands in for, and the unit the
+    // packing budgets (t22), mixture weights (t24), and surprisal
+    // (t26) are denominated in. The kernel (expressions/Bpe) runs the
+    // standard rank-order merge loop per word in ONE fused pass;
+    // the oracle replays every merge as a generated list_reduce fold
+    // stage FROM THE SAME Scala constant, so the two engines share one
+    // merges table by construction. Output: token count + md5 of the
+    // '|'-joined token sequence — a fingerprint mismatch pins any
+    // divergence to the exact document.
+    sql(
+      "t39_bpe_tokens", {
+        import graft.expressions.Bpe
+        val ctes = Seq(
+          s"tl AS (SELECT doc_id, string_split(${Sql.normalizeText("text")}, ' ') AS ws FROM documents)",
+          "w AS (SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS widx FROM tl)",
+          "e0 AS (SELECT doc_id, widx, array_to_string(list_transform(" +
+            "range(1, length(word)+1), i -> substr(word, i, 1)), '|') AS enc " +
+            "FROM w WHERE word <> '')") ++
+          Bpe.oracleMergeStages :+
+          ("agg AS (SELECT d.doc_id, coalesce(string_agg(e.enc, '|' ORDER BY e.widx), '') AS enc " +
+            s"FROM documents d LEFT JOIN ${Bpe.lastStage} e USING (doc_id) GROUP BY d.doc_id)")
+        "WITH " + ctes.mkString(",\n") +
+          """
+            |SELECT doc_id,
+            |  CAST(CASE WHEN enc = '' THEN 0 ELSE len(string_split(enc, '|')) END AS INT) AS n_bpe,
+            |  md5(enc) AS bpe_fp
+            |FROM agg ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      // explode(array(...)) barrier (t17): n_bpe and bpe_fp both
+      // derive from ONE kernel evaluation
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array(graft.expressions.Bpe.encode(col("text")))).as("enc"))
+        .select(col("doc_id"),
+          when(col("enc") === "", 0)
+            .otherwise(size(split(col("enc"), "\\|"))).cast("int").as("n_bpe"),
+          md5(col("enc").cast("binary")).as("bpe_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental cluster maintenance — the last rung of the
     // incremental-everything ladder (t25 finds a crawl increment's
     // pairs against the stored signature index; this folds them into

@@ -301,6 +301,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"new-batch predicate must push down:\n$p")
   }
 
+  test("t39: BPE kernel evaluates once behind the Generate barrier") {
+    val p = plan("t39_bpe_tokens")
+    assert(nodeFree(p, "bpe_encode") == 1,
+      s"n_bpe and bpe_fp must share ONE kernel evaluation:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
   test("t40: incremental clusters — stored table relabels via broadcast, never shuffles") {
     val p = plan("t40_incremental_clusters")
     // the increment pipeline (kernels, banding, star contraction) ran

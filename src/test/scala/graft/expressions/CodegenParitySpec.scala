@@ -68,6 +68,15 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
     assert(g.head.getString(1) === "en")
   }
 
+  test("BpeEncode: codegen == interpreted incl. empty and punct-only text") {
+    import spark.implicits._
+    val bdocs = Seq((1L, "the interesting thing"), (2L, ""), (3L, "!!! ???"),
+      (4L, "Another 2000 things"), (5L, "aaa bbb a"))
+      .toDF("id", "text")
+    val (g, i) = bothWays(bdocs.select(col("id"), Bpe.encode(col("text"))))
+    assert(g === i)
+  }
+
   test("repetitionStats: known values and one kernel under project-level CSE") {
     val rep = TextHash.repetitionStats(col("text"))
     val out = docs.select(col("id"),

@@ -117,6 +117,54 @@ class TextKernelPropertySpec extends AnyFunSuite with SparkTestSupport {
     }
   }
 
+  test("bpeEncode == independent lowest-rank-first priority loop (canonical BPE)") {
+    // the kernel applies merges in RANK ORDER, each exhaustively; this
+    // twin runs the canonical priority algorithm real encoders use —
+    // repeatedly find the LOWEST-RANK pair present, merge all its
+    // occurrences leftmost-first. Equality over the adversarial corpus
+    // is the empirical side of the well-formed-table equivalence proof
+    // in Bpe's scaladoc.
+    val rank = Bpe.Merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    def refWord(word: String): Seq[String] = {
+      var toks = word.map(_.toString).toVector
+      var done = false
+      while (!done) {
+        val present = toks.zip(toks.drop(1)).flatMap(p => rank.get(p))
+        if (present.isEmpty) done = true
+        else {
+          val (x, y) = Bpe.Merges(present.min)
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+              out += (x + y); i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          toks = out.toVector
+        }
+      }
+      toks
+    }
+    val rows = df.select(col("text"), Bpe.encode(col("text"))).collect()
+    rows.foreach { r =>
+      val expected = TextHashImpl.normalize(
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))
+        .toString.split(' ').filter(_.nonEmpty).flatMap(refWord).mkString("|")
+      assert(r.getString(1) === expected, s"text='${r.getString(0)}'")
+    }
+    // fixed anchors: multi-merge cascades and the repeated-pair fold
+    val fixed = spark.sql(
+      "SELECT 'the' a, 'this' b, 'another' c, '2000' d, 'aaa' e, 'interesting' f")
+    val got = fixed.columns.map(c =>
+      fixed.select(Bpe.encode(col(c))).head().getString(0))
+    assert(got(0) === "the")
+    assert(got(1) === "this") // th+is — both operands are merge outputs
+    assert(got(2) === "an|o|the|r")
+    assert(got(3) === "2|00|0") // leftmost-first on the repeated pair
+    assert(got(4) === "a|a|a") // (a,a) is not in the table
+    assert(got(5) === "in|t|er|es|t|ing")
+  }
+
   test("qualityScore == regex-composition twin on RE2-safe input") {
     val chars = greatest(length(col("text")), lit(1)).cast("double")
     val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
