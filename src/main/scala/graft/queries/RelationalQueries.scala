@@ -1475,6 +1475,58 @@ object RelationalQueries {
         .select($"o_orderkey", $"c_custkey", $"c_name",
           round($"o_totalprice", 2).as("price"))
         .orderBy($"o_orderkey")
+    },
+
+    // PERMISSIVE corrupt-record ingestion: a real crawl delivers
+    // malformed JSONL, and an ingestion job must QUARANTINE those
+    // lines — never fail the job, never silently drop them. The
+    // fixture is a JSONL rendering of the documents table with the
+    // md5-'0' bucket's lines truncated (deterministically malformed);
+    // Spark reads it with an explicit schema + PERMISSIVE +
+    // columnNameOfCorruptRecord, so bad lines surface as rows carrying
+    // the raw line. Output: per-lang counts/sums of the PARSED rows
+    // (proving the parser recovered the exact field values) plus a
+    // '__quarantine' row whose count/chars/fingerprint pin the exact
+    // corrupt-line set. Group fingerprints are ORDER-INDEPENDENT sums
+    // of md5-prefix hashes — no collect/sort, so the audit shape holds
+    // at any scale (partial aggregation all the way down). Oracle:
+    // rebuild the lines and the bucket split in SQL.
+    sql(
+      "q58_corrupt_ingest",
+      """WITH l AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    '{"doc_id":' || doc_id || ',"lang":"' || lang || '","n_chars":' || n_chars || '}' AS line,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS corrupt
+        |  FROM documents),
+        |c AS (
+        |  SELECT CASE WHEN corrupt THEN '__quarantine' ELSE lang END AS lang,
+        |    CASE WHEN corrupt THEN left(line, length(line) - 3)
+        |         ELSE CAST(doc_id AS VARCHAR) END AS key,
+        |    CASE WHEN corrupt THEN length(line) - 3 ELSE n_chars END AS chars
+        |  FROM l)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT)) AS BIGINT) AS fp_sum
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val parsed = s.read
+        .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(corruptJsonlDir(s, d))
+      // PERMISSIVE may partially fill fields on a malformed line —
+      // branch on the corrupt column ONLY, so a half-parsed row never
+      // leaks into the good aggregates
+      val bad = $"_corrupt".isNotNull
+      parsed
+        .select(
+          when(bad, "__quarantine").otherwise($"lang").as("lang"),
+          when(bad, $"_corrupt").otherwise($"doc_id".cast("string")).as("key"),
+          when(bad, length($"_corrupt").cast("long")).otherwise($"n_chars").as("chars"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"), sum($"chars").as("total_chars"),
+          sum(conv(substring(md5($"key".cast("binary")), 1, 8), 16, 10).cast("long"))
+            .as("fp_sum"))
+        .orderBy($"lang")
     }
   )
 
@@ -1614,6 +1666,32 @@ object RelationalQueries {
         .select($"event_id", $"user_id", $"event_type", $"value",
           round($"value" * 0.01 + 1e-9, 4).as("quality"))
         .write.mode("append").parquet(dir.toString)
+      dir.toString
+    })
+
+  /** q58's fixture, once per sf-dir: the documents table rendered as
+    * JSONL text with the md5-'0' bucket's lines TRUNCATED by 3 chars —
+    * always invalid JSON (the closing brace is gone) and always the
+    * same bytes, so both engines can reconstruct the corrupt set
+    * exactly. Field rendering is plain string concat (not to_json) so
+    * the oracle's SQL twin is byte-identical by construction; only
+    * quote-free fields ride the lines. */
+  private val corruptJsonlCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def corruptJsonlDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    corruptJsonlCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "corrupt-jsonl")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      Tables.documents(s, d)
+        .select($"doc_id", concat(lit("{\"doc_id\":"), $"doc_id",
+          lit(",\"lang\":\""), $"lang",
+          lit("\",\"n_chars\":"), $"n_chars", lit("}")).as("line"))
+        .select(when(
+            substring(md5($"doc_id".cast("string").cast("binary")), 1, 1) === "0",
+            $"line".substr(lit(1), length($"line") - 3))
+          .otherwise($"line").as("value"))
+        .write.mode("overwrite").text(dir.toString)
       dir.toString
     })
 
