@@ -46,6 +46,13 @@ object VectorOps {
     * in one fused pass (see [[MaxCosine]]). */
   def maxCosine(a: Column, mat: Array[Array[Double]]): Column =
     graftx.column(MaxCosine(graftx.expr(a), mat))
+  /** ColBERT-style MaxSim: the flat vector is `tokenDim`-chunked into
+    * token sub-vectors; score = Σ over query tokens of the max cosine
+    * against any doc token, each cosine bit-portably rounded to 6 dp
+    * (floor(c·10⁶ + 0.5)/10⁶) BEFORE the max so both engines take the
+    * max over identical values (see [[MaxSim]]). */
+  def maxSim(a: Column, queryTokens: Array[Array[Double]], tokenDim: Int): Column =
+    graftx.column(MaxSim(graftx.expr(a), queryTokens, tokenDim))
 }
 
 object VectorOpsImpl {
@@ -220,6 +227,46 @@ object VectorOpsImpl {
     * [[cosine]], so a single-row matrix is bit-identical to it). NaN
     * rows (zero-norm v or row) never win the max unless ALL are NaN —
     * `>` is false for NaN, matching SQL `max()` ignoring NULLs. */
+  /** [[MaxSim]]'s kernel: Σ_q max_t round6(cos(docToken_t, q)). The
+    * doc vector length must be a multiple of tokenDim. Query token
+    * norms could be hoisted, but |q| and token counts are single-digit
+    * — clarity wins. */
+  def maxSim(a: ArrayData, q: Array[Array[Double]], tokenDim: Int): Double = {
+    val n = a.numElements()
+    if (n % tokenDim != 0)
+      throw new IllegalArgumentException(
+        s"max_sim: embedding length $n is not a multiple of tokenDim $tokenDim")
+    val nTok = n / tokenDim
+    if (nTok == 0)
+      throw new IllegalArgumentException("max_sim: empty embedding")
+    var score = 0.0
+    var j = 0
+    while (j < q.length) {
+      val qv = q(j)
+      var best = Double.NaN
+      var t = 0
+      while (t < nTok) {
+        val off = t * tokenDim
+        var ab = 0.0; var aa = 0.0; var bb = 0.0
+        var i = 0
+        while (i < tokenDim) {
+          val x = a.getDouble(off + i); val y = qv(i)
+          ab += x * y; aa += x * x; bb += y * y
+          i += 1
+        }
+        // bit-portable 6-dp round BEFORE the max (math.round semantics;
+        // the scaled value is an exact integer, /1e6 the same IEEE op
+        // both engines perform)
+        val c = math.floor(ab / (math.sqrt(aa) * math.sqrt(bb)) * 1e6 + 0.5) / 1e6
+        if (c > best || java.lang.Double.isNaN(best)) best = c
+        t += 1
+      }
+      score += best
+      j += 1
+    }
+    score
+  }
+
   def maxCosine(a: ArrayData, mat: Array[Array[Double]]): Double = {
     if (mat.isEmpty)
       throw new IllegalArgumentException(
@@ -340,6 +387,36 @@ case class MaxCosine(child: Expression, mat: Array[Array[Double]])
       s"graft.expressions.VectorOpsImpl.maxCosine($a, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): MaxCosine =
+    copy(child = newChild)
+}
+
+/** Late-interaction (ColBERT-style) MaxSim against a fixed query-token
+  * matrix riding the plan as a reference object: the row's flat
+  * embedding is chunked into tokenDim-wide token sub-vectors, and the
+  * score is Σ over query tokens of the MAX cosine against any doc
+  * token. One fused pass — per row this is |q|·(len/tokenDim) small
+  * dots with no explode, no join, no shuffle: brute-force
+  * late-interaction retrieval keeps v02's scan + TakeOrdered shape.
+  * Each cosine is rounded bit-portably to 6 dp (floor(c·10⁶+0.5)/10⁶)
+  * BEFORE the max so the DuckDB twin maxes over identical values; the
+  * caller applies the final 4-dp nudge-round to the sum. NaN cosines
+  * (zero-norm token) never win a max unless all are NaN ([[MaxCosine]]
+  * semantics). */
+case class MaxSim(child: Expression, queryTokens: Array[Array[Double]],
+    tokenDim: Int) extends UnaryExpression {
+  require(tokenDim > 0, s"max_sim: tokenDim must be positive, got $tokenDim")
+  require(queryTokens.nonEmpty && queryTokens.forall(_.length == tokenDim),
+    s"max_sim: every query token must be $tokenDim-dimensional")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "max_sim"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOpsImpl.maxSim(a.asInstanceOf[ArrayData], queryTokens, tokenDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("queryTokens", queryTokens, "double[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.expressions.VectorOpsImpl.maxSim($a, $ref, $tokenDim)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MaxSim =
     copy(child = newChild)
 }
 

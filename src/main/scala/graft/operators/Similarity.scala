@@ -33,6 +33,27 @@ object Similarity {
 
   private val noOffsets = Array.emptyDoubleArray
 
+  /** Late-interaction (multi-vector) top-k: ColBERT-style MaxSim over
+    * per-token sub-vectors. Each row's flat embedding is
+    * `tokenDim`-chunked into token vectors; score = Σ over query
+    * tokens of the max cosine against any doc token — the fine-grained
+    * relevance signal a single pooled cosine (v02) flattens away.
+    * The query-token matrix rides the plan as a constant inside the
+    * fused [[graft.expressions.VectorOps.maxSim]] kernel, so
+    * brute-force late interaction keeps v02's shape exactly: one
+    * narrow scan + TakeOrderedAndProject — no explode to token rows,
+    * no regroup shuffle. (The IVF/PQ rungs compose on top the same way
+    * they do for single-vector search.)
+    * Output: (id, maxsim) — 4-dp nudge-rounded before the rank. */
+  def maxSimKnn(df: DataFrame, embCol: Column, idCol: Column,
+      queryTokens: Array[Array[Double]], tokenDim: Int, k: Int): DataFrame =
+    df.select(
+        idCol.as("id"),
+        round(graft.expressions.VectorOps.maxSim(
+          asDouble(embCol), queryTokens, tokenDim) + lit(1e-9), 4).as("maxsim"))
+      .orderBy($"maxsim".desc, $"id")
+      .limit(k)
+
   /** Exact top-k rows by cosine similarity to `query`.
     * Output: (idCol, score) — score rounded to 4 dp for stable ordering. */
   def bruteForceKnn(df: DataFrame, embCol: Column, idCol: Column,

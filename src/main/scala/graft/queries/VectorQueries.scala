@@ -794,8 +794,37 @@ object VectorQueries {
       val r = Sq.train(emb, col("v"))
       val index = Sq.encodeIndex(emb, col("v"), col("vec_id"), r)
       Sq.sqKnn(index, queryVector(s, d), r, k = 10)
+    },
+
+    // Late-interaction retrieval (ColBERT MaxSim): the 64-dim
+    // embedding chunked into 8 token sub-vectors of 8 dims; score =
+    // Σ over query tokens of the max cosine against any doc token.
+    // One fused kernel pass + TakeOrdered — token-level interaction
+    // WITHOUT exploding to token rows or shuffling (v02's brute shape;
+    // an 8× row explode + regroup would shuffle the corpus for
+    // nothing). Oracle: unnest both sides to token rows, max per
+    // (doc, query-token) with the identical bit-portable 6-dp
+    // pre-round, sum with the 4-dp nudge-round, same rank tie-break.
+    sql(
+      "v29_maxsim_retrieval",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |g AS (SELECT vec_id, v, unnest(generate_series(0, ${MaxSimTokens - 1})) AS i FROM e),
+         |t AS (SELECT vec_id, i, v[i*$MaxSimDim + 1 : i*$MaxSimDim + $MaxSimDim] AS tv FROM g),
+         |q AS (SELECT i AS qi, tv AS qv FROM t WHERE vec_id = 0),
+         |cs AS (SELECT t.vec_id, q.qi,
+         |    max(floor(list_cosine_similarity(t.tv, q.qv) * 1000000 + 0.5) / 1000000.0) AS mx
+         |  FROM t CROSS JOIN q GROUP BY t.vec_id, q.qi),
+         |sc AS (SELECT vec_id, round(sum(mx) + 1e-9, 4) AS maxsim FROM cs GROUP BY vec_id)
+         |SELECT vec_id AS id, maxsim FROM sc ORDER BY maxsim DESC, id LIMIT 10""".stripMargin) { (s, d) =>
+      Similarity.maxSimKnn(Tables.embeddings(s, d), col("embedding"), col("vec_id"),
+        queryVector(s, d).grouped(MaxSimDim).toArray, tokenDim = MaxSimDim, k = 10)
     }
   )
+
+  /** v29's multi-vector view of the 64-wide embeddings: 8 tokens × 8
+    * dims. */
+  private val MaxSimTokens = 8
+  private val MaxSimDim = 8
 
   /** v24/v28's shared oracle: the exact LSH-twin pair SQL + a
     * recursive-CTE closure — quadratic reachability lives ONLY in

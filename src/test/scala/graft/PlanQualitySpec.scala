@@ -301,6 +301,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"new-batch predicate must push down:\n$p")
   }
 
+  test("v29: MaxSim late interaction keeps v02's scan + TakeOrdered shape") {
+    val p = plan("v29_maxsim_retrieval")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange"), "token-level scoring must not shuffle")
+    assert(nodeFree(p, "max_sim") == 1 && !p.contains("Generate"),
+      s"one fused kernel, no token explode:\n$p")
+  }
+
   test("t39: BPE kernel evaluates once behind the Generate barrier") {
     val p = plan("t39_bpe_tokens")
     assert(nodeFree(p, "bpe_encode") == 1,

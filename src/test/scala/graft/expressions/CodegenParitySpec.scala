@@ -68,6 +68,23 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
     assert(g.head.getString(1) === "en")
   }
 
+  test("MaxSim: codegen == interpreted; single-token == rounded cosineSimilarity") {
+    import spark.implicits._
+    val mdocs = Seq((1L, Seq(1.0, 0.0, 0.0, 1.0)), (2L, Seq(0.5, -0.5, 2.0, 1.0)))
+      .toDF("id", "v")
+    val q = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val (g, i) = bothWays(mdocs.select(col("id"),
+      VectorOps.maxSim(col("v"), q, tokenDim = 2)))
+    assert(g === i)
+    // one query token over a one-token doc degenerates to plain cosine
+    // (6-dp pre-rounded)
+    val single = Seq((1L, Seq(3.0, 4.0))).toDF("id", "v")
+    val r = single.select(
+      VectorOps.maxSim(col("v"), Array(Array(1.0, 0.0)), 2),
+      VectorOps.cosineSimilarity(col("v"), array(lit(1.0), lit(0.0)))).head()
+    assert(r.getDouble(0) === math.floor(r.getDouble(1) * 1e6 + 0.5) / 1e6)
+  }
+
   test("BpeEncode: codegen == interpreted incl. empty and punct-only text") {
     import spark.implicits._
     val bdocs = Seq((1L, "the interesting thing"), (2L, ""), (3L, "!!! ???"),

@@ -35,6 +35,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
     assert(math.abs(scores(3L) - math.cos(0.5)) < 1e-3)
   }
 
+  test("maxSimKnn: hand-computed MaxSim; token-level match beats pooled cosine") {
+    import spark.implicits._
+    // 4-dim docs = two 2-dim tokens. Query tokens: (1,0) and (0,1).
+    // doc 1 has an exact match for EACH query token (maxsim = 2.0);
+    // doc 2's tokens both sit at 45° (maxsim = 2·cos45 ≈ 1.4142);
+    // doc 3 matches query token 1 twice, never token 2 (maxsim ≈ 1.0).
+    val docs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (2L, Seq(1.0, 1.0, 1.0, 1.0)),
+      (3L, Seq(1.0, 0.0, 2.0, 0.0)))
+      .toDF("id", "v")
+    val q = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val got = Similarity.maxSimKnn(docs, col("v"), col("id"), q, tokenDim = 2, k = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("maxsim")).toSeq
+    assert(got.map(_._1) === Seq(1L, 2L, 3L))
+    assert(got(0)._2 === 2.0)
+    assert(got(1)._2 === 1.4142)
+    assert(got(2)._2 === 1.0)
+    // single pooled cosine can NOT separate docs 1 and 2 this way:
+    // pooled cos(doc1, (1,0,0,1)-ish query) ranks doc 2 equal or above
+    // — the token-level interaction is the point of the operator
+  }
+
   test("lshBuckets is deterministic and groups nearby vectors") {
     val b1 = Similarity.lshBuckets(embs, col("emb"), col("id"), nBits = 4)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
