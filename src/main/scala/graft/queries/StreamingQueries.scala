@@ -593,6 +593,64 @@ object StreamingQueries {
         .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
           round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // STREAMING training mix: t19's end-to-end gate pipeline with the
+    // corpus arriving as micro-batches — the production ingestion
+    // shape: per batch, every PER-DOC verdict (gate kernels behind the
+    // Generate barrier, fingerprint, decontamination vs the STATIC
+    // broadcast eval set) computes once and folds into a narrow
+    // metadata table; text never crosses a batch boundary. The one
+    // corpus-GLOBAL decision — exact-dedup keeper election, min doc_id
+    // per fingerprint — is an associative fold, so it assembles at
+    // serve time as one aggregate over the folded metadata (a later
+    // batch CAN steal keeper status from an earlier doc, which is why
+    // the verdicts, not the mix, are the stream state). Oracle: t19's
+    // verbatim — slicing the corpus must not change a row of the mix.
+    sql("s19_stream_training_mix", TextQueries.trainingMixOracle) { (s, d) =>
+      import graft.functions.TextFunctions
+      import graft.operators.Dedup
+      import s.implicits._
+      val evalDocs = Tables.documents(s, d).filter(col("doc_id") % 97 === 0)
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(documentSliceDir(s, d))
+      val init = Seq.empty[(Long, String, String, Double, Int, Double, Int)]
+        .toDF("doc_id", "fp", "lang_pred", "quality", "n_tokens",
+          "dup_token_frac", "clean")
+      val folded = StreamingRelational.oneShotFold(s, stream, init,
+        (state, batch) => {
+          val k = batch.select(col("doc_id"),
+            explode(array(struct(
+              TextFunctions.fingerprint(col("text")).as("fp"),
+              TextFunctions.langId(col("text")).as("lang_pred"),
+              TextFunctions.qualityScore(col("text")).as("quality"),
+              TextFunctions.tokenCount(col("text")).as("n_tokens"),
+              round(element_at(TextFunctions.repetitionStats(col("text")), 1)
+                + lit(1e-9), 4).as("dup_token_frac")))).as("k"))
+            .select(col("doc_id"), col("k.fp"), col("k.lang_pred"),
+              col("k.quality"), col("k.n_tokens"), col("k.dup_token_frac"))
+          val verdict = Dedup.contamination(
+              batch.filter(col("doc_id") % 97 =!= 0), evalDocs,
+              col("text"), col("doc_id"), n = 8)
+            .select(col("id").as("doc_id"),
+              when(col("n_shared") === 0, 1).otherwise(0).as("clean"))
+          state.unionByName(
+            k.join(verdict, Seq("doc_id"), "left")
+              .withColumn("clean", coalesce(col("clean"), lit(0))))
+        })
+      val keepers = folded.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      folded.filter(col("doc_id") % 97 =!= 0)
+        .join(keepers, "doc_id")
+        .filter(col("clean") === 1 && col("quality") >= 0.5 &&
+          col("lang_pred") =!= "und" && col("dup_token_frac") <= 0.9 &&
+          when(col("lang_pred") === "en", h === "0").otherwise(h < "8"))
+        .select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
+        .orderBy(col("doc_id"))
     }
   )
 

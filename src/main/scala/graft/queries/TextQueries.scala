@@ -362,25 +362,7 @@ object TextQueries {
     // scale — no content shuffle, no all-pairs anywhere.
     sql(
       "t19_training_mix",
-      s"""WITH sh AS (SELECT doc_id, ${Sql.shingleSet("text", 8)} AS s FROM documents),
-         |ev AS (SELECT coalesce(list_distinct(flatten(list(s) FILTER (WHERE doc_id % 97 = 0))),
-         |                       []::VARCHAR[]) AS es FROM sh),
-         |clean AS (SELECT doc_id FROM sh CROSS JOIN ev
-         |          WHERE doc_id % 97 <> 0 AND len(list_intersect(s, es)) = 0),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY ${Sql.fingerprint("text")}),
-         |base AS (
-         |  SELECT doc_id, ${Sql.langId("text")} AS lang_pred,
-         |    ${Sql.qualityScore("text")} AS quality,
-         |    ${Sql.tokenCount("text")} AS n_tokens,
-         |    round(${Sql.dupTokenFrac("text")} + 1e-9, 4) AS dup_token_frac
-         |  FROM documents WHERE doc_id % 97 <> 0)
-         |SELECT b.doc_id, b.lang_pred, b.quality, b.n_tokens
-         |FROM base b JOIN keep USING (doc_id) JOIN clean USING (doc_id)
-         |WHERE b.quality >= 0.5 AND b.lang_pred <> 'und' AND b.dup_token_frac <= 0.9
-         |  AND (CASE WHEN b.lang_pred = 'en'
-         |            THEN substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1) = '0'
-         |            ELSE substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1) < '8' END)
-         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      trainingMixOracle) { (s, d) =>
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(col("doc_id") % 97 =!= 0)
       // dedup keepers over the FULL corpus (dedup precedes filtering in
@@ -1259,6 +1241,32 @@ object TextQueries {
        |    WHEN '0' THEN 'val' WHEN '1' THEN 'test' ELSE 'train' END AS split
        |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** t19/s19's shared oracle — the end-to-end training-mix pipeline
+    * (dedup keepers over the full corpus, eval-shingle
+    * decontamination, kernel gates, per-lang md5 quotas). ONE
+    * definition so the batch pipeline and its streaming fold cannot
+    * drift (the s04/s05 batch==streaming parity discipline). */
+  private[queries] lazy val trainingMixOracle: String =
+    s"""WITH sh AS (SELECT doc_id, ${Sql.shingleSet("text", 8)} AS s FROM documents),
+       |ev AS (SELECT coalesce(list_distinct(flatten(list(s) FILTER (WHERE doc_id % 97 = 0))),
+       |                       []::VARCHAR[]) AS es FROM sh),
+       |clean AS (SELECT doc_id FROM sh CROSS JOIN ev
+       |          WHERE doc_id % 97 <> 0 AND len(list_intersect(s, es)) = 0),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY ${Sql.fingerprint("text")}),
+       |base AS (
+       |  SELECT doc_id, ${Sql.langId("text")} AS lang_pred,
+       |    ${Sql.qualityScore("text")} AS quality,
+       |    ${Sql.tokenCount("text")} AS n_tokens,
+       |    round(${Sql.dupTokenFrac("text")} + 1e-9, 4) AS dup_token_frac
+       |  FROM documents WHERE doc_id % 97 <> 0)
+       |SELECT b.doc_id, b.lang_pred, b.quality, b.n_tokens
+       |FROM base b JOIN keep USING (doc_id) JOIN clean USING (doc_id)
+       |WHERE b.quality >= 0.5 AND b.lang_pred <> 'und' AND b.dup_token_frac <= 0.9
+       |  AND (CASE WHEN b.lang_pred = 'en'
+       |            THEN substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1) = '0'
+       |            ELSE substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1) < '8' END)
+       |ORDER BY b.doc_id""".stripMargin
 
   /** Prebuilt near-dup components table per data dir — t21's
     * clustering (verified MinHash pairs → large-star/small-star CC)
