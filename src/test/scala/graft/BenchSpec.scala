@@ -101,7 +101,9 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     val names = Seq("q01_pricing_summary", "t30_source_drift", "v17_knn_ivfpq_batch",
       "gng_throughput", "a01_asof_signup")
     val keys = Bench.shortKeys(names)
-    assert(keys("q01_pricing_summary") === "q01")
+    // zero-stripped numeric suffix: the per-query map is the dominant
+    // stdout-line cost, and "q1" reads as well as "q01"
+    assert(keys("q01_pricing_summary") === "q1")
     assert(keys("v17_knn_ivfpq_batch") === "v17")
     // non-prefixed names compress to first-token + initials
     assert(keys("gng_throughput") === "gng_t")
@@ -109,7 +111,7 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     // a genuine prefix collision keeps BOTH full names
     val clash = Bench.shortKeys(Seq("x01_alpha", "x01_beta", "y02_ok"))
     assert(clash("x01_alpha") === "x01_alpha" && clash("x01_beta") === "x01_beta")
-    assert(clash("y02_ok") === "y02")
+    assert(clash("y02_ok") === "y2")
     // initials collision (purity/prototypes → gng_p) widens to two
     // letters per token; only a still-colliding set falls back to full
     val gng = Bench.shortKeys(Seq("gng_purity", "gng_prototypes", "gng_qerror"))
@@ -139,7 +141,7 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     val stdout = mapper.readTree(Bench.compactStdoutJson(rs, "sfX"))
     assert(stdout.get("qunit").asText() === "ms")
     assert(stdout.get("full").asText() === "BENCH_COMPACT.json")
-    assert(stdout.get("queries").has("a01") && stdout.get("queries").has("bad03"))
+    assert(stdout.get("queries").has("a1") && stdout.get("queries").has("bad3"))
     // SIZE GATE: the real suite's names at plausible values must fit
     // the driver's 2000-char tail window MINUS sbt's ~100-char closing
     // banner — this is the structural fix for the r6/r7 truncated
@@ -159,7 +161,7 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     val parsed = mapper.readTree(line)
     assert(parsed.get("queries").size() === real.size)
     assert(parsed.get("qunit").asText() === "ms")
-    assert(parsed.get("outliers_n").asInt() === real.count(_.isOutlier))
+    assert(parsed.get("out").asInt() === real.count(_.isOutlier))
     // growth headroom: ~10 more queries than today still fit the
     // 2000-char tail minus sbt's closing banner. The headroom window
     // SHRINKS as the suite grows (~11 chars/query); past ~165 queries
