@@ -54,6 +54,25 @@ object Similarity {
       .orderBy($"maxsim".desc, $"id")
       .limit(k)
 
+  /** Two-stage late interaction (v18's search-then-refine for
+    * multi-vectors): an ANN SHORTLIST (bare ids — typically
+    * [[lshKnnOnIndex]] over-fetched to several× k) broadcasts into ONE
+    * narrow corpus scan where only shortlisted rows pay the MaxSim
+    * kernel. Full-corpus MaxSim is |q|× the cost of a pooled cosine —
+    * affordable as a brute pass at bench scale ([[maxSimKnn]]) but not
+    * per-query at 100 TB; shortlist-then-rerank is the production
+    * late-interaction shape (the corpus is filtered map-side, never
+    * shuffled). Output: (id, maxsim) top-k. */
+  def maxSimRerank(df: DataFrame, embCol: Column, idCol: Column,
+      shortlistIds: DataFrame, queryTokens: Array[Array[Double]],
+      tokenDim: Int, k: Int): DataFrame =
+    df.select(idCol.as("id"), embCol.as("emb"))
+      .join(broadcast(shortlistIds.select($"id")), Seq("id"), "left_semi")
+      .select($"id", round(graft.expressions.VectorOps.maxSim(
+          asDouble($"emb"), queryTokens, tokenDim) + lit(1e-9), 4).as("maxsim"))
+      .orderBy($"maxsim".desc, $"id")
+      .limit(k)
+
   /** Exact top-k rows by cosine similarity to `query`.
     * Output: (idCol, score) — score rounded to 4 dp for stable ordering. */
   def bruteForceKnn(df: DataFrame, embCol: Column, idCol: Column,

@@ -651,8 +651,57 @@ object StreamingQueries {
           when(col("lang_pred") === "en", h === "0").otherwise(h < "8"))
         .select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
         .orderBy(col("doc_id"))
+    },
+
+    // STREAMING cluster maintenance: t40's increment pairs arrive as
+    // micro-batches and each batch folds into the stored components
+    // table via Dedup.mergeComponents — the daily-crawl cadence run at
+    // stream granularity. mergeComponents' OUTPUT satisfies its own
+    // input precondition (star forest, min-id reps), so the fold is
+    // associative (IncrementalComponentsSpec's composition law) and
+    // the final table must equal the one-shot merge whatever the
+    // slicing. Per batch the stored table is only broadcast-joined;
+    // star contraction touches batch-sized contracted graphs only.
+    // Oracle: t40's full-recompute closure verbatim.
+    sql(
+      "s20_stream_clusters",
+      HashOracleSql.incrementalComponents(n = 3, k = 16, rowsPerBand = 4,
+        threshold = 0.5, exactThreshold = 0.5, newPred = "doc_id % 5 = 0")) { (s, d) =>
+      val stream = s.readStream
+        .schema("id_a BIGINT, id_b BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pairSliceDir(s, d))
+      StreamingRelational.oneShotFold(s, stream,
+          TextQueries.prebuiltOldComponents(s, d),
+          (state, batch) => graft.operators.Dedup.mergeComponents(state, batch))
+        .select(col("id").as("doc_id"), col("rep").as("rep_id"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** s20's arrival fixture: t40's increment pair set (t25 new-old
+    * pairs + new-new verified pairs) in three ordered micro-batches
+    * sliced by id_a % 3 — slices are NOT closure-safe on their own
+    * (a bridge pair can arrive two batches after the clusters it
+    * joins), which is exactly what the associative fold must absorb. */
+  private val pairSliceCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def pairSliceDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    pairSliceCache.computeIfAbsent(d, _ => {
+      import graft.operators.Dedup
+      val newDocs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      val incr = Dedup.incrementalNearDups(newDocs, col("text"), col("doc_id"),
+          TextQueries.dedupIndex(s, d))
+        .select(col("new_id").as("id_a"), col("dup_of").as("id_b"))
+      val nn = Dedup.minHashPairsVerified(newDocs, col("text"), col("doc_id"),
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val pairs = incr.unionByName(nn).localCheckpoint(true)
+      orderedArrivalDir(s, "pair-slices", Seq(
+        pairs.filter(col("id_a") % 3 === 0),
+        pairs.filter(col("id_a") % 3 === 1),
+        pairs.filter(col("id_a") % 3 === 2)))
+    })
 
   /** s14's arrival fixture: the CDC change feed in three
     * seq-CONTIGUOUS micro-batches (thirds of the seq range) — netting

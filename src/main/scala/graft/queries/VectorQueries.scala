@@ -818,6 +818,36 @@ object VectorQueries {
          |SELECT vec_id AS id, maxsim FROM sc ORDER BY maxsim DESC, id LIMIT 10""".stripMargin) { (s, d) =>
       Similarity.maxSimKnn(Tables.embeddings(s, d), col("embedding"), col("vec_id"),
         queryVector(s, d).grouped(MaxSimDim).toArray, tokenDim = MaxSimDim, k = 10)
+    },
+
+    // Two-stage late interaction — v29's production shape: the served
+    // LSH bucket index over-fetches a 50-id pooled-cosine shortlist
+    // (partition-pruned, signature kernel never re-runs — v07's
+    // serving), then ONLY those rows pay the MaxSim kernel in one
+    // narrow broadcast-semi-joined corpus scan (v18's
+    // search-then-refine, for multi-vectors). Full-corpus MaxSim costs
+    // |q|× a pooled cosine — fine as v29's bench-scale brute pass, not
+    // per query at 100 TB. Oracle: the v03/v15 multiprobe SQL
+    // (k=50) nested as the shortlist leg + v29's token-unnest MaxSim
+    // restricted to it.
+    sql(
+      "v30_maxsim_rerank",
+      s"""WITH short AS (SELECT id FROM (${multiprobeKnnSql("TRUE", 50)}) x),
+         |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |g2 AS (SELECT vec_id, v, unnest(generate_series(0, ${MaxSimTokens - 1})) AS i FROM e2),
+         |t2 AS (SELECT vec_id, i, v[i*$MaxSimDim + 1 : i*$MaxSimDim + $MaxSimDim] AS tv FROM g2),
+         |q2 AS (SELECT i AS qi, tv AS qv FROM t2 WHERE vec_id = 0),
+         |cs AS (SELECT t2.vec_id, q2.qi,
+         |    max(floor(list_cosine_similarity(t2.tv, q2.qv) * 1000000 + 0.5) / 1000000.0) AS mx
+         |  FROM t2 JOIN short ON short.id = t2.vec_id CROSS JOIN q2
+         |  GROUP BY t2.vec_id, q2.qi),
+         |sc AS (SELECT vec_id, round(sum(mx) + 1e-9, 4) AS maxsim FROM cs GROUP BY vec_id)
+         |SELECT vec_id AS id, maxsim FROM sc ORDER BY maxsim DESC, id LIMIT 10""".stripMargin) { (s, d) =>
+      val shortlist = Similarity.lshKnnOnIndex(
+        servedIndex(s, d), queryVector(s, d), 50, nBits = 4)
+      Similarity.maxSimRerank(Tables.embeddings(s, d), col("embedding"), col("vec_id"),
+        shortlist.select(col("id")),
+        queryVector(s, d).grouped(MaxSimDim).toArray, tokenDim = MaxSimDim, k = 10)
     }
   )
 

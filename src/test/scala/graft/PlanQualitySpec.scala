@@ -309,6 +309,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"one fused kernel, no token explode:\n$p")
   }
 
+  test("v30: MaxSim rerank — shortlist broadcasts, corpus never shuffles") {
+    val p = plan("v30_maxsim_rerank")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      s"shortlist ids must broadcast-semi-join the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("SortMergeJoin"), s"corpus must not shuffle:\n$p")
+    assert(nodeFree(p, "max_sim") == 1, s"one rerank kernel evaluation:\n$p")
+  }
+
   test("t39: BPE kernel evaluates once behind the Generate barrier") {
     val p = plan("t39_bpe_tokens")
     assert(nodeFree(p, "bpe_encode") == 1,

@@ -82,6 +82,22 @@ class IncrementalComponentsSpec extends AnyFunSuite with SparkTestSupport {
     assert(m === Map(5L -> 2L, 6L -> 2L, 2L -> 2L))
   }
 
+  test("composition: folding pair batches one at a time equals one big merge") {
+    // the daily-crawl claim: mergeComponents' OUTPUT satisfies its own
+    // input precondition (star forest, min-id reps), so increments
+    // fold associatively — day 2's merge starts from day 1's table
+    val storedPairs = Seq((1L, 2L), (10L, 11L), (20L, 21L))
+    val p1 = Seq((30L, 2L), (31L, 32L))          // new cluster + attach
+    val p2 = Seq((31L, 11L), (10L, 20L))         // bridge via earlier-new + old-old pair
+    val stored = Dedup.connectedComponents(pairsDf(storedPairs))
+    val folded = labels(Dedup.mergeComponents(
+      Dedup.mergeComponents(stored, pairsDf(p1)), pairsDf(p2)))
+    val oneShot = labels(Dedup.mergeComponents(stored, pairsDf(p1 ++ p2)))
+    val full = labels(Dedup.connectedComponents(pairsDf(storedPairs ++ p1 ++ p2)))
+    assert(folded === full)
+    assert(oneShot === full)
+  }
+
   test("untouched stored clusters pass through with their rows intact") {
     val m = assertEqualsRecompute(
       storedPairs = Seq((1L, 2L), (10L, 11L), (20L, 21L), (21L, 22L)),

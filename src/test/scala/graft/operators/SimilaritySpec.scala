@@ -58,6 +58,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
     // — the token-level interaction is the point of the operator
   }
 
+  test("maxSimRerank with a full shortlist equals brute maxSimKnn") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 1.0)), (2L, Seq(1.0, 1.0, 1.0, 1.0)),
+      (3L, Seq(1.0, 0.0, 2.0, 0.0)), (4L, Seq(-1.0, 0.5, 0.3, -2.0)))
+      .toDF("id", "v")
+    val q = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val brute = Similarity.maxSimKnn(docs, col("v"), col("id"), q, 2, k = 4).collect()
+    val rerank = Similarity.maxSimRerank(docs, col("v"), col("id"),
+      docs.select(col("id")), q, 2, k = 4).collect()
+    assert(brute.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      rerank.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // and a partial shortlist restricts the candidate set, not the scoring
+    val part = Similarity.maxSimRerank(docs, col("v"), col("id"),
+      Seq(2L, 4L).toDF("id"), q, 2, k = 4).collect()
+    assert(part.map(_.getLong(0)).toSet === Set(2L, 4L))
+  }
+
   test("lshBuckets is deterministic and groups nearby vectors") {
     val b1 = Similarity.lshBuckets(embs, col("emb"), col("id"), nBits = 4)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
