@@ -243,7 +243,7 @@ object VectorOpsImpl {
     var j = 0
     while (j < q.length) {
       val qv = q(j)
-      var best = Double.NaN
+      var best = Double.NegativeInfinity // every cosine is real (zero-norm → 0.0)
       var t = 0
       while (t < nTok) {
         val off = t * tokenDim
@@ -254,11 +254,18 @@ object VectorOpsImpl {
           ab += x * y; aa += x * x; bb += y * y
           i += 1
         }
-        // bit-portable 6-dp round BEFORE the max (math.round semantics;
-        // the scaled value is an exact integer, /1e6 the same IEEE op
-        // both engines perform)
-        val c = math.floor(ab / (math.sqrt(aa) * math.sqrt(bb)) * 1e6 + 0.5) / 1e6
-        if (c > best || java.lang.Double.isNaN(best)) best = c
+        // zero-norm tokens score 0.0 by CONTRACT (not NaN): DuckDB's
+        // max() ranks NaN above every double while Java's `>` never
+        // lets NaN win — a NaN here would diverge the engines the
+        // moment a fixture carries an all-zero chunk. The oracle
+        // mirrors this with an explicit inner-product guard.
+        // Then the bit-portable 6-dp round BEFORE the max
+        // (math.round semantics; the scaled value is an exact integer,
+        // /1e6 the same IEEE op both engines perform).
+        val cos = if (aa == 0.0 || bb == 0.0) 0.0
+          else ab / (math.sqrt(aa) * math.sqrt(bb))
+        val c = math.floor(cos * 1e6 + 0.5) / 1e6
+        if (c > best) best = c
         t += 1
       }
       score += best
@@ -399,9 +406,10 @@ case class MaxCosine(child: Expression, mat: Array[Array[Double]])
   * late-interaction retrieval keeps v02's scan + TakeOrdered shape.
   * Each cosine is rounded bit-portably to 6 dp (floor(c·10⁶+0.5)/10⁶)
   * BEFORE the max so the DuckDB twin maxes over identical values; the
-  * caller applies the final 4-dp nudge-round to the sum. NaN cosines
-  * (zero-norm token) never win a max unless all are NaN ([[MaxCosine]]
-  * semantics). */
+  * caller applies the final 4-dp nudge-round to the sum. A zero-norm
+  * token (either side) scores cosine 0.0 by contract — NOT NaN, whose
+  * ordering differs between DuckDB max() (NaN ranks above all doubles)
+  * and a Java comparison loop. */
 case class MaxSim(child: Expression, queryTokens: Array[Array[Double]],
     tokenDim: Int) extends UnaryExpression {
   require(tokenDim > 0, s"max_sim: tokenDim must be positive, got $tokenDim")

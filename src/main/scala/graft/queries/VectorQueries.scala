@@ -806,16 +806,7 @@ object VectorQueries {
     // (doc, query-token) with the identical bit-portable 6-dp
     // pre-round, sum with the 4-dp nudge-round, same rank tie-break.
     sql(
-      "v29_maxsim_retrieval",
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |g AS (SELECT vec_id, v, unnest(generate_series(0, ${MaxSimTokens - 1})) AS i FROM e),
-         |t AS (SELECT vec_id, i, v[i*$MaxSimDim + 1 : i*$MaxSimDim + $MaxSimDim] AS tv FROM g),
-         |q AS (SELECT i AS qi, tv AS qv FROM t WHERE vec_id = 0),
-         |cs AS (SELECT t.vec_id, q.qi,
-         |    max(floor(list_cosine_similarity(t.tv, q.qv) * 1000000 + 0.5) / 1000000.0) AS mx
-         |  FROM t CROSS JOIN q GROUP BY t.vec_id, q.qi),
-         |sc AS (SELECT vec_id, round(sum(mx) + 1e-9, 4) AS maxsim FROM cs GROUP BY vec_id)
-         |SELECT vec_id AS id, maxsim FROM sc ORDER BY maxsim DESC, id LIMIT 10""".stripMargin) { (s, d) =>
+      "v29_maxsim_retrieval", maxSimOracle(shortlistCtes = "", candJoin = "")) { (s, d) =>
       Similarity.maxSimKnn(Tables.embeddings(s, d), col("embedding"), col("vec_id"),
         queryVector(s, d).grouped(MaxSimDim).toArray, tokenDim = MaxSimDim, k = 10)
     },
@@ -832,17 +823,9 @@ object VectorQueries {
     // restricted to it.
     sql(
       "v30_maxsim_rerank",
-      s"""WITH short AS (SELECT id FROM (${multiprobeKnnSql("TRUE", 50)}) x),
-         |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |g2 AS (SELECT vec_id, v, unnest(generate_series(0, ${MaxSimTokens - 1})) AS i FROM e2),
-         |t2 AS (SELECT vec_id, i, v[i*$MaxSimDim + 1 : i*$MaxSimDim + $MaxSimDim] AS tv FROM g2),
-         |q2 AS (SELECT i AS qi, tv AS qv FROM t2 WHERE vec_id = 0),
-         |cs AS (SELECT t2.vec_id, q2.qi,
-         |    max(floor(list_cosine_similarity(t2.tv, q2.qv) * 1000000 + 0.5) / 1000000.0) AS mx
-         |  FROM t2 JOIN short ON short.id = t2.vec_id CROSS JOIN q2
-         |  GROUP BY t2.vec_id, q2.qi),
-         |sc AS (SELECT vec_id, round(sum(mx) + 1e-9, 4) AS maxsim FROM cs GROUP BY vec_id)
-         |SELECT vec_id AS id, maxsim FROM sc ORDER BY maxsim DESC, id LIMIT 10""".stripMargin) { (s, d) =>
+      maxSimOracle(
+        shortlistCtes = s"short AS (SELECT id FROM (${multiprobeKnnSql("TRUE", 50)}) x),\n",
+        candJoin = " JOIN short ON short.id = t.vec_id")) { (s, d) =>
       val shortlist = Similarity.lshKnnOnIndex(
         servedIndex(s, d), queryVector(s, d), 50, nBits = 4)
       Similarity.maxSimRerank(Tables.embeddings(s, d), col("embedding"), col("vec_id"),
@@ -855,6 +838,27 @@ object VectorQueries {
     * dims. */
   private val MaxSimTokens = 8
   private val MaxSimDim = 8
+
+  /** v29/v30's ONE oracle body (the multiprobeKnnSql(corpusPred)
+    * pattern): token-unnest MaxSim with the kernel's exact semantics —
+    * zero-norm tokens score 0.0 by contract (NOT NaN: DuckDB max()
+    * ranks NaN above every double while the kernel's `>` never lets it
+    * win), 6-dp pre-round before the max, nudge-rounded sum, id
+    * tie-break. `shortlistCtes`/`candJoin` restrict the candidate set
+    * for the reranked variant; v29 passes "" for both. */
+  private def maxSimOracle(shortlistCtes: String, candJoin: String): String =
+    s"""WITH ${shortlistCtes}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |g AS (SELECT vec_id, v, unnest(generate_series(0, ${MaxSimTokens - 1})) AS i FROM e),
+       |t AS (SELECT vec_id, i, v[i*$MaxSimDim + 1 : i*$MaxSimDim + $MaxSimDim] AS tv FROM g),
+       |q AS (SELECT i AS qi, tv AS qv FROM t WHERE vec_id = 0),
+       |cs AS (SELECT t.vec_id, q.qi,
+       |    max(floor(CASE WHEN list_inner_product(t.tv, t.tv) = 0
+       |                     OR list_inner_product(q.qv, q.qv) = 0 THEN 0.0
+       |                   ELSE list_cosine_similarity(t.tv, q.qv) END
+       |              * 1000000 + 0.5) / 1000000.0) AS mx
+       |  FROM t$candJoin CROSS JOIN q GROUP BY t.vec_id, q.qi),
+       |sc AS (SELECT vec_id, round(sum(mx) + 1e-9, 4) AS maxsim FROM cs GROUP BY vec_id)
+       |SELECT vec_id AS id, maxsim FROM sc ORDER BY maxsim DESC, id LIMIT 10""".stripMargin
 
   /** v24/v28's shared oracle: the exact LSH-twin pair SQL + a
     * recursive-CTE closure — quadratic reachability lives ONLY in

@@ -83,6 +83,17 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
       VectorOps.maxSim(col("v"), Array(Array(1.0, 0.0)), 2),
       VectorOps.cosineSimilarity(col("v"), array(lit(1.0), lit(0.0)))).head()
     assert(r.getDouble(0) === math.floor(r.getDouble(1) * 1e6 + 0.5) / 1e6)
+    // zero-norm CONTRACT: an all-zero doc chunk scores 0.0 against any
+    // query token (never NaN — DuckDB max() would rank NaN on top
+    // while the kernel's `>` would drop it; the oracle guards the same
+    // way). Doc = one zero chunk + one real chunk: the real chunk wins.
+    val withZero = Seq((1L, Seq(0.0, 0.0, 3.0, 4.0))).toDF("id", "v")
+    val z = withZero.select(
+      VectorOps.maxSim(col("v"), Array(Array(0.6, 0.8)), 2)).head().getDouble(0)
+    assert(z === 1.0) // cos((3,4),(0.6,0.8)) = 1; the zero chunk scored 0, not NaN
+    val allZero = Seq((1L, Seq(0.0, 0.0))).toDF("id", "v")
+    assert(allZero.select(VectorOps.maxSim(col("v"), Array(Array(1.0, 0.0)), 2))
+      .head().getDouble(0) === 0.0)
   }
 
   test("BpeEncode: codegen == interpreted incl. empty and punct-only text") {

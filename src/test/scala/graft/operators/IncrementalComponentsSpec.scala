@@ -19,8 +19,16 @@ class IncrementalComponentsSpec extends AnyFunSuite with SparkTestSupport {
     ps.toDF("id_a", "id_b")
   }
 
-  private def labels(df: DataFrame): Map[Long, Long] =
-    df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rep")).toMap
+  private def labels(df: DataFrame): Map[Long, Long] = {
+    val rows = df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rep"))
+    val m = rows.toMap
+    // row-identity means CARDINALITY too: a regression emitting an id
+    // from both the updated and the fresh branch must not hide in the
+    // Map collapse
+    assert(rows.length == m.size,
+      s"duplicate id rows in components output: ${rows.groupBy(_._1).filter(_._2.length > 1).keys.toSeq.sorted}")
+    m
+  }
 
   /** merged-vs-recomputed equality over stored ∪ new pairs. */
   private def assertEqualsRecompute(storedPairs: Seq[(Long, Long)],

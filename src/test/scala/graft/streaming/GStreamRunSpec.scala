@@ -73,7 +73,7 @@ class GStreamRunSpec extends AnyFunSuite with SparkTestSupport {
       .flatMap(p => scala.io.Source.fromFile(p).getLines().toSeq)
       .filter(_.nonEmpty)
     assert(edgeRows.nonEmpty)
-    assert(edgeRows.forall(_.matches("""ArrayBuffer\(\d(, \d)*\)""")),
+    assert(edgeRows.forall(_.matches("""ArrayBuffer\(\d+(, \d+)*\)""")),
       s"Edges rows must match the reference ArrayBuffer rendering: ${edgeRows.head}")
   }
 
