@@ -271,6 +271,47 @@ object MultimodalQueries {
         .cosineNearDupPairs(feats, col("emb"), col("doc_id"), threshold = 0.95,
           dim = 64)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Binary near-dup CLUSTERS — m05's pairs closed into dedup groups
+    // with the SAME star-contraction operator the text (t21) and
+    // embedding (v24) modalities use: the dedup ladder
+    // (block → verify → cluster) is modality-agnostic by construction,
+    // and a mirror-heavy binary corpus needs the transitive decision
+    // exactly like text does (payloads A~B, B~C dedup as ONE group).
+    // Oracle: m05's full pipeline twin nested as the pair leg (the
+    // v20/v30 subquery-composition pattern) + the recursive closure.
+    sql(
+      "m07_binary_clusters", {
+        val pairSql = HashOracleSql.cosineNearDupPairs(payloadSql, dim = 64,
+          nBits = 12, nBands = 14, seed = 42L, threshold = 0.95)
+        s"""WITH RECURSIVE
+           |p AS (SELECT id_a, id_b FROM ($pairSql) x),
+           |e(src, dst) AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+           |reach(a, b) AS (
+           |  SELECT DISTINCT src, src FROM e
+           |  UNION
+           |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+           |cc AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
+           |       FROM reach GROUP BY a)
+           |SELECT doc_id, cluster_rep,
+           |  CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+           |FROM cc ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val feats = Tables.documents(s, d)
+        .withColumn("payload", payloadExpr)
+        .select(col("doc_id"),
+          Multimodal.extractFeatures(col("payload"), dim = 64).as("emb"))
+        .filter(col("emb").isNotNull)
+      val pairs = graft.operators.Similarity
+        .cosineNearDupPairs(feats, col("emb"), col("doc_id"), threshold = 0.95, dim = 64)
+      graft.operators.Dedup.connectedComponents(
+          pairs.select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
+        .orderBy(col("doc_id"))
     }
   )
 }
