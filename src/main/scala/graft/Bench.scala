@@ -207,21 +207,54 @@ object Bench {
     s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"outliers":$outliers,"errors":$errs,"sf":"$sfDir"}"""
   }
 
+  /** Split a short key into (group, member) for the prefix-grouped
+    * stdout map: `q12` → ("q","12"), `gng_t` → ("gng","t"). The join
+    * rule is recoverable from the member's first char (digit → direct
+    * concat, else '_' join); a key that can't split, or whose split
+    * would collide with another key's inside the same group, becomes
+    * its own group with an empty member — longer but never ambiguous. */
+  def groupKey(k: String): (String, String) = {
+    val LetterDigit = "^([a-z]+)([0-9]+)$".r
+    k match {
+      case LetterDigit(g, d) => (g, d)
+      case _ if k.contains('_') =>
+        val i = k.indexOf('_'); (k.substring(0, i), k.substring(i + 1))
+      case _ => (k, "")
+    }
+  }
+
   /** The stdout tail line — the one artifact that must survive the
     * driver's 2000-char tail capture WITH sbt's closing banner behind
-    * it (r6/r7 shipped truncated lines; budget ≈ 1900 chars). Sized to
-    * hold ~175 queries: short keys, per-query values as INTEGER
-    * MILLISECONDS (tagged `"qunit":"ms"` — a decimal-seconds map blows
-    * the budget at ~150 queries), outliers as a COUNT (the r7
-    * truncation was 15 outliers × ~40 chars of re-run detail — that
-    * detail lives in the committed twin), errors truncated, sf as its
-    * basename. `"full"` points to BENCH_COMPACT.json, which carries
-    * full names, decimal seconds, and complete outlier/rerun detail.
-    * The total `value` stays decimal SECONDS (the driver contract). */
+    * it (r6/r7 shipped truncated lines; budget ≈ 1920 chars). Round-9
+    * redesign (the notes' "group the per-query map by key prefix"): the
+    * per-query map is GROUPED by short-key letter prefix —
+    * `"queries":{"q":{"1":412,"2":388,…},"gng":{"t":4868,…}}` — which
+    * drops the repeated prefix and its quotes from every entry
+    * (~3 chars/query at 170 queries ≈ 500 chars, two more rounds of
+    * suite growth). Values stay INTEGER MILLISECONDS (`"qunit":"ms"`),
+    * outliers a COUNT, errors truncated, sf a basename. `"full"` points
+    * to BENCH_COMPACT.json (full names, decimal seconds, complete
+    * outlier/re-run detail). Total `value` stays decimal SECONDS (the
+    * driver contract). */
   def compactStdoutJson(results: Seq[Measurement], sfDir: String): String = {
     val keys = shortKeys(results.map(_.name))
-    val qs = results.map(m => "\"" + keys(m.name) + "\":" + fmtMs(m.value))
-      .mkString("{", ",", "}")
+    val split0 = results.map(m => keys(m.name) -> groupKey(keys(m.name)))
+    // a (group, member) claimed by two distinct short keys (e.g. "q1"
+    // vs a pathological "q_1") is ambiguous under the join rule — every
+    // claimant degrades to its own single-key group
+    val clashed = split0.groupBy(_._2).filter(_._2.size > 1).keySet
+    val split = split0.map { case (k, gm) =>
+      k -> (if (clashed.contains(gm)) (k, "") else gm)
+    }.toMap
+    val ordered = results.map(m => (split(keys(m.name)), m))
+    val groupOrder = ordered.map(_._1._1).distinct
+    val byGroup = ordered.groupBy(_._1._1)
+    val qs = groupOrder.map { g =>
+      val members = byGroup(g)
+        .map { case ((_, mem), m) => "\"" + mem + "\":" + fmtMs(m.value) }
+        .mkString("{", ",", "}")
+      "\"" + g + "\":" + members
+    }.mkString("{", ",", "}")
     val errs = errorsJson(results, keys, maxLen = 60)
     val total = results.filter(_.err.isEmpty).map(_.value).sum
     val sf = java.nio.file.Paths.get(sfDir).getFileName.toString

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
 
 /** The bench harness's failure-visibility, outlier-re-run, and
   * artifact-size contracts (round-7/8 orders: a broken query must fail
@@ -122,12 +123,29 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     assert(dead("gng_pure") === "gng_pure" && dead("gng_purity") === "gng_purity")
   }
 
+  test("groupKey: split is reconstructable; ambiguous claims degrade to own groups") {
+    assert(Bench.groupKey("q1") === ("q", "1"))
+    assert(Bench.groupKey("t39") === ("t", "39"))
+    assert(Bench.groupKey("gng_t") === ("gng", "t"))
+    assert(Bench.groupKey("gng_pu") === ("gng", "pu"))
+    assert(Bench.groupKey("x01_alpha") === ("x01", "alpha")) // full-name fallback
+    assert(Bench.groupKey("plain") === ("plain", ""))
+    // the pathological q1/q_1 pair maps to the same (group, member) —
+    // compactStdoutJson must render BOTH as their own groups
+    val rs = Seq(
+      Bench.Measurement("q1", Seq((0.1, 0L)), None),
+      Bench.Measurement("q_1", Seq((0.2, 0L)), None))
+    val line = Bench.compactStdoutJson(rs, "sfX")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("queries").get("q1").get("") != null)
+    assert(node.get("queries").get("q_1").get("") != null)
+  }
+
   test("all three JSON lines parse; stdout line fits the tail capture at full suite size") {
     val rs = Bench.measureAll(spark, "unused",
       Seq("a01_x" -> ok, "b02_y" -> ok, "bad03_z" -> boom), reps = 1, Map("a01_x" -> 1e-9))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    for (line <- Seq(Bench.detailJson(rs, "sfX"), Bench.compactJson(rs, "sfX"),
-        Bench.compactStdoutJson(rs, "sfX"))) {
+    for (line <- Seq(Bench.detailJson(rs, "sfX"), Bench.compactJson(rs, "sfX"))) {
       val node = mapper.readTree(line) // throws on malformed JSON
       assert(node.get("metric").asText() === "total")
       assert(node.get("queries").size() === 3)
@@ -137,11 +155,16 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     // value aggregates only successful queries (bad contributes nothing)
     val total = mapper.readTree(Bench.compactJson(rs, "sfX")).get("value").asDouble()
     assert(total > 0)
-    // the stdout line is tagged with its key style and full-name twin
+    // the stdout line is tagged with its key style and full-name twin;
+    // its per-query map is GROUPED by short-key letter prefix (round-9
+    // format: {"a":{"1":ms},"b":{"2":ms},...})
     val stdout = mapper.readTree(Bench.compactStdoutJson(rs, "sfX"))
     assert(stdout.get("qunit").asText() === "ms")
     assert(stdout.get("full").asText() === "BENCH_COMPACT.json")
-    assert(stdout.get("queries").has("a1") && stdout.get("queries").has("bad3"))
+    assert(stdout.get("metric").asText() === "total")
+    assert(stdout.get("errors").size() === 1 && stdout.get("sf").asText() === "sfX")
+    assert(stdout.get("queries").get("a").get("1") != null)
+    assert(stdout.get("queries").get("bad").get("3").asInt() === -1)
     // SIZE GATE: the real suite's names at plausible values must fit
     // the driver's 2000-char tail window MINUS sbt's ~100-char closing
     // banner — this is the structural fix for the r6/r7 truncated
@@ -156,20 +179,24 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     }
     val line = Bench.compactStdoutJson(real, "/root/testdata/sf0.1")
     // real budget: 2000-char capture minus sbt's ~80-char banner = ~1920;
-    // 1800 keeps a >=120-char margin at today's 156 queries
-    assert(line.length < 1800, s"stdout line must fit tail capture with headroom: ${line.length}")
+    // the round-9 prefix-grouped map bought ~500 chars at 170 queries —
+    // 1700 keeps a >=220-char margin at today's suite size
+    assert(line.length < 1700, s"stdout line must fit tail capture with headroom: ${line.length}")
     val parsed = mapper.readTree(line)
-    assert(parsed.get("queries").size() === real.size)
+    // queries is grouped by short-key prefix: member count must equal
+    // the suite, and every (group, member) must reconstruct a unique key
+    val groups = parsed.get("queries")
+    val memberCount = groups.fieldNames().asScala.map(g => groups.get(g).size()).sum
+    assert(memberCount === real.size)
     assert(parsed.get("qunit").asText() === "ms")
     assert(parsed.get("out").asInt() === real.count(_.isOutlier))
-    // growth headroom: ~10 more queries than today still fit the
+    // growth headroom: ~25 more queries than today still fit the
     // 2000-char tail minus sbt's closing banner. The headroom window
-    // SHRINKS as the suite grows (~11 chars/query); past ~165 queries
-    // the per-query map itself outgrows the capture and the format
-    // needs a redesign (e.g. split lines the driver's parser joins, or
-    // dropping redundant envelope tags) — redesign then, never just
-    // relax the 1900 ceiling, which is physical.
-    val grown = real ++ (0 until 10).map(i =>
+    // SHRINKS as the suite grows (~8 chars/query grouped); when it
+    // next approaches the ceiling, redesign the format again (e.g.
+    // split lines the driver's parser joins) — never just relax the
+    // 1900 ceiling, which is physical.
+    val grown = real ++ (0 until 25).map(i =>
       Bench.Measurement(f"z$i%02d_future_query_name", Seq((0.51, 0L)), None))
     assert(Bench.compactStdoutJson(grown, "/root/testdata/sf0.1").length < 1900,
       "the format must absorb another round of suite growth")
