@@ -218,7 +218,13 @@ object Bench {
     k match {
       case LetterDigit(g, d) => (g, d)
       case _ if k.contains('_') =>
-        val i = k.indexOf('_'); (k.substring(0, i), k.substring(i + 1))
+        val i = k.indexOf('_')
+        val mem = k.substring(i + 1)
+        // a digit-first member ("gng_2a" → "2a") would read back as a
+        // direct concat ("gng2a") under the join rule; empty members
+        // ("gng_") can't reconstruct at all — both degrade to own groups
+        if (mem.isEmpty || mem.head.isDigit) (k, "")
+        else (k.substring(0, i), mem)
       case _ => (k, "")
     }
   }
@@ -226,16 +232,20 @@ object Bench {
   /** The stdout tail line — the one artifact that must survive the
     * driver's 2000-char tail capture WITH sbt's closing banner behind
     * it (r6/r7 shipped truncated lines; budget ≈ 1920 chars). Round-9
-    * redesign (the notes' "group the per-query map by key prefix"): the
-    * per-query map is GROUPED by short-key letter prefix —
-    * `"queries":{"q":{"1":412,"2":388,…},"gng":{"t":4868,…}}` — which
-    * drops the repeated prefix and its quotes from every entry
-    * (~3 chars/query at 170 queries ≈ 500 chars, two more rounds of
-    * suite growth). Values stay INTEGER MILLISECONDS (`"qunit":"ms"`),
-    * outliers a COUNT, errors truncated, sf a basename. `"full"` points
-    * to BENCH_COMPACT.json (full names, decimal seconds, complete
-    * outlier/re-run detail). Total `value` stays decimal SECONDS (the
-    * driver contract). */
+    * grouped the per-query map by short-key letter prefix; round-10
+    * (VERDICT r9 #4 — the line hit ~1800/1920 at 169 queries) adds
+    * ARRAY encoding for the dominant case: a group whose members are
+    * all numeric and form a consecutive run renders as
+    * `"q":[1,412,388,…]` — first element the STARTING member number,
+    * the rest the ms values in member order (member i = start + i-1).
+    * That drops `"NN":` from every numbered query (~5 chars × 160
+    * queries ≈ 800 chars). Non-numeric or gapped groups keep the
+    * round-9 object form `"gng":{"t":4868,…}` — the reader
+    * distinguishes by JSON type. Values stay INTEGER MILLISECONDS
+    * (`"qunit":"ms"`), outliers a COUNT, errors truncated, sf a
+    * basename. `"full"` points to BENCH_COMPACT.json (full names,
+    * decimal seconds, complete outlier/re-run detail). Total `value`
+    * stays decimal SECONDS (the driver contract). */
   def compactStdoutJson(results: Seq[Measurement], sfDir: String): String = {
     val keys = shortKeys(results.map(_.name))
     val split0 = results.map(m => keys(m.name) -> groupKey(keys(m.name)))
@@ -250,10 +260,17 @@ object Bench {
     val groupOrder = ordered.map(_._1._1).distinct
     val byGroup = ordered.groupBy(_._1._1)
     val qs = groupOrder.map { g =>
-      val members = byGroup(g)
-        .map { case ((_, mem), m) => "\"" + mem + "\":" + fmtMs(m.value) }
-        .mkString("{", ",", "}")
-      "\"" + g + "\":" + members
+      val entries = byGroup(g).map { case ((_, mem), m) => mem -> fmtMs(m.value) }
+      val nums = entries.map(_._1).collect { case m if m.matches("[0-9]+") => m.toInt }
+      val body =
+        if (nums.size == entries.size && nums.nonEmpty &&
+            nums.sorted == (nums.min to nums.min + nums.size - 1).toSeq)
+          // consecutive numeric run → positional array, start number first
+          (nums.min.toString +: entries.sortBy(_._1.toInt).map(_._2))
+            .mkString("[", ",", "]")
+        else entries.map { case (mem, v) => "\"" + mem + "\":" + v }
+          .mkString("{", ",", "}")
+      "\"" + g + "\":" + body
     }.mkString("{", ",", "}")
     val errs = errorsJson(results, keys, maxLen = 60)
     val total = results.filter(_.err.isEmpty).map(_.value).sum

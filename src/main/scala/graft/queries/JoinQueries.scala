@@ -84,7 +84,10 @@ object JoinQueries {
     // overlapping pair is credited to exactly ONE shared cell
     // (max of the two start cells), so the equi-join needs no
     // dedup shuffle behind it. Oracle: DuckDB's native inequality
-    // join over the same derived windows.
+    // join over the same derived windows, with the engine's
+    // half-open contract (empty intervals match nothing —
+    // RangeJoin.intervalOverlap drops lo >= hi) mirrored explicitly
+    // so the two sides can never diverge on a degenerate interval.
     sql(
       "j04_interval_overlap",
       s"""WITH c(campaign, lo, hi) AS (VALUES
@@ -94,6 +97,7 @@ object JoinQueries {
          |      FROM events GROUP BY 1, 2)
          |SELECT a.user_id, a.day, c.campaign
          |FROM a JOIN c ON a.a_lo < c.hi AND c.lo < a.a_hi
+         |  AND a.a_lo < a.a_hi AND c.lo < c.hi
          |ORDER BY a.user_id, a.day, c.campaign""".stripMargin) { (s, d) =>
       import s.implicits._
       val windows = campaigns

@@ -130,14 +130,23 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     assert(Bench.groupKey("gng_pu") === ("gng", "pu"))
     assert(Bench.groupKey("x01_alpha") === ("x01", "alpha")) // full-name fallback
     assert(Bench.groupKey("plain") === ("plain", ""))
-    // the pathological q1/q_1 pair maps to the same (group, member) —
-    // compactStdoutJson must render BOTH as their own groups
+    // digit-first members would read back as direct concat ("gng2a")
+    // under the join rule — they and empty members degrade to own
+    // groups (r9 ADVICE: the clash guard can't catch this one because
+    // no colliding key need exist)
+    assert(Bench.groupKey("gng_2a") === ("gng_2a", ""))
+    assert(Bench.groupKey("gng_") === ("gng_", ""))
+    // the pathological q1/q_1 pair: the digit-first rule already sends
+    // q_1 to its own group, so it can never claim q1's (q, 1) slot —
+    // q1 renders in group "q" (positional array), q_1 as its own
+    // object group with an empty member
     val rs = Seq(
       Bench.Measurement("q1", Seq((0.1, 0L)), None),
       Bench.Measurement("q_1", Seq((0.2, 0L)), None))
     val line = Bench.compactStdoutJson(rs, "sfX")
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
-    assert(node.get("queries").get("q1").get("") != null)
+    val qGroup = node.get("queries").get("q")
+    assert(qGroup.isArray && qGroup.get(0).asInt() === 1 && qGroup.get(1).asInt() === 100)
     assert(node.get("queries").get("q_1").get("") != null)
   }
 
@@ -156,15 +165,18 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     val total = mapper.readTree(Bench.compactJson(rs, "sfX")).get("value").asDouble()
     assert(total > 0)
     // the stdout line is tagged with its key style and full-name twin;
-    // its per-query map is GROUPED by short-key letter prefix (round-9
-    // format: {"a":{"1":ms},"b":{"2":ms},...})
+    // its per-query map is GROUPED by short-key letter prefix, and a
+    // consecutive numeric group is a positional ARRAY [start, v1, ...]
+    // (round-10 format; member i reconstructs as start + i - 1)
     val stdout = mapper.readTree(Bench.compactStdoutJson(rs, "sfX"))
     assert(stdout.get("qunit").asText() === "ms")
     assert(stdout.get("full").asText() === "BENCH_COMPACT.json")
     assert(stdout.get("metric").asText() === "total")
     assert(stdout.get("errors").size() === 1 && stdout.get("sf").asText() === "sfX")
-    assert(stdout.get("queries").get("a").get("1") != null)
-    assert(stdout.get("queries").get("bad").get("3").asInt() === -1)
+    val aGroup = stdout.get("queries").get("a")
+    assert(aGroup.isArray && aGroup.get(0).asInt() === 1 && aGroup.get(1).asInt() >= 0)
+    val badGroup = stdout.get("queries").get("bad")
+    assert(badGroup.isArray && badGroup.get(0).asInt() === 3 && badGroup.get(1).asInt() === -1)
     // SIZE GATE: the real suite's names at plausible values must fit
     // the driver's 2000-char tail window MINUS sbt's ~100-char closing
     // banner — this is the structural fix for the r6/r7 truncated
@@ -179,27 +191,30 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     }
     val line = Bench.compactStdoutJson(real, "/root/testdata/sf0.1")
     // real budget: 2000-char capture minus sbt's ~80-char banner = ~1920;
-    // the round-9 prefix-grouped map bought ~500 chars at 170 queries —
-    // 1700 keeps a >=220-char margin at today's suite size
-    assert(line.length < 1700, s"stdout line must fit tail capture with headroom: ${line.length}")
+    // the round-10 positional-array encoding (numeric groups drop their
+    // member keys) bought another ~800 chars over the round-9 grouped
+    // map — 1250 keeps a >=650-char margin at today's suite size
+    assert(line.length < 1250, s"stdout line must fit tail capture with headroom: ${line.length}")
     val parsed = mapper.readTree(line)
     // queries is grouped by short-key prefix: member count must equal
-    // the suite, and every (group, member) must reconstruct a unique key
+    // the suite (array groups spend one slot on the start number), and
+    // every (group, member) must reconstruct a unique key
     val groups = parsed.get("queries")
-    val memberCount = groups.fieldNames().asScala.map(g => groups.get(g).size()).sum
+    val memberCount = groups.fieldNames().asScala
+      .map(g => groups.get(g).size() - (if (groups.get(g).isArray) 1 else 0)).sum
     assert(memberCount === real.size)
     assert(parsed.get("qunit").asText() === "ms")
     assert(parsed.get("out").asInt() === real.count(_.isOutlier))
-    // growth headroom: ~25 more queries than today still fit the
+    // growth headroom: ~100 more queries than today still fit the
     // 2000-char tail minus sbt's closing banner. The headroom window
-    // SHRINKS as the suite grows (~8 chars/query grouped); when it
-    // next approaches the ceiling, redesign the format again (e.g.
+    // SHRINKS as the suite grows (~5 chars/query array-encoded); when
+    // it next approaches the ceiling, redesign the format again (e.g.
     // split lines the driver's parser joins) — never just relax the
     // 1900 ceiling, which is physical.
-    val grown = real ++ (0 until 25).map(i =>
-      Bench.Measurement(f"z$i%02d_future_query_name", Seq((0.51, 0L)), None))
+    val grown = real ++ (0 until 100).map(i =>
+      Bench.Measurement(f"z$i%03d_future_query_name", Seq((0.51, 0L)), None))
     assert(Bench.compactStdoutJson(grown, "/root/testdata/sf0.1").length < 1900,
-      "the format must absorb another round of suite growth")
+      "the format must absorb several more rounds of suite growth")
     // round-trip through readBaselines: next round compares against this one
     val tmp = java.nio.file.Files.createTempFile("bench", ".json")
     java.nio.file.Files.writeString(tmp, Bench.detailJson(rs, "sfX"))
