@@ -528,6 +528,82 @@ object Dedup {
     updated.unionByName(fresh)
   }
 
+  /** DELETE-aware connected-components maintenance — the inverse rung
+    * of [[mergeComponents]]: removing documents (takedown requests,
+    * robots retractions) from a STORED components table. Deletion is
+    * strictly harder than insertion: dropping a doc can SPLIT its
+    * component (it may be the only bridge between two halves), which
+    * min-label merging cannot express — so the touched components are
+    * re-clustered from their SURVIVING verified pairs, and only they.
+    *
+    * Input:
+    *  - `stored` — (id, rep), a min-rep star forest that is EXACTLY
+    *    `connectedComponents(pairs)` (same precondition family as
+    *    [[mergeComponents]]; its own output qualifies, so deletes and
+    *    merges fold in any order).
+    *  - `deletedIds` — (id) documents to remove. Ids absent from
+    *    `stored` are no-ops.
+    *  - `pairs` — (id_a, id_b) the verified-pair log that built
+    *    `stored` (the edge table a production pipeline persists
+    *    alongside the components; extra already-folded edges are
+    *    harmless, MISSING ones are not — connectivity is re-derived
+    *    from this log).
+    *
+    * Output: (id, rep) row-identical to
+    * `connectedComponents(pairs among surviving docs)` —
+    * components containing no deleted doc pass through byte-for-byte;
+    * touched components are re-clustered, and a survivor whose every
+    * pair partner was deleted DROPS out (exactly as a from-scratch
+    * rebuild would drop a doc that no longer appears in any pair).
+    * IncrementalComponentsSpec asserts the equality, including the
+    * cluster-split and rep-deletion cases.
+    *
+    * Why touched-only is sound: deleting a doc removes only edges
+    * incident to it, and every such edge lies inside the doc's own
+    * component — connectivity (and the min member) of every other
+    * component is untouched.
+    *
+    * Scale shape: `deletedIds` is takedown-sized; the touched member
+    * set is a small multiple of it. The corpus-sized `stored` table
+    * streams through ONE broadcast anti join (drop touched components)
+    * and the corpus-sized `pairs` log streams through TWO broadcast
+    * semi joins (induce the surviving subgraph) — neither ever
+    * shuffles, exactly the mergeComponents discipline. The star
+    * contraction runs on the induced touched-component subgraph only.
+    * A delete batch too large to broadcast (a mass purge, not a
+    * takedown) is the signal to re-run [[connectedComponents]] from
+    * the surviving pair log instead. */
+  def removeFromComponents(stored: DataFrame, deletedIds: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val del = deletedIds.select($"id").distinct().localCheckpoint(true)
+    // reps of every component losing at least one member — the touched
+    // set. INNER broadcast join: stored streams, del is the build side.
+    val deletedReps = stored.join(broadcast(del), "id")
+      .select($"rep").distinct().localCheckpoint(true)
+    // surviving members of touched components (delete-proportional)
+    val surviving = stored.join(broadcast(deletedReps), "rep")
+      .select($"id")
+      .join(broadcast(del), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    // induced subgraph: pairs with BOTH endpoints surviving members of
+    // a touched component. The pair log streams map-side through two
+    // broadcast semi joins — pairs between untouched docs fall out at
+    // the first join (their components carry no deleted member, so
+    // neither endpoint is in `surviving`).
+    val induced = pairs.select($"id_a", $"id_b")
+      .join(broadcast(surviving.select($"id".as("id_a"))), Seq("id_a"), "left_semi")
+      .join(broadcast(surviving.select($"id".as("id_b"))), Seq("id_b"), "left_semi")
+      .select($"id_a", $"id_b")
+    // re-cluster ONLY the touched components' survivors; docs isolated
+    // by the delete no longer appear in any pair and drop out here,
+    // matching the full-recompute domain
+    val sub = connectedComponents(induced)
+    val untouched = stored
+      .join(broadcast(deletedReps), Seq("rep"), "left_anti")
+      .select($"id", $"rep")
+    untouched.unionByName(sub.select($"id", $"rep"))
+  }
+
   /** Canonical-document selection — the step every dedup pipeline ends
     * with: of each near-dup cluster, KEEP exactly the best-scoring
     * member (ties to the lowest id) and drop the rest; documents in no

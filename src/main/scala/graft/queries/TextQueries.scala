@@ -936,6 +936,40 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // DELETE-aware cluster maintenance — the inverse rung t40 left
+    // open: a takedown batch (doc_id % 7 = 3) is removed from the
+    // stored components table. Deletion can SPLIT a component (the
+    // deleted doc may be its only bridge), so the touched components
+    // are re-clustered from the persisted verified-pair log's
+    // surviving edges — and ONLY they: the stored table and the pair
+    // log each stream through broadcast joins (never shuffled), the
+    // star contraction runs on the takedown-sized induced subgraph.
+    // Oracle: full-recompute equality — t21's recursive-CTE closure
+    // over the exhaustive exact-Jaccard pairs among SURVIVORS (the
+    // t09 banding==exhaustive argument restricts to any doc subset).
+    sql(
+      "t41_cluster_deletes",
+      s"""WITH RECURSIVE
+         |sh AS (SELECT doc_id, ${Sql.shingleSet("text", 3)} AS s FROM documents
+         |       WHERE doc_id % 7 <> 3),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE ${Sql.listJaccard("a.s", "b.s")} >= 0.5),
+         |e(src, dst) AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val deleted = Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id").as("id"))
+      Dedup.removeFromComponents(prebuiltComponents(s, d), deleted,
+          prebuiltPairs(s, d))
+        .select(col("id").as("doc_id"), col("rep").as("rep_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Heavy hitters via count-min sketch, gated against exact counts
     // (q29/q39's sketch-trust pattern, now for an UNBOUNDED key
     // domain): at 100 TB the token vocabulary is billions of keys, so
@@ -1281,9 +1315,31 @@ object TextQueries {
       val dir = java.nio.file.Files.createTempDirectory(
         graft.streaming.StreamingRelational.scratchBase, "neardup-components")
       sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
-      val pairs = Dedup.minHashPairsVerified(
-        Tables.documents(s, d), col("text"), col("doc_id"), threshold = 0.5)
-      Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      Dedup.connectedComponents(prebuiltPairs(s, d))
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+    s.read.parquet(path)
+  }
+
+  /** Prebuilt verified-pair LOG per data dir — the (id_a, id_b) edge
+    * table that built [[prebuiltComponents]], persisted alongside it
+    * exactly as a production pipeline would: the components table
+    * answers "which cluster", the pair log is what delete-aware
+    * maintenance (t41, [[graft.operators.Dedup.removeFromComponents]])
+    * re-derives surviving connectivity from. Materializing it also
+    * means the MinHash kernels run ONCE per data dir across every
+    * components consumer. */
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def prebuiltPairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val path = pairsCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "neardup-pairs")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      Dedup.minHashPairsVerified(
+          Tables.documents(s, d), col("text"), col("doc_id"), threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
         .write.mode("overwrite").parquet(dir.toString)
       dir.toString
     })

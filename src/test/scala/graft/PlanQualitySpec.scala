@@ -350,6 +350,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"stored scan must be a direct child of the broadcast relabel join:\n$p")
   }
 
+  test("t41: cluster deletes — stored/pair tables stream through broadcasts, star rounds ran on the induced subgraph only") {
+    val p = plan("t41_cluster_deletes")
+    // the touched-member lookup, induced-subgraph filter, and
+    // re-clustering all ran inside eager checkpoints at build time;
+    // the SERVED plan is the stored scan anti-joined against the
+    // takedown-sized rep set, unioned with the re-clustered labels —
+    // no text kernel anywhere
+    assert(nodeFree(p, "minhash_sig") == 0 && nodeFree(p, "band_hashes") == 0,
+      s"delete maintenance must serve persisted state, not re-run kernels:\n$p")
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+      s"untouched components must pass through a broadcast anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stored side must not sort-merge:\n$p")
+    // corpus rows are never repartitioned: the only exchange is the
+    // output sort's range partitioning
+    assert(p.linesIterator.count(l =>
+        l.trim.startsWith("Arguments: hashpartitioning")) == 0,
+      s"nothing may hash-shuffle at serve time:\n$p")
+  }
+
   test("v28: prebuilt embedding clusters serve with zero kernels and zero joins") {
     val p = plan("v28_embedding_clusters_prebuilt")
     assert(nodeFree(p, "cosine") == 0 && nodeFree(p, "lsh_sig") == 0,

@@ -113,4 +113,150 @@ class IncrementalComponentsSpec extends AnyFunSuite with SparkTestSupport {
     assert(m(20L) === 20L && m(22L) === 20L && m(1L) === 1L)
     assert(m(30L) === 10L)
   }
+
+  // ---- removeFromComponents: the delete-aware inverse ----------------
+
+  private def idsDf(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
+
+  /** delete-vs-recompute equality: removing `deleted` from the stored
+    * clustering of `pairs` must equal clustering the surviving induced
+    * subgraph from scratch. */
+  private def assertDeleteEqualsRecompute(pairs: Seq[(Long, Long)],
+      deleted: Seq[Long]): Map[Long, Long] = {
+    val stored = Dedup.connectedComponents(pairsDf(pairs))
+    val removed = labels(
+      Dedup.removeFromComponents(stored, idsDf(deleted), pairsDf(pairs)))
+    val del = deleted.toSet
+    val survivingPairs = pairs.filter(p => !del(p._1) && !del(p._2))
+    val full = labels(Dedup.connectedComponents(pairsDf(survivingPairs)))
+    assert(removed === full)
+    removed
+  }
+
+  test("deleting a bridge doc SPLITS its component — the case min-label merge cannot express") {
+    // path 1–2–3–4–5; doc 3 is the only bridge. Deleting it must yield
+    // {1,2} rep 1 and {4,5} rep 4 — a stale min-label table would keep
+    // all four survivors under rep 1 (the over-clustering the verdict
+    // flagged for every stored-components consumer)
+    val m = assertDeleteEqualsRecompute(
+      pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      deleted = Seq(3L))
+    assert(m === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("deleting the rep (min id) promotes the next-smallest survivor") {
+    val m = assertDeleteEqualsRecompute(
+      pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)),
+      deleted = Seq(1L))
+    assert(m === Map(2L -> 2L, 3L -> 2L))
+  }
+
+  test("a survivor whose only partner was deleted drops out, as a rebuild would drop it") {
+    // {1,2}: delete 1 → 2 appears in no surviving pair → no row
+    val m = assertDeleteEqualsRecompute(
+      pairs = Seq((1L, 2L), (10L, 11L)),
+      deleted = Seq(1L))
+    assert(m === Map(10L -> 10L, 11L -> 10L))
+  }
+
+  test("components without a deleted member pass through untouched; unknown ids are no-ops") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+    val m = assertDeleteEqualsRecompute(pairs, deleted = Seq(11L, 999L))
+    assert(m(1L) === 1L && m(3L) === 1L && m(20L) === 20L && m(22L) === 20L)
+    assert(!m.contains(11L) && !m.contains(10L), "10's only partner was deleted")
+    // empty delete batch: byte-for-byte identity
+    val stored = Dedup.connectedComponents(pairsDf(pairs))
+    assert(labels(Dedup.removeFromComponents(stored, idsDf(Nil), pairsDf(pairs)))
+      === labels(stored))
+  }
+
+  test("delete that keeps the component connected only relabels if the rep died") {
+    // triangle 1–2–3 plus pendant 4 on 2: deleting 4 keeps {1,2,3}
+    // intact under rep 1 (no relabel at all)
+    val m = assertDeleteEqualsRecompute(
+      pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L)),
+      deleted = Seq(4L))
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("deletes and merges fold in any order (output satisfies both preconditions)") {
+    val day0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val day1New = Seq((20L, 21L), (21L, 4L))
+    val deleted = Seq(3L)
+    val stored = Dedup.connectedComponents(pairsDf(day0))
+    // merge day-1 pairs, THEN delete doc 3
+    val mergeFirst = labels(Dedup.removeFromComponents(
+      Dedup.mergeComponents(stored, pairsDf(day1New)),
+      idsDf(deleted), pairsDf(day0 ++ day1New)))
+    // delete doc 3, THEN merge day-1 pairs (none of which touch 3)
+    val deleteFirst = labels(Dedup.mergeComponents(
+      Dedup.removeFromComponents(stored, idsDf(deleted), pairsDf(day0)),
+      pairsDf(day1New)))
+    val del = deleted.toSet
+    val survivors = (day0 ++ day1New).filter(p => !del(p._1) && !del(p._2))
+    val full = labels(Dedup.connectedComponents(pairsDf(survivors)))
+    assert(mergeFirst === full)
+    assert(deleteFirst === full)
+  }
+
+  // ---- randomized model fuzz (seeded — deterministic across runs) ----
+
+  /** Independent driver-side twin: union-find with min-id roots over
+    * the pair list; docs in no pair have no row. A DIFFERENT algorithm
+    * from both the star contraction and the DuckDB closure — agreement
+    * is evidence, not self-confirmation. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(x => x -> find(x)).toMap
+  }
+
+  test("fuzz: random pair sets, random slicings — folded merges equal the union-find model") {
+    // the associativity claim carrying the whole t40/s20 family,
+    // checked over random graphs instead of two hand-picked cases
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 4) {
+      val n = 8 + rnd.nextInt(18)
+      def pair() = ((1 + rnd.nextInt(n)).toLong, (1 + rnd.nextInt(n)).toLong)
+      val storedPairs = Seq.fill(3 + rnd.nextInt(8))(pair())
+      val newPairs = Seq.fill(2 + rnd.nextInt(10))(pair())
+      val slices = {
+        val k = 1 + rnd.nextInt(3)
+        newPairs.zipWithIndex.groupMap(_._2 % k)(_._1).values.toSeq
+      }
+      val stored = Dedup.connectedComponents(pairsDf(storedPairs))
+      val folded = slices.foldLeft(stored)((acc, s) =>
+        Dedup.mergeComponents(acc, pairsDf(s)))
+      val expected = unionFind(storedPairs ++ newPairs)
+      assert(labels(folded) === expected,
+        s"trial $trial: stored=$storedPairs slices=$slices")
+    }
+  }
+
+  test("fuzz: random deletes over random graphs equal the union-find model on survivors") {
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 4) {
+      val n = 8 + rnd.nextInt(18)
+      def pair() = ((1 + rnd.nextInt(n)).toLong, (1 + rnd.nextInt(n)).toLong)
+      val pairs = Seq.fill(5 + rnd.nextInt(14))(pair())
+      val deleted = (1 to 1 + rnd.nextInt(4)).map(_ => (1 + rnd.nextInt(n)).toLong).distinct
+      val del = deleted.toSet
+      val stored = Dedup.connectedComponents(pairsDf(pairs))
+      val removed = labels(
+        Dedup.removeFromComponents(stored, idsDf(deleted), pairsDf(pairs)))
+      val expected = unionFind(pairs.filter(p => !del(p._1) && !del(p._2)))
+        .filter { case (id, _) => !del(id) }
+      assert(removed === expected, s"trial $trial: pairs=$pairs deleted=$deleted")
+    }
+  }
 }
