@@ -192,6 +192,82 @@ object HashOracleSql {
       "\nSELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep_id FROM reach GROUP BY a ORDER BY doc_id"
   }
 
+  /** The DuckDB twin of one LEARNED-merge application over a
+    * '|'-encoded token string: the kernel's leftmost-first fold, with
+    * the merge operands coming from the round's argmax row `m` (a
+    * LEFT JOIN ON TRUE single row) instead of a compile-time constant
+    * — NULL operands (an exhausted round) leave the encoding
+    * unchanged because `tk = NULL` is never true. */
+  private def applyLearnedMergeSql(enc: String): String =
+    s"""CASE WHEN $enc NOT LIKE '%|%' THEN $enc ELSE
+       |list_reduce(string_split($enc, '|'), (acc, tk) ->
+       |  CASE WHEN tk = m.y AND regexp_extract(acc, '[^|]*${"$"}') = m.x
+       |       THEN left(acc, length(acc) - length(m.x)) || m.x || m.y
+       |       ELSE acc || '|' || tk END) END""".stripMargin
+
+  /** CTEs replaying BPE TRAINING ([[graft.operators.BpeTrain.train]])
+    * in DuckDB, fully independently — DuckDB computes its OWN
+    * freq-weighted pair counts and argmax each round, so a hash match
+    * verifies the whole learning loop, not just an inlined result.
+    * Produces `wf` (word types), `enc0..encK` (per-round word
+    * encodings) and `m1..mK` (each round's winning merge (x, y, cnt),
+    * tie-break count DESC then lexicographic). */
+  private def bpeTrainCtes(k: Int): Seq[String] = {
+    import graft.functions.TextFunctions.{Sql => T}
+    val base = Seq(
+      s"btl AS (SELECT string_split(${T.normalizeText("text")}, ' ') AS ws FROM documents)",
+      "bw AS (SELECT unnest(ws) AS word FROM btl)",
+      "wf AS (SELECT word, count(*) AS freq FROM bw WHERE word <> '' GROUP BY word)",
+      "enc0 AS (SELECT word, freq, array_to_string(list_transform(" +
+        "range(1, length(word)+1), i -> substr(word, i, 1)), '|') AS enc FROM wf)")
+    val rounds = (1 to k).flatMap { r =>
+      Seq(
+        // overlapping adjacent pairs, freq-weighted (canonical
+        // get_stats); single-token words contribute no positions
+        s"pr$r AS (SELECT t[CAST(i AS INT)] AS x, t[CAST(i AS INT)+1] AS y, sum(freq) AS cnt " +
+          "FROM (SELECT freq, t, unnest(range(1, len(t))) AS i " +
+          s"FROM (SELECT freq, string_split(enc, '|') AS t FROM enc${r - 1})) GROUP BY 1, 2)",
+        s"m$r AS (SELECT x, y, cnt FROM pr$r ORDER BY cnt DESC, x, y LIMIT 1)",
+        s"enc$r AS (SELECT word, freq, ${applyLearnedMergeSql("e.enc")} AS enc " +
+          s"FROM enc${r - 1} e LEFT JOIN m$r m ON TRUE)")
+    }
+    base ++ rounds
+  }
+
+  /** t42: the learned merges table (merge_rank, x, y, cnt). */
+  def bpeTrain(k: Int): String = {
+    val legs = (1 to k).map(r => s"SELECT $r AS merge_rank, x, y, CAST(cnt AS BIGINT) AS cnt FROM m$r")
+    "WITH " + bpeTrainCtes(k).mkString(",\n") +
+      "\nSELECT merge_rank, x, y, cnt FROM (" + legs.mkString(" UNION ALL ") +
+      ") ORDER BY merge_rank"
+  }
+
+  /** t43: every document re-encoded under the LEARNED table — the
+    * training replay above feeding t39's encode-stage shape, so one
+    * static SQL verifies learn-then-serve end to end. */
+  def bpeLearnedTokens(k: Int): String = {
+    import graft.functions.TextFunctions.{Sql => T}
+    val docBase = Seq(
+      s"dtl AS (SELECT doc_id, string_split(${T.normalizeText("text")}, ' ') AS ws FROM documents)",
+      "dw AS (SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS widx FROM dtl)",
+      "d0 AS (SELECT doc_id, widx, array_to_string(list_transform(" +
+        "range(1, length(word)+1), i -> substr(word, i, 1)), '|') AS enc " +
+        "FROM dw WHERE word <> '')")
+    val docRounds = (1 to k).map { r =>
+      s"d$r AS (SELECT doc_id, widx, ${applyLearnedMergeSql("e.enc")} AS enc " +
+        s"FROM d${r - 1} e LEFT JOIN m$r m ON TRUE)"
+    }
+    val tail =
+      s"agg AS (SELECT d.doc_id, coalesce(string_agg(e.enc, '|' ORDER BY e.widx), '') AS enc " +
+        s"FROM documents d LEFT JOIN d$k e USING (doc_id) GROUP BY d.doc_id)"
+    "WITH " + (bpeTrainCtes(k) ++ docBase ++ docRounds :+ tail).mkString(",\n") +
+      """
+        |SELECT doc_id,
+        |  CAST(CASE WHEN enc = '' THEN 0 ELSE len(string_split(enc, '|')) END AS INT) AS n_bpe,
+        |  md5(enc) AS bpe_fp
+        |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   /** CTEs ending in `allsims(doc_id, u)`: the unsigned 64-bit SimHash of
     * every document (0 for docs with no tokens, as in the kernel). */
   private def simHashCtes: Seq[String] =

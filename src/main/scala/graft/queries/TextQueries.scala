@@ -22,6 +22,13 @@ object TextQueries {
   private val ChunkOverlap = 5
   private val ChunkStride = ChunkSize - ChunkOverlap
 
+  /** BPE training depth for t42/t43: enough rounds that multi-level
+    * merges (an earlier output feeding a later pair) occur, small
+    * enough that the DuckDB replay's k generated stages stay fast.
+    * (Defined before `all` — the oracle builders read it at registry
+    * construction.) */
+  private val BpeTrainRounds = 12
+
   /** (doc_id, chunk_idx, chunk) — every document's overlapping token
     * windows, built entirely from codegen'd built-ins. */
   private def chunkedDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -970,6 +977,43 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Distributed BPE tokenizer TRAINING — learning the merges table
+    // from the corpus (t39 encodes against a compile-time toy table;
+    // real pipelines run this loop). One corpus scan builds the
+    // word-type frequency table; each round is a bounded pair-count
+    // agg + argmax (deterministic tie-break) + distributed re-encode,
+    // v19's k-means-rounds shape. Oracle: a fully INDEPENDENT DuckDB
+    // replay — it computes its own pair counts and argmax per round,
+    // so the hash match verifies the learning loop itself, with no
+    // inlined state.
+    sql("t42_bpe_train", HashOracleSql.bpeTrain(BpeTrainRounds)) { (s, d) =>
+      val learned = graft.operators.BpeTrain.train(
+        Tables.documents(s, d), col("text"), BpeTrainRounds)
+      s.createDataFrame(learned)
+        .select(col("rank").as("merge_rank"), col("x"), col("y"), col("cnt"))
+        .orderBy(col("merge_rank"))
+    },
+
+    // Serve half of t42: every document re-encoded under the LEARNED
+    // table (cached per data dir — train once, serve many) through the
+    // same fused kernel as t39, with the learned merges riding into
+    // codegen as a plan reference object. Oracle: the t42 training
+    // replay feeding t39's encode-stage shape — one static SQL
+    // verifies learn-then-serve end to end.
+    sql("t43_bpe_learned_tokens",
+        HashOracleSql.bpeLearnedTokens(BpeTrainRounds)) { (s, d) =>
+      import graft.expressions.Bpe
+      val merges = trainedBpe(s, d).map(m => (m.x, m.y))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array(Bpe.encodeWith(col("text"), merges))).as("enc"))
+        .select(col("doc_id"),
+          when(col("enc") === "", 0)
+            .otherwise(size(split(col("enc"), "\\|"))).cast("int").as("n_bpe"),
+          md5(col("enc").cast("binary")).as("bpe_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // Heavy hitters via count-min sketch, gated against exact counts
     // (q29/q39's sketch-trust pattern, now for an UNBOUNDED key
     // domain): at 100 TB the token vocabulary is billions of keys, so
@@ -1321,6 +1365,17 @@ object TextQueries {
     })
     s.read.parquet(path)
   }
+
+  /** Learned-merges cache per data dir (t43 and any other consumer of
+    * the trained tokenizer; t42 itself trains FRESH each call — the
+    * training loop is the operator being exercised). */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[graft.operators.BpeTrain.Merge]]()
+
+  private[graft] def trainedBpe(s: org.apache.spark.sql.SparkSession,
+      d: String): Vector[graft.operators.BpeTrain.Merge] =
+    bpeCache.computeIfAbsent(d, _ =>
+      graft.operators.BpeTrain.train(Tables.documents(s, d), col("text"), BpeTrainRounds))
 
   /** Prebuilt verified-pair LOG per data dir — the (id_a, id_b) edge
     * table that built [[prebuiltComponents]], persisted alongside it

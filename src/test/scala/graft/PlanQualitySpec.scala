@@ -326,6 +326,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
   }
 
+  test("t43: learned-table BPE serve keeps t39's one-kernel shape") {
+    val p = plan("t43_bpe_learned_tokens")
+    assert(nodeFree(p, "bpe_encode_with") == 1,
+      s"n_bpe and bpe_fp must share ONE learned-table kernel evaluation:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+    // training ran in BpeTrain's bounded jobs at build time; the serve
+    // plan is one corpus scan — no join, no shuffle before the sort
+    assert(nodeCount(p, "\\w*Join") == 0, s"serve is scan + kernel + sort:\n$p")
+  }
+
   test("t40: incremental clusters — stored table relabels via broadcast, never shuffles") {
     val p = plan("t40_incremental_clusters")
     // the increment pipeline (kernels, banding, star contraction) ran

@@ -105,6 +105,17 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
     assert(g === i)
   }
 
+  test("BpeEncodeWith/BpeApplyMerge: codegen == interpreted (table rides as a reference object)") {
+    import spark.implicits._
+    val bdocs = Seq((1L, "abab ab ba"), (2L, ""), (3L, "aaa Ab-ab!"))
+      .toDF("id", "text")
+    val learned = Seq(("a", "b"), ("ab", "ab"), ("b", "a"))
+    val (g, i) = bothWays(bdocs.select(col("id"),
+      Bpe.encodeWith(col("text"), learned),
+      Bpe.applyMerge(Bpe.encodeWith(col("text"), Seq(("a", "b"))), "ab", "ab")))
+    assert(g === i)
+  }
+
   test("repetitionStats: known values and one kernel under project-level CSE") {
     val rep = TextHash.repetitionStats(col("text"))
     val out = docs.select(col("id"),
