@@ -53,6 +53,12 @@ object VectorOps {
     * max over identical values (see [[MaxSim]]). */
   def maxSim(a: Column, queryTokens: Array[Array[Double]], tokenDim: Int): Column =
     graftx.column(MaxSim(graftx.expr(a), queryTokens, tokenDim))
+  /** [[maxSim]] with the query tokens coming from a COLUMN (flat
+    * token matrix, `tokenDim`-chunked like the doc side) instead of a
+    * plan constant — the batched-serving form where each row carries
+    * its own (doc, query) pair (see [[MaxSimPair]]). */
+  def maxSimPair(doc: Column, query: Column, tokenDim: Int): Column =
+    graftx.column(MaxSimPair(graftx.expr(doc), graftx.expr(query), tokenDim))
 }
 
 object VectorOpsImpl {
@@ -274,6 +280,48 @@ object VectorOpsImpl {
     score
   }
 
+  /** [[maxSim]] with the query tokens read from a second ArrayData —
+    * SAME accumulation order, zero-norm contract, and 6-dp pre-round,
+    * so a pair evaluation is bit-identical to the constant-matrix
+    * kernel over the same values (the batch == sequential-loop row
+    * identity rests on this). */
+  def maxSimPair(a: ArrayData, q: ArrayData, tokenDim: Int): Double = {
+    val n = a.numElements()
+    val m = q.numElements()
+    if (n % tokenDim != 0 || m % tokenDim != 0)
+      throw new IllegalArgumentException(
+        s"max_sim_pair: lengths ($n, $m) must be multiples of tokenDim $tokenDim")
+    val nTok = n / tokenDim
+    val qTok = m / tokenDim
+    if (nTok == 0 || qTok == 0)
+      throw new IllegalArgumentException("max_sim_pair: empty embedding")
+    var score = 0.0
+    var j = 0
+    while (j < qTok) {
+      val qoff = j * tokenDim
+      var best = Double.NegativeInfinity
+      var t = 0
+      while (t < nTok) {
+        val off = t * tokenDim
+        var ab = 0.0; var aa = 0.0; var bb = 0.0
+        var i = 0
+        while (i < tokenDim) {
+          val x = a.getDouble(off + i); val y = q.getDouble(qoff + i)
+          ab += x * y; aa += x * x; bb += y * y
+          i += 1
+        }
+        val cos = if (aa == 0.0 || bb == 0.0) 0.0
+          else ab / (math.sqrt(aa) * math.sqrt(bb))
+        val c = math.floor(cos * 1e6 + 0.5) / 1e6
+        if (c > best) best = c
+        t += 1
+      }
+      score += best
+      j += 1
+    }
+    score
+  }
+
   def maxCosine(a: ArrayData, mat: Array[Array[Double]]): Double = {
     if (mat.isEmpty)
       throw new IllegalArgumentException(
@@ -426,6 +474,25 @@ case class MaxSim(child: Expression, queryTokens: Array[Array[Double]],
   }
   override protected def withNewChildInternal(newChild: Expression): MaxSim =
     copy(child = newChild)
+}
+
+/** [[MaxSim]] with PER-ROW query tokens (a second `array<double>`
+  * column, `tokenDim`-chunked like the doc side) — the batched-serving
+  * form: a (doc, query) pair per row scores in one fused pass with the
+  * identical arithmetic as the constant-matrix kernel, so the batched
+  * plan is row-identical to a loop of single-query plans. */
+case class MaxSimPair(left: Expression, right: Expression, tokenDim: Int)
+    extends BinaryExpression {
+  require(tokenDim > 0, s"max_sim_pair: tokenDim must be positive, got $tokenDim")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "max_sim_pair"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOpsImpl.maxSimPair(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], tokenDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.VectorOpsImpl.maxSimPair($a, $b, $tokenDim)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MaxSimPair =
+    copy(left = l, right = r)
 }
 
 /** Fused multi-band LSH signature: `array<long>` of one signature per

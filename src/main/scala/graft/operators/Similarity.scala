@@ -73,6 +73,46 @@ object Similarity {
       .orderBy($"maxsim".desc, $"id")
       .limit(k)
 
+  /** BATCHED two-stage late interaction — [[maxSimRerank]] for a whole
+    * query SET in ONE plan (the [[lshKnnBatch]] serving shape applied
+    * to MaxSim, closing the one retrieval family that had neither a
+    * served nor a batched variant):
+    *
+    *  - `shortlist` = (qid, id) candidate pairs, typically
+    *    [[lshKnnBatch]] over-fetched to several× k — bare ids,
+    *    |Q|·shortlist rows, broadcast;
+    *  - the corpus pays the MaxSim kernel ONLY on shortlisted rows:
+    *    one narrow scan streamed through two broadcast joins (the
+    *    candidate pairs, then the |Q|-row query-embedding attach) —
+    *    never shuffled;
+    *  - scoring is the [[graft.expressions.VectorOps.maxSimPair]]
+    *    kernel — bit-identical arithmetic to the single-query constant
+    *    matrix kernel, so each qid's rows equal its sequential
+    *    [[maxSimRerank]] answer (spec-asserted);
+    *  - per-query top-k via row_number over (qid) — plans as
+    *    partial+final WindowGroupLimit over the |Q|·shortlist scored
+    *    rows, nothing corpus-sized reaches the window.
+    *
+    * Output: (qid, id, maxsim, rk), rk = 1..k per qid. */
+  def maxSimRerankBatch(df: DataFrame, embCol: Column, idCol: Column,
+      shortlist: DataFrame, queries: DataFrame, qembCol: Column,
+      qidCol: Column, tokenDim: Int, k: Int): DataFrame = {
+    val q = queries.select(qidCol.as("qid"), asDouble(qembCol).as("qemb"))
+      .filter($"qemb".isNotNull)
+      .dropDuplicates("qid")
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"maxsim".desc, $"id")
+    df.select(idCol.as("id"), embCol.as("emb"))
+      .join(broadcast(shortlist.select($"qid", $"id")), Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .select($"qid", $"id",
+        round(graft.expressions.VectorOps.maxSimPair(
+          asDouble($"emb"), $"qemb", tokenDim) + lit(1e-9), 4).as("maxsim"))
+      .withColumn("rk", row_number().over(wk))
+      .filter($"rk" <= k)
+      .select($"qid", $"id", $"maxsim", $"rk")
+  }
+
   /** Exact top-k rows by cosine similarity to `query`.
     * Output: (idCol, score) — score rounded to 4 dp for stable ordering. */
   def bruteForceKnn(df: DataFrame, embCol: Column, idCol: Column,

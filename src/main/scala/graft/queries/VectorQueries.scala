@@ -831,6 +831,30 @@ object VectorQueries {
       Similarity.maxSimRerank(Tables.embeddings(s, d), col("embedding"), col("vec_id"),
         shortlist.select(col("id")),
         queryVector(s, d).grouped(MaxSimDim).toArray, tokenDim = MaxSimDim, k = 10)
+    },
+
+    // BATCHED two-stage late interaction — v30 for a query SET in ONE
+    // plan (v15's serving shape applied to MaxSim, closing the one
+    // retrieval family that had neither a served index nor a batched
+    // variant): per-query 50-id shortlists from the served bucket
+    // index (lshKnnBatch — histogram, radius, probes all engine-side),
+    // then ONLY shortlisted corpus rows pay the pairwise MaxSim kernel
+    // (bit-identical arithmetic to v29/v30's constant-matrix kernel),
+    // per-qid top-10 as a partial+final WindowGroupLimit. The corpus
+    // streams through broadcast joins — never shuffled. Oracle: the
+    // v15 batched multiprobe SQL (k=50) nested as the shortlist leg +
+    // v29's token-unnest MaxSim per qid.
+    sql("v31_maxsim_batch", maxSimBatchOracle) { (s, d) =>
+      val queries = Tables.embeddings(s, d).filter(col("vec_id").isin(0L, 17L, 42L))
+      val shortlist = Similarity.lshKnnBatch(
+        servedIndex(s, d), queries, col("embedding"), col("vec_id"),
+        dim = EmbDim, k = 50, nBits = 4)
+      Similarity.maxSimRerankBatch(
+          Tables.embeddings(s, d), col("embedding"), col("vec_id"),
+          shortlist.select(col("qid"), col("id")),
+          queries, col("embedding"), col("vec_id"),
+          tokenDim = MaxSimDim, k = 10)
+        .orderBy(col("qid"), col("rk"))
     }
   )
 
@@ -948,17 +972,19 @@ object VectorQueries {
     * same per-query stages the Spark plan runs. */
   private lazy val batchedKnnSql: String = batchedKnnSqlFor("vec_id IN (0, 17, 42)")
 
-  /** [[batchedKnnSql]] parameterized by the query-set predicate —
-    * shared with s07's streaming-serving oracle, so the batch and
-    * streaming contracts cannot drift apart. */
-  private[graft] def batchedKnnSqlFor(qidPred: String): String = {
+  /** [[batchedKnnSql]] parameterized by the query-set predicate and
+    * fetch depth — shared with s07's streaming-serving oracle and
+    * v31's shortlist leg, so the batch, streaming, and rerank
+    * contracts cannot drift apart. */
+  private[graft] def batchedKnnSqlFor(qidPred: String, k: Int = 10,
+      overProbe: Int = 3): String = {
     val planes = Similarity.hyperplanes(4, EmbDim)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |s AS (SELECT vec_id, v, ${sigSql("v", planes)} AS bucket FROM e),
        |qs AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM s WHERE $qidPred),
        |hist AS (SELECT q.qid, bit_count(xor(s.bucket, q.qb)) AS hd, count(*) AS n
        |         FROM qs q CROSS JOIN s GROUP BY 1, 2),
-       |radii AS (SELECT qid, coalesce(min(CASE WHEN cum >= 30 THEN hd END), 4) AS radius
+       |radii AS (SELECT qid, coalesce(min(CASE WHEN cum >= ${k * overProbe} THEN hd END), 4) AS radius
        |          FROM (SELECT qid, hd, sum(n) OVER (PARTITION BY qid ORDER BY hd) AS cum
        |                FROM hist)
        |          GROUP BY qid),
@@ -968,8 +994,34 @@ object VectorQueries {
        |      ORDER BY round(list_cosine_similarity(s.v, q.qv), 4) DESC, s.vec_id) AS INT) AS rk
        |  FROM qs q JOIN radii r ON q.qid = r.qid
        |  JOIN s ON bit_count(xor(s.bucket, q.qb)) <= r.radius)
-       |SELECT qid, id, score, rk FROM ranked WHERE rk <= 10
+       |SELECT qid, id, score, rk FROM ranked WHERE rk <= $k
        |ORDER BY qid, rk""".stripMargin
+  }
+
+  /** v31's oracle: the v15 batched multiprobe SQL over-fetched to a
+    * 50-id shortlist per query (nested verbatim — the v20/v27
+    * composition pattern), then v29's token-unnest MaxSim semantics
+    * applied PER (qid, shortlisted id): same zero-norm contract, 6-dp
+    * pre-round before the max, nudge-rounded sum, per-qid
+    * round-then-rank with id tie-break. */
+  private lazy val maxSimBatchOracle: String = {
+    val short = batchedKnnSqlFor("vec_id IN (0, 17, 42)", k = 50)
+    s"""WITH short AS (SELECT qid, id FROM ($short) sx),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |g AS (SELECT vec_id, v, unnest(generate_series(0, ${MaxSimTokens - 1})) AS i FROM e),
+       |t AS (SELECT vec_id, i, v[i*$MaxSimDim + 1 : i*$MaxSimDim + $MaxSimDim] AS tv FROM g),
+       |qt AS (SELECT vec_id AS qid, i AS qi, tv AS qv FROM t WHERE vec_id IN (0, 17, 42)),
+       |cs AS (SELECT sh.qid, sh.id, qt.qi,
+       |    max(floor(CASE WHEN list_inner_product(dt.tv, dt.tv) = 0
+       |                     OR list_inner_product(qt.qv, qt.qv) = 0 THEN 0.0
+       |                   ELSE list_cosine_similarity(dt.tv, qt.qv) END
+       |              * 1000000 + 0.5) / 1000000.0) AS mx
+       |  FROM short sh JOIN t dt ON dt.vec_id = sh.id JOIN qt ON qt.qid = sh.qid
+       |  GROUP BY sh.qid, sh.id, qt.qi),
+       |sc AS (SELECT qid, id, round(sum(mx) + 1e-9, 4) AS maxsim FROM cs GROUP BY qid, id),
+       |rr AS (SELECT qid, id, maxsim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY maxsim DESC, id) AS INT) AS rk FROM sc)
+       |SELECT qid, id, maxsim, rk FROM rr WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
   }
 
   /** v12's oracle: the two band signatures from the SAME plane matrix

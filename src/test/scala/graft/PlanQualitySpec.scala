@@ -326,6 +326,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
   }
 
+  test("v31: batched MaxSim — corpus streams through broadcasts, per-qid top-k is a group limit") {
+    val p = plan("v31_maxsim_batch")
+    // the rerank kernel runs once, on shortlisted rows only
+    assert(nodeFree(p, "max_sim_pair") == 1, s"one pairwise rerank kernel:\n$p")
+    // the corpus reaches the kernel through broadcast joins (candidate
+    // pairs + query-embedding attach) — it must never hash-shuffle or
+    // sort-merge; the shortlist/window stages run over |Q|·50 rows
+    assert(p.contains("BroadcastHashJoin"), s"shortlist must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+    // per-query top-k plans as partial+final WindowGroupLimit, so map
+    // tasks keep only their local top-k
+    assert(p.contains("WindowGroupLimit"), s"per-qid top-k must be a group limit:\n$p")
+  }
+
   test("t43: learned-table BPE serve keeps t39's one-kernel shape") {
     val p = plan("t43_bpe_learned_tokens")
     assert(nodeFree(p, "bpe_encode_with") == 1,

@@ -76,6 +76,15 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
     val (g, i) = bothWays(mdocs.select(col("id"),
       VectorOps.maxSim(col("v"), q, tokenDim = 2)))
     assert(g === i)
+    // the pairwise (column-column) form: codegen == interpreted, and
+    // against the same query values it equals the constant-matrix
+    // kernel bit-for-bit (the batch == loop identity rests on this)
+    val qc = array(q.flatten.toIndexedSeq.map(lit): _*)
+    val (gp, ip) = bothWays(mdocs.select(col("id"),
+      VectorOps.maxSimPair(col("v"), qc, tokenDim = 2),
+      VectorOps.maxSim(col("v"), q, tokenDim = 2)))
+    assert(gp === ip)
+    gp.foreach(r => assert(r.getDouble(1) === r.getDouble(2)))
     // one query token over a one-token doc degenerates to plain cosine
     // (6-dp pre-rounded)
     val single = Seq((1L, Seq(3.0, 4.0))).toDF("id", "v")

@@ -226,6 +226,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSupport {
     } finally index.unpersist()
   }
 
+  test("maxSimRerankBatch: every query's rows equal its sequential maxSimRerank answer") {
+    import spark.implicits._
+    // 4-dim embeddings = two 2-dim tokens; enough corpus that per-query
+    // shortlists and radii differ
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Array.fill(4)(rng.nextGaussian().toFloat))
+    }
+    val corpus = rows.toDF("id", "emb")
+    val index = Similarity.lshBuckets(corpus, col("emb"), col("id"), nBits = 4, dim = 4)
+      .persist()
+    try {
+      val qids = Seq(0L, 13L, 41L)
+      val queries = corpus.filter(col("id").isin(qids: _*))
+      val shortlist = Similarity.lshKnnBatch(index, queries, col("emb"), col("id"),
+        dim = 4, k = 12, nBits = 4)
+      val batch = Similarity.maxSimRerankBatch(corpus, col("emb"), col("id"),
+          shortlist.select(col("qid"), col("id")), queries, col("emb"), col("id"),
+          tokenDim = 2, k = 5)
+        .collect()
+        .map(r => (r.getAs[Long]("qid"),
+          (r.getAs[Long]("id"), r.getAs[Double]("maxsim"), r.getAs[Int]("rk"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._3).toSeq).toMap
+      assert(batch.keySet === qids.toSet)
+      for (qid <- qids) {
+        val qv = rows(qid.toInt)._2.map(_.toDouble)
+        val singleShort = Similarity.lshKnnOnIndex(index, qv, k = 12, nBits = 4)
+        val single = Similarity.maxSimRerank(corpus, col("emb"), col("id"),
+            singleShort.select(col("id")), qv.grouped(2).toArray, tokenDim = 2, k = 5)
+          .collect().zipWithIndex
+          .map { case (r, i) => (r.getAs[Long]("id"), r.getAs[Double]("maxsim"), i + 1) }.toSeq
+        assert(batch(qid) === single, s"query $qid")
+      }
+    } finally index.unpersist()
+  }
+
   test("lshRadiusBatch: exactly the probed-bucket rows at or above the threshold") {
     import spark.implicits._
     val rows = (0 until 40).map { i =>
