@@ -411,8 +411,89 @@ object GngQueries {
           round(avg(col("dsq")) + 1e-9, 4).as("mean_sq_dist"),
           round(sqrt(avg(col("dsq"))) + 1e-9, 4).as("rms_dist"),
           count(lit(1)).as("n_points"))
-    }, qerrorOracle)
+    }, qerrorOracle),
+
+    // The reference paper's PUBLISHED quality metrics (BASELINE.md:
+    // NMI and Rand index), which gng_purity approximates: mutual
+    // information, entropies, and all pair counts derive from ONE
+    // (cluster, label) contingency aggregation — the only corpus-sized
+    // job; every later stage folds its dimension-sized rows
+    // (clusters × labels) through broadcast joins. NMI uses the
+    // arithmetic-mean normalization I / ((H_C + H_L) / 2); Rand and
+    // ADJUSTED Rand come from the pair-count identities over the same
+    // table (all pair counts are exact integers in doubles, so RI/ARI
+    // are bit-exact; only NMI's ln-sums need the 1e-9 nudge). Oracle:
+    // dump-time inlined centroids re-deriving every stage in DuckDB.
+    QueryDef("gng_nmi", (s, d) => {
+      val m = trained(s, d)
+      import s.implicits._
+      val pts = GStream.toPoints(Tables.embeddings(s, d), "embedding", "label", "vec_id")
+      val bc = s.sparkContext.broadcast(m.centroids)
+      val assigned = pts
+        .map(p => (graft.operators.GngOps.twoNearest(p.features, bc.value)._1, p.label))
+        .toDF("cluster", "label")
+      // the contingency table: materialized once (dimension-sized);
+      // marginals, MI, and entropies all re-read these blocks
+      val pc = assigned.groupBy(col("cluster"), col("label"))
+        .agg(count(lit(1)).cast("double").as("n"))
+        .localCheckpoint(true)
+      val ca = pc.groupBy(col("cluster")).agg(sum(col("n")).as("a"))
+      val cb = pc.groupBy(col("label")).agg(sum(col("n")).as("b"))
+      val tot = pc.agg(sum(col("n")).as("nn"))
+      val mi = pc.join(broadcast(ca), "cluster").join(broadcast(cb), "label")
+        .crossJoin(broadcast(tot))
+        .agg(
+          sum((col("n") / col("nn")) * log(col("n") * col("nn") / (col("a") * col("b")))).as("i"),
+          sum(col("n") * (col("n") - 1) / 2.0).as("scl"))
+      val hc = ca.crossJoin(broadcast(tot))
+        .agg(
+          (-sum((col("a") / col("nn")) * log(col("a") / col("nn")))).as("hc"),
+          sum(col("a") * (col("a") - 1) / 2.0).as("sa"),
+          count(lit(1)).as("n_clusters"))
+      val hl = cb.crossJoin(broadcast(tot))
+        .agg(
+          (-sum((col("b") / col("nn")) * log(col("b") / col("nn")))).as("hl"),
+          sum(col("b") * (col("b") - 1) / 2.0).as("sb"),
+          count(lit(1)).as("n_labels"))
+      val t = col("nn") * (col("nn") - 1) / 2.0 // total pair count
+      mi.crossJoin(broadcast(hc)).crossJoin(broadcast(hl)).crossJoin(broadcast(tot))
+        .select(
+          round(col("i") / ((col("hc") + col("hl")) / 2.0) + 1e-9, 4).as("nmi"),
+          round(lit(1.0) + (lit(2.0) * col("scl") - col("sa") - col("sb")) / t + 1e-9, 4)
+            .as("rand_index"),
+          round((col("scl") - col("sa") * col("sb") / t) /
+            ((col("sa") + col("sb")) / 2.0 - col("sa") * col("sb") / t) + 1e-9, 4).as("ari"),
+          col("n_clusters"), col("n_labels"), col("nn").cast("long").as("n_points"))
+    }, nmiOracle)
   )
+
+  /** gng_nmi's oracle (dump-time, inlined centroids): the identical
+    * contingency → marginals → MI/entropy/pair-count stages, with the
+    * formulas written in the same association order so the only
+    * cross-engine difference is ln-sum accumulation order (~1e-13,
+    * absorbed by the 1e-9 nudge; the pair-count ratios are exact). */
+  private def nmiOracle: Option[String] =
+    soleTrainedCentroids.map { cs =>
+      s"""WITH ${nearestCtes(cs)},
+         |asg AS (SELECT w.cluster, emb.label FROM win w JOIN embeddings emb USING (vec_id)),
+         |pc AS (SELECT cluster, label, CAST(count(*) AS DOUBLE) AS n FROM asg GROUP BY cluster, label),
+         |ca AS (SELECT cluster, sum(n) AS a FROM pc GROUP BY cluster),
+         |cb AS (SELECT label, sum(n) AS b FROM pc GROUP BY label),
+         |tot AS (SELECT sum(n) AS nn FROM pc),
+         |mi AS (SELECT sum((n / nn) * ln(n * nn / (a * b))) AS i,
+         |              sum(n * (n - 1) / 2.0) AS scl
+         |       FROM pc JOIN ca USING (cluster) JOIN cb USING (label), tot),
+         |hc AS (SELECT -sum((a / nn) * ln(a / nn)) AS hc, sum(a * (a - 1) / 2.0) AS sa,
+         |              CAST(count(*) AS BIGINT) AS n_clusters FROM ca, tot),
+         |hl AS (SELECT -sum((b / nn) * ln(b / nn)) AS hl, sum(b * (b - 1) / 2.0) AS sb,
+         |              CAST(count(*) AS BIGINT) AS n_labels FROM cb, tot)
+         |SELECT round(i / ((hc.hc + hl.hl) / 2.0) + 1e-9, 4) AS nmi,
+         |  round(1.0 + (2.0 * scl - sa - sb) / (nn * (nn - 1) / 2.0) + 1e-9, 4) AS rand_index,
+         |  round((scl - sa * sb / (nn * (nn - 1) / 2.0)) /
+         |        ((sa + sb) / 2.0 - sa * sb / (nn * (nn - 1) / 2.0)) + 1e-9, 4) AS ari,
+         |  n_clusters, n_labels, CAST(nn AS BIGINT) AS n_points
+         |FROM mi, hc, hl, tot""".stripMargin
+    }
 
   private def qerrorOracle: Option[String] =
     soleTrainedCentroids.map { cs =>
