@@ -1527,6 +1527,34 @@ object RelationalQueries {
           sum(conv(substring(md5($"key".cast("binary")), 1, 8), 16, 10).cast("long"))
             .as("fp_sum"))
         .orderBy($"lang")
+    },
+
+    // FILE-level quarantine — q58's class extended from malformed rows
+    // to corrupt FILES (a truncated upload's parquet footer fails the
+    // whole spark.read job): the fixture renders documents as four
+    // parquet files (doc_id % 4), then truncates bucket 0's tail and
+    // drops in a junk file and a zero-byte file. The distributed
+    // envelope probe (head/tail magic + footer length, ~12 ranged
+    // bytes per file — never the content) quarantines all three;
+    // the job reads the intact files and audits exact counts. Output:
+    // audit counts + an order-independent fingerprint over the
+    // readable rows (q58's fp_sum discipline — partial aggregation
+    // all the way down). Oracle: the audit constants the fixture
+    // pins, plus the fingerprint over the surviving doc_id buckets.
+    sql(
+      "q59_corrupt_files",
+      """SELECT CAST(6 AS BIGINT) AS n_files, CAST(3 AS BIGINT) AS n_bad,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS fp_sum
+        |FROM documents WHERE doc_id % 4 <> 0""".stripMargin) { (s, d) =>
+      val (data, audit) = graft.operators.RobustIngest
+        .parquetWithQuarantine(s, corruptParquetDir(s, d))
+      val a = audit.agg(count(lit(1)).as("n_files"),
+        sum(when(!$"ok", 1L).otherwise(0L)).as("n_bad"))
+      val r = data.agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long")).as("fp_sum"))
+      a.crossJoin(broadcast(r))
     }
   )
 
@@ -1692,6 +1720,39 @@ object RelationalQueries {
             $"line".substr(lit(1), length($"line") - 3))
           .otherwise($"line").as("value"))
         .write.mode("overwrite").text(dir.toString)
+      dir.toString
+    })
+
+  /** q59's fixture, once per sf-dir: documents as four parquet files
+    * (one per doc_id % 4 bucket, deterministically named), with bucket
+    * 0's file TRUNCATED by its last 100 bytes (tail magic gone — the
+    * classic interrupted upload), plus a junk text file and a
+    * zero-byte file wearing .parquet names. Exactly the delivery a
+    * crawl drop-zone produces; the survivors are the % 4 != 0 rows. */
+  private val corruptParquetCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def corruptParquetDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    corruptParquetCache.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, StandardOpenOption}
+      val dir = Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "corrupt-parquet")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      for (b <- 0 to 3) {
+        val tmp = Files.createTempDirectory(
+          graft.streaming.StreamingRelational.scratchBase, s"corrupt-parquet-b$b")
+        Tables.documents(s, d).filter($"doc_id" % 4 === b)
+          .select($"doc_id", $"lang", $"n_chars")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, dir.resolve(s"bucket$b.parquet"))
+        graft.streaming.StreamingRelational.deleteRecursively(tmp)
+      }
+      val victim = dir.resolve("bucket0.parquet")
+      val ch = java.nio.channels.FileChannel.open(victim, StandardOpenOption.WRITE)
+      try ch.truncate(math.max(ch.size() - 100, 12L)) finally ch.close()
+      Files.writeString(dir.resolve("junk.parquet"), "this is not parquet at all\n")
+      Files.write(dir.resolve("empty.parquet"), Array.emptyByteArray)
       dir.toString
     })
 

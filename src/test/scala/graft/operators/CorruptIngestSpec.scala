@@ -37,4 +37,73 @@ class CorruptIngestSpec extends AnyFunSuite with SparkTestSupport {
       good.count(_.getString(1) == "de") === 1)
     graft.streaming.StreamingRelational.deleteRecursively(dir)
   }
+
+  test("parquetWithQuarantine: truncated/junk/empty files quarantine with an exact audit; intact files read") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("corrupt-parquet-spec")
+    // two intact files
+    for (b <- 0 to 1) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"cps-b$b")
+      (0 until 20).map(i => (b * 100L + i, s"row$i")).toDF("id", "s")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, dir.resolve(s"good$b.parquet"))
+      graft.streaming.StreamingRelational.deleteRecursively(tmp)
+    }
+    // one truncated (interrupted upload), one junk, one zero-byte
+    val tmp2 = java.nio.file.Files.createTempDirectory("cps-bad")
+    (0 until 20).map(i => (900L + i, s"bad$i")).toDF("id", "s")
+      .coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+    val badPart = java.nio.file.Files.list(tmp2)
+      .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(badPart, dir.resolve("truncated.parquet"))
+    graft.streaming.StreamingRelational.deleteRecursively(tmp2)
+    val ch = java.nio.channels.FileChannel.open(
+      dir.resolve("truncated.parquet"), java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(ch.size() - 50) finally ch.close()
+    java.nio.file.Files.writeString(dir.resolve("junk.parquet"), "nope")
+    java.nio.file.Files.write(dir.resolve("empty.parquet"), Array.emptyByteArray)
+
+    val (data, audit) = RobustIngest.parquetWithQuarantine(spark, dir.toString)
+    val byFile = audit.collect()
+      .map(r => java.nio.file.Paths.get(new java.net.URI(r.getAs[String]("file")))
+        .getFileName.toString -> r.getAs[Boolean]("ok")).toMap
+    assert(byFile === Map(
+      "good0.parquet" -> true, "good1.parquet" -> true,
+      "truncated.parquet" -> false, "junk.parquet" -> false,
+      "empty.parquet" -> false))
+    // the data frame reads exactly the intact files' rows — nothing
+    // dropped, nothing from the quarantined ones
+    val ids = data.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids === ((0 until 20).map(_.toLong) ++ (0 until 20).map(100L + _)).toSet)
+    // an all-bad directory still succeeds with an empty data frame
+    val badOnly = java.nio.file.Files.createTempDirectory("cps-allbad")
+    java.nio.file.Files.writeString(badOnly.resolve("a.parquet"), "x")
+    val (none, audit2) = RobustIngest.parquetWithQuarantine(spark, badOnly.toString)
+    assert(none.count() === 0 && audit2.collect().forall(!_.getAs[Boolean]("ok")))
+    graft.streaming.StreamingRelational.deleteRecursively(badOnly)
+    graft.streaming.StreamingRelational.deleteRecursively(dir)
+  }
+
+  test("csvWithQuarantine: malformed lines carry raw bytes; good lines parse; job survives") {
+    val dir = java.nio.file.Files.createTempDirectory("corrupt-csv-spec")
+    java.nio.file.Files.writeString(dir.resolve("part-0.csv"),
+      Seq(
+        "1,en,10",        // good
+        "2,fr",           // missing column
+        "abc,de,5",       // type clash on id
+        "3,de,7"          // good
+      ).mkString("\n"))
+    val parsed = RobustIngest.csvWithQuarantine(spark, dir.toString,
+        "doc_id LONG, lang STRING, n_chars LONG")
+      .localCheckpoint(true)
+    val good = parsed.filter(parsed("_corrupt").isNull).collect()
+    val bad = parsed.filter(parsed("_corrupt").isNotNull).collect()
+    assert(good.map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    assert(bad.length === 2)
+    assert(bad.map(_.getAs[String]("_corrupt")).toSet === Set("2,fr", "abc,de,5"))
+    graft.streaming.StreamingRelational.deleteRecursively(dir)
+  }
 }
