@@ -45,6 +45,36 @@ object GngQueries {
   private[graft] def soleTrainedCentroids: Option[Array[Array[Double]]] =
     soleTrainedModel.map(_.centroids)
 
+  /** Snapshot cadence for the live-IVF bridge (gng_stream_clusters):
+    * four marks across the 20-chunk training run — enough prototype
+    * births, moves, and deaths between marks to exercise every
+    * [[graft.operators.LiveIvf.advance]] branch. */
+  private val snapshotMarks = Seq(5, 10, 15, 20)
+
+  /** The evolving prototype table captured at [[snapshotMarks]] during
+    * ONE training run per data dir — (kk, [(node id, centroid)]),
+    * array order = the model's own node order (the tie-break index).
+    * Centroids are deep-copied at capture; the model keeps training. */
+  private val snapshotsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, graft.operators.LiveIvf.Snapshot)]]()
+
+  def trainedSnapshots(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(Int, graft.operators.LiveIvf.Snapshot)] =
+    snapshotsCache.computeIfAbsent(d, _ => {
+      val pts = GStream.toPoints(Tables.embeddings(s, d), "embedding", "label", "vec_id")
+      val marks = snapshotMarks.toSet
+      val snaps = Seq.newBuilder[(Int, graft.operators.LiveIvf.Snapshot)]
+      GStream.fitChunkedHooked(pts, GngParams(), defaultChunks, (kk, m) =>
+        if (marks(kk))
+          snaps += kk -> m.nodes.toArray.map(p => (p.id, p.centroid.clone())))
+      snaps.result()
+    })
+
+  private def soleSnapshots: Option[Seq[(Int, graft.operators.LiveIvf.Snapshot)]] = {
+    val ss = new java.util.ArrayList(snapshotsCache.values())
+    if (ss.size == 1) Some(ss.get(0)) else None
+  }
+
   /** KEYED multi-model training per data dir: one independent model
     * per tenant key (label % 3 stands in for the tenant/source column)
     * via [[graft.streaming.GStreamKeyed.fitKeyed]] — N models training
@@ -464,8 +494,62 @@ object GngQueries {
           round((col("scl") - col("sa") * col("sb") / t) /
             ((col("sa") + col("sb")) / 2.0 - col("sa") * col("sb") / t) + 1e-9, 4).as("ari"),
           col("n_clusters"), col("n_labels"), col("nn").cast("long").as("n_points"))
-    }, nmiOracle)
+    }, nmiOracle),
+
+    // LIVE IVF over the EVOLVING model — the incremental philosophy
+    // applied to the engine's own flagship: the G-Stream prototype
+    // table (v06's coarse quantizer, static there) feeds a stored
+    // vector index that follows training snapshot by snapshot. Each
+    // advance is ONE narrow map over the index with the prototype DIFF
+    // as broadcast constants: only vectors whose own prototype moved
+    // or died pay a full argmin; everything else steal-checks against
+    // the changed prototypes only (LiveIvf's exactness argument —
+    // tie-breaks survive because survivor order is preserved and
+    // births append). Output: every snapshot's full assignment table;
+    // the oracle re-derives EACH snapshot by full re-assignment from
+    // dump-time-inlined centroids, so a hash match proves incremental
+    // == full at every mark.
+    QueryDef("gng_stream_clusters", (s, d) => {
+      import graft.operators.LiveIvf
+      val snaps = trainedSnapshots(s, d)
+      import s.implicits._
+      val pts = GStream.toPoints(Tables.embeddings(s, d), "embedding", "label", "vec_id")
+      def render(kk: Int, snap: LiveIvf.Snapshot,
+          idx: org.apache.spark.sql.Dataset[LiveIvf.Cell]) = {
+        val pos = snap.iterator.zipWithIndex.map { case ((id, _), i) => id -> i }.toMap
+        val bc = s.sparkContext.broadcast(pos)
+        idx.map(c => (kk, c.vec_id, bc.value(c.node_id), math.sqrt(c.dsq)))
+          .toDF("snap", "vec_id", "cluster", "dist")
+          .select(col("snap"), col("vec_id"), col("cluster"),
+            round(col("dist"), 4).as("dist"))
+      }
+      var index = LiveIvf.assignFull(pts, snaps.head._2).localCheckpoint(true)
+      val out = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+      out += render(snaps.head._1, snaps.head._2, index)
+      for (w <- snaps.sliding(2) if w.size == 2) {
+        val Seq((_, prevS), (kkN, nextS)) = w
+        index = LiveIvf.advance(index, prevS, nextS).localCheckpoint(true)
+        out += render(kkN, nextS, index)
+      }
+      out.result().reduce(_ unionByName _)
+        .orderBy(col("snap"), col("vec_id"))
+    }, streamClustersOracle)
   )
+
+  /** gng_stream_clusters' oracle (dump-time): FULL re-assignment at
+    * every snapshot from its inlined centroids — each mark is one
+    * nearestCtes leg (the gng_assignments shape) nested as a
+    * parenthesized WITH subquery (the v20/v27 composition pattern),
+    * UNION ALL'd across marks. */
+  private def streamClustersOracle: Option[String] =
+    soleSnapshots.map { snaps =>
+      val legs = snaps.map { case (kk, snap) =>
+        s"""SELECT * FROM (WITH ${nearestCtes(snap.map(_._2))}
+           |SELECT $kk AS snap, vec_id, cluster, round(sqrt(dsq), 4) AS dist FROM win) s$kk""".stripMargin
+      }
+      legs.mkString("SELECT snap, vec_id, cluster, dist FROM (",
+        "\nUNION ALL\n", ") u ORDER BY snap, vec_id")
+    }
 
   /** gng_nmi's oracle (dump-time, inlined centroids): the identical
     * contingency → marginals → MI/entropy/pair-count stages, with the

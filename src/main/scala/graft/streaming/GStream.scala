@@ -65,7 +65,16 @@ object GStream {
     * micro-batches by `id % nChunks` and run the full update per chunk.
     * Faithful to the streaming loop (kk = 1-based non-empty batch
     * counter) but reproducible — used by tests, Verify and Bench. */
-  def fitChunked(points: Dataset[Point], params: GngParams, nChunks: Int): GngModel = {
+  def fitChunked(points: Dataset[Point], params: GngParams, nChunks: Int): GngModel =
+    fitChunkedHooked(points, params, nChunks, (_, _) => ())
+
+  /** [[fitChunked]] with a per-batch hook fired AFTER each non-empty
+    * chunk's model update (kk is the 1-based non-empty batch counter) —
+    * the snapshot tap gng_stream_clusters uses to capture the evolving
+    * prototype table at a cadence. The hook must copy what it keeps;
+    * the model keeps evolving. */
+  private[graft] def fitChunkedHooked(points: Dataset[Point], params: GngParams,
+      nChunks: Int, onBatch: (Int, GngModel) => Unit): GngModel = {
     // Probe: if the whole input fits on the driver, run the entire chunk
     // loop locally — one collect job total instead of one job per chunk.
     // The probe itself ships NO row data: it counts a zero-column
@@ -74,7 +83,8 @@ object GStream {
     // to localPathMaxRows full Points (~50 MB at 64-d) of driver heap —
     // and only a confirmed-small input pays the actual collect.
     val n = points.select(lit(1)).limit(localPathMaxRows + 1).count()
-    if (n <= localPathMaxRows) return fitChunkedLocal(points.collect(), params, nChunks)
+    if (n <= localPathMaxRows)
+      return fitChunkedLocalHooked(points.collect(), params, nChunks, onBatch)
     // One parquet read for the whole loop: each of the nChunks passes
     // filters the cached points instead of re-scanning the source.
     val cached = points.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -87,6 +97,7 @@ object GStream {
         if (stats.nonEmpty) { // P4 empty-batch guard (batchStream.scala:87)
           kk += 1
           model.update(stats, kk)
+          onBatch(kk, model)
         }
       }
       model
@@ -96,7 +107,11 @@ object GStream {
   /** Driver-local twin of [[fitChunked]]: same bootstrap (first two
     * points by ascending id), same `id % nChunks` chunking, same update
     * loop, but via [[GngOps.assignAggregateLocal]] — zero Spark jobs. */
-  def fitChunkedLocal(points: Array[Point], params: GngParams, nChunks: Int): GngModel = {
+  def fitChunkedLocal(points: Array[Point], params: GngParams, nChunks: Int): GngModel =
+    fitChunkedLocalHooked(points, params, nChunks, (_, _) => ())
+
+  private[graft] def fitChunkedLocalHooked(points: Array[Point], params: GngParams,
+      nChunks: Int, onBatch: (Int, GngModel) => Unit): GngModel = {
     require(points.length >= 2, "need at least 2 points to bootstrap")
     val byId = points.sortBy(_.id)
     val model = new GngModel(params, byId(0).features.length)
@@ -110,6 +125,7 @@ object GStream {
       if (stats.nonEmpty) {
         kk += 1
         model.update(stats, kk)
+        onBatch(kk, model)
       }
     }
     model

@@ -326,6 +326,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
   }
 
+  test("gng_stream_clusters: served plan is checkpointed state + render, no joins or hash shuffles") {
+    val p = plan("gng_stream_clusters")
+    // the incremental advances ran inside eager checkpoints at build
+    // time (one narrow map per snapshot, prototype diffs as broadcast
+    // constants); the served plan renders those blocks and sorts
+    assert(nodeCount(p, "\\w*Join") == 0, s"no join anywhere in the serve plan:\n$p")
+    assert(p.linesIterator.count(l =>
+        l.trim.startsWith("Arguments: hashpartitioning")) == 0,
+      s"only the output sort may exchange:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the corpus must not re-scan at serve time (state is checkpointed):\n$p")
+  }
+
   test("v31: batched MaxSim — corpus streams through broadcasts, per-qid top-k is a group limit") {
     val p = plan("v31_maxsim_batch")
     // the rerank kernel runs once, on shortlisted rows only
