@@ -676,8 +676,48 @@ object StreamingQueries {
           (state, batch) => graft.operators.Dedup.mergeComponents(state, batch))
         .select(col("id").as("doc_id"), col("rep").as("rep_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // STREAMED cluster deletes — t41's takedown maintenance as an
+    // ingestion stream (the s20 relationship, inverted): delete
+    // batches arrive over micro-batches and each folds
+    // removeFromComponents into the running state against the ONE
+    // immutable verified-pair log. The fold composes because every
+    // state is exactly connectedComponents(pairs among its survivors),
+    // and pairs between still-surviving docs are never filtered by an
+    // earlier round — so any slicing of the takedown set lands on the
+    // same final table (a component may split only once its last
+    // bridge doc's batch arrives). Oracle: t41's closure verbatim.
+    sql(
+      "s21_stream_cluster_deletes", TextQueries.clusterDeletesOracle) { (s, d) =>
+      val stream = s.readStream
+        .schema("id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(deleteSliceDir(s, d))
+      StreamingRelational.oneShotFold(s, stream,
+          TextQueries.prebuiltComponents(s, d),
+          (state, batch) => graft.operators.Dedup.removeFromComponents(
+            state, batch, TextQueries.prebuiltPairs(s, d)))
+        .select(col("id").as("doc_id"), col("rep").as("rep_id"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** s21's arrival fixture: the t41 takedown set (doc_id % 7 = 3) in
+    * three ordered micro-batches sliced by doc_id % 3 — a component
+    * can lose members across SEVERAL batches before the split
+    * finally happens, which is exactly what the fold must absorb. */
+  private val deleteSliceCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deleteSliceDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    deleteSliceCache.computeIfAbsent(d, _ => {
+      val del = Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id").as("id")).localCheckpoint(true)
+      orderedArrivalDir(s, "delete-slices", Seq(
+        del.filter(col("id") % 3 === 0),
+        del.filter(col("id") % 3 === 1),
+        del.filter(col("id") % 3 === 2)))
+    })
 
   /** s20's arrival fixture: t40's increment pair set (t25 new-old
     * pairs + new-new verified pairs) in three ordered micro-batches

@@ -22,6 +22,25 @@ object TextQueries {
   private val ChunkOverlap = 5
   private val ChunkStride = ChunkSize - ChunkOverlap
 
+  /** t41's (and s21's) full-recompute oracle: t21's recursive-CTE
+    * closure restricted to SURVIVORS of the doc_id % 7 = 3 takedown —
+    * shared verbatim between the batch delete and its streamed fold,
+    * so the two surfaces cannot drift. (Defined before `all`.) */
+  private[graft] val clusterDeletesOracle: String =
+    s"""WITH RECURSIVE
+       |sh AS (SELECT doc_id, ${Sql.shingleSet("text", 3)} AS s FROM documents
+       |       WHERE doc_id % 7 <> 3),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |      WHERE ${Sql.listJaccard("a.s", "b.s")} >= 0.5),
+       |e(src, dst) AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+       |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep_id
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   /** BPE training depth for t42/t43: enough rounds that multi-level
     * merges (an earlier output feeding a later pair) occur, small
     * enough that the DuckDB replay's k generated stages stay fast.
@@ -954,21 +973,7 @@ object TextQueries {
     // Oracle: full-recompute equality — t21's recursive-CTE closure
     // over the exhaustive exact-Jaccard pairs among SURVIVORS (the
     // t09 banding==exhaustive argument restricts to any doc subset).
-    sql(
-      "t41_cluster_deletes",
-      s"""WITH RECURSIVE
-         |sh AS (SELECT doc_id, ${Sql.shingleSet("text", 3)} AS s FROM documents
-         |       WHERE doc_id % 7 <> 3),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |      WHERE ${Sql.listJaccard("a.s", "b.s")} >= 0.5),
-         |e(src, dst) AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
-         |reach(a, b) AS (
-         |  SELECT DISTINCT src, src FROM e
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
-         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep_id
-         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
+    sql("t41_cluster_deletes", clusterDeletesOracle) { (s, d) =>
       val deleted = Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
         .select(col("doc_id").as("id"))
       Dedup.removeFromComponents(prebuiltComponents(s, d), deleted,

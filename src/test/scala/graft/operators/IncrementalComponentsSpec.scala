@@ -257,6 +257,14 @@ class IncrementalComponentsSpec extends AnyFunSuite with SparkTestSupport {
       val expected = unionFind(pairs.filter(p => !del(p._1) && !del(p._2)))
         .filter { case (id, _) => !del(id) }
       assert(removed === expected, s"trial $trial: pairs=$pairs deleted=$deleted")
+      // slicing invariance (the s21 streamed-fold claim): the same
+      // delete set in 1..3 ordered batches against the SAME immutable
+      // pair log lands on the same table
+      val k = 1 + rnd.nextInt(3)
+      val slices = deleted.zipWithIndex.groupMap(_._2 % k)(_._1).values.toSeq
+      val folded = labels(slices.foldLeft(stored)((st, sl) =>
+        Dedup.removeFromComponents(st, idsDf(sl), pairsDf(pairs))))
+      assert(folded === expected, s"trial $trial sliced: slices=$slices")
     }
   }
 }

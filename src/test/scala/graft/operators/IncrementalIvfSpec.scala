@@ -97,6 +97,40 @@ class IncrementalIvfSpec extends AnyFunSuite with SparkTestSupport {
     assert(m(3L)._1 === 7 && m(5L)._1 === 7)
   }
 
+  test("fuzz: random snapshot evolutions (moves/births/deaths) equal full re-assignment at every step") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val dim = 2 + rnd.nextInt(3)
+      val vs = (1 to 15 + rnd.nextInt(20)).map(i =>
+        i.toLong -> Array.fill(dim)(rnd.nextGaussian()))
+      var nextId = 100
+      var cur: Snapshot = Array.tabulate(3)(i =>
+        (i + 1, Array.fill(dim)(rnd.nextGaussian())))
+      val v = pts(vs: _*)
+      var index = LiveIvf.assignFull(v, cur)
+      for (step <- 1 to 4) {
+        // random evolution: each prototype survives (maybe moved),
+        // plus 0-2 births appended — keep >=1 survivor so cells exist
+        val survivors = cur.filter(_ => rnd.nextDouble() > 0.25) match {
+          case e if e.isEmpty => cur.take(1)
+          case s => s
+        }
+        val evolved = survivors.map { case (id, c) =>
+          if (rnd.nextBoolean()) (id, c.map(_ + rnd.nextGaussian() * 0.5)) else (id, c)
+        }
+        val births = Array.fill(rnd.nextInt(3)) {
+          nextId += 1
+          (nextId, Array.fill(dim)(rnd.nextGaussian()))
+        }
+        val next = evolved ++ births
+        index = LiveIvf.advance(index, cur, next)
+        assert(cells(index) === cells(LiveIvf.assignFull(v, next)),
+          s"trial $trial step $step: prev=${cur.map(_._1).toSeq} next=${next.map(_._1).toSeq}")
+        cur = next
+      }
+    }
+  }
+
   test("folding a snapshot sequence equals full re-assignment at every step") {
     val seqSnaps = Seq(
       snap(1 -> Array(0.0, 0.0), 2 -> Array(8.0, 0.0)),
