@@ -242,6 +242,23 @@ object Dedup {
       .filter($"est_jaccard" >= threshold)
   }
 
+  /** Delete-aware view of a [[minHashIndex]]: serve the index MINUS a
+    * takedown set — the signature-store rung of the delete ladder
+    * (t36 tombstones the inverted index, v22/v23 the ANN buckets,
+    * [[removeFromComponents]] the cluster table; without this one, a
+    * new crawl doc would still match a deleted doc and resurrect it
+    * as `dup_of`). The corpus-sized index streams through ONE
+    * broadcast anti join against the takedown-sized id set — never
+    * shuffled, parameter-stamp metadata preserved — so
+    * [[incrementalNearDups]] over the view is row-identical to an
+    * index rebuilt from the surviving corpus (DedupSpec asserts it).
+    * In a persisted deployment the deleted-id set IS the tombstone
+    * table the InvertedIndex layout keeps beside its data files;
+    * compaction (rewriting the surviving rows) is the same
+    * write-back step it uses. */
+  def indexWithoutDeleted(index: DataFrame, deletedIds: DataFrame): DataFrame =
+    index.join(broadcast(deletedIds.select($"id")), Seq("id"), "left_anti")
+
   /** 64-bit SimHash of the normalized tokens (sign of per-bit ±1 votes
     * from each token's 64-bit hash). */
   def simHash64(textCol: Column): Column = TextHash.simHash64(textCol)

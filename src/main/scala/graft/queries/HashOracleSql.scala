@@ -131,15 +131,15 @@ object HashOracleSql {
     * No banding-recall assumption anywhere — bucket mismatches fail the
     * hash compare. */
   def incrementalNearDups(n: Int, k: Int, rowsPerBand: Int,
-      threshold: Double, newPred: String): String =
-    "WITH " + incrementalPairCtes(n, k, rowsPerBand, newPred).mkString(",\n") +
+      threshold: Double, newPred: String, oldPred: String = "TRUE"): String =
+    "WITH " + incrementalPairCtes(n, k, rowsPerBand, newPred, oldPred).mkString(",\n") +
       s"\nSELECT new_id, dup_of, est_jaccard FROM agr WHERE est_jaccard >= $threshold ORDER BY new_id, dup_of"
 
   /** CTEs ending in `agr(new_id, dup_of, est_jaccard)` — the t25
     * incremental pipeline's pair set, reused verbatim by the t40
     * closure oracle so both queries replay the identical banding. */
   private def incrementalPairCtes(n: Int, k: Int, rowsPerBand: Int,
-      newPred: String): Seq[String] =
+      newPred: String, oldPred: String = "TRUE"): Seq[String] =
     minHashSigCtes(n, k) ++
       Seq(
         s"bl AS (SELECT doc_id, CAST(j // $rowsPerBand AS INT) AS band, " +
@@ -150,7 +150,7 @@ object HashOracleSql {
       mix64Stages("bh0", "bp", "bh", "b") ++
       Seq(
         s"newb AS (SELECT doc_id, band, bh FROM b6 WHERE $newPred)",
-        s"oldb AS (SELECT doc_id, band, bh FROM b6 WHERE NOT ($newPred))",
+        s"oldb AS (SELECT doc_id, band, bh FROM b6 WHERE NOT ($newPred) AND ($oldPred))",
         "cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS dup_of " +
           "FROM newb n JOIN oldb o ON n.band = o.band AND n.bh = o.bh)",
         "agr AS (SELECT c.new_id, c.dup_of, " +

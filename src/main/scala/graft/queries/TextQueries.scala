@@ -999,6 +999,29 @@ object TextQueries {
         .orderBy(col("merge_rank"))
     },
 
+    // Delete-aware incremental dedup — the signature-store rung of the
+    // delete ladder (t36 tombstones the inverted index, v22/v23 the
+    // ANN buckets, t41 the cluster table): the crawl increment (t25's
+    // doc_id % 5 batch) matches against the stored MinHash index MINUS
+    // the takedown set (doc_id % 7 = 3), so a deleted doc can never
+    // resurface as a dup_of verdict. The corpus-sized index streams
+    // through ONE broadcast anti join (no shuffle, parameter stamp
+    // preserved) — serving-time tombstoning, not a rebuild. Oracle:
+    // the t25 banding replay with the old side restricted to
+    // survivors.
+    sql(
+      "t44_incremental_dedup_deletes",
+      HashOracleSql.incrementalNearDups(n = 3, k = 16, rowsPerBand = 4,
+        threshold = 0.5, newPred = "doc_id % 5 = 0",
+        oldPred = "doc_id % 7 <> 3")) { (s, d) =>
+      val newDocs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      val deleted = Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id").as("id"))
+      Dedup.incrementalNearDups(newDocs, col("text"), col("doc_id"),
+          Dedup.indexWithoutDeleted(dedupIndex(s, d), deleted))
+        .orderBy(col("new_id"), col("dup_of"))
+    },
+
     // Serve half of t42: every document re-encoded under the LEARNED
     // table (cached per data dir — train once, serve many) through the
     // same fused kernel as t39, with the learned merges riding into

@@ -180,6 +180,32 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(!got.exists(_._1 == 4L))
   }
 
+  test("indexWithoutDeleted: serving minus a takedown equals a rebuild from survivors") {
+    val existing = docs.filter(col("doc_id") % 2 === 1)
+    val newBatch = docs.filter(col("doc_id") % 2 === 0)
+    val index = Dedup.minHashIndex(existing, col("text"), col("doc_id"))
+    // delete doc 1 — the exact-dup anchor doc 2 matched in the test
+    // above; the match must disappear, and the served view must be
+    // row-identical to an index rebuilt without doc 1
+    val deleted = docs.filter(col("doc_id") === 1).select(col("doc_id").as("id"))
+    def rows(idx: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalNearDups(newBatch, col("text"), col("doc_id"), idx)
+        .collect()
+        .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"), r.getAs[Double]("est_jaccard")))
+        .toSet
+    val served = rows(Dedup.indexWithoutDeleted(index, deleted))
+    val rebuilt = rows(Dedup.minHashIndex(
+      existing.filter(col("doc_id") =!= 1), col("text"), col("doc_id")))
+    assert(served === rebuilt)
+    assert(!served.exists(_._2 == 1L), "a deleted doc must never resurface as dup_of")
+    // the parameter stamp survives the anti join — mismatched requests
+    // still fail fast against the served view
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDups(newBatch, col("text"), col("doc_id"),
+        Dedup.indexWithoutDeleted(index, deleted), k = 32)
+    }
+  }
+
   test("incrementalNearDups: index built under different banding fails fast, even via parquet") {
     val existing = docs.filter(col("doc_id") % 2 === 1)
     val newBatch = docs.filter(col("doc_id") % 2 === 0)
