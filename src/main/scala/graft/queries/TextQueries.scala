@@ -881,6 +881,31 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The consumer story the delete ladder exists for: canonical
+    // selection served from the DELETE-MAINTAINED components table —
+    // t41's removeFromComponents output plugs straight into t31's
+    // amortized consumer, so after a takedown the kept-document
+    // decisions are exactly what a from-scratch re-cluster of the
+    // surviving corpus would choose (a stale table would keep serving
+    // the deleted doc's over-merged cluster, suppressing survivors
+    // that should now be kept). Oracle: t31's canonical SQL with the
+    // survivor predicate threaded through closure and scoring.
+    sql("t45_canonical_after_deletes",
+        canonicalDocsOracleFor("doc_id % 7 <> 3")) { (s, d) =>
+      val survivors = Tables.documents(s, d).filter(col("doc_id") % 7 =!= 3)
+      val deleted = Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id").as("id"))
+      val maintained = Dedup.removeFromComponents(
+        prebuiltComponents(s, d), deleted, prebuiltPairs(s, d))
+      Dedup.canonicalPerClusterOnComponents(
+          survivors.select(col("doc_id"),
+            TextFunctions.qualityScore(col("text")).as("quality")),
+          col("doc_id"), col("quality"), maintained)
+        .select(col("id").as("doc_id"), col("cluster"),
+          col("score").as("quality"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // t29's production twin over the same prebuilt components table:
     // the split assignment is md5-bucket arithmetic on the cluster id —
     // with the clustering amortized, a leakage-safe split costs one
@@ -1306,8 +1331,12 @@ object TextQueries {
     * WITH-body of the t27/t29 oracles and their prebuilt twins
     * (t31/t32): ONE definition, so the end-to-end and amortized
     * surfaces can never drift apart. */
-  private lazy val closureCompCtes: String =
-    s"""sh AS (SELECT doc_id, ${Sql.shingleSet("text", 3)} AS s FROM documents),
+  /** Closure CTEs over a document-subset predicate — `comp(doc_id,
+    * rep)` on the docs matching `pred` only (pairs between two
+    * matching docs; the t41/t44 survivor-restriction argument). */
+  private def closureCompCtesFor(pred: String): String =
+    s"""sh AS (SELECT doc_id, ${Sql.shingleSet("text", 3)} AS s FROM documents
+       |       WHERE $pred),
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |      WHERE ${Sql.listJaccard("a.s", "b.s")} >= 0.5),
@@ -1319,12 +1348,16 @@ object TextQueries {
        |comp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep
        |         FROM reach GROUP BY a)""".stripMargin
 
-  /** t27/t31's oracle: closure + the t06 quality twin + per-cluster
-    * argmax (quality DESC, lowest id). */
-  private lazy val canonicalDocsOracle: String =
+  private lazy val closureCompCtes: String = closureCompCtesFor("TRUE")
+
+  /** t27/t31's oracle family: closure (over `pred`-matching docs) +
+    * the t06 quality twin + per-cluster argmax (quality DESC, lowest
+    * id). t45 passes the survivor predicate. */
+  private def canonicalDocsOracleFor(pred: String): String =
     s"""WITH RECURSIVE
-       |$closureCompCtes,
-       |q AS (SELECT doc_id, ${Sql.qualityScore("text")} AS quality FROM documents),
+       |${closureCompCtesFor(pred)},
+       |q AS (SELECT doc_id, ${Sql.qualityScore("text")} AS quality FROM documents
+       |      WHERE $pred),
        |best AS (SELECT rep, doc_id AS best_id FROM (
        |  SELECT c.rep, c.doc_id,
        |    row_number() OVER (PARTITION BY c.rep ORDER BY q.quality DESC, c.doc_id) AS rk
@@ -1336,6 +1369,8 @@ object TextQueries {
        |LEFT JOIN comp c ON c.doc_id = q.doc_id
        |LEFT JOIN best b ON b.rep = c.rep
        |ORDER BY q.doc_id""".stripMargin
+
+  private lazy val canonicalDocsOracle: String = canonicalDocsOracleFor("TRUE")
 
   /** t29/t32's oracle: closure + the deterministic md5-bucket split on
     * the cluster id. */
