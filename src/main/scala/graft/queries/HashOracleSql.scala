@@ -268,6 +268,37 @@ object HashOracleSql {
         |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** t46: per-language tokenizer-quality metrics under the LEARNED
+    * table — fertility (BPE tokens per word) and single-char-fragment
+    * fraction, from the same training-replay + per-word encode stages
+    * as t43, classified and aggregated in SQL. All counts are exact
+    * integers, so the ratios are deterministic; the 1e-9 nudge is the
+    * house belt-and-braces. */
+  def bpeFertility(k: Int): String = {
+    import graft.functions.TextFunctions.{Sql => T}
+    val docBase = Seq(
+      s"dtl AS (SELECT doc_id, string_split(${T.normalizeText("text")}, ' ') AS ws FROM documents)",
+      "dw AS (SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS widx FROM dtl)",
+      "d0 AS (SELECT doc_id, widx, array_to_string(list_transform(" +
+        "range(1, length(word)+1), i -> substr(word, i, 1)), '|') AS enc " +
+        "FROM dw WHERE word <> '')")
+    val docRounds = (1 to k).map { r =>
+      s"d$r AS (SELECT doc_id, widx, ${applyLearnedMergeSql("e.enc")} AS enc " +
+        s"FROM d${r - 1} e LEFT JOIN m$r m ON TRUE)"
+    }
+    val tail =
+      s"stats AS (SELECT d.doc_id, d.lang, count(e.enc) AS n_words, " +
+        "coalesce(sum(len(string_split(e.enc, '|'))), 0) AS n_bpe, " +
+        "coalesce(sum(len(list_filter(string_split(e.enc, '|'), t -> length(t) = 1))), 0) AS n_single " +
+        s"FROM documents d LEFT JOIN d$k e USING (doc_id) GROUP BY d.doc_id, d.lang)"
+    "WITH " + (bpeTrainCtes(k) ++ docBase ++ docRounds :+ tail).mkString(",\n") +
+      """
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words) + 1e-9, 4) AS fertility,
+        |  round(CAST(sum(n_single) AS DOUBLE) / sum(n_bpe) + 1e-9, 4) AS single_frac
+        |FROM stats GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** CTEs ending in `allsims(doc_id, u)`: the unsigned 64-bit SimHash of
     * every document (0 for docs with no tokens, as in the kernel). */
   private def simHashCtes: Seq[String] =

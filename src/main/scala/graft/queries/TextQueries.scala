@@ -906,6 +906,40 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Tokenizer-quality evaluation — the metric real pipelines compute
+    // AFTER training a tokenizer (t42): per-language FERTILITY (BPE
+    // tokens per word — 1.0 means every word is one token, higher
+    // means fragmentation) and the single-char-fragment fraction (the
+    // fallback-to-characters rate, the signal a vocabulary is too
+    // small for a language). One corpus scan: the learned-table encode
+    // kernel + the normalize kernel, per-lang partial+final sums of
+    // exact integer counts (the ratios are deterministic — the nudge
+    // is belt-and-braces). Oracle: the t42 training replay + t43's
+    // per-word encode stages, classified and aggregated in SQL.
+    sql("t46_bpe_fertility", {
+      val k = BpeTrainRounds
+      HashOracleSql.bpeFertility(k)
+    }) { (s, d) =>
+      import graft.expressions.Bpe
+      val merges = trainedBpe(s, d).map(m => (m.x, m.y))
+      Tables.documents(s, d)
+        .select(col("lang"),
+          size(filter(split(TextFunctions.normalizeText(col("text")), " "),
+            w => length(w) > 0)).as("n_words"),
+          explode(array(Bpe.encodeWith(col("text"), merges))).as("enc"))
+        .select(col("lang"), col("n_words"),
+          when(col("enc") === "", 0)
+            .otherwise(size(split(col("enc"), "\\|"))).as("n_bpe"),
+          size(filter(split(col("enc"), "\\|"), t => length(t) === 1)).as("n_single"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_bpe")).cast("double") / sum(col("n_words")) + 1e-9, 4)
+            .as("fertility"),
+          round(sum(col("n_single")).cast("double") / sum(col("n_bpe")) + 1e-9, 4)
+            .as("single_frac"))
+        .orderBy(col("lang"))
+    },
+
     // t29's production twin over the same prebuilt components table:
     // the split assignment is md5-bucket arithmetic on the cluster id —
     // with the clustering amortized, a leakage-safe split costs one

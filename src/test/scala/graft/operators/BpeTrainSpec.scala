@@ -80,6 +80,55 @@ class BpeTrainSpec extends AnyFunSuite with SparkTestSupport {
     rows.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("fuzz: random corpora train identically to an independent driver-side reference") {
+    // a THIRD implementation (beside the Spark loop and the DuckDB
+    // replay): plain-Scala get_stats/argmax/merge over a word-freq map
+    def reference(texts: Seq[String], nMerges: Int): Vector[BpeTrain.Merge] = {
+      val wf = texts.flatMap(_.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+          .split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var enc: Map[Vector[String], Long] =
+        wf.groupBy { case (w, _) => w.map(_.toString).toVector }
+          .view.mapValues(_.values.sum).toMap
+      val out = Vector.newBuilder[BpeTrain.Merge]
+      var rank = 1
+      var done = false
+      while (rank <= nMerges && !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((toks, f) <- enc; i <- 0 until toks.length - 1)
+          counts((toks(i), toks(i + 1))) = counts.getOrElse((toks(i), toks(i + 1)), 0L) + f
+        if (counts.isEmpty) done = true
+        else {
+          val ((x, y), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+          out += BpeTrain.Merge(rank, x, y, cnt)
+          enc = enc.groupMapReduce { case (toks, _) =>
+            val merged = Vector.newBuilder[String]
+            var i = 0
+            while (i < toks.length) {
+              if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+                merged += x + y; i += 2
+              } else { merged += toks(i); i += 1 }
+            }
+            merged.result()
+          } { case (_, f) => f }(_ + _)
+          rank += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcde"
+    for (trial <- 1 to 3) {
+      val words = Seq.fill(6 + rnd.nextInt(8))(
+        (1 to 1 + rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val texts = Seq.fill(4)(Seq.fill(5 + rnd.nextInt(10))(
+        words(rnd.nextInt(words.length))).mkString(" "))
+      val got = BpeTrain.train(docs(texts: _*), col("text"), 8)
+      val want = reference(texts, 8)
+      assert(got === want, s"trial $trial: corpus=$texts")
+    }
+  }
+
   test("applyMergeImpl: single-token short-circuit, fold correctness, no-op identity") {
     def am(enc: String, x: String, y: String): String =
       Bpe.applyMergeImpl(UTF8String.fromString(enc), x, y).toString
