@@ -52,6 +52,26 @@ object BpeTrain {
       .withColumn("enc", expr(
         "array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '|')"))
 
+  /** Persist a learned table as parquet (rank, x, y, cnt) — the
+    * artifact a training run ships; [[load]] restores it in rank
+    * order. A tokenizer is useless unless the exact table that
+    * encoded the corpus can be re-served later, so the round-trip is
+    * part of the operator (BpeTrainSpec asserts save→load→encode
+    * equals the in-memory table). */
+  def save(spark: org.apache.spark.sql.SparkSession, merges: Seq[Merge],
+      dir: String): Unit =
+    spark.createDataFrame(merges)
+      .select(col("rank"), col("x"), col("y"), col("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Vector[Merge] =
+    spark.read.parquet(dir)
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => Merge(r.getAs[Int]("rank"), r.getAs[String]("x"),
+        r.getAs[String]("y"), r.getAs[Long]("cnt")))
+      .toVector
+
   /** Learn `nMerges` merges from the corpus. Stops early only when no
     * adjacent pair exists at all (every word fully merged to one
     * token). Deterministic: the argmax total order is

@@ -1463,16 +1463,26 @@ object TextQueries {
     s.read.parquet(path)
   }
 
-  /** Learned-merges cache per data dir (t43 and any other consumer of
-    * the trained tokenizer; t42 itself trains FRESH each call — the
-    * training loop is the operator being exercised). */
+  /** Learned-merges cache per data dir (t43/t46 and any other
+    * consumer of the trained tokenizer; t42 itself trains FRESH each
+    * call — the training loop is the operator being exercised). The
+    * table round-trips through a persisted parquet artifact
+    * (BpeTrain.save/load), the shape a training run actually ships —
+    * consumers serve the PERSISTED tokenizer, never a JVM-local one. */
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Vector[graft.operators.BpeTrain.Merge]]()
 
   private[graft] def trainedBpe(s: org.apache.spark.sql.SparkSession,
       d: String): Vector[graft.operators.BpeTrain.Merge] =
-    bpeCache.computeIfAbsent(d, _ =>
-      graft.operators.BpeTrain.train(Tables.documents(s, d), col("text"), BpeTrainRounds))
+    bpeCache.computeIfAbsent(d, _ => {
+      import graft.operators.BpeTrain
+      val learned = BpeTrain.train(Tables.documents(s, d), col("text"), BpeTrainRounds)
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "bpe-merges")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      BpeTrain.save(s, learned, dir.toString)
+      BpeTrain.load(s, dir.toString)
+    })
 
   /** Prebuilt verified-pair LOG per data dir — the (id_a, id_b) edge
     * table that built [[prebuiltComponents]], persisted alongside it

@@ -55,8 +55,12 @@ class BpeTrainSpec extends AnyFunSuite with SparkTestSupport {
     assert(a.head === BpeTrain.Merge(1, "a", "b", 2L))
   }
 
-  test("learned table is well-formed and serves through encodeWith") {
+  test("learned table is well-formed, round-trips through parquet, and serves through encodeWith") {
     val learned = BpeTrain.train(docs("abab abab ab", "abab ab ba"), col("text"), 5)
+    // persist → restore: the shipped artifact must be the same table
+    val dir = java.nio.file.Files.createTempDirectory("bpe-save").toString
+    BpeTrain.save(spark, learned, dir)
+    assert(BpeTrain.load(spark, dir) === learned)
     val merges = learned.map(m => (m.x, m.y))
     // well-formedness: MergeTable compiles (require passes) — every
     // operand is a char or an earlier output, by construction
