@@ -940,6 +940,55 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // PII detection + redaction — the safety-filtering pass every
+    // training-data pipeline runs before release (emails, phone
+    // numbers): counts per document plus the md5 of the REDACTED text,
+    // so the hash pins the exact replacement spans, not just "found
+    // some". The corpus carries no PII, so both engines derive the
+    // same pii-bearing view by deterministic doc_id arithmetic (the
+    // q58 injection discipline, fixture-free); patterns use only
+    // char classes/quantifiers/\b, which Java regex and DuckDB's RE2
+    // interpret identically. One scan, all regexes codegen'd
+    // built-ins — no UDF.
+    sql(
+      "t47_pii_redaction", {
+        val email = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]{2,}"
+        val phone = "\\b555-[0-9]{4}\\b"
+        s"""WITH pii AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || doc_id || '@example' ||
+           |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END ||
+           |    CASE WHEN doc_id % 2 = 0
+           |         THEN ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |         ELSE '' END AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_emails,
+           |  CAST(len(regexp_extract_all(t, '$phone')) AS INT) AS n_phones,
+           |  md5(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+           |      '$phone', '<PHONE>', 'g')) AS redacted_fp
+           |FROM pii ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val email = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]{2,}"
+      val phone = "\\b555-[0-9]{4}\\b"
+      val t = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example"),
+        when(col("doc_id") % 3 === 0, ".com")
+          .when(col("doc_id") % 3 === 1, ".org").otherwise(".net"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" or call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(email), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(phone), lit(0))).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("t"), lit(email), lit("<EMAIL>")),
+            lit(phone), lit("<PHONE>")).cast("binary")).as("redacted_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // t29's production twin over the same prebuilt components table:
     // the split assignment is md5-bucket arithmetic on the cluster id —
     // with the clustering amortized, a leakage-safe split costs one
