@@ -387,6 +387,38 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"stored scan must be a direct child of the broadcast relabel join:\n$p")
   }
 
+  test("t44: delete-aware index serving keeps t25's shape plus one broadcast anti tombstone join") {
+    val p = plan("t44_incremental_dedup_deletes")
+    // t25's discipline holds: one kernel pass (the new batch's), index
+    // rows come from parquet
+    assert(nodeFree(p, "minhash_sig") == 1 && nodeFree(p, "band_hashes") == 1,
+      s"old-corpus text must never reach the kernel:\n$p")
+    // the takedown set applies as a broadcast anti join on the
+    // corpus-sized index stream — never a shuffle
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+      s"tombstones must anti-join via broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the index must not sort-merge:\n$p")
+  }
+
+  test("t45: canonical selection over delete-maintained components — stored state broadcasts, no kernels re-run") {
+    val p = plan("t45_canonical_after_deletes")
+    // clustering state is prebuilt + maintained and the scored base is
+    // eagerly checkpointed inside canonicalPerCluster (t27's one-pass
+    // discipline) — the SERVED plan contains no text kernel at all
+    assert(nodeFree(p, "minhash_sig") == 0 && nodeFree(p, "band_hashes") == 0,
+      s"components must serve from maintained state:\n$p")
+    assert(nodeFree(p, "quality_score") == 0,
+      s"scoring ran once at build time, inside the checkpoint:\n$p")
+    // the untouched-components branch of removeFromComponents is the
+    // served broadcast anti join; the one sort-merge allowed is the
+    // final corpus-sized docs ⟕ components attach (t31's shape — both
+    // sides scale with the corpus, so broadcasting neither is right)
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+      s"untouched components pass through a broadcast anti join:\n$p")
+    assert(nodeCount(p, "SortMergeJoin") <= 1,
+      s"only the final id-keyed attach may sort-merge:\n$p")
+  }
+
   test("t41: cluster deletes — stored/pair tables stream through broadcasts, star rounds ran on the induced subgraph only") {
     val p = plan("t41_cluster_deletes")
     // the touched-member lookup, induced-subgraph filter, and
