@@ -15,19 +15,32 @@ object GngQueries {
 
   private val defaultChunks = 20
 
-  /** Chunked training is deterministic for a given data dir, so the
-    * three gng queries share one trained model per dir instead of
-    * re-running the 20-batch loop each (the reference likewise trains
-    * once and snapshots many views of the same model). */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, graft.model.GngModel]()
+  /** Chunked training is deterministic for a given data dir, so ALL
+    * gng queries share ONE training run per dir instead of re-running
+    * the 20-batch loop each (the reference likewise trains once and
+    * snapshots many views of the same model): the hooked fit captures
+    * the cadence snapshots for the live-IVF bridge on the way to the
+    * final model — `fitChunked` IS `fitChunkedHooked` with a no-op
+    * hook, so the end state is identical. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.model.GngModel, Seq[(Int, graft.operators.LiveIvf.Snapshot)])]()
+
+  private def trainOnce(s: org.apache.spark.sql.SparkSession, d: String)
+      : (graft.model.GngModel, Seq[(Int, graft.operators.LiveIvf.Snapshot)]) =
+    cache.computeIfAbsent(d, _ => {
+      val pts = GStream.toPoints(Tables.embeddings(s, d), "embedding", "label", "vec_id")
+      val marks = snapshotMarks.toSet
+      val snaps = Seq.newBuilder[(Int, graft.operators.LiveIvf.Snapshot)]
+      val model = GStream.fitChunkedHooked(pts, GngParams(), defaultChunks, (kk, m) =>
+        if (marks(kk))
+          snaps += kk -> m.nodes.toArray.map(p => (p.id, p.centroid.clone())))
+      (model, snaps.result())
+    })
 
   /** Shared trained model per data dir (also the IVF coarse quantizer
     * for v06). */
   def trained(s: org.apache.spark.sql.SparkSession, d: String): graft.model.GngModel =
-    cache.computeIfAbsent(d, _ => {
-      val pts = GStream.toPoints(Tables.embeddings(s, d), "embedding", "label", "vec_id")
-      GStream.fitChunked(pts, GngParams(), defaultChunks)
-    })
+    trainOnce(s, d)._1
 
   /** The trained centroids as inline SQL constants — available only
     * AFTER the queries have run (the Verify main runs every query, then
@@ -39,7 +52,7 @@ object GngQueries {
     * constants round-trip exactly through toString (v03 precedent). */
   private[graft] def soleTrainedModel: Option[graft.model.GngModel] = {
     val models = new java.util.ArrayList(cache.values())
-    if (models.size == 1) Some(models.get(0)) else None
+    if (models.size == 1) Some(models.get(0)._1) else None
   }
 
   private[graft] def soleTrainedCentroids: Option[Array[Array[Double]]] =
@@ -52,27 +65,17 @@ object GngQueries {
   private val snapshotMarks = Seq(5, 10, 15, 20)
 
   /** The evolving prototype table captured at [[snapshotMarks]] during
-    * ONE training run per data dir — (kk, [(node id, centroid)]),
-    * array order = the model's own node order (the tie-break index).
-    * Centroids are deep-copied at capture; the model keeps training. */
-  private val snapshotsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, graft.operators.LiveIvf.Snapshot)]]()
-
+    * the ONE shared training run per data dir — (kk, [(node id,
+    * centroid)]), array order = the model's own node order (the
+    * tie-break index). Centroids are deep-copied at capture; the model
+    * keeps training. */
   def trainedSnapshots(s: org.apache.spark.sql.SparkSession,
       d: String): Seq[(Int, graft.operators.LiveIvf.Snapshot)] =
-    snapshotsCache.computeIfAbsent(d, _ => {
-      val pts = GStream.toPoints(Tables.embeddings(s, d), "embedding", "label", "vec_id")
-      val marks = snapshotMarks.toSet
-      val snaps = Seq.newBuilder[(Int, graft.operators.LiveIvf.Snapshot)]
-      GStream.fitChunkedHooked(pts, GngParams(), defaultChunks, (kk, m) =>
-        if (marks(kk))
-          snaps += kk -> m.nodes.toArray.map(p => (p.id, p.centroid.clone())))
-      snaps.result()
-    })
+    trainOnce(s, d)._2
 
   private def soleSnapshots: Option[Seq[(Int, graft.operators.LiveIvf.Snapshot)]] = {
-    val ss = new java.util.ArrayList(snapshotsCache.values())
-    if (ss.size == 1) Some(ss.get(0)) else None
+    val ss = new java.util.ArrayList(cache.values())
+    if (ss.size == 1) Some(ss.get(0)._2) else None
   }
 
   /** KEYED multi-model training per data dir: one independent model

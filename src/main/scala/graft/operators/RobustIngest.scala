@@ -27,36 +27,58 @@ import org.apache.spark.sql.functions._
   * independent of data volume. The audit frame is file-count-sized. */
 object RobustIngest {
 
-  /** (file, bytes, ok) for every regular file under `dir`: ok ⇔ the
+  /** (file, bytes, ok, err) for every data file under `dir`: ok ⇔ the
     * parquet envelope is intact (head/tail magic + footer length that
-    * fits the file). Directories are listed non-recursively, matching
-    * `spark.read.parquet(dir)`. */
+    * fits the file); `err` is null unless the PROBE itself failed
+    * (auth/endpoint/transient I/O) — a probe failure is quarantined
+    * like corruption (never read blind) but stays distinguishable, so
+    * a misconfigured cluster can't silently masquerade as a fully
+    * corrupt delivery. The listing RECURSES through visible
+    * subdirectories exactly like Spark's file index (hidden `_`/`.`
+    * names skipped at every level), so partitioned layouts
+    * (`dir/k=v/part-*.parquet`) are probed, not dropped. */
   def probeParquet(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    val path = new Path(dir)
-    val fs = path.getFileSystem(conf)
-    val files = fs.listStatus(path).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
-        && !st.getPath.getName.startsWith("."))
-      .map(st => (st.getPath.toString, st.getLen))
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    def visible(p: Path): Boolean = {
+      val n = p.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[(String, Long)] =
+      if (st.isFile) Seq((st.getPath.toString, st.getLen))
+      else fs.listStatus(st.getPath).toSeq
+        .filter(s => visible(s.getPath)).flatMap(walk)
+    val files = fs.listStatus(root).toSeq
+      .filter(s => visible(s.getPath)).flatMap(walk)
+    // the driver's hadoop conf rides a broadcast to the probe tasks —
+    // spark.hadoop.* / programmatic settings (object-store creds,
+    // endpoints) must reach the executor-side FileSystem the same way
+    // every scan task's reader receives them
+    val bconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
     files.toDF("file", "bytes").as[(String, Long)]
       .mapPartitions { it =>
-        // executors build their own FS handle (object-store creds come
-        // from the cluster conf there, same as any task's reader)
-        val econf = new org.apache.hadoop.conf.Configuration()
-        it.map { case (p, len) => (p, len, envelopeOk(econf, p, len)) }
+        val econf = bconf.value.value
+        it.map { case (p, len) =>
+          val (ok, err) = envelopeCheck(econf, p, len)
+          (p, len, ok, err)
+        }
       }
-      .toDF("file", "bytes", "ok")
+      .toDF("file", "bytes", "ok", "err")
   }
 
-  /** Ranged-read envelope check — any I/O error counts as corrupt. */
-  private def envelopeOk(conf: org.apache.hadoop.conf.Configuration,
-      file: String, len: Long): Boolean =
+  /** Ranged-read envelope check → (intact, probeError). A clean read
+    * of bad bytes is (false, null) — proven corrupt; an I/O failure is
+    * (false, message) — unproven, surfaced for the caller to alert on
+    * rather than folded into the corrupt count. */
+  private def envelopeCheck(conf: org.apache.hadoop.conf.Configuration,
+      file: String, len: Long): (Boolean, String) =
     try {
       // minimal parquet file: 4 (head magic) + 4 (footer len) + 4
       // (tail magic) + a non-empty footer
-      if (len < 12L) false
+      if (len < 12L) (false, null)
       else {
         val p = new Path(file)
         val in = p.getFileSystem(conf).open(p)
@@ -70,25 +92,36 @@ object RobustIngest {
           // wavMeta discipline)
           val footerLen = (tail(0) & 0xffL) | ((tail(1) & 0xffL) << 8) |
             ((tail(2) & 0xffL) << 16) | ((tail(3) & 0xffL) << 24)
-          head(0) == 'P' && head(1) == 'A' && head(2) == 'R' && head(3) == '1' &&
-            tail(4) == 'P' && tail(5) == 'A' && tail(6) == 'R' && tail(7) == '1' &&
-            footerLen > 0L && footerLen + 12L <= len
+          val ok =
+            head(0) == 'P' && head(1) == 'A' && head(2) == 'R' && head(3) == '1' &&
+              tail(4) == 'P' && tail(5) == 'A' && tail(6) == 'R' && tail(7) == '1' &&
+              footerLen > 0L && footerLen + 12L <= len
+          (ok, null)
         } finally in.close()
       }
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      case e: java.io.IOException =>
+        (false, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
 
   /** Read a parquet directory that may contain corrupt files:
     * (data over the intact files only, full audit). The good-file
     * list crossing the driver is the file listing itself —
-    * file-count-sized, the same scale as scan planning. */
-  def parquetWithQuarantine(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
+    * file-count-sized, the same scale as scan planning. When EVERY
+    * file quarantines, the data frame is empty under `emptySchema`
+    * (DDL) if given — downstream column references keep resolving and
+    * the audit stays reportable — or zero-column if not. */
+  def parquetWithQuarantine(spark: SparkSession, dir: String,
+      emptySchema: String = ""): (DataFrame, DataFrame) = {
     val audit = probeParquet(spark, dir).localCheckpoint(true)
     val good = audit.filter(col("ok")).select("file")
       .collect().map(_.getString(0)).sorted
     val data =
-      if (good.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(good.toIndexedSeq: _*)
+      if (good.nonEmpty) spark.read.parquet(good.toIndexedSeq: _*)
+      else if (emptySchema.nonEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(emptySchema))
+      else spark.emptyDataFrame
     (data, audit)
   }
 

@@ -1548,7 +1548,8 @@ object RelationalQueries {
         |  CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS fp_sum
         |FROM documents WHERE doc_id % 4 <> 0""".stripMargin) { (s, d) =>
       val (data, audit) = graft.operators.RobustIngest
-        .parquetWithQuarantine(s, corruptParquetDir(s, d))
+        .parquetWithQuarantine(s, corruptParquetDir(s, d),
+          emptySchema = "doc_id BIGINT, lang STRING, n_chars BIGINT")
       val a = audit.agg(count(lit(1)).as("n_files"),
         sum(when(!$"ok", 1L).otherwise(0L)).as("n_bad"))
       val r = data.agg(count(lit(1)).as("n_rows"),
@@ -1743,8 +1744,12 @@ object RelationalQueries {
         Tables.documents(s, d).filter($"doc_id" % 4 === b)
           .select($"doc_id", $"lang", $"n_chars")
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
+        val listing = Files.list(tmp)
+        val part =
+          try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally listing.close() // Files.list holds a directory handle
+
         Files.move(part, dir.resolve(s"bucket$b.parquet"))
         graft.streaming.StreamingRelational.deleteRecursively(tmp)
       }

@@ -74,16 +74,60 @@ class CorruptIngestSpec extends AnyFunSuite with SparkTestSupport {
       "good0.parquet" -> true, "good1.parquet" -> true,
       "truncated.parquet" -> false, "junk.parquet" -> false,
       "empty.parquet" -> false))
+    // every quarantine here is PROVEN corrupt (bytes read cleanly and
+    // failed the envelope) — the probe-error column stays null
+    assert(audit.collect().forall(_.getAs[String]("err") == null))
     // the data frame reads exactly the intact files' rows — nothing
     // dropped, nothing from the quarantined ones
     val ids = data.select(col("id")).collect().map(_.getLong(0)).toSet
     assert(ids === ((0 until 20).map(_.toLong) ++ (0 until 20).map(100L + _)).toSet)
-    // an all-bad directory still succeeds with an empty data frame
+    // an all-bad directory still succeeds; with emptySchema the zero-row
+    // frame keeps resolvable columns so downstream aggs don't throw
     val badOnly = java.nio.file.Files.createTempDirectory("cps-allbad")
     java.nio.file.Files.writeString(badOnly.resolve("a.parquet"), "x")
-    val (none, audit2) = RobustIngest.parquetWithQuarantine(spark, badOnly.toString)
+    val (none, audit2) = RobustIngest.parquetWithQuarantine(spark, badOnly.toString,
+      emptySchema = "id BIGINT, s STRING")
+    assert(none.agg(sum(col("id"))).collect().head.isNullAt(0))
     assert(none.count() === 0 && audit2.collect().forall(!_.getAs[Boolean]("ok")))
     graft.streaming.StreamingRelational.deleteRecursively(badOnly)
+    graft.streaming.StreamingRelational.deleteRecursively(dir)
+  }
+
+  test("parquetWithQuarantine: partitioned layouts (subdirectories) are probed and read, hidden dirs skipped") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cps-partitioned")
+    // a partition-style delivery: dir/lang=xx/part.parquet — the layout
+    // spark.read.parquet(dir) reads fine and a flat listing would DROP
+    for ((lang, base) <- Seq(("en", 0L), ("de", 100L))) {
+      val sub = java.nio.file.Files.createDirectories(dir.resolve(s"lang=$lang"))
+      val tmp = java.nio.file.Files.createTempDirectory(s"cps-p-$lang")
+      (0 until 10).map(i => base + i).toDF("id")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val listing = java.nio.file.Files.list(tmp)
+        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
+      }
+      java.nio.file.Files.move(part, sub.resolve("part.parquet"))
+      graft.streaming.StreamingRelational.deleteRecursively(tmp)
+    }
+    // corrupt file INSIDE a partition dir must still quarantine; hidden
+    // directories (_temporary debris) must stay invisible
+    java.nio.file.Files.writeString(
+      dir.resolve("lang=de").resolve("bad.parquet"), "nope")
+    val hidden = java.nio.file.Files.createDirectories(dir.resolve("_temporary"))
+    java.nio.file.Files.writeString(hidden.resolve("x.parquet"), "junk")
+    val (data, audit) = RobustIngest.parquetWithQuarantine(spark, dir.toString)
+    val byFile = audit.collect()
+      .map(r => java.nio.file.Paths.get(new java.net.URI(r.getAs[String]("file")))
+        .getFileName.toString -> r.getAs[Boolean]("ok")).toMap
+    assert(byFile === Map("part.parquet" -> true, "bad.parquet" -> false))
+    assert(byFile.size === 2) // one 'part.parquet' key per partition collapses — check rows
+    assert(audit.count() === 3)
+    val ids = data.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids === ((0 until 10).map(_.toLong) ++ (0 until 10).map(100L + _)).toSet)
     graft.streaming.StreamingRelational.deleteRecursively(dir)
   }
 
