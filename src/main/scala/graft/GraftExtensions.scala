@@ -146,6 +146,9 @@ object GraftExtensions {
       (args: Seq[Expression]) => SqAdc(args(0),
         vectorArg(args(1), "query", "sq_adc"),
         vectorArg(args(2), "mins", "sq_adc"),
-        vectorArg(args(3), "scales", "sq_adc")))
+        vectorArg(args(3), "scales", "sq_adc"))),
+    ("nfc_normalize",
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalizeExpr(args(0)))
   )
 }

@@ -417,4 +417,42 @@ object HashOracleSql {
     "WITH " + (featureCtes(payloadSql, dim) :+
       "fi AS (SELECT doc_id, dim, CAST(floor(f * 1000000.0 + 0.5) AS BIGINT) AS v FROM feats)").mkString(",\n") +
       "\nSELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY dim) AS features_csv FROM fi GROUP BY doc_id ORDER BY doc_id"
+
+  /** t49: cross-document duplicated k-gram spans — the bit-exact twin
+    * of [[graft.operators.SpanDedup.duplicateSpans]]. Gram hashes
+    * replay the kernel's exact math (per-token mix64(poly), k-wide
+    * poly over the token hashes via lag columns, mix64 — the
+    * [[minHashSigCtes]] shingle chain generalized from n=3 to any k),
+    * so a 64-bit hash collision would diverge BOTH engines identically
+    * and the span sets compare hash-exact. Cross-document test is the
+    * same min≠max trick; the interval merge is the same
+    * max-over-preceding run split (`>` so abutting windows merge). */
+  def duplicateSpans(k: Int): String = {
+    val lagCols = (1 until k).map(j => s"lag(th, $j) OVER w AS t$j").mkString(", ")
+    // kernel fold order is oldest token first: seed, t(k-1), ..., t1, th
+    val fold = (k - 1 to 1 by -1)
+      .map(j => s"t$j")
+      .foldLeft("CAST(1125899906842597 AS HUGEINT)")((acc, t) => s"(($acc) * 31 + $t) % $M")
+    val ctes = tokenHashCtes(withPos = true) ++ Seq(
+      s"lagd AS (SELECT doc_id, pos, th, $lagCols FROM m6 " +
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY pos))",
+      // pos is the window's LAST token (1-based) → start0 is 0-based
+      s"g0 AS (SELECT doc_id, pos - $k AS start0, (($fold) * 31 + th) % $M AS gp " +
+        s"FROM lagd WHERE pos >= $k)") ++
+      mix64Stages("g0", "gp", "gh", "g") ++ Seq(
+        "grams AS (SELECT doc_id, start0, gh FROM g6)",
+        "dups AS (SELECT gh FROM grams GROUP BY gh HAVING min(doc_id) <> max(doc_id))",
+        "hits AS (SELECT doc_id, start0 FROM grams JOIN dups USING (gh))",
+        "pm AS (SELECT doc_id, start0, max(start0) OVER (PARTITION BY doc_id ORDER BY start0 " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM hits)",
+        s"brk AS (SELECT doc_id, start0, CASE WHEN prevmax IS NULL OR start0 > prevmax + $k " +
+          "THEN 1 ELSE 0 END AS b FROM pm)",
+        "runs AS (SELECT doc_id, start0, sum(b) OVER (PARTITION BY doc_id ORDER BY start0) AS run FROM brk)")
+    "WITH " + ctes.mkString(",\n") +
+      s"""
+         |SELECT doc_id, CAST(min(start0) AS BIGINT) AS span_start,
+         |  CAST(max(start0) + $k AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_grams
+         |FROM runs GROUP BY doc_id, run ORDER BY doc_id, span_start""".stripMargin
+  }
 }

@@ -989,6 +989,73 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Unicode NFC normalization + invisible-char/whitespace cleanup —
+    // the canonical first pass of a crawl pipeline (decomposed accents
+    // and editor artifacts must collapse to one byte form BEFORE any
+    // hashing/dedup sees the text, or equal text hashes unequal). The
+    // corpus is ASCII, so both engines derive the same messy view by
+    // appending a deterministic suffix of decomposed sequences (t47's
+    // injection discipline): combining acute over 'cafe', a
+    // double-combining cluster (e + ogonek + acute composes PARTIALLY
+    // to U+0119 + U+0301 — no precomposed form exists), zero-width
+    // space, BOM-as-ZWNBSP, and a doubled space. The Spark side is the
+    // native codegen NfcNormalizeExpr; the DuckDB side is the built-in
+    // nfc_normalize it twins — both implement Unicode canonical
+    // composition, no ported bit math between them. Zero-width strip
+    // and whitespace collapse are plain regexp_replace on both sides
+    // (NFC deliberately does NOT touch them).
+    sql(
+      "t48_normalize_text", {
+        val zwClass = "'[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']'"
+        s"""WITH m AS (
+           |  SELECT doc_id,
+           |    substr(text, 1, 40) || ' cafe' || chr(769) || ' e' || chr(808) || chr(769) ||
+           |      chr(8203) || ' x' || chr(65279) || 'y  tail ' AS messy
+           |  FROM documents),
+           |n AS (
+           |  SELECT doc_id, messy,
+           |    trim(regexp_replace(regexp_replace(nfc_normalize(messy),
+           |      $zwClass, '', 'g'), '[ \\t\\n\\r]+', ' ', 'g')) AS norm_text
+           |  FROM m)
+           |SELECT doc_id, CAST(length(messy) AS BIGINT) AS n_before,
+           |  CAST(length(norm_text) AS BIGINT) AS n_after, norm_text
+           |FROM n ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val messy = concat(substring(col("text"), 1, 40),
+        lit(" cafe\u0301 e\u0328\u0301\u200B x\uFEFFy  tail "))
+      val norm = trim(regexp_replace(
+        regexp_replace(graft.expressions.TextNorm.nfcNormalize(col("messy")),
+          lit("[\u200B\u200C\u200D\uFEFF]"), lit("")),
+        lit("[ \\t\\n\\r]+"), lit(" ")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), messy.as("messy"))
+        .select(col("doc_id"), col("messy"), norm.as("norm_text"))
+        .select(col("doc_id"),
+          length(col("messy")).cast("long").as("n_before"),
+          length(col("norm_text")).cast("long").as("n_after"),
+          col("norm_text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Cross-document exact substring spans — the span-level dedup rung
+    // (verbatim boilerplate/licence runs shared across documents,
+    // the unit span-dedup pipelines cut). One fused kernel pass emits
+    // position-ordered 64-bit 8-gram hashes; cross-doc detection is a
+    // partial+final min≠max agg on the hash; spans are the per-doc
+    // interval merge of the hit windows (operators/SpanDedup). Oracle:
+    // the kernel's exact hash math replayed through the HUGEINT CTE
+    // chain (minHashSigCtes' shingle fold generalized to k=8), so the
+    // span sets hash-compare bit-exact — a collision would diverge
+    // both engines identically.
+    sql(
+      "t49_duplicate_spans",
+      HashOracleSql.duplicateSpans(k = 8)) { (s, d) =>
+      graft.operators.SpanDedup.duplicateSpans(
+          Tables.documents(s, d), col("text"), col("doc_id"), k = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // t29's production twin over the same prebuilt components table:
     // the split assignment is md5-bucket arithmetic on the cluster id —
     // with the clustering amortized, a leakage-safe split costs one

@@ -1016,4 +1016,37 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(nodeCount(p, "Sort\\b") <= 1,
       s"matches must pipeline, not buffer through sorts:\n$p")
   }
+
+  test("t48: NFC normalization is a per-row codegen map — no shuffle before the output sort, pruned scan") {
+    val p = plan("t48_normalize_text")
+    assert(!p.contains("ScalaUDF"), s"nfc must be the native expression:\n$p")
+    assert(p.contains("nfc_normalize"), s"the kernel must appear in the plan:\n$p")
+    // pure row map: the ONLY exchange is the deterministic output sort
+    assert(nodeCount(p, "Exchange") <= 1,
+      s"normalization must not shuffle:\n$p")
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang"), s"scan must prune to (doc_id, text): $read")
+  }
+
+  test("t49: duplicate spans scan the corpus once and shuffle hashes and ids only") {
+    val p = plan("t49_duplicate_spans")
+    // ONE kernel pass / one scan: cross-doc detection is a window over
+    // the gram hash, not a groupBy joined back (which re-scans)
+    assert(nodeFree(p, "shingle_hashes") == 1,
+      s"one fused kernel pass over the corpus:\n$p")
+    assert(nodeCount(p, "Scan parquet") == 1,
+      s"the corpus parquet must be read once:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"))
+    // gram-hash window + doc window + output sort — nothing else moves
+    assert(nodeCount(p, "Exchange") <= 3,
+      s"expected gh-window, id-window, output-sort exchanges only:\n$p")
+    // every shuffle carries (id, start0, gh)-shaped rows: no exchange
+    // may reference the text column
+    val shuffles = p.linesIterator.filter(_.trim.startsWith("Arguments: hashpartitioning")).toSeq
+    assert(shuffles.nonEmpty, "expected hash exchanges for window/agg")
+    assert(!shuffles.exists(_.contains("text")),
+      s"document text must never shuffle:\n${shuffles.mkString("\n")}")
+  }
 }

@@ -414,4 +414,18 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestSupport {
     Seq(1L, 2L, 3L, 500L).foreach(k => assert(hits(Some(k)) === true))
     assert(hits(None) === null)
   }
+
+  test("NfcNormalize: codegen == interpreted; composes decomposed input") {
+    import spark.implicits._
+    val rows = Seq(Some("cafe\u0301 e\u0328\u0301 and \u200Bzw"), Some("plain ascii"), Some(""), None)
+      .map(Tuple1(_)).toDF("t")
+    val probe = rows.select(col("t"), TextNorm.nfcNormalize(col("t")).as("n"))
+    val (g, i) = bothWays(probe)
+    assert(g === i)
+    val byIn = g.map(r => Option(r.getString(0)) -> Option(r.getString(1))).toMap
+    assert(byIn(Some("cafe\u0301 e\u0328\u0301 and \u200Bzw")) ===
+      Some(java.text.Normalizer.normalize("cafe\u0301 e\u0328\u0301 and \u200Bzw", java.text.Normalizer.Form.NFC)))
+    assert(byIn(Some("plain ascii")) === Some("plain ascii"))
+    assert(byIn(None) === None)
+  }
 }
