@@ -57,9 +57,16 @@ object SpanDedup {
       .withColumn("d1", max(col("id")).over(byGram))
       .filter(col("d0") =!= col("d1"))
       .select(col("id"), col("start0"))
-    // classic interval merge: a window starts a new run iff it begins
-    // past the furthest end seen so far (> prevmax + k; == abuts and
-    // merges); the running sum of run-starts numbers the runs
+    mergedSpans(hits, k)
+  }
+
+  /** Interval merge of k-wide gram windows: (id, start0) hit rows →
+    * maximal merged (id, span_start, span_end, n_grams) spans. A window
+    * starts a new run iff it begins past the furthest end seen so far
+    * (> prevmax + k; == abuts and merges); the running sum of
+    * run-starts numbers the runs. The (id, run) aggregation reuses the
+    * window's id-hash partitioning — no second exchange. */
+  private def mergedSpans(hits: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("id")).orderBy(col("start0"))
     val runs = hits
       .withColumn("prevmax",
@@ -68,12 +75,76 @@ object SpanDedup {
         sum(when(col("prevmax").isNull ||
             col("start0") > col("prevmax") + k, 1L).otherwise(0L))
           .over(byDoc))
-    // grouping on (id, run) is satisfied by the window's id-hash
-    // partitioning — no second exchange
     runs.groupBy(col("id"), col("run"))
       .agg(min(col("start0")).cast("long").as("span_start"),
         (max(col("start0")) + k).cast("long").as("span_end"),
         count(lit(1)).as("n_grams"))
       .select(col("id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** The cut on top of the detection: every occurrence of a
+    * cross-document k-gram EXCEPT the globally first one (lexicographic
+    * min (id, start0) within the gram group) is removed from its
+    * document, and the cleaned text re-emitted in normalized-token
+    * space. One copy of every duplicated run survives somewhere in the
+    * corpus — the classic "keep one occurrence" exact-substring dedup
+    * training pipelines apply after detection.
+    *
+    * Output is a PATCH TABLE — only documents that lost at least one
+    * span appear (id, n_spans_cut, n_tokens_before, n_tokens_after,
+    * clean_text); consumers overlay it on the corpus the way the
+    * tombstone/delete families (t36, v22, t44) overlay theirs. At
+    * 100 TB that is the only sane contract: the corpus is never
+    * rewritten, and the patch is proportional to the duplication, not
+    * the data.
+    *
+    * Shape: the gram pass and canonical-occurrence selection ride the
+    * same one-scan window plan as [[duplicateSpans]] (hashes only —
+    * document text never enters an exchange); the per-doc cut interval
+    * lists are dimension-sized and BROADCAST back onto a second corpus
+    * scan, where the cut itself is a per-row codegen higher-order
+    * filter (token index ∉ any cut span) — no UDF, no explode of the
+    * token stream, no text shuffle. For a corpus where duplication is
+    * pervasive rather than sparse (patch ~ corpus), drop the broadcast
+    * hint and let AQE pick the shuffle join — the rest of the plan is
+    * unchanged. */
+  def cutDuplicateSpans(docs: DataFrame, text: Column, id: Column,
+      k: Int = 8): DataFrame = {
+    val grams = docs
+      .select(id.as("id"), posexplode(TextHash.shingleHashes(text, k)))
+      .toDF("id", "start0", "gh")
+    // canonical occurrence = lexicographic min (id, start0) in the gram
+    // group — a struct min, so no ordered window (and no long-packing
+    // overflow at any id range); cross-document test is the same
+    // min≠max trick as duplicateSpans
+    val byGram = Window.partitionBy(col("gh"))
+    val cuts = grams
+      .withColumn("cmin", min(struct(col("id"), col("start0"))).over(byGram))
+      .withColumn("d0", min(col("id")).over(byGram))
+      .withColumn("d1", max(col("id")).over(byGram))
+      .filter(col("d0") =!= col("d1") &&
+        !(col("cmin.id") === col("id") && col("cmin.start0") === col("start0")))
+      .select(col("id"), col("start0"))
+    // merged cut intervals, collapsed to one small row per affected doc
+    val spans = mergedSpans(cuts, k)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"),
+        count(lit(1)).as("n_spans_cut"))
+    // second corpus scan + broadcast overlay; the cut is a per-row
+    // filter-by-index over the normalized tokens
+    val toks = filter(split(TextHash.normalizeText(text), " "),
+      t => t =!= lit(""))
+    val kept = filter(col("toks"), (_, i) =>
+      !exists(col("spans"), s =>
+        i.cast("long") >= s.getField("span_start") &&
+          i.cast("long") < s.getField("span_end")))
+    docs
+      .select(id.as("id"), toks.as("toks"))
+      .join(broadcast(spans), Seq("id"))
+      .withColumn("kept", kept)
+      .select(col("id"), col("n_spans_cut"),
+        size(col("toks")).cast("long").as("n_tokens_before"),
+        size(col("kept")).cast("long").as("n_tokens_after"),
+        array_join(col("kept"), " ").as("clean_text"))
   }
 }

@@ -428,31 +428,81 @@ object HashOracleSql {
     * same min≠max trick; the interval merge is the same
     * max-over-preceding run split (`>` so abutting windows merge). */
   def duplicateSpans(k: Int): String = {
-    val lagCols = (1 until k).map(j => s"lag(th, $j) OVER w AS t$j").mkString(", ")
-    // kernel fold order is oldest token first: seed, t(k-1), ..., t1, th
-    val fold = (k - 1 to 1 by -1)
-      .map(j => s"t$j")
-      .foldLeft("CAST(1125899906842597 AS HUGEINT)")((acc, t) => s"(($acc) * 31 + $t) % $M")
-    val ctes = tokenHashCtes(withPos = true) ++ Seq(
-      s"lagd AS (SELECT doc_id, pos, th, $lagCols FROM m6 " +
-        "WINDOW w AS (PARTITION BY doc_id ORDER BY pos))",
-      // pos is the window's LAST token (1-based) → start0 is 0-based
-      s"g0 AS (SELECT doc_id, pos - $k AS start0, (($fold) * 31 + th) % $M AS gp " +
-        s"FROM lagd WHERE pos >= $k)") ++
-      mix64Stages("g0", "gp", "gh", "g") ++ Seq(
-        "grams AS (SELECT doc_id, start0, gh FROM g6)",
-        "dups AS (SELECT gh FROM grams GROUP BY gh HAVING min(doc_id) <> max(doc_id))",
-        "hits AS (SELECT doc_id, start0 FROM grams JOIN dups USING (gh))",
-        "pm AS (SELECT doc_id, start0, max(start0) OVER (PARTITION BY doc_id ORDER BY start0 " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM hits)",
-        s"brk AS (SELECT doc_id, start0, CASE WHEN prevmax IS NULL OR start0 > prevmax + $k " +
-          "THEN 1 ELSE 0 END AS b FROM pm)",
-        "runs AS (SELECT doc_id, start0, sum(b) OVER (PARTITION BY doc_id ORDER BY start0) AS run FROM brk)")
+    val ctes = gramCtes(k) ++ Seq(
+      "dups AS (SELECT gh FROM grams GROUP BY gh HAVING min(doc_id) <> max(doc_id))",
+      "hits AS (SELECT doc_id, start0 FROM grams JOIN dups USING (gh))") ++
+      runCtes("hits", k)
     "WITH " + ctes.mkString(",\n") +
       s"""
          |SELECT doc_id, CAST(min(start0) AS BIGINT) AS span_start,
          |  CAST(max(start0) + $k AS BIGINT) AS span_end,
          |  CAST(count(*) AS BIGINT) AS n_grams
          |FROM runs GROUP BY doc_id, run ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  /** CTEs ending in `grams(doc_id, start0, gh)` — position-ordered
+    * k-gram hashes, the [[duplicateSpans]]/[[cutSpans]] shared head.
+    * Also leaves `tl(doc_id, ts)` and `tok(doc_id, tok, pos)` in scope
+    * for token-level reconstruction. */
+  private def gramCtes(k: Int): Seq[String] = {
+    val lagCols = (1 until k).map(j => s"lag(th, $j) OVER w AS t$j").mkString(", ")
+    // kernel fold order is oldest token first: seed, t(k-1), ..., t1, th
+    val fold = (k - 1 to 1 by -1)
+      .map(j => s"t$j")
+      .foldLeft("CAST(1125899906842597 AS HUGEINT)")((acc, t) => s"(($acc) * 31 + $t) % $M")
+    tokenHashCtes(withPos = true) ++ Seq(
+      s"lagd AS (SELECT doc_id, pos, th, $lagCols FROM m6 " +
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY pos))",
+      // pos is the window's LAST token (1-based) → start0 is 0-based
+      s"g0 AS (SELECT doc_id, pos - $k AS start0, (($fold) * 31 + th) % $M AS gp " +
+        s"FROM lagd WHERE pos >= $k)") ++
+      mix64Stages("g0", "gp", "gh", "g") :+
+      "grams AS (SELECT doc_id, start0, gh FROM g6)"
+  }
+
+  /** Interval-merge CTEs over a `(doc_id, start0)` hit CTE — the
+    * max-over-preceding run split (`>` so abutting windows merge),
+    * ending in `runs(doc_id, start0, run)`. */
+  private def runCtes(src: String, k: Int): Seq[String] = Seq(
+    s"pm AS (SELECT doc_id, start0, max(start0) OVER (PARTITION BY doc_id ORDER BY start0 " +
+      s"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM $src)",
+    s"brk AS (SELECT doc_id, start0, CASE WHEN prevmax IS NULL OR start0 > prevmax + $k " +
+      "THEN 1 ELSE 0 END AS b FROM pm)",
+    "runs AS (SELECT doc_id, start0, sum(b) OVER (PARTITION BY doc_id ORDER BY start0) AS run FROM brk)")
+
+  /** t50: the cut twin of [[graft.operators.SpanDedup.cutDuplicateSpans]].
+    * Canonical occurrence = lexicographic-first (doc_id, start0) in the
+    * gram group via first_value windows; every other occurrence of a
+    * cross-document gram is a cut window, merged by the same run split,
+    * and the cleaned text is rebuilt from the `tok` CTE's (token, pos)
+    * rows minus the covered positions (pos is 1-based, spans 0-based).
+    * Patch semantics: only documents with ≥1 cut emit. */
+  def cutSpans(k: Int): String = {
+    val ctes = gramCtes(k) ++ Seq(
+      "firsts AS (SELECT doc_id, start0, " +
+        "min(doc_id) OVER wg AS d0, max(doc_id) OVER wg AS d1, " +
+        "first_value(doc_id) OVER wo AS cdoc, first_value(start0) OVER wo AS cstart " +
+        "FROM grams WINDOW wg AS (PARTITION BY gh), " +
+        "wo AS (PARTITION BY gh ORDER BY doc_id, start0))",
+      "cuts AS (SELECT doc_id, start0 FROM firsts " +
+        "WHERE d0 <> d1 AND NOT (doc_id = cdoc AND start0 = cstart))") ++
+      runCtes("cuts", k) ++ Seq(
+        s"spans AS (SELECT doc_id, run, min(start0) AS span_start, max(start0) + $k AS span_end " +
+          "FROM runs GROUP BY doc_id, run)",
+        "sc AS (SELECT doc_id, count(*) AS n_spans_cut FROM spans GROUP BY doc_id)",
+        "keptt AS (SELECT t.doc_id, t.tok, t.pos FROM tok t WHERE NOT EXISTS (" +
+          "SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id " +
+          "AND t.pos - 1 >= s.span_start AND t.pos - 1 < s.span_end))",
+        "agg AS (SELECT doc_id, count(*) AS n_after, " +
+          "string_agg(tok, ' ' ORDER BY pos) AS clean_text FROM keptt GROUP BY doc_id)")
+    "WITH " + ctes.mkString(",\n") +
+      s"""
+         |SELECT sc.doc_id, CAST(sc.n_spans_cut AS BIGINT) AS n_spans_cut,
+         |  CAST(len(tl.ts) AS BIGINT) AS n_tokens_before,
+         |  CAST(coalesce(agg.n_after, 0) AS BIGINT) AS n_tokens_after,
+         |  coalesce(agg.clean_text, '') AS clean_text
+         |FROM sc JOIN tl ON sc.doc_id = tl.doc_id
+         |LEFT JOIN agg ON sc.doc_id = agg.doc_id
+         |ORDER BY sc.doc_id""".stripMargin
   }
 }

@@ -1056,6 +1056,27 @@ object TextQueries {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // The cut on top of t49's detection — keep the globally FIRST
+    // occurrence of every cross-document 8-gram, remove all others, and
+    // re-emit the cleaned text (normalized-token space) as a PATCH
+    // table of only the affected documents (the tombstone/overlay
+    // contract of t36/v22/t44: at 100 TB the corpus is never
+    // rewritten; the patch is proportional to the duplication). The
+    // gram pass and canonical selection are the t49 window plan over
+    // hashes; the cut itself is a per-row codegen higher-order filter
+    // after broadcasting the dimension-sized per-doc interval lists —
+    // document text never shuffles. Oracle replays canonical selection
+    // (first_value windows), the run merge, and token-level
+    // reconstruction from the same normalized-token CTEs.
+    sql(
+      "t50_cut_spans",
+      HashOracleSql.cutSpans(k = 8)) { (s, d) =>
+      graft.operators.SpanDedup.cutDuplicateSpans(
+          Tables.documents(s, d), col("text"), col("doc_id"), k = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // t29's production twin over the same prebuilt components table:
     // the split assignment is md5-bucket arithmetic on the cluster id —
     // with the clustering amortized, a leakage-safe split costs one

@@ -1049,4 +1049,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!shuffles.exists(_.contains("text")),
       s"document text must never shuffle:\n${shuffles.mkString("\n")}")
   }
+
+  test("t50: span cut broadcasts the patch intervals; text rides a second scan, never an exchange") {
+    val p = plan("t50_cut_spans")
+    // gram pass on scan 1; the cut side runs normalize_text only
+    assert(nodeFree(p, "shingle_hashes") == 1,
+      s"one gram kernel pass:\n$p")
+    assert(nodeCount(p, "Scan parquet") == 2,
+      s"gram pass + cut pass = exactly two corpus scans:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the per-doc interval lists must broadcast onto the text scan:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"))
+    // gh-window + id-window + output sort; the broadcast is not a
+    // hashpartitioning exchange
+    assert(nodeCount(p, "Exchange") <= 3,
+      s"expected gh-window, id-window, output-sort exchanges only:\n$p")
+    val shuffles = p.linesIterator.filter(_.trim.startsWith("Arguments: hashpartitioning")).toSeq
+    assert(!shuffles.exists(_.contains("text")),
+      s"document text must never shuffle:\n${shuffles.mkString("\n")}")
+  }
 }

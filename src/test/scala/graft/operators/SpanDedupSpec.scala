@@ -79,4 +79,39 @@ class SpanDedupSpec extends AnyFunSuite with SparkTestSupport {
     // shared normalized run: "the quick brown fox jumps" -> starts 0,1
     assert(out === Seq((1L, 0L, 5L, 2L), (2L, 0L, 5L, 2L)))
   }
+
+  private def cuts(k: Int, docs: (Long, String)*): Seq[(Long, Long, Long, Long, String)] = {
+    import spark.implicits._
+    SpanDedup.cutDuplicateSpans(docs.toDF("id", "text"), col("text"), col("id"), k)
+      .orderBy(col("id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+  }
+
+  test("cut: the globally first occurrence survives; the copy is removed; clean docs stay out of the patch") {
+    val g = "one two three four"
+    val out = cuts(4,
+      1L -> s"alpha beta $g gamma delta",
+      2L -> s"prefix $g suffix tail end",
+      3L -> "entirely unrelated content sits here quietly")
+    // doc 1 holds the canonical occurrence -> untouched -> absent
+    assert(out === Seq((2L, 1L, 8L, 4L, "prefix suffix tail end")))
+  }
+
+  test("cut: intra-doc repeats inside the canonical document are cut too — exactly one copy survives globally") {
+    val g = "one two three four"
+    val out = cuts(4,
+      1L -> s"$g filler alpha beta gamma $g",
+      2L -> s"prefix tokens here $g")
+    assert(out === Seq(
+      (1L, 1L, 12L, 8L, "one two three four filler alpha beta gamma"),
+      (2L, 1L, 7L, 3L, "prefix tokens here")))
+  }
+
+  test("cut: a fully duplicated document empties; the canonical copy never enters the patch") {
+    val t = "zero one two three four five six seven"
+    val out = cuts(4, 1L -> t, 2L -> t)
+    assert(out === Seq((2L, 1L, 8L, 0L, "")))
+  }
 }
