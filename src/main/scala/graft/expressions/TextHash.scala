@@ -92,6 +92,12 @@ object TextHash {
   def repetitionStats(text: Column): Column =
     graftx.column(RepetitionStatsExpr(graftx.expr(text)))
 
+  /** `quality_stats(text)` → array<double> [chars, punct, toks] — the
+    * quality scan's raw counts in one pass, for learned weightings
+    * (t53) instead of the fixed [[qualityScore]] heuristic. */
+  def qualityStats(text: Column): Column =
+    graftx.column(QualityStatsExpr(graftx.expr(text)))
+
   /** `shingle_hashes(text, n)` → array<bigint> of the 64-bit word-n-gram
     * shingle hashes, in document order (duplicates kept — apply
     * `array_distinct` for set semantics). Empty array for docs with
@@ -250,6 +256,21 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.repetitionStats($c)")
 
   override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
+case class QualityStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "quality_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.qualityStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.qualityStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): QualityStatsExpr =
     copy(child = newChild)
 }
 

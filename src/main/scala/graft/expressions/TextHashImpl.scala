@@ -226,6 +226,32 @@ object TextHashImpl {
     * left-associated double arithmetic and Spark `round` semantics
     * (BigDecimal HALF_UP on the exact binary value) as the Column
     * composition it replaces — the DuckDB regex twin stays the oracle. */
+  /** The [[qualityScore]] scan's raw counts exposed individually —
+    * array<double> [chars, punct, toks] (exact small integers, so the
+    * double carriage is lossless) for consumers that LEARN the
+    * weighting instead of using the fixed heuristic (the t53 trained
+    * classifier). Same code-point / RE2-`\s` / alnum classification as
+    * [[qualityScore]], whose regex twins remain the oracle spec. */
+  def qualityStats(s: UTF8String): ArrayData = {
+    val str = s.toString
+    var i = 0
+    var nChars = 0
+    var punct = 0
+    var toks = 0
+    var inTok = false
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      nChars += 1
+      if (isWs(cp)) inTok = false
+      else {
+        if (!inTok) { toks += 1; inTok = true }
+        if (!isAlnum(cp)) punct += 1
+      }
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(Array(nChars.toDouble, punct.toDouble, toks.toDouble))
+  }
+
   def qualityScore(s: UTF8String): Double = {
     val str = s.toString
     var i = 0

@@ -35,6 +35,66 @@ import graft.expressions.TextHash
   */
 object SpanDedup {
 
+  /** Position-ordered k-gram hash rows of a corpus slice:
+    * (id, start0, gh) — the one text-touching pass every SpanDedup
+    * entry point starts from. In the streaming shape (s22) this runs
+    * per micro-batch on arrival; everything downstream is hash-only. */
+  def gramsOf(docs: DataFrame, text: Column, id: Column, k: Int): DataFrame =
+    docs
+      .select(id.as("id"), posexplode(TextHash.shingleHashes(text, k)))
+      .toDF("id", "start0", "gh")
+
+  /** Persisted gram index of an existing corpus: one row per distinct
+    * gram hash with mergeable provenance — (gh, min_id, max_id, n_occ).
+    * min/max/sum all fold associatively, so a later increment merges
+    * into the stored table with one aggregate (the t25/t35 incremental
+    * contract); at scale the table is written bucketed by gh so only
+    * the increment shuffles at serve time. */
+  def gramIndex(docs: DataFrame, text: Column, id: Column,
+      k: Int = 8): DataFrame =
+    gramsOf(docs, text, id, k)
+      .groupBy(col("gh"))
+      .agg(min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+        count(lit(1)).as("n_occ"))
+
+  /** Fold an increment's grams into a stored [[gramIndex]] — the
+    * maintenance half: union + re-aggregate, every column an
+    * associative merge, so any batch slicing lands on the same table
+    * as a full rebuild. */
+  def mergeGramIndex(index: DataFrame, increment: DataFrame): DataFrame =
+    index.unionByName(increment)
+      .groupBy(col("gh"))
+      .agg(min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"),
+        sum(col("n_occ")).as("n_occ"))
+
+  /** Duplicated spans of an INCREMENT against (stored corpus ∪
+    * increment): a new doc's gram qualifies iff it exists in the
+    * stored [[gramIndex]] (some old document carries it) OR at least
+    * two distinct new documents carry it — exactly the gram groups
+    * [[duplicateSpans]] over the full corpus would flag, restricted to
+    * the new docs (the oracle claim: full-recompute equality). The old
+    * corpus's text is NEVER re-scanned; the index side shuffles bare
+    * (gh) rows and the increment's windows + join share one gh
+    * partitioning. */
+  def spansAgainstIndex(newDocs: DataFrame, text: Column, id: Column,
+      index: DataFrame, k: Int = 8): DataFrame =
+    spansFromGrams(gramsOf(newDocs, text, id, k), index, k)
+
+  /** Detection tail of [[spansAgainstIndex]] over already-extracted
+    * gram rows — the serve step of the streaming shape (s22), where
+    * micro-batches fold their [[gramsOf]] output into narrow state and
+    * the spans assemble once at snapshot time. */
+  def spansFromGrams(grams: DataFrame, index: DataFrame, k: Int): DataFrame = {
+    val byGram = Window.partitionBy(col("gh"))
+    val hits = grams
+      .withColumn("d0", min(col("id")).over(byGram))
+      .withColumn("d1", max(col("id")).over(byGram))
+      .join(index.select(col("gh"), lit(true).as("in_index")), Seq("gh"), "left")
+      .filter(col("in_index").isNotNull || col("d0") =!= col("d1"))
+      .select(col("id"), col("start0"))
+    mergedSpans(hits, k)
+  }
+
   /** Maximal merged spans of k-token grams shared verbatim with at
     * least one other document: (id, span_start, span_end, n_grams) —
     * token offsets in normalized-token space, half-open
@@ -43,9 +103,7 @@ object SpanDedup {
     * one span. Documents with no cross-doc gram emit nothing. */
   def duplicateSpans(docs: DataFrame, text: Column, id: Column,
       k: Int = 8): DataFrame = {
-    val grams = docs
-      .select(id.as("id"), posexplode(TextHash.shingleHashes(text, k)))
-      .toDF("id", "start0", "gh")
+    val grams = gramsOf(docs, text, id, k)
     // a gram is cross-document iff two distinct ids carry it — min≠max
     // as window functions over the hash, so the gram table is consumed
     // ONCE (a groupBy+join-back would scan the corpus twice); gram
@@ -110,9 +168,7 @@ object SpanDedup {
     * unchanged. */
   def cutDuplicateSpans(docs: DataFrame, text: Column, id: Column,
       k: Int = 8): DataFrame = {
-    val grams = docs
-      .select(id.as("id"), posexplode(TextHash.shingleHashes(text, k)))
-      .toDF("id", "start0", "gh")
+    val grams = gramsOf(docs, text, id, k)
     // canonical occurrence = lexicographic min (id, start0) in the gram
     // group — a struct min, so no ordered window (and no long-packing
     // overflow at any id range); cross-document test is the same
@@ -125,6 +181,43 @@ object SpanDedup {
       .filter(col("d0") =!= col("d1") &&
         !(col("cmin.id") === col("id") && col("cmin.start0") === col("start0")))
       .select(col("id"), col("start0"))
+    applyCuts(docs, text, id, cuts, k)
+  }
+
+  /** The cut applied to an INCREMENT against a stored [[gramIndex]] —
+    * stored-corpus-wins semantics: the published corpus never changes,
+    * so EVERY increment occurrence of an indexed gram is cut (the old
+    * corpus already holds a copy), and among grams the index has never
+    * seen, [[cutDuplicateSpans]]' rule applies within the increment
+    * (all but the lexicographic-min occurrence cut). Equal to the full
+    * recompute under old-docs-first canonical ordering, restricted to
+    * the increment — and to the plain full recompute whenever old ids
+    * precede new ids (the append-only corpus). The stored corpus's
+    * TEXT is never re-scanned; only the increment runs the gram kernel
+    * and the patch overlay. */
+  def cutSpansAgainstIndex(newDocs: DataFrame, text: Column, id: Column,
+      index: DataFrame, k: Int = 8): DataFrame = {
+    val grams = gramsOf(newDocs, text, id, k)
+    val byGram = Window.partitionBy(col("gh"))
+    val cuts = grams
+      .withColumn("cmin", min(struct(col("id"), col("start0"))).over(byGram))
+      .withColumn("d0", min(col("id")).over(byGram))
+      .withColumn("d1", max(col("id")).over(byGram))
+      .join(index.select(col("gh"), lit(true).as("in_index")), Seq("gh"), "left")
+      .filter(col("in_index").isNotNull ||
+        (col("d0") =!= col("d1") &&
+          !(col("cmin.id") === col("id") && col("cmin.start0") === col("start0"))))
+      .select(col("id"), col("start0"))
+    applyCuts(newDocs, text, id, cuts, k)
+  }
+
+  /** Patch tail shared by the cut entry points: merge the cut windows
+    * into per-doc interval lists, broadcast them onto a second scan of
+    * `docs`, and re-emit the cleaned text. The cut itself is a per-row
+    * codegen higher-order filter (token index ∉ any cut span) — no
+    * UDF, no explode of the token stream, no text shuffle. */
+  private def applyCuts(docs: DataFrame, text: Column, id: Column,
+      cuts: DataFrame, k: Int): DataFrame = {
     // merged cut intervals, collapsed to one small row per affected doc
     val spans = mergedSpans(cuts, k)
       .groupBy(col("id"))

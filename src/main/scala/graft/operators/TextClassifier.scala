@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.TextHash
+import graft.expressions.TextHashImpl.langStopwords
+import graft.functions.TextFunctions
+
+/** Distributed trained quality/language classifier — the
+  * "fasttext-style filter" stage of a training-data pipeline: learn a
+  * linear model over the engine's own cheap text features (the t06
+  * quality components + stopword densities), then score every document
+  * in one codegen pass. The hand-tuned t06 heuristic becomes a LEARNED
+  * weighting.
+  *
+  * Scale shape, per training round: ONE partial+final aggregation over
+  * the (cached, ~40 bytes/doc) feature table — d+1 integer gradient
+  * sums and a count reach the driver, nothing else. Scoring is a pure
+  * row map + the output sort. Both survive 1000 executors unchanged.
+  *
+  * Bit-portability is designed in, so the DuckDB oracle can replay the
+  * ENTIRE training statically (no dump-time inlining — stronger than
+  * the v19/t42 precedent):
+  *  - the link is the SOFTSIGN sigmoid σ(z) = 0.5 + 0.5·z/(1+|z|) —
+  *    only +,−,×,÷,abs, all IEEE-754 correctly-rounded, unlike exp();
+  *    two engines computing the same expression shape get the same
+  *    bits,
+  *  - per-document gradient contributions quantize to 1e-6 INTEGERS
+  *    (floor(g·1e6 + 0.5) — the Math.round contract used across the
+  *    engine), so the cross-document sum is exact integer arithmetic:
+  *    order-independent under any partitioning, any engine,
+  *  - every feature is a ratio/min of exact integers (division is
+  *    correctly rounded), and z folds left-to-right in both engines.
+  * Weights therefore never need rounding: they are bit-identical
+  * functions of the corpus in both engines.
+  */
+object TextClassifier {
+
+  /** Gradient-quantization grid: contributions round to 1e-6. */
+  private val Q = 1000000.0
+
+  /** Feature columns over a text column — x1..x4 in [0,1]: length
+    * ramp, non-punctuation fraction, English stopword density,
+    * duplicate-token fraction (the t06 quality components + the t18
+    * repetition signal). Each is the exact-integer-ratio form whose
+    * DuckDB twin is bit-identical. */
+  def features(text: Column): Seq[Column] = {
+    // one fused scan for (chars, punct, toks) — the qualityScore
+    // counts with RE2-\s / code-point semantics, so the regex twins in
+    // the oracle stay bit-exact (a Java-regex count here would diverge
+    // on \x0B and non-BMP code points); the three getItems collapse to
+    // one kernel eval under projection-level subexpression elimination
+    val qs = TextHash.qualityStats(text)
+    val chars = greatest(qs.getItem(0), lit(1.0))
+    val punct = qs.getItem(1)
+    val toks = greatest(qs.getItem(2), lit(1.0))
+    val stopEn = TextHash.stopwordHits(text, 0).cast("double")
+    Seq(
+      least(chars / 500.0, lit(1.0)),
+      lit(1.0) - punct / chars,
+      least(stopEn * 10.0 / toks, lit(1.0)),
+      TextHash.repetitionStats(text).getItem(0))
+  }
+
+  /** σ(z) − y and z = w·x, folded left-to-right — the single
+    * expression shape both engines share. */
+  private def zOf(ws: Array[Double], xs: Seq[Column]): Column =
+    xs.zip(ws.tail).foldLeft(lit(ws.head): Column) {
+      case (acc, (x, w)) => acc + x * lit(w)
+    }
+
+  private def softsign(z: Column): Column =
+    lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))
+
+  /** Train `rounds` full-batch gradient steps from w = 0. `label` must
+    * be 0.0/1.0. Returns the learned weights (bias first). The feature
+    * table is computed once and cached — each round is one aggregate
+    * over it. */
+  def fit(docs: DataFrame, text: Column, label: Column,
+      lr: Double = 8.0, rounds: Int = 30): Array[Double] = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val xs = features(text)
+    val feat = docs
+      .filter(text.isNotNull)
+      .select((label.cast("double").as("y") +:
+        xs.zipWithIndex.map { case (x, i) => x.as(s"x${i + 1}") }): _*)
+      .cache()
+    try {
+      val d = xs.size
+      var w = new Array[Double](d + 1)
+      for (_ <- 1 to rounds) {
+        val fxs = (1 to d).map(i => col(s"x$i"))
+        val margin = softsign(zOf(w, fxs)) - col("y")
+        val grads = (lit(1.0) +: fxs).zipWithIndex.map { case (x, j) =>
+          sum(floor(margin * x * lit(Q) + lit(0.5)).cast("long")).as(s"g$j")
+        }
+        val row = feat.agg(grads.head, (grads.tail :+ count(lit(1)).as("n")): _*)
+          .collect().head
+        val n = row.getAs[Long]("n").toDouble
+        w = w.indices.map(j =>
+          w(j) - lr * (row.getAs[Long](s"g$j").toDouble / (n * Q))).toArray
+      }
+      w
+    } finally { feat.unpersist() }
+  }
+
+  /** Score every document under learned weights: (id, y, score, pred)
+    * — score is σ(w·x) on the 1e-6 grid (exact both engines), pred the
+    * 0.5 threshold. A pure row map over one corpus scan. */
+  def score(docs: DataFrame, text: Column, id: Column, label: Column,
+      w: Array[Double]): DataFrame = {
+    val s = softsign(zOf(w, features(text)))
+    docs
+      .filter(text.isNotNull)
+      .select(id.as("id"), label.cast("long").as("y"),
+        (floor(s * lit(Q) + lit(0.5)).cast("long") / lit(Q)).as("score"))
+      .withColumn("pred", (col("score") >= 0.5).cast("long"))
+  }
+
+  /** DuckDB twin: the full train-then-score pipeline as ONE static SQL
+    * query — feature CTE, one weight CTE per round (cross-joined
+    * 1-row tables), final scoring. Textually adjacent to the engine
+    * code above so the expression shapes cannot drift. */
+  def oracleSql(textCol: String, labelPred: String, idCol: String,
+      lr: Double = 8.0, rounds: Int = 30): String = {
+    import TextFunctions.Sql
+    val d = 4
+    val chars = s"CAST(greatest(length($textCol), 1) AS DOUBLE)"
+    val punct = s"CAST(len(regexp_extract_all($textCol, '[^a-zA-Z0-9\\s]')) AS DOUBLE)"
+    val toks = s"CAST(greatest(${Sql.tokenCount(textCol)}, 1) AS DOUBLE)"
+    val stopEn = s"CAST(${Sql.stopwordHits(textCol, langStopwords.head._2)} AS DOUBLE)"
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and the 30-round weight chain re-references the
+    // previous round ~10 times — inlining would blow up the plan (and
+    // the parquet reader count) exponentially; materialized, the
+    // replay is 30 small scalar aggregates over one cached feature set
+    val feats =
+      s"""feats AS MATERIALIZED (SELECT $idCol AS id,
+         |  CAST(CASE WHEN $labelPred THEN 1 ELSE 0 END AS DOUBLE) AS y,
+         |  least($chars / 500.0, 1.0) AS x1,
+         |  1.0 - $punct / $chars AS x2,
+         |  least($stopEn * 10.0 / $toks, 1.0) AS x3,
+         |  ${Sql.dupTokenFrac(textCol)} AS x4
+         |FROM documents WHERE $textCol IS NOT NULL)""".stripMargin
+    // z folds left-to-right exactly like zOf; σ is the same softsign
+    def z(wRef: String) =
+      (1 to d).foldLeft(s"$wRef.w0")((acc, j) => s"($acc + x$j * $wRef.w$j)")
+    def sig(e: String) = s"(0.5 + 0.5 * (($e) / (1.0 + abs($e))))"
+    val w0 = s"w0 AS MATERIALIZED (SELECT ${(0 to d).map(j => s"0.0 AS w$j").mkString(", ")})"
+    val roundCtes = (1 to rounds).flatMap { r =>
+      val prev = s"w${r - 1}"
+      val margin = s"(${sig(z(prev))} - y)"
+      val gs = (0 to d).map { j =>
+        val x = if (j == 0) "1.0" else s"x$j"
+        s"sum(CAST(floor((($margin * $x) * ${fmt(Q)}) + 0.5) AS BIGINT)) AS g$j"
+      }
+      Seq(
+        s"g$r AS MATERIALIZED (SELECT ${gs.mkString(", ")}, count(*) AS n FROM feats, $prev)",
+        s"w$r AS MATERIALIZED (SELECT ${(0 to d).map(j =>
+          s"$prev.w$j - ${fmt(lr)} * (CAST(g$r.g$j AS DOUBLE) / (CAST(g$r.n AS DOUBLE) * ${fmt(Q)})) AS w$j")
+          .mkString(", ")} FROM $prev, g$r)")
+    }
+    val wf = s"w$rounds"
+    s"""WITH ${(Seq(feats, w0) ++ roundCtes).mkString(",\n")}
+       |SELECT id AS $idCol, CAST(y AS BIGINT) AS y,
+       |  CAST(floor(${sig(z(wf))} * ${fmt(Q)} + 0.5) AS BIGINT) / ${fmt(Q)} AS score,
+       |  CAST(CASE WHEN CAST(floor(${sig(z(wf))} * ${fmt(Q)} + 0.5) AS BIGINT) / ${fmt(Q)} >= 0.5
+       |       THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM feats, $wf ORDER BY id""".stripMargin
+  }
+
+  /** Render a double so DuckDB parses the identical value ("4.0", not
+    * "4"). */
+  private def fmt(x: Double): String =
+    if (x == math.floor(x) && math.abs(x) < 1e15) s"${x.toLong}.0"
+    else x.toString
+}

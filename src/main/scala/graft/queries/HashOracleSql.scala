@@ -427,10 +427,16 @@ object HashOracleSql {
     * and the span sets compare hash-exact. Cross-document test is the
     * same min≠max trick; the interval merge is the same
     * max-over-preceding run split (`>` so abutting windows merge). */
-  def duplicateSpans(k: Int): String = {
+  def duplicateSpans(k: Int, emitPred: Option[String] = None): String = {
+    // emitPred restricts which documents' spans EMIT (t51/s22's
+    // incremental claim: spans of the new docs computed against the
+    // stored index == this full-corpus recompute filtered to them);
+    // gram qualification always sees the whole corpus, and the run
+    // merge is per-doc, so filtering hits == filtering output
+    val emit = emitPred.map(p => s" WHERE $p").getOrElse("")
     val ctes = gramCtes(k) ++ Seq(
       "dups AS (SELECT gh FROM grams GROUP BY gh HAVING min(doc_id) <> max(doc_id))",
-      "hits AS (SELECT doc_id, start0 FROM grams JOIN dups USING (gh))") ++
+      s"hits AS (SELECT doc_id, start0 FROM grams JOIN dups USING (gh)$emit)") ++
       runCtes("hits", k)
     "WITH " + ctes.mkString(",\n") +
       s"""
@@ -477,15 +483,24 @@ object HashOracleSql {
     * and the cleaned text is rebuilt from the `tok` CTE's (token, pos)
     * rows minus the covered positions (pos is 1-based, spans 0-based).
     * Patch semantics: only documents with ≥1 cut emit. */
-  def cutSpans(k: Int): String = {
+  def cutSpans(k: Int, canonicalPriority: Option[String] = None,
+      emitPred: Option[String] = None): String = {
+    // canonicalPriority prepends a sort key to the canonical-occurrence
+    // ordering (t52's stored-corpus-wins claim: old docs sort first, so
+    // the published copy always survives); emitPred restricts which
+    // documents' patches EMIT — cut membership of an occurrence only
+    // affects its own document's spans, so filtering cuts == filtering
+    // output (the t51 argument, applied to the cut side)
+    val pri = canonicalPriority.map(p => s"$p, ").getOrElse("")
+    val emit = emitPred.map(p => s" AND ($p)").getOrElse("")
     val ctes = gramCtes(k) ++ Seq(
       "firsts AS (SELECT doc_id, start0, " +
         "min(doc_id) OVER wg AS d0, max(doc_id) OVER wg AS d1, " +
         "first_value(doc_id) OVER wo AS cdoc, first_value(start0) OVER wo AS cstart " +
         "FROM grams WINDOW wg AS (PARTITION BY gh), " +
-        "wo AS (PARTITION BY gh ORDER BY doc_id, start0))",
+        s"wo AS (PARTITION BY gh ORDER BY ${pri}doc_id, start0))",
       "cuts AS (SELECT doc_id, start0 FROM firsts " +
-        "WHERE d0 <> d1 AND NOT (doc_id = cdoc AND start0 = cstart))") ++
+        s"WHERE d0 <> d1 AND NOT (doc_id = cdoc AND start0 = cstart)$emit)") ++
       runCtes("cuts", k) ++ Seq(
         s"spans AS (SELECT doc_id, run, min(start0) AS span_start, max(start0) + $k AS span_end " +
           "FROM runs GROUP BY doc_id, run)",

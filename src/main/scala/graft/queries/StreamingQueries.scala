@@ -700,6 +700,35 @@ object StreamingQueries {
             state, batch, TextQueries.prebuiltPairs(s, d)))
         .select(col("id").as("doc_id"), col("rep").as("rep_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // STREAMING span detection: t51's incremental contract with the
+    // increment arriving as micro-batches — per batch, only the
+    // text-touching kernel pass runs ([[SpanDedup.gramsOf]], the s19
+    // discipline: text never crosses a batch boundary; the fold state
+    // is narrow (id, start0, gh) hash rows). Cross-doc qualification
+    // is corpus-GLOBAL — a gram in batch 1 can become duplicated when
+    // its twin arrives in batch 3 — so detection assembles once at
+    // serve time over the folded grams + the stored index, making the
+    // answer invariant to the stream's slicing. Oracle: t51's verbatim
+    // (full-recompute equality) — slicing must not change a span.
+    sql(
+      "s22_stream_spans",
+      HashOracleSql.duplicateSpans(k = 8, emitPred = Some("doc_id % 5 = 0"))) { (s, d) =>
+      import graft.operators.SpanDedup
+      import s.implicits._
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(documentSliceDir(s, d))
+        .filter(col("doc_id") % 5 === 0)
+      val init = Seq.empty[(Long, Int, Long)].toDF("id", "start0", "gh")
+      val grams = StreamingRelational.oneShotFold(s, stream, init,
+        (state, batch) => state.unionByName(
+          SpanDedup.gramsOf(batch, col("text"), col("doc_id"), 8)))
+      SpanDedup.spansFromGrams(grams, TextQueries.spanGramIndex(s, d), 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))
     }
   )
 

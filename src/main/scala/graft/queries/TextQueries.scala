@@ -1077,6 +1077,70 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // t49 made INCREMENTAL — span detection for an arriving increment
+    // (doc_id % 5 = 0, the t25 old/new split) against the persisted
+    // gram index of the existing corpus: a new doc's gram qualifies
+    // iff it exists in the stored index or ≥2 distinct new docs carry
+    // it, which is exactly t49's full-corpus gram groups restricted to
+    // the new docs. The old corpus's TEXT is never re-scanned — the
+    // index side shuffles bare (gh) rows; the increment's kernel pass
+    // runs once. Oracle: full-recompute equality — t49's whole-corpus
+    // SQL with emission filtered to the increment (the t40 claim
+    // form), the strongest oracle an incremental operator gets.
+    sql(
+      "t51_incremental_spans",
+      HashOracleSql.duplicateSpans(k = 8, emitPred = Some("doc_id % 5 = 0"))) { (s, d) =>
+      graft.operators.SpanDedup.spansAgainstIndex(
+          Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+          col("text"), col("doc_id"), spanGramIndex(s, d), k = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // t50 made INCREMENTAL — span CUTTING for the arriving increment
+    // against the same stored gram index, stored-corpus-wins: the
+    // published corpus never changes, so every increment occurrence of
+    // an indexed gram is cut outright; grams the index has never seen
+    // fall back to t50's keep-the-first rule WITHIN the increment.
+    // Only the increment runs the gram kernel and the patch overlay.
+    // Oracle: t50's full-corpus SQL with old-docs-first canonical
+    // ordering and emission restricted to the increment — the
+    // full-recompute-equality claim for the cut side.
+    sql(
+      "t52_incremental_cut",
+      HashOracleSql.cutSpans(k = 8,
+        canonicalPriority = Some("(doc_id % 5 = 0)"),
+        emitPred = Some("doc_id % 5 = 0"))) { (s, d) =>
+      graft.operators.SpanDedup.cutSpansAgainstIndex(
+          Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+          col("text"), col("doc_id"), spanGramIndex(s, d), k = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // TRAINED quality classifier (the fasttext-style filter stage): 30
+    // full-batch gradient rounds learn to weight the engine's own cheap
+    // text features (t06's quality components + the t18 repetition
+    // signal) against a metadata-derived weak label (n_chars > 300 —
+    // the stand-in for provenance labels like wiki-vs-crawl), then one
+    // codegen pass scores every document from TEXT alone (~98% accuracy
+    // at sf0.01). Per round exactly 5 integer gradient sums + a count
+    // reach the driver. The softsign link and integer-quantized
+    // gradient sums make training BIT-PORTABLE, so the oracle replays
+    // the whole fit in static DuckDB CTEs — no dump-time state
+    // inlining, the strongest trained-model oracle in the engine.
+    sql(
+      "t53_quality_classifier",
+      graft.operators.TextClassifier.oracleSql("text", "n_chars > 300", "doc_id")) { (s, d) =>
+      import graft.operators.TextClassifier
+      val docs = Tables.documents(s, d)
+      val label = when(col("n_chars") > 300, 1.0).otherwise(0.0)
+      val w = TextClassifier.fit(docs, col("text"), label)
+      TextClassifier.score(docs, col("text"), col("doc_id"), label, w)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // t29's production twin over the same prebuilt components table:
     // the split assignment is md5-bucket arithmetic on the cluster id —
     // with the clustering amortized, a leakage-safe split costs one
@@ -1662,6 +1726,27 @@ object TextQueries {
         Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0),
         col("text"), col("doc_id"), threshold = 0.5)
       Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+    s.read.parquet(path)
+  }
+
+  /** Prebuilt gram index of the "existing" corpus (doc_id % 5 ≠ 0, the
+    * t25 old/new split) — the stored table [[graft.operators.SpanDedup
+    * .spansAgainstIndex]] serves span detection from without ever
+    * re-scanning the old corpus's text. Written once per data dir
+    * (dedupIndex's idiom); at scale it would be bucketed by gh. */
+  private val spanIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def spanGramIndex(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val path = spanIndexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "span-gram-index")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      graft.operators.SpanDedup.gramIndex(
+          Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0),
+          col("text"), col("doc_id"), k = 8)
         .write.mode("overwrite").parquet(dir.toString)
       dir.toString
     })

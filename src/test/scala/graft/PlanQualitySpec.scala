@@ -1068,4 +1068,67 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!shuffles.exists(_.contains("text")),
       s"document text must never shuffle:\n${shuffles.mkString("\n")}")
   }
+
+  test("t51: incremental spans hash only the increment's text; the stored index serves bare gram hashes") {
+    val p = plan("t51_incremental_spans")
+    // ONE kernel pass — the increment; the old corpus's text is never
+    // re-scanned (its parquet scan is the gh-only index)
+    assert(nodeFree(p, "shingle_hashes") == 1,
+      s"only the increment may run the gram kernel:\n$p")
+    assert(nodeCount(p, "Scan parquet") == 2,
+      s"increment scan + index scan, nothing else:\n$p")
+    val reads = p.linesIterator.filter(_.startsWith("ReadSchema")).toSeq
+    assert(reads.count(_.contains("text")) == 1,
+      s"exactly one scan (the increment) may read text:\n${reads.mkString("\n")}")
+    assert(reads.exists(r => r.contains("gh") && !r.contains("text")),
+      s"the index scan must prune to the gram hash:\n${reads.mkString("\n")}")
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"))
+    val shuffles = p.linesIterator.filter(_.trim.startsWith("Arguments: hashpartitioning")).toSeq
+    assert(!shuffles.exists(_.contains("text")),
+      s"document text must never shuffle:\n${shuffles.mkString("\n")}")
+    // gh window (+ possibly the index join) + id window + output sort
+    assert(nodeCount(p, "Exchange") <= 4,
+      s"expected gh-side, id-window, output-sort exchanges only:\n$p")
+  }
+
+  test("t52: incremental cut runs the kernel on the increment only; the patch broadcasts onto its second scan") {
+    val p = plan("t52_incremental_cut")
+    assert(nodeFree(p, "shingle_hashes") == 1,
+      s"only the increment may run the gram kernel:\n$p")
+    // increment gram pass + index + increment cut pass — the stored
+    // corpus's text is never touched
+    assert(nodeCount(p, "Scan parquet") == 3,
+      s"increment ×2 + index scans, nothing else:\n$p")
+    val reads = p.linesIterator.filter(_.startsWith("ReadSchema")).toSeq
+    assert(reads.count(_.contains("text")) == 2,
+      s"exactly the two increment scans may read text:\n${reads.mkString("\n")}")
+    assert(reads.exists(r => r.contains("gh") && !r.contains("text")),
+      s"the index scan must prune to the gram hash:\n${reads.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-doc interval lists must broadcast onto the text scan:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"))
+    val shuffles = p.linesIterator.filter(_.trim.startsWith("Arguments: hashpartitioning")).toSeq
+    assert(!shuffles.exists(_.contains("text")),
+      s"document text must never shuffle:\n${shuffles.mkString("\n")}")
+  }
+
+  test("t53: classifier scoring is fused codegen kernels over one scan — no UDF, no shuffle before the sort") {
+    // building the query runs fit() (30 driver-coordinated aggregate
+    // rounds); the returned plan is the SCORING pass under the learned
+    // weights — a pure row map, the shape that serves at any scale
+    val p = plan("t53_quality_classifier")
+    assert(!p.contains("ScalaUDF"), s"features must be native kernels:\n$p")
+    assert(p.contains("quality_stats") && p.contains("repetition_stats") &&
+      p.contains("stopword_hits"), s"the fused kernels must appear:\n$p")
+    assert(nodeCount(p, "Scan parquet") == 1,
+      s"scoring reads the corpus once:\n$p")
+    // a row map: the only exchange is the deterministic output sort
+    assert(nodeCount(p, "Exchange") <= 1,
+      s"scoring must not shuffle:\n$p")
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"scan must prune to (doc_id, text, n_chars): $read")
+  }
 }

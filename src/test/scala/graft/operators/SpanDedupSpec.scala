@@ -114,4 +114,113 @@ class SpanDedupSpec extends AnyFunSuite with SparkTestSupport {
     val out = cuts(4, 1L -> t, 2L -> t)
     assert(out === Seq((2L, 1L, 8L, 0L, "")))
   }
+
+  // ---- incremental detection against a stored gram index (t51/s22) ----
+
+  private def df(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    docs.toDF("id", "text")
+  }
+
+  private val sharedOldNew = (0 until 8).map(i => s"common$i").mkString(" ")
+  private val sharedNewNew = (0 until 8).map(i => s"fresh$i").mkString(" ")
+  private val oldDocs = Seq(
+    1L -> s"alpha beta $sharedOldNew gamma",
+    2L -> "completely unrelated archive content sits here quietly")
+  // new docs exercise every qualification case: old↔new (100), new↔new
+  // (101/102), intra-doc repeat only (103 — must NOT qualify), clean (104)
+  private val newDocs = Seq(
+    100L -> s"intro $sharedOldNew outro",
+    101L -> s"lead $sharedNewNew coda",
+    102L -> s"$sharedNewNew trailing words here",
+    103L -> "loop pattern here again loop pattern here again",
+    104L -> "nothing shared with anyone at all today truly")
+
+  test("incremental: spans against the stored index == full recompute restricted to the new docs") {
+    val index = SpanDedup.gramIndex(df(oldDocs), col("text"), col("id"), k = 4)
+    val inc = SpanDedup
+      .spansAgainstIndex(df(newDocs), col("text"), col("id"), index, k = 4)
+      .orderBy(col("id"), col("span_start")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val full = SpanDedup
+      .duplicateSpans(df(oldDocs ++ newDocs), col("text"), col("id"), k = 4)
+      .filter(col("id") >= 100L)
+      .orderBy(col("id"), col("span_start")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(inc === full)
+    // the fixture is live: old↔new and new↔new both fire, the
+    // intra-doc-repeat-only and clean docs stay out
+    assert(inc.map(_._1).distinct === Seq(100L, 101L, 102L))
+  }
+
+  test("gram index maintenance: folding increments reproduces the full rebuild under any slicing") {
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy(col("gh")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val all = df(oldDocs ++ newDocs)
+    val rebuild = rows(SpanDedup.gramIndex(all, col("text"), col("id"), k = 4))
+    // two-way: old then new
+    val twoWay = SpanDedup.mergeGramIndex(
+      SpanDedup.gramIndex(df(oldDocs), col("text"), col("id"), k = 4),
+      SpanDedup.gramIndex(df(newDocs), col("text"), col("id"), k = 4))
+    assert(rows(twoWay) === rebuild)
+    // uneven three-way slicing, folded left-to-right
+    val slices = Seq(oldDocs.take(1), oldDocs.drop(1) ++ newDocs.take(2), newDocs.drop(2))
+    val folded = slices.map(s => SpanDedup.gramIndex(df(s), col("text"), col("id"), k = 4))
+      .reduce(SpanDedup.mergeGramIndex)
+    assert(rows(folded) === rebuild)
+  }
+
+  private def cutInc(k: Int, old: Seq[(Long, String)], neu: Seq[(Long, String)]) = {
+    val index = SpanDedup.gramIndex(df(old), col("text"), col("id"), k)
+    SpanDedup.cutSpansAgainstIndex(df(neu), col("text"), col("id"), index, k)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+  }
+
+  test("incremental cut: equals the full-corpus cut restricted to new docs when old ids precede") {
+    val inc = cutInc(4, oldDocs, newDocs)
+    val full = SpanDedup
+      .cutDuplicateSpans(df(oldDocs ++ newDocs), col("text"), col("id"), k = 4)
+      .filter(col("id") >= 100L)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+    assert(inc === full)
+    // live fixture: the old↔new doc loses its shared run, the new↔new
+    // pair keeps exactly one copy (in the lexicographically first doc)
+    assert(inc.map(_._1) === Seq(100L, 102L))
+  }
+
+  test("incremental cut: the stored corpus wins even when a new doc's id would sort first") {
+    val g = "alpha bravo charlie delta"
+    // new id 5 < old id 10: a plain full recompute would keep doc 5's
+    // copy and cut doc 10 — but doc 10 is PUBLISHED, so the increment's
+    // copy must be the one cut (stored-corpus-wins)
+    val out = cutInc(4,
+      old = Seq(10L -> s"intro $g outro"),
+      neu = Seq(5L -> s"start $g end words"))
+    assert(out === Seq((5L, 1L, 7L, 3L, "start end words")))
+  }
+
+  test("incremental cut: an indexed gram cuts ALL increment occurrences, including intra-doc repeats") {
+    val g = "one two three four"
+    val out = cutInc(4,
+      old = Seq(1L -> s"prefix $g suffix"),
+      neu = Seq(100L -> s"$g middle filler words $g"))
+    assert(out === Seq((100L, 2L, 11L, 3L, "middle filler words")))
+  }
+
+  test("incremental: a gram present only in ONE old and ONE new doc still qualifies via the index") {
+    // the stored side's occurrence count is 1 — qualification must come
+    // from index MEMBERSHIP, not from a ≥2 threshold on either side
+    val g = "quick brown foxes jump"
+    val index = SpanDedup.gramIndex(
+      df(Seq(1L -> s"prefix $g suffix")), col("text"), col("id"), k = 4)
+    val out = SpanDedup.spansAgainstIndex(
+        df(Seq(200L -> s"start $g end")), col("text"), col("id"), index, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((200L, 1L, 5L)))
+  }
 }
