@@ -118,6 +118,64 @@ object TextClassifier {
       .withColumn("pred", (col("score") >= 0.5).cast("long"))
   }
 
+  /** Precision/recall/F1 sweep over score thresholds — the evaluation
+    * stage that decides where to place a filter's cutoff. Scores bin
+    * to a 1/50 grid (one partial+final aggregate over the scored
+    * corpus), then cumulative-from-the-top window sums over the ≤51
+    * bin rows give TP/FP/FN at every occupied threshold: the window
+    * runs on dimension-sized data, never the corpus. All divisions are
+    * exact-integer ratios (correctly rounded, bit-portable); emitted
+    * metrics land on the 1e-6 grid. */
+  def prCurve(scored: DataFrame): DataFrame = {
+    val bins = scored
+      .groupBy(floor(col("score") * lit(50.0)).cast("long").as("bin"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("n"))
+    val desc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    def r6(c: Column): Column =
+      floor(c * lit(Q) + lit(0.5)).cast("long") / lit(Q)
+    val cum = bins
+      .withColumn("tp", sum(col("pos")).over(desc))
+      .withColumn("npred", sum(col("n")).over(desc))
+      .withColumn("tot", sum(col("pos")).over(all))
+    val p = col("tp").cast("double") / col("npred").cast("double")
+    val r = col("tp").cast("double") / col("tot").cast("double")
+    cum.select(
+        (col("bin").cast("double") / lit(50.0)).as("thr"),
+        col("tp").cast("long").as("tp"),
+        (col("npred") - col("tp")).cast("long").as("fp"),
+        (col("tot") - col("tp")).cast("long").as("fn"),
+        r6(p).as("precision"), r6(r).as("recall"),
+        r6(when(p + r === 0.0, 0.0)
+          .otherwise(lit(2.0) * p * r / (p + r))).as("f1"))
+  }
+
+  /** DuckDB twin of [[prCurve]] over a scored-rows subquery (the t53
+    * oracle nests verbatim — the v20/v27 whole-oracle-as-leg
+    * precedent). */
+  def prCurveOracleSql(scoredSql: String, idCol: String): String = {
+    val p = "(CAST(tp AS DOUBLE) / CAST(npred AS DOUBLE))"
+    val r = "(CAST(tp AS DOUBLE) / CAST(tot AS DOUBLE))"
+    def r6(e: String) = s"CAST(floor(($e) * ${fmt(Q)} + 0.5) AS BIGINT) / ${fmt(Q)}"
+    s"""WITH scored AS MATERIALIZED ($scoredSql),
+       |b AS (SELECT CAST(floor(score * 50.0) AS BIGINT) AS bin,
+       |        sum(y) AS pos, count(*) AS n FROM scored GROUP BY 1),
+       |c AS (SELECT bin,
+       |        sum(pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |        sum(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS npred,
+       |        sum(pos) OVER () AS tot FROM b)
+       |SELECT CAST(bin AS DOUBLE) / 50.0 AS thr,
+       |  CAST(tp AS BIGINT) AS tp, CAST(npred - tp AS BIGINT) AS fp,
+       |  CAST(tot - tp AS BIGINT) AS fn,
+       |  ${r6(p)} AS precision, ${r6(r)} AS recall,
+       |  ${r6(s"CASE WHEN $p + $r = 0.0 THEN 0.0 ELSE (2.0 * $p * $r) / ($p + $r) END")} AS f1
+       |FROM c ORDER BY thr""".stripMargin
+  }
+
   /** DuckDB twin: the full train-then-score pipeline as ONE static SQL
     * query — feature CTE, one weight CTE per round (cross-joined
     * 1-row tables), final scoring. Textually adjacent to the engine

@@ -1133,12 +1133,29 @@ object TextQueries {
       "t53_quality_classifier",
       graft.operators.TextClassifier.oracleSql("text", "n_chars > 300", "doc_id")) { (s, d) =>
       import graft.operators.TextClassifier
-      val docs = Tables.documents(s, d)
-      val label = when(col("n_chars") > 300, 1.0).otherwise(0.0)
-      val w = TextClassifier.fit(docs, col("text"), label)
-      TextClassifier.score(docs, col("text"), col("doc_id"), label, w)
+      TextClassifier.score(Tables.documents(s, d), col("text"), col("doc_id"),
+          classifierLabel, classifierWeights(s, d))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    },
+
+    // The classifier's EVALUATION stage: precision/recall/F1 at every
+    // occupied score threshold (1/50 grid) — how a pipeline picks the
+    // filter cutoff. One partial+final aggregate bins the scored
+    // corpus; the cumulative TP/FP window runs over ≤51 bin rows, never
+    // the corpus. Training is shared with t53 (one fit per data dir);
+    // the oracle nests t53's full train-then-score SQL as a
+    // materialized leg (v20/v27 precedent) and replays the same bins.
+    sql(
+      "t54_classifier_pr",
+      graft.operators.TextClassifier.prCurveOracleSql(
+        graft.operators.TextClassifier.oracleSql("text", "n_chars > 300", "doc_id"),
+        "doc_id")) { (s, d) =>
+      import graft.operators.TextClassifier
+      TextClassifier.prCurve(
+          TextClassifier.score(Tables.documents(s, d), col("text"), col("doc_id"),
+            classifierLabel, classifierWeights(s, d)))
+        .orderBy(col("thr"))
     },
 
     // t29's production twin over the same prebuilt components table:
@@ -1752,6 +1769,21 @@ object TextQueries {
     })
     s.read.parquet(path)
   }
+
+  /** t53/t54's weak label: the metadata-derived quality proxy the
+    * classifier learns to predict from text features alone. */
+  private def classifierLabel = when(col("n_chars") > 300, 1.0).otherwise(0.0)
+
+  /** One classifier fit per data dir, shared by t53 (scoring) and t54
+    * (PR evaluation) — the share-the-training-run idiom used for the
+    * GNG model. Training is deterministic (bit-portable integer
+    * gradient sums), so WHICH query triggers it is immaterial. */
+  private val classifierCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  private def classifierWeights(s: org.apache.spark.sql.SparkSession, d: String): Array[Double] =
+    classifierCache.computeIfAbsent(d, _ =>
+      graft.operators.TextClassifier.fit(
+        Tables.documents(s, d), col("text"), classifierLabel))
 
   /** Prebuilt MinHash signature index of the "existing" corpus
     * (doc_id % 5 ≠ 0), written ONCE per data dir and served from

@@ -1131,4 +1131,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!read.contains("lang") && !read.contains("source"),
       s"scan must prune to (doc_id, text, n_chars): $read")
   }
+
+  test("t54: PR sweep aggregates the corpus once; the cumulative window runs on bin rows only") {
+    val p = plan("t54_classifier_pr")
+    assert(!p.contains("ScalaUDF"))
+    assert(nodeCount(p, "Scan parquet") == 1,
+      s"the scored corpus is read once:\n$p")
+    // corpus → bins is partial+final; everything after is ≤51 rows
+    assert(nodeCount(p, "HashAggregate") >= 2,
+      s"binning must be partial+final:\n$p")
+    // the ONLY corpus-sized shuffle is the bin aggregation; the window
+    // and output sort move bin rows
+    val shuffles = p.linesIterator.filter(_.trim.startsWith("Arguments: hashpartitioning")).toSeq
+    assert(!shuffles.exists(_.contains("text")),
+      s"text never shuffles:\n${shuffles.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
 }

@@ -78,6 +78,32 @@ class TextClassifierSpec extends AnyFunSuite with SparkTestSupport {
       math.floor(s * 1000000.0 + 0.5) / 1000000.0 == s })
   }
 
+  test("prCurve matches a hand-computed sweep and its accounting identities") {
+    import spark.implicits._
+    // scores sit mid-bin (never at a bin edge, where the inexact ×50
+    // product could floor either way): bins 5→(y=0), 15→(y=1,y=0),
+    // 45→(y=1,y=1), i.e. thresholds 0.1 / 0.3 / 0.9
+    val scored = Seq(
+      (1L, 0L, 0.11), (2L, 1L, 0.31), (3L, 0L, 0.316), (4L, 1L, 0.91), (5L, 1L, 0.918))
+      .toDF("id", "y", "score")
+    val out = TextClassifier.prCurve(scored)
+      .orderBy(col("thr")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    def r6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    assert(out === Seq(
+      // thr 0.10: everything predicted positive
+      (0.10, 3L, 2L, 0L, r6(3.0 / 5), 1.0, r6(2.0 * (3.0 / 5) * 1.0 / (3.0 / 5 + 1.0))),
+      // thr 0.30: bins ≥ 15 → 4 rows, 3 true positives
+      (0.30, 3L, 1L, 0L, r6(3.0 / 4), 1.0, r6(2.0 * (3.0 / 4) * 1.0 / (3.0 / 4 + 1.0))),
+      // thr 0.90: only the two high-score positives
+      (0.90, 2L, 0L, 1L, 1.0, r6(2.0 / 3), r6(2.0 * 1.0 * (2.0 / 3) / (1.0 + 2.0 / 3)))))
+    // identities: tp+fn == total positives on every row; recall
+    // non-increasing, precision rows well-formed
+    assert(out.forall { case (_, tp, _, fn, _, _, _) => tp + fn == 3L })
+    assert(out.map(_._6) === out.map(_._6).sorted.reverse)
+  }
+
   test("null texts are excluded from training and scoring") {
     import spark.implicits._
     val df = fixture.unionByName(
