@@ -762,6 +762,76 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bigram interpolated surprisal — t26's perplexity filter upgraded
+    // to a first-order LM, still trained on the corpus's OWN text:
+    // s(w2|w1) = −ln(0.7·c(w1,w2)/c(w1·) + 0.3·u(w2)/T), per-doc
+    // bf-weighted mean. The LM is fully derived from the ONE bigram
+    // count table (context totals = row sums, target unigrams = column
+    // sums, T = grand sum — no second corpus pass), which is
+    // Zipf-small and BROADCASTS onto the per-doc side; the only
+    // corpus-sized shuffles are the (doc, bigram) partial+final count
+    // and the per-doc mean. Docs under 2 tokens emit nothing. ln()
+    // cross-engine per t26/t15 precedent (+1e-9 nudge, 4-dp round).
+    sql(
+      "t55_bigram_surprisal",
+      s"""WITH tl AS (
+         |  SELECT doc_id, list_filter(string_split(${Sql.normalizeText("text")}, ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |bg0 AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1])) AS g
+         |  FROM tl WHERE len(t) >= 2),
+         |bg AS (SELECT doc_id, g, count(*) AS bf FROM bg0 GROUP BY doc_id, g),
+         |bi AS (SELECT g, CAST(sum(bf) AS BIGINT) AS c FROM bg GROUP BY g),
+         |ctx AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c) AS BIGINT) AS cw FROM bi GROUP BY 1),
+         |uni AS (SELECT split_part(g, ' ', 2) AS w2, CAST(sum(c) AS BIGINT) AS u FROM bi GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM bi),
+         |per AS (
+         |  SELECT bg.doc_id, bg.bf,
+         |    -ln((0.7 * (CAST(bi.c AS DOUBLE) / ctx.cw)) + (0.3 * (CAST(uni.u AS DOUBLE) / tot.t))) AS s
+         |  FROM bg JOIN bi USING (g)
+         |  JOIN ctx ON ctx.w1 = split_part(bg.g, ' ', 1)
+         |  JOIN uni ON uni.w2 = split_part(bg.g, ' ', 2)
+         |  CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
+         |  round(sum(bf * s) / sum(bf) + 1e-9, 4) AS surprisal
+         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = filter(TextFunctions.tokens(col("text")), t => t =!= lit(""))
+      // the (doc, bigram, bf) table is the LM's training artifact AND
+      // the scoring input — materialize it ONCE (eager localCheckpoint,
+      // the star-contraction idiom; at cluster scale: persist/write it)
+      // so the four LM aggregates and the per-doc side all read the
+      // materialized rows instead of re-running the tokenize kernel
+      // per consumer (join-implied filters make the branches
+      // non-identical, so exchange reuse alone cannot dedup them)
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1), (t, i) -> concat(t, ' ', toks[i + 1]))")).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("bf"))
+        .localCheckpoint()
+      val bi = bg.groupBy(col("g")).agg(sum(col("bf")).as("c"))
+      val ctx = bi.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+        .agg(sum(col("c")).as("cw"))
+      val uni = bi.groupBy(substring_index(col("g"), " ", -1).as("w2"))
+        .agg(sum(col("c")).as("u"))
+      val tot = bi.agg(sum(col("c")).as("t"))
+      bg
+        .join(broadcast(bi), "g")
+        .join(broadcast(ctx), substring_index(col("g"), " ", 1) === col("w1"))
+        .join(broadcast(uni), substring_index(col("g"), " ", -1) === col("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("bf"),
+          (-log((lit(0.7) * (col("c").cast("double") / col("cw"))) +
+            (lit(0.3) * (col("u").cast("double") / col("t"))))).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("bf")).cast("long").as("n_bigrams"),
+          round(sum(col("bf") * col("s")) / sum(col("bf")) + 1e-9, 4).as("surprisal"))
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental dedup: the new crawl batch (doc_id % 5 = 0 stands in
     // for today's increment) matched against the PREBUILT signature
     // index of the existing corpus — written once per dir, read back

@@ -476,6 +476,22 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"corpus text must be tokenized exactly once:\n$p")
   }
 
+  test("t55: bigram surprisal — the LM derives from the materialized count table and broadcasts") {
+    val df = SparkEntry.queries("t55_bigram_surprisal")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the (doc, bigram, bf) table materialized ONCE at build (eager
+    // localCheckpoint): the served plan re-reads rows — the tokenize
+    // kernel and the corpus scan appear ZERO times here
+    assert(!p.contains("normalize_text") && !p.contains("Scan parquet"),
+      s"all consumers must ride the materialized bigram table:\n$p")
+    // all three LM tables (bigram, context, target-unigram) broadcast
+    // onto the per-doc side; nothing sort-merges
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"the Zipf-small LM tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("v14: filtered ANN — the label pre-filter reaches the parquet scan") {
     val p = plan("v14_knn_filtered")
     assert(p.contains("GreaterThanOrEqual(label,5)"),
