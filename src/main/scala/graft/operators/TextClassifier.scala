@@ -78,9 +78,21 @@ object TextClassifier {
     * table is computed once and cached — each round is one aggregate
     * over it. */
   def fit(docs: DataFrame, text: Column, label: Column,
-      lr: Double = 8.0, rounds: Int = 30): Array[Double] = {
+      lr: Double = 8.0, rounds: Int = 30): Array[Double] =
+    fitFrom(docs, text, label, new Array[Double](features(text).size + 1),
+      lr, rounds)
+
+  /** Continue training from stored weights — the warm-start/continual
+    * path when the corpus grows: full-batch GD is memoryless beyond
+    * its weights, so `fitFrom(fit(a rounds), b rounds)` on the same
+    * corpus IS `fit(a+b rounds)`, and refreshing on old∪increment
+    * costs only the new rounds, never a from-zero retrain. */
+  def fitFrom(docs: DataFrame, text: Column, label: Column,
+      init: Array[Double], lr: Double = 8.0, rounds: Int = 30): Array[Double] = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val xs = features(text)
+    require(init.length == xs.size + 1,
+      s"init must have ${xs.size + 1} weights (bias first): ${init.length}")
     val feat = docs
       .filter(text.isNotNull)
       .select((label.cast("double").as("y") +:
@@ -88,7 +100,7 @@ object TextClassifier {
       .cache()
     try {
       val d = xs.size
-      var w = new Array[Double](d + 1)
+      var w = init.clone()
       for (_ <- 1 to rounds) {
         val fxs = (1 to d).map(i => col(s"x$i"))
         val margin = softsign(zOf(w, fxs)) - col("y")
@@ -181,7 +193,23 @@ object TextClassifier {
     * 1-row tables), final scoring. Textually adjacent to the engine
     * code above so the expression shapes cannot drift. */
   def oracleSql(textCol: String, labelPred: String, idCol: String,
-      lr: Double = 8.0, rounds: Int = 30): String = {
+      lr: Double = 8.0, rounds: Int = 30): String =
+    trainScoreSql(textCol, labelPred, idCol, lr, Seq(None -> rounds))
+
+  /** DuckDB twin of the warm-start path (t56): `oldRounds` over the
+    * docs matching `oldPred`, then `newRounds` continuing from those
+    * weights over ALL docs; scoring serves the full corpus. */
+  def warmStartOracleSql(textCol: String, labelPred: String, idCol: String,
+      oldPred: String, lr: Double = 8.0, oldRounds: Int = 30,
+      newRounds: Int = 10): String =
+    trainScoreSql(textCol, labelPred, idCol, lr,
+      Seq(Some(oldPred) -> oldRounds, None -> newRounds))
+
+  /** Phased train-then-score SQL: one feature CTE per phase (each with
+    * an optional extra doc predicate), a continuous chain of weight
+    * CTEs across phases, scoring over the LAST phase's corpus. */
+  private def trainScoreSql(textCol: String, labelPred: String,
+      idCol: String, lr: Double, phases: Seq[(Option[String], Int)]): String = {
     import TextFunctions.Sql
     val d = 4
     val chars = s"CAST(greatest(length($textCol), 1) AS DOUBLE)"
@@ -189,43 +217,53 @@ object TextClassifier {
     val toks = s"CAST(greatest(${Sql.tokenCount(textCol)}, 1) AS DOUBLE)"
     val stopEn = s"CAST(${Sql.stopwordHits(textCol, langStopwords.head._2)} AS DOUBLE)"
     // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
-    // reference, and the 30-round weight chain re-references the
-    // previous round ~10 times — inlining would blow up the plan (and
-    // the parquet reader count) exponentially; materialized, the
-    // replay is 30 small scalar aggregates over one cached feature set
-    val feats =
-      s"""feats AS MATERIALIZED (SELECT $idCol AS id,
+    // reference, and the weight chain re-references the previous round
+    // ~10 times — inlining would blow up the plan (and the parquet
+    // reader count) exponentially; materialized, the replay is one
+    // small scalar aggregate per round over cached feature sets
+    def featsCte(name: String, pred: Option[String]) = {
+      val extra = pred.map(p => s" AND ($p)").getOrElse("")
+      s"""$name AS MATERIALIZED (SELECT $idCol AS id,
          |  CAST(CASE WHEN $labelPred THEN 1 ELSE 0 END AS DOUBLE) AS y,
          |  least($chars / 500.0, 1.0) AS x1,
          |  1.0 - $punct / $chars AS x2,
          |  least($stopEn * 10.0 / $toks, 1.0) AS x3,
          |  ${Sql.dupTokenFrac(textCol)} AS x4
-         |FROM documents WHERE $textCol IS NOT NULL)""".stripMargin
+         |FROM documents WHERE $textCol IS NOT NULL$extra)""".stripMargin
+    }
     // z folds left-to-right exactly like zOf; σ is the same softsign
     def z(wRef: String) =
       (1 to d).foldLeft(s"$wRef.w0")((acc, j) => s"($acc + x$j * $wRef.w$j)")
     def sig(e: String) = s"(0.5 + 0.5 * (($e) / (1.0 + abs($e))))"
     val w0 = s"w0 AS MATERIALIZED (SELECT ${(0 to d).map(j => s"0.0 AS w$j").mkString(", ")})"
-    val roundCtes = (1 to rounds).flatMap { r =>
-      val prev = s"w${r - 1}"
-      val margin = s"(${sig(z(prev))} - y)"
-      val gs = (0 to d).map { j =>
-        val x = if (j == 0) "1.0" else s"x$j"
-        s"sum(CAST(floor((($margin * $x) * ${fmt(Q)}) + 0.5) AS BIGINT)) AS g$j"
-      }
-      Seq(
-        s"g$r AS MATERIALIZED (SELECT ${gs.mkString(", ")}, count(*) AS n FROM feats, $prev)",
-        s"w$r AS MATERIALIZED (SELECT ${(0 to d).map(j =>
-          s"$prev.w$j - ${fmt(lr)} * (CAST(g$r.g$j AS DOUBLE) / (CAST(g$r.n AS DOUBLE) * ${fmt(Q)})) AS w$j")
-          .mkString(", ")} FROM $prev, g$r)")
+    val featsCtes = phases.zipWithIndex.map { case ((pred, _), p) =>
+      featsCte(s"feats$p", pred)
     }
-    val wf = s"w$rounds"
-    s"""WITH ${(Seq(feats, w0) ++ roundCtes).mkString(",\n")}
+    var r = 0
+    val roundCtes = phases.zipWithIndex.flatMap { case ((_, rounds), p) =>
+      (1 to rounds).flatMap { _ =>
+        r += 1
+        val prev = s"w${r - 1}"
+        val margin = s"(${sig(z(prev))} - y)"
+        val gs = (0 to d).map { j =>
+          val x = if (j == 0) "1.0" else s"x$j"
+          s"sum(CAST(floor((($margin * $x) * ${fmt(Q)}) + 0.5) AS BIGINT)) AS g$j"
+        }
+        Seq(
+          s"g$r AS MATERIALIZED (SELECT ${gs.mkString(", ")}, count(*) AS n FROM feats$p, $prev)",
+          s"w$r AS MATERIALIZED (SELECT ${(0 to d).map(j =>
+            s"$prev.w$j - ${fmt(lr)} * (CAST(g$r.g$j AS DOUBLE) / (CAST(g$r.n AS DOUBLE) * ${fmt(Q)})) AS w$j")
+            .mkString(", ")} FROM $prev, g$r)")
+      }
+    }
+    val wf = s"w$r"
+    val serve = s"feats${phases.size - 1}"
+    s"""WITH ${(featsCtes ++ Seq(w0) ++ roundCtes).mkString(",\n")}
        |SELECT id AS $idCol, CAST(y AS BIGINT) AS y,
        |  CAST(floor(${sig(z(wf))} * ${fmt(Q)} + 0.5) AS BIGINT) / ${fmt(Q)} AS score,
        |  CAST(CASE WHEN CAST(floor(${sig(z(wf))} * ${fmt(Q)} + 0.5) AS BIGINT) / ${fmt(Q)} >= 0.5
        |       THEN 1 ELSE 0 END AS BIGINT) AS pred
-       |FROM feats, $wf ORDER BY id""".stripMargin
+       |FROM $serve, $wf ORDER BY id""".stripMargin
   }
 
   /** Render a double so DuckDB parses the identical value ("4.0", not

@@ -729,6 +729,33 @@ object StreamingQueries {
       SpanDedup.spansFromGrams(grams, TextQueries.spanGramIndex(s, d), 8)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // The trained classifier SERVED on the stream — the deployment
+    // mode a learned filter actually runs in: weights are frozen (one
+    // fit per data dir, shared with t53/t54), each micro-batch scores
+    // row-locally (the s13 publish/quarantine discipline with a
+    // LEARNED gate instead of a hand heuristic), and the fold state is
+    // the scored rows themselves. Scoring is per-row, so the answer is
+    // trivially slicing-invariant — the oracle is t53's full
+    // train-then-score SQL VERBATIM (the s19 claim form).
+    sql(
+      "s23_stream_classifier",
+      graft.operators.TextClassifier.oracleSql("text", "n_chars > 300", "doc_id")) { (s, d) =>
+      import graft.operators.TextClassifier
+      import s.implicits._
+      val w = TextQueries.classifierWeights(s, d)
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(documentSliceDir(s, d))
+      val init = Seq.empty[(Long, Long, Double, Long)].toDF("doc_id", "y", "score", "pred")
+      StreamingRelational.oneShotFold(s, stream, init,
+        (state, batch) => state.unionByName(
+          TextClassifier.score(batch, col("text"), col("doc_id"),
+              TextQueries.classifierLabel, w)
+            .withColumnRenamed("id", "doc_id")))
+        .orderBy(col("doc_id"))
     }
   )
 

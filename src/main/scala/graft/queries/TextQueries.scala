@@ -762,6 +762,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // CONTINUAL classifier refresh (the warm-start path): weights
+    // trained on the existing corpus (doc_id % 5 ≠ 0, 30 rounds)
+    // continue for 10 more full-batch rounds when the increment lands —
+    // full-batch GD is memoryless beyond its weights, so the refresh
+    // costs only the new rounds, never a from-zero retrain. Scoring
+    // serves the grown corpus under the refreshed weights. Oracle:
+    // both training phases replayed in one static CTE chain (old-corpus
+    // feats for rounds 1-30, full-corpus feats for 31-40).
+    sql(
+      "t56_classifier_refresh",
+      graft.operators.TextClassifier.warmStartOracleSql(
+        "text", "n_chars > 300", "doc_id", oldPred = "doc_id % 5 <> 0")) { (s, d) =>
+      import graft.operators.TextClassifier
+      TextClassifier.score(Tables.documents(s, d), col("text"), col("doc_id"),
+          classifierLabel, refreshedWeights(s, d))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // Bigram interpolated surprisal — t26's perplexity filter upgraded
     // to a first-order LM, still trained on the corpus's OWN text:
     // s(w2|w1) = −ln(0.7·c(w1,w2)/c(w1·) + 0.3·u(w2)/T), per-doc
@@ -1842,7 +1861,7 @@ object TextQueries {
 
   /** t53/t54's weak label: the metadata-derived quality proxy the
     * classifier learns to predict from text features alone. */
-  private def classifierLabel = when(col("n_chars") > 300, 1.0).otherwise(0.0)
+  private[queries] def classifierLabel = when(col("n_chars") > 300, 1.0).otherwise(0.0)
 
   /** One classifier fit per data dir, shared by t53 (scoring) and t54
     * (PR evaluation) — the share-the-training-run idiom used for the
@@ -1850,10 +1869,23 @@ object TextQueries {
     * gradient sums), so WHICH query triggers it is immaterial. */
   private val classifierCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
 
-  private def classifierWeights(s: org.apache.spark.sql.SparkSession, d: String): Array[Double] =
+  private[queries] def classifierWeights(s: org.apache.spark.sql.SparkSession, d: String): Array[Double] =
     classifierCache.computeIfAbsent(d, _ =>
       graft.operators.TextClassifier.fit(
         Tables.documents(s, d), col("text"), classifierLabel))
+
+  /** t56's warm-started weights: 30 rounds on the existing corpus
+    * (doc_id % 5 ≠ 0), 10 continuation rounds on old ∪ increment. */
+  private val refreshCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  private def refreshedWeights(s: org.apache.spark.sql.SparkSession, d: String): Array[Double] =
+    refreshCache.computeIfAbsent(d, _ => {
+      import graft.operators.TextClassifier
+      val docs = Tables.documents(s, d)
+      val old = TextClassifier.fit(
+        docs.filter(col("doc_id") % 5 =!= 0), col("text"), classifierLabel)
+      TextClassifier.fitFrom(docs, col("text"), classifierLabel, old, rounds = 10)
+    })
 
   /** Prebuilt MinHash signature index of the "existing" corpus
     * (doc_id % 5 ≠ 0), written ONCE per data dir and served from

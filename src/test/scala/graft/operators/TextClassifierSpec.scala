@@ -78,6 +78,14 @@ class TextClassifierSpec extends AnyFunSuite with SparkTestSupport {
       math.floor(s * 1000000.0 + 0.5) / 1000000.0 == s })
   }
 
+  test("warm start is exact continuation: fit(a+b) == fitFrom(fit(a), b) on the same corpus") {
+    val df = fixture
+    val whole = TextClassifier.fit(df, col("text"), col("y"), lr = 8.0, rounds = 9)
+    val a = TextClassifier.fit(df, col("text"), col("y"), lr = 8.0, rounds = 4)
+    val resumed = TextClassifier.fitFrom(df, col("text"), col("y"), a, lr = 8.0, rounds = 5)
+    assert(resumed.toSeq === whole.toSeq) // bit-exact: GD is memoryless beyond w
+  }
+
   test("prCurve matches a hand-computed sweep and its accounting identities") {
     import spark.implicits._
     // scores sit mid-bin (never at a bin edge, where the inexact ×50
