@@ -220,12 +220,6 @@ object TextHashImpl {
     count
   }
 
-  /** [[graft.functions.TextFunctions.qualityScore]] fused into one text
-    * pass: chars / punctuation / \S+-token counts in a single scan plus
-    * the stopword-token count, combined with EXACTLY the same
-    * left-associated double arithmetic and Spark `round` semantics
-    * (BigDecimal HALF_UP on the exact binary value) as the Column
-    * composition it replaces — the DuckDB regex twin stays the oracle. */
   /** The [[qualityScore]] scan's raw counts exposed individually —
     * array<double> [chars, punct, toks] (exact small integers, so the
     * double carriage is lossless) for consumers that LEARN the
@@ -252,6 +246,12 @@ object TextHashImpl {
     new GenericArrayData(Array(nChars.toDouble, punct.toDouble, toks.toDouble))
   }
 
+  /** [[graft.functions.TextFunctions.qualityScore]] fused into one text
+    * pass: chars / punctuation / \S+-token counts in a single scan plus
+    * the stopword-token count, combined with EXACTLY the same
+    * left-associated double arithmetic and Spark `round` semantics
+    * (BigDecimal HALF_UP on the exact binary value) as the Column
+    * composition it replaces — the DuckDB regex twin stays the oracle. */
   def qualityScore(s: UTF8String): Double = {
     val str = s.toString
     var i = 0

@@ -109,6 +109,10 @@ object TextClassifier {
         }
         val row = feat.agg(grads.head, (grads.tail :+ count(lit(1)).as("n")): _*)
           .collect().head
+        // fail fast on a degenerate corpus: with n = 0 the NULL sums
+        // would unbox to 0 and 0.0/0.0 would silently NaN every weight
+        require(row.getAs[Long]("n") > 0L,
+          "classifier training corpus has no non-null-text rows")
         val n = row.getAs[Long]("n").toDouble
         w = w.indices.map(j =>
           w(j) - lr * (row.getAs[Long](s"g$j").toDouble / (n * Q))).toArray
@@ -122,7 +126,12 @@ object TextClassifier {
     * 0.5 threshold. A pure row map over one corpus scan. */
   def score(docs: DataFrame, text: Column, id: Column, label: Column,
       w: Array[Double]): DataFrame = {
-    val s = softsign(zOf(w, features(text)))
+    val xs = features(text)
+    // zOf's zip would silently DROP mismatched weights (e.g. a model
+    // persisted under an older feature set) — refuse instead
+    require(w.length == xs.size + 1,
+      s"weights must have ${xs.size + 1} entries (bias first): ${w.length}")
+    val s = softsign(zOf(w, xs))
     docs
       .filter(text.isNotNull)
       .select(id.as("id"), label.cast("long").as("y"),
@@ -155,7 +164,11 @@ object TextClassifier {
       .withColumn("npred", sum(col("n")).over(desc))
       .withColumn("tot", sum(col("pos")).over(all))
     val p = col("tp").cast("double") / col("npred").cast("double")
-    val r = col("tp").cast("double") / col("tot").cast("double")
+    // tot = 0 (no positive labels anywhere) would make recall 0/0 NaN —
+    // Spark's floor(NaN).cast quietly yields 0 while the DuckDB twin's
+    // CAST raises, so the degenerate case must be defined: recall 0.0
+    val r = when(col("tot") === 0L, 0.0)
+      .otherwise(col("tp").cast("double") / col("tot").cast("double"))
     cum.select(
         (col("bin").cast("double") / lit(50.0)).as("thr"),
         col("tp").cast("long").as("tp"),
@@ -169,9 +182,9 @@ object TextClassifier {
   /** DuckDB twin of [[prCurve]] over a scored-rows subquery (the t53
     * oracle nests verbatim — the v20/v27 whole-oracle-as-leg
     * precedent). */
-  def prCurveOracleSql(scoredSql: String, idCol: String): String = {
+  def prCurveOracleSql(scoredSql: String): String = {
     val p = "(CAST(tp AS DOUBLE) / CAST(npred AS DOUBLE))"
-    val r = "(CAST(tp AS DOUBLE) / CAST(tot AS DOUBLE))"
+    val r = "(CASE WHEN tot = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / CAST(tot AS DOUBLE) END)"
     def r6(e: String) = s"CAST(floor(($e) * ${fmt(Q)} + 0.5) AS BIGINT) / ${fmt(Q)}"
     s"""WITH scored AS MATERIALIZED ($scoredSql),
        |b AS (SELECT CAST(floor(score * 50.0) AS BIGINT) AS bin,

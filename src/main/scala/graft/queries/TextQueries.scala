@@ -1238,8 +1238,7 @@ object TextQueries {
     sql(
       "t54_classifier_pr",
       graft.operators.TextClassifier.prCurveOracleSql(
-        graft.operators.TextClassifier.oracleSql("text", "n_chars > 300", "doc_id"),
-        "doc_id")) { (s, d) =>
+        graft.operators.TextClassifier.oracleSql("text", "n_chars > 300", "doc_id"))) { (s, d) =>
       import graft.operators.TextClassifier
       TextClassifier.prCurve(
           TextClassifier.score(Tables.documents(s, d), col("text"), col("doc_id"),

@@ -112,6 +112,27 @@ class TextClassifierSpec extends AnyFunSuite with SparkTestSupport {
     assert(out.map(_._6) === out.map(_._6).sorted.reverse)
   }
 
+  test("degenerate inputs refuse loudly: empty training corpus, mismatched weight vector") {
+    import spark.implicits._
+    val empty = Seq((1L, null.asInstanceOf[String], 1.0)).toDF("id", "text", "y")
+    val e1 = intercept[IllegalArgumentException] {
+      TextClassifier.fit(empty, col("text"), col("y"), lr = 8.0, rounds = 1)
+    }
+    assert(e1.getMessage.contains("no non-null-text rows"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextClassifier.score(fixture, col("text"), col("id"), col("y"), Array(0.0, 1.0))
+    }
+    assert(e2.getMessage.contains("weights must have"))
+  }
+
+  test("prCurve is defined on a corpus with zero positive labels — recall pins to 0") {
+    import spark.implicits._
+    val scored = Seq((1L, 0L, 0.11), (2L, 0L, 0.91)).toDF("id", "y", "score")
+    val out = TextClassifier.prCurve(scored).orderBy(col("thr")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out === Seq((0.1, 0L, 0.0, 0.0, 0.0), (0.9, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("null texts are excluded from training and scoring") {
     import spark.implicits._
     val df = fixture.unionByName(
