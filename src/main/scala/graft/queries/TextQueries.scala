@@ -793,29 +793,7 @@ object TextQueries {
     // cross-engine per t26/t15 precedent (+1e-9 nudge, 4-dp round).
     sql(
       "t55_bigram_surprisal",
-      s"""WITH tl AS (
-         |  SELECT doc_id, list_filter(string_split(${Sql.normalizeText("text")}, ' '), x -> x <> '') AS t
-         |  FROM documents),
-         |bg0 AS (
-         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
-         |    i -> t[i] || ' ' || t[i+1])) AS g
-         |  FROM tl WHERE len(t) >= 2),
-         |bg AS (SELECT doc_id, g, count(*) AS bf FROM bg0 GROUP BY doc_id, g),
-         |bi AS (SELECT g, CAST(sum(bf) AS BIGINT) AS c FROM bg GROUP BY g),
-         |ctx AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c) AS BIGINT) AS cw FROM bi GROUP BY 1),
-         |uni AS (SELECT split_part(g, ' ', 2) AS w2, CAST(sum(c) AS BIGINT) AS u FROM bi GROUP BY 1),
-         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM bi),
-         |per AS (
-         |  SELECT bg.doc_id, bg.bf,
-         |    -ln((0.7 * (CAST(bi.c AS DOUBLE) / ctx.cw)) + (0.3 * (CAST(uni.u AS DOUBLE) / tot.t))) AS s
-         |  FROM bg JOIN bi USING (g)
-         |  JOIN ctx ON ctx.w1 = split_part(bg.g, ' ', 1)
-         |  JOIN uni ON uni.w2 = split_part(bg.g, ' ', 2)
-         |  CROSS JOIN tot)
-         |SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
-         |  round(sum(bf * s) / sum(bf) + 1e-9, 4) AS surprisal
-         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val toks = filter(TextFunctions.tokens(col("text")), t => t =!= lit(""))
+      bigramSurprisalSql(emitPred = None)) { (s, d) =>
       // the (doc, bigram, bf) table is the LM's training artifact AND
       // the scoring input — materialize it ONCE (eager localCheckpoint,
       // the star-contraction idiom; at cluster scale: persist/write it)
@@ -823,32 +801,27 @@ object TextQueries {
       // materialized rows instead of re-running the tokenize kernel
       // per consumer (join-implied filters make the branches
       // non-identical, so exchange reuse alone cannot dedup them)
-      val bg = Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(slice(toks, 1, size(toks) - 1), (t, i) -> concat(t, ' ', toks[i + 1]))")).as("g"))
-        .groupBy(col("doc_id"), col("g"))
-        .agg(count(lit(1)).as("bf"))
-        .localCheckpoint()
-      val bi = bg.groupBy(col("g")).agg(sum(col("bf")).as("c"))
-      val ctx = bi.groupBy(substring_index(col("g"), " ", 1).as("w1"))
-        .agg(sum(col("c")).as("cw"))
-      val uni = bi.groupBy(substring_index(col("g"), " ", -1).as("w2"))
-        .agg(sum(col("c")).as("u"))
-      val tot = bi.agg(sum(col("c")).as("t"))
-      bg
-        .join(broadcast(bi), "g")
-        .join(broadcast(ctx), substring_index(col("g"), " ", 1) === col("w1"))
-        .join(broadcast(uni), substring_index(col("g"), " ", -1) === col("w2"))
-        .crossJoin(broadcast(tot))
-        .select(col("doc_id"), col("bf"),
-          (-log((lit(0.7) * (col("c").cast("double") / col("cw"))) +
-            (lit(0.3) * (col("u").cast("double") / col("t"))))).as("s"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("bf")).cast("long").as("n_bigrams"),
-          round(sum(col("bf") * col("s")) / sum(col("bf")) + 1e-9, 4).as("surprisal"))
-        .orderBy(col("doc_id"))
+      val bg = bigramCounts(Tables.documents(s, d)).localCheckpoint()
+      bigramScore(bg, bg.groupBy(col("g")).agg(sum(col("bf")).as("c")))
+    },
+
+    // t55 made INCREMENTAL — the LM is a pure count table, so
+    // maintenance is one associative merge: the stored (bigram, count)
+    // index of the existing corpus (doc_id % 5 ≠ 0, persisted once per
+    // dir) absorbs the increment's counts, and only the increment's
+    // text runs the tokenize kernel. Scoring the increment under the
+    // MERGED LM equals the full-corpus recompute restricted to the new
+    // docs (the LM is corpus-global; per-doc restriction is emission
+    // only — the t51 claim form applied to the LM family).
+    sql(
+      "t57_incremental_surprisal",
+      bigramSurprisalSql(emitPred = Some("doc_id % 5 = 0"))) { (s, d) =>
+      val bgNew = bigramCounts(
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 0)).localCheckpoint()
+      val merged = bigramLmIndex(s, d)
+        .unionByName(bgNew.groupBy(col("g")).agg(sum(col("bf")).as("c")))
+        .groupBy(col("g")).agg(sum(col("c")).as("c"))
+      bigramScore(bgNew, merged)
     },
 
     // Incremental dedup: the new crawl batch (doc_id % 5 = 0 stands in
@@ -1852,6 +1825,93 @@ object TextQueries {
       graft.operators.SpanDedup.gramIndex(
           Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0),
           col("text"), col("doc_id"), k = 8)
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+    s.read.parquet(path)
+  }
+
+  /** t55/t57's shared oracle: the bigram-LM surprisal SQL, with
+    * optional emission restriction for the incremental claim (the LM
+    * always sees the whole corpus; filtering `per` rows == filtering
+    * output because the mean is per-doc). */
+  private def bigramSurprisalSql(emitPred: Option[String]): String = {
+    val emit = emitPred.map(p => s" WHERE $p").getOrElse("")
+    s"""WITH tl AS (
+       |  SELECT doc_id, list_filter(string_split(${Sql.normalizeText("text")}, ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |bg0 AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1])) AS g
+       |  FROM tl WHERE len(t) >= 2),
+       |bg AS (SELECT doc_id, g, count(*) AS bf FROM bg0 GROUP BY doc_id, g),
+       |bi AS (SELECT g, CAST(sum(bf) AS BIGINT) AS c FROM bg GROUP BY g),
+       |ctx AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c) AS BIGINT) AS cw FROM bi GROUP BY 1),
+       |uni AS (SELECT split_part(g, ' ', 2) AS w2, CAST(sum(c) AS BIGINT) AS u FROM bi GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM bi),
+       |per AS (
+       |  SELECT bg.doc_id, bg.bf,
+       |    -ln((0.7 * (CAST(bi.c AS DOUBLE) / ctx.cw)) + (0.3 * (CAST(uni.u AS DOUBLE) / tot.t))) AS s
+       |  FROM bg JOIN bi USING (g)
+       |  JOIN ctx ON ctx.w1 = split_part(bg.g, ' ', 1)
+       |  JOIN uni ON uni.w2 = split_part(bg.g, ' ', 2)
+       |  CROSS JOIN tot)
+       |SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
+       |  round(sum(bf * s) / sum(bf) + 1e-9, 4) AS surprisal
+       |FROM per$emit GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** One tokenize-kernel pass: the (doc_id, g, bf) bigram count table
+    * of a corpus slice — g is the space-joined token pair (tokens are
+    * alnum, so the join is unambiguous). Docs under 2 tokens vanish. */
+  private def bigramCounts(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = filter(TextFunctions.tokens(col("text")), t => t =!= lit(""))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), (t, i) -> concat(t, ' ', toks[i + 1]))")).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("bf"))
+  }
+
+  /** Scoring tail shared by t55/t57: derive context totals (row sums),
+    * target unigrams (column sums) and the grand total from the ONE
+    * (g, c) LM table, broadcast all three onto the per-doc side, and
+    * emit the bf-weighted mean surprisal. */
+  private def bigramScore(bg: org.apache.spark.sql.DataFrame,
+      bi: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ctx = bi.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum(col("c")).as("cw"))
+    val uni = bi.groupBy(substring_index(col("g"), " ", -1).as("w2"))
+      .agg(sum(col("c")).as("u"))
+    val tot = bi.agg(sum(col("c")).as("t"))
+    bg
+      .join(broadcast(bi), "g")
+      .join(broadcast(ctx), substring_index(col("g"), " ", 1) === col("w1"))
+      .join(broadcast(uni), substring_index(col("g"), " ", -1) === col("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("bf"),
+        (-log((lit(0.7) * (col("c").cast("double") / col("cw"))) +
+          (lit(0.3) * (col("u").cast("double") / col("t"))))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bf")).cast("long").as("n_bigrams"),
+        round(sum(col("bf") * col("s")) / sum(col("bf")) + 1e-9, 4).as("surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Persisted (g, c) bigram-count LM of the "existing" corpus
+    * (doc_id % 5 ≠ 0) — written once per data dir; t57 merges the
+    * increment's counts into it without re-scanning the old text. */
+  private val bigramLmCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bigramLmIndex(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val path = bigramLmCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "bigram-lm-index")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      bigramCounts(Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))
+        .groupBy(col("g")).agg(sum(col("bf")).as("c"))
         .write.mode("overwrite").parquet(dir.toString)
       dir.toString
     })

@@ -492,6 +492,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("t57: incremental surprisal — only the increment's checkpointed counts and the stored LM serve") {
+    val df = SparkEntry.queries("t57_incremental_surprisal")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the increment's kernel pass ran once at checkpoint build; the
+    // old corpus's TEXT never appears — the only parquet reads are the
+    // stored (g, c) LM index
+    assert(!p.contains("normalize_text"),
+      s"no tokenize kernel may run at serve:\n$p")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.forall(r => !r.contains("text")),
+      s"the old corpus's text must never be re-read:\n${reads.mkString("\n")}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"the merged LM tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("v14: filtered ANN — the label pre-filter reaches the parquet scan") {
     val p = plan("v14_knn_filtered")
     assert(p.contains("GreaterThanOrEqual(label,5)"),
