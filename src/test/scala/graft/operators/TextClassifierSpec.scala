@@ -112,6 +112,29 @@ class TextClassifierSpec extends AnyFunSuite with SparkTestSupport {
     assert(out.map(_._6) === out.map(_._6).sorted.reverse)
   }
 
+  test("fuzz: random corpora and labels — fit matches the sequential replay bit-exactly") {
+    import spark.implicits._
+    val vocab = Array("the", "and", "alpha", "beta", "gamma", "x9", "zz", "qq qq!!")
+    val rnd = new scala.util.Random(61)
+    for (trial <- 1 to 3) {
+      val docs = (1 to 6 + rnd.nextInt(20)).map { i =>
+        val len = rnd.nextInt(40)
+        (i.toLong,
+          Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "),
+          if (rnd.nextBoolean()) 1.0 else 0.0)
+      }
+      val df = docs.toDF("id", "text", "y").repartition(1 + rnd.nextInt(5))
+      val rounds = 1 + rnd.nextInt(12)
+      val lr = Seq(2.0, 8.0, 16.0)(rnd.nextInt(3))
+      val w = TextClassifier.fit(df, col("text"), col("y"), lr, rounds)
+      val feats = df.select(col("y"),
+          array(TextClassifier.features(col("text")): _*).as("x"))
+        .collect().map(r => (r.getDouble(0), r.getSeq[Double](1).toArray)).toSeq
+      assert(w.toSeq === replayFit(feats, lr, rounds).toSeq,
+        s"trial $trial lr=$lr rounds=$rounds docs=$docs")
+    }
+  }
+
   test("degenerate inputs refuse loudly: empty training corpus, mismatched weight vector") {
     import spark.implicits._
     val empty = Seq((1L, null.asInstanceOf[String], 1.0)).toDF("id", "text", "y")
