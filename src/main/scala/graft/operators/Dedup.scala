@@ -351,6 +351,34 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Per-(eval item, corpus doc) contamination AUDIT — the reverse of
+    * [[contamination]]'s removal verdict: which benchmark items leak
+    * into which training documents, and how much of each ITEM is
+    * covered (`overlap_frac` = shared / the eval item's shingle count
+    * — the retraction-priority metric). Output: (eval_id, id,
+    * n_shared, overlap_frac), only pairs sharing ≥1 n-gram. The eval
+    * side is benchmark-sized and broadcasts its exploded shingles WITH
+    * per-item sizes; the corpus runs one kernel pass, and the join
+    * output carries bare id pairs — document text never shuffles. */
+  def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
+      textCol: Column, idCol: Column, n: Int = 8): DataFrame = {
+    val shingles = array_distinct(TextHash.shingleHashes(textCol, n))
+    // explode_outer on BOTH sides: plain explode implies a
+    // size(·) > 0 pre-condition that pushdown re-derives the kernel
+    // into (the t17 gotcha); the outer variant has no such condition,
+    // and its null rows drop in the equi-join for free
+    val ev = evalSet
+      .select(idCol.as("eval_id"), shingles.as("shs"))
+      .select($"eval_id", size($"shs").as("eval_shingles"), explode_outer($"shs").as("sh"))
+    corpus
+      .select(idCol.as("id"), explode_outer(shingles).as("sh"))
+      .join(broadcast(ev), "sh")
+      .groupBy($"eval_id", $"id")
+      .agg(first($"eval_shingles").as("eval_shingles"), count(lit(1)).as("shared"))
+      .select($"eval_id", $"id", $"shared".cast("long").as("n_shared"),
+        round($"shared".cast("double") / $"eval_shingles", 4).as("overlap_frac"))
+  }
+
   /** Connected components over near-dup PAIRS — the step that turns
     * pairwise matches into DEDUP CLUSTERS with one representative each
     * (real pipelines drop all but one member per component, not one per

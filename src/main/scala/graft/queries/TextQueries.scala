@@ -321,6 +321,32 @@ object TextQueries {
         .orderBy(col("id"))
     },
 
+    // t16's removal verdict, reversed into the eval-integrity AUDIT:
+    // per (benchmark item, training doc) pair, how many n-grams they
+    // share and how much of the ITEM is covered — the report an eval
+    // owner reads to decide retractions. Audits use a finer grain
+    // (n=4) than removal (n=8): removal optimizes precision, audits
+    // recall. Same broadcast-eval/no-text-shuffle shape as t16; the
+    // oracle intersects shingle STRING sets (t09's collision argument).
+    sql(
+      "t58_contamination_report",
+      s"""WITH sh AS (SELECT doc_id, ${Sql.shingleSet("text", 4)} AS s FROM documents),
+         |ev AS (SELECT doc_id AS eval_id, s AS es FROM sh WHERE doc_id % 97 = 0),
+         |c AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT ev.eval_id, c.doc_id,
+         |  CAST(len(list_intersect(c.s, ev.es)) AS BIGINT) AS n_shared,
+         |  round(CAST(len(list_intersect(c.s, ev.es)) AS DOUBLE) / len(ev.es), 4) AS overlap_frac
+         |FROM c CROSS JOIN ev WHERE len(list_intersect(c.s, ev.es)) > 0
+         |ORDER BY eval_id, doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          col("text"), col("doc_id"), n = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("eval_id"), col("doc_id"))
+    },
+
     // Stratified deterministic sampling: per-language quota rates
     // rebalance a skewed corpus (the dominant language keeps 1/16, the
     // tail keeps 1/2) — the training-mix rebalancing step, done as a

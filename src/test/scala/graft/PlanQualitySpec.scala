@@ -492,6 +492,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("t58: contamination report — eval shingles broadcast; the corpus never content-shuffles") {
+    val p = plan("t58_contamination_report")
+    assert(nodeFree(p, "shingle_hashes") == 2,
+      s"one kernel pass per side (corpus + eval):\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
+    val shuffles = p.linesIterator.filter(_.trim.startsWith("Arguments: hashpartitioning")).toSeq
+    assert(!shuffles.exists(_.contains("text")),
+      s"document text must never shuffle:\n${shuffles.mkString("\n")}")
+  }
+
   test("t57: incremental surprisal — only the increment's checkpointed counts and the stored LM serve") {
     val df = SparkEntry.queries("t57_incremental_surprisal")(spark, sf)
     df.collect()
