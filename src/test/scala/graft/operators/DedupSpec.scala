@@ -102,6 +102,30 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(out(3L) === ((0, 0L, 0.0))) // shingle-less: present, zeroed, no div-by-0
   }
 
+  test("contaminationReport: per-(eval item, doc) pairs with item-coverage fractions; clean pairs absent") {
+    import spark.implicits._
+    val g = "alpha beta gamma delta"                 // one shared 4-gram
+    val corpus = Seq(
+      (1L, s"intro words $g outro words"),           // shares g with eval 100
+      (2L, s"$g padding and also epsilon zeta eta theta"), // shares g AND a second gram with 101
+      (3L, "nothing in common with any benchmark at all")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, s"prefix $g suffix"),                   // 6 tokens → 3 distinct 4-grams
+      (101L, s"$g epsilon zeta eta theta")           // 8 tokens → 5 distinct 4-grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(corpus, evalSet, col("text"), col("doc_id"), n = 4)
+      .orderBy(col("eval_id"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // eval 100 shares only g with docs 1 and 2 → 1 of its 3 grams;
+    // eval 101 shares g with doc 1 (1 of 5) and BOTH g and
+    // "epsilon zeta eta theta" with doc 2 (2 of 5); doc 3 and all
+    // clean pairs are absent
+    assert(out === Seq(
+      (100L, 1L, 1L, 0.3333), (100L, 2L, 1L, 0.3333),
+      (101L, 1L, 1L, 0.2), (101L, 2L, 2L, 0.4)))
+  }
+
   test("connectedComponents: chains collapse to one min-id cluster, diameter > 1 converges") {
     import spark.implicits._
     // two components: a 4-chain 10-11-12-13 (diameter 3 — needs >1
