@@ -261,7 +261,11 @@ object Bench {
     val byGroup = ordered.groupBy(_._1._1)
     val qs = groupOrder.map { g =>
       val entries = byGroup(g).map { case ((_, mem), m) => mem -> fmtMs(m.value) }
-      val nums = entries.map(_._1).collect { case m if m.matches("[0-9]+") => m.toInt }
+      // length cap: an all-digit member longer than 9 chars would
+      // overflow toInt — degrade it to the object form instead
+      val nums = entries.map(_._1).collect {
+        case m if m.length <= 9 && m.matches("[0-9]+") => m.toInt
+      }
       val body =
         if (nums.size == entries.size && nums.nonEmpty &&
             nums.sorted == (nums.min to nums.min + nums.size - 1).toSeq)

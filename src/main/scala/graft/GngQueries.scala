@@ -489,13 +489,18 @@ object GngQueries {
           sum(col("b") * (col("b") - 1) / 2.0).as("sb"),
           count(lit(1)).as("n_labels"))
       val t = col("nn") * (col("nn") - 1) / 2.0 // total pair count
+      // degenerate guards (prCurve's tot=0 precedent, mirrored in the
+      // oracle): one cluster AND one label drive both denominators to
+      // 0 → define NMI/ARI as 0.0 rather than emit NaN/Inf
+      val ariDen = (col("sa") + col("sb")) / 2.0 - col("sa") * col("sb") / t
       mi.crossJoin(broadcast(hc)).crossJoin(broadcast(hl)).crossJoin(broadcast(tot))
         .select(
-          round(col("i") / ((col("hc") + col("hl")) / 2.0) + 1e-9, 4).as("nmi"),
+          when(col("hc") + col("hl") === 0.0, 0.0)
+            .otherwise(round(col("i") / ((col("hc") + col("hl")) / 2.0) + 1e-9, 4)).as("nmi"),
           round(lit(1.0) + (lit(2.0) * col("scl") - col("sa") - col("sb")) / t + 1e-9, 4)
             .as("rand_index"),
-          round((col("scl") - col("sa") * col("sb") / t) /
-            ((col("sa") + col("sb")) / 2.0 - col("sa") * col("sb") / t) + 1e-9, 4).as("ari"),
+          when(ariDen === 0.0, 0.0)
+            .otherwise(round((col("scl") - col("sa") * col("sb") / t) / ariDen + 1e-9, 4)).as("ari"),
           col("n_clusters"), col("n_labels"), col("nn").cast("long").as("n_points"))
     }, nmiOracle),
 
@@ -574,10 +579,12 @@ object GngQueries {
          |              CAST(count(*) AS BIGINT) AS n_clusters FROM ca, tot),
          |hl AS (SELECT -sum((b / nn) * ln(b / nn)) AS hl, sum(b * (b - 1) / 2.0) AS sb,
          |              CAST(count(*) AS BIGINT) AS n_labels FROM cb, tot)
-         |SELECT round(i / ((hc.hc + hl.hl) / 2.0) + 1e-9, 4) AS nmi,
+         |SELECT CASE WHEN hc.hc + hl.hl = 0.0 THEN 0.0
+         |    ELSE round(i / ((hc.hc + hl.hl) / 2.0) + 1e-9, 4) END AS nmi,
          |  round(1.0 + (2.0 * scl - sa - sb) / (nn * (nn - 1) / 2.0) + 1e-9, 4) AS rand_index,
-         |  round((scl - sa * sb / (nn * (nn - 1) / 2.0)) /
-         |        ((sa + sb) / 2.0 - sa * sb / (nn * (nn - 1) / 2.0)) + 1e-9, 4) AS ari,
+         |  CASE WHEN (sa + sb) / 2.0 - sa * sb / (nn * (nn - 1) / 2.0) = 0.0 THEN 0.0
+         |    ELSE round((scl - sa * sb / (nn * (nn - 1) / 2.0)) /
+         |        ((sa + sb) / 2.0 - sa * sb / (nn * (nn - 1) / 2.0)) + 1e-9, 4) END AS ari,
          |  n_clusters, n_labels, CAST(nn AS BIGINT) AS n_points
          |FROM mi, hc, hl, tot""".stripMargin
     }

@@ -617,7 +617,14 @@ object Dedup {
     * contraction runs on the induced touched-component subgraph only.
     * A delete batch too large to broadcast (a mass purge, not a
     * takedown) is the signal to re-run [[connectedComponents]] from
-    * the surviving pair log instead. */
+    * the surviving pair log instead. The same caveat applies to the
+    * TOUCHED-COMPONENT size, not just the delete batch: `surviving`
+    * is bounded by the touched components' total membership, so
+    * deleting one doc from a pathological mega-component (pervasive
+    * boilerplate that [[Collapse]] didn't pre-fold) broadcasts that
+    * whole component — if `surviving` exceeds the broadcast budget,
+    * fall back to shuffle joins for this batch (drop the
+    * `broadcast()` hints) or re-run [[connectedComponents]]. */
   def removeFromComponents(stored: DataFrame, deletedIds: DataFrame,
       pairs: DataFrame): DataFrame = {
     val del = deletedIds.select($"id").distinct().localCheckpoint(true)

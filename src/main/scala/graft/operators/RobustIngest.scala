@@ -100,7 +100,10 @@ object RobustIngest {
         } finally in.close()
       }
     } catch {
-      case e: java.io.IOException =>
+      // NonFatal, not just IOException: object-store clients surface
+      // auth/endpoint failures as RuntimeExceptions — those must land
+      // in the audit as probe errors, not fail the whole probe job
+      case scala.util.control.NonFatal(e) =>
         (false, s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
