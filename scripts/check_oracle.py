@@ -4,13 +4,20 @@ SparkEntry.oracleSql query in DuckDB against the same parquet tables and
 compare with the Verify parquet dumps (schema, row count, value hash
 after sorting columns by name).
 
-Usage: python3 scripts/check_oracle.py [sfDir] [verifyOut]
+Also emits a machine-readable per-query artifact (CORRECTNESS_SELF.json
+by default) so the round's closing commit carries the builder's own
+correctness evidence — defending against driver-side artifact loss
+(round 10's CORRECTNESS_r10.json arrived as an empty `{}` even though
+every query passed).
+
+Usage: python3 scripts/check_oracle.py [sfDir] [verifyOut] [selfJsonOut]
 """
-import sys, json, glob, hashlib
+import sys, json, glob, hashlib, os
 import duckdb
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "target/verify_out"
+SELF_JSON = sys.argv[3] if len(sys.argv) > 3 else "CORRECTNESS_SELF.json"
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -19,7 +26,25 @@ con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
-oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# --- pre-flight sanity: the dump must parse and look complete --------
+try:
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+except Exception as e:
+    print(f"PRE-FLIGHT FAIL: {OUT}/oracle_sql.json unreadable/unparseable: {e}")
+    sys.exit(2)
+
+# local-iteration subset (mirrors Verify's SPARK_GRAFT_VERIFY_ONLY);
+# the driver never sets this — full sweep + completeness check by default
+only = {n.strip() for n in os.environ.get("SPARK_GRAFT_VERIFY_ONLY", "").split(",") if n.strip()}
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
+
+dump_dirs = [d for d in glob.glob(f"{OUT}/*")
+             if os.path.isdir(d)]
+if not only and len(dump_dirs) < len(oracle):
+    print(f"PRE-FLIGHT FAIL: {len(dump_dirs)} dump dirs < {len(oracle)} oracled queries")
+    sys.exit(2)
+print(f"pre-flight: {len(dump_dirs)} dump dirs, {len(oracle)} oracled queries, oracle_sql.json parses")
 
 def norm_cell(v):
     if v is None:
@@ -46,31 +71,41 @@ def df_hash(df):
     return h.hexdigest(), len(rows)
 
 fails = []
+report = {}
 for name in sorted(oracle):
     sql = oracle[name]
+    rec = {"rows_match": False, "schema_match": False, "hash_match": False, "err": None}
+    report[name] = rec
     files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
     if not files:
+        rec["err"] = "no spark output"
         fails.append((name, "no spark output"))
         continue
     try:
         spark_df = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
     except Exception as e:
+        rec["err"] = f"spark read: {e}"
         fails.append((name, f"spark read: {e}"))
         continue
     try:
         duck_df = con.sql(sql).df()
     except Exception as e:
+        rec["err"] = f"duckdb error: {e}"
         fails.append((name, f"duckdb error: {e}"))
         continue
     sh, sn = df_hash(spark_df)
     dh, dn = df_hash(duck_df)
     scols = sorted((c, str(t)) for c, t in zip(spark_df.columns, spark_df.dtypes))
     dcols = sorted((c, str(t)) for c, t in zip(duck_df.columns, duck_df.dtypes))
-    if [c for c, _ in scols] != [c for c, _ in dcols]:
+    rec["schema_match"] = [c for c, _ in scols] == [c for c, _ in dcols]
+    rec["rows_match"] = sn == dn
+    rec["hash_match"] = sh == dh
+    rec["rows"] = sn
+    if not rec["schema_match"]:
         fails.append((name, f"columns differ: spark={scols} duck={dcols}"))
-    elif sn != dn:
+    elif not rec["rows_match"]:
         fails.append((name, f"row count differ: spark={sn} duck={dn}"))
-    elif sh != dh:
+    elif not rec["hash_match"]:
         # find first differing row for debugging
         a = spark_df[sorted(spark_df.columns)]
         b = duck_df[sorted(duck_df.columns)]
@@ -86,15 +121,31 @@ for name in sorted(oracle):
         print(f"  OK    {name} ({sn} rows)")
 
 rows_only = [n for n in sorted(x.split('/')[-1] for x in glob.glob(f"{OUT}/*") if '.' not in x.split('/')[-1]) if n not in oracle]
+if only:
+    rows_only = [n for n in rows_only if n in only]
 for name in rows_only:
     files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
     n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
     status = "OK" if n > 0 else "EMPTY!"
     print(f"  {status:5s} {name} (rows-only, {n} rows)")
+    report[name] = {"rows_match": n > 0, "schema_match": None, "hash_match": None,
+                    "err": None if n > 0 else "rows-only query returned 0 rows",
+                    "rows": n, "rows_only": True}
     if n == 0:
         fails.append((name, "rows-only query returned 0 rows"))
 
-print()
+with open(SELF_JSON, "w") as f:
+    json.dump({
+        "sf_dir": SF_DIR,
+        "verify_out": OUT,
+        "n_queries": len(report),
+        "n_oracled": len(oracle),
+        "n_pass": sum(1 for r in report.values() if r["err"] is None and
+                      (r.get("rows_only") or (r["rows_match"] and r["schema_match"] and r["hash_match"]))),
+        "queries": report,
+    }, f, indent=1, sort_keys=True)
+print(f"\nwrote {SELF_JSON}")
+
 if fails:
     print(f"{len(fails)} FAILURES:")
     for n, why in fails:
