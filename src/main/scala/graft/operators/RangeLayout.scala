@@ -1,0 +1,279 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Range-partitioned SORTED table layout with file-level min/max
+  * skipping — the single-key big-table layout (time-partitioned event
+  * logs) beside q30's bucketed-join layout and q33/ZOrderTable's
+  * two-dimensional clustering:
+  *
+  *   - [[write]] trains n−1 range bounds on a DETERMINISTIC md5-bucket
+  *     sample (no `rand()`: a retried/replayed write sees the same
+  *     sample rows, the q25/t17 idiom), assigns each row its range
+  *     bucket, lays the table out one sorted file per bucket
+  *     (`partitionBy` bucket directory + `sortWithinPartitions` on the
+  *     key), and persists the bounds contract next to the data;
+  *   - [[append]] buckets an increment under the STORED bounds (the
+  *     ZOrderTable/v21 lesson — retraining per increment would shift
+  *     bucket boundaries), so an append touches only the directories
+  *     its rows land in; out-of-range values clamp into the edge
+  *     buckets;
+  *   - [[prunedScan]] answers a key-range predicate by reading each
+  *     file's parquet FOOTER statistics (min/max of the sort column —
+  *     one ranged footer read per file, executed DISTRIBUTEDLY over
+  *     the file listing, the RobustIngest probe shape), keeping only
+  *     files whose [min,max] intersects the predicate, and re-applying
+  *     the exact predicate to the survivors. Because every file covers
+  *     ~1/n of the key domain, a narrow range reads O(width·n/domain)
+  *     files — the rest are never opened past their footer.
+  *
+  * At 100 TB: the md5 sample prefix deepens with the table (keeping
+  * the collected sample O(100·n) values — Spark's own RangePartitioner
+  * collects the same order of samples to the driver); the kept-file
+  * list crossing the driver is file-count-sized, the same scale as
+  * every scan's planning step. The layout is what makes the parquet
+  * reader's own row-group skipping effective too: sorted files mean
+  * each row group spans a sliver of the key domain.
+  *
+  * Reference anchor: the snapshot-layout concern of
+  * /root/reference/src/main/scala/batchStream.scala:95-101 (ordered
+  * snapshot artifacts), generalized to the table-layout discipline a
+  * Spark pipeline needs.
+  */
+object RangeLayout {
+
+  final case class Bounds(bounds: Array[Long], sortCol: String, schemaFp: String)
+
+  private def boundsPath(dir: String) = Paths.get(dir, "_range_bounds.json")
+
+  /** The sort key in its LONG domain: timestamps as epoch micros
+    * (parquet's physical INT64 for TIMESTAMP, so footer stats compare
+    * directly), integer types widened. */
+  def sortKey(c: Column, dataType: org.apache.spark.sql.types.DataType): Column =
+    dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+
+  private def skOf(df: DataFrame, sortCol: String): Column =
+    sortKey(col(sortCol), df.schema(sortCol).dataType)
+
+  private def schemaFingerprint(df: DataFrame, sortCol: String): String = {
+    val dataCols = df.columns.filterNot(_ == "rbucket")
+    java.util.UUID.nameUUIDFromBytes(
+      (dataCols.map(c => s"$c:${df.schema(c).dataType.sql}").mkString(",") +
+        s"|sort=$sortCol").getBytes(StandardCharsets.UTF_8)).toString
+  }
+
+  /** n−1 ascending bucket bounds from a deterministic md5-prefix
+    * sample: rows whose `md5(key)` first hex digit ≤ `samplePrefix`
+    * are the sample ((prefix+1)/16 of the table; deepen the prefix as
+    * the table grows so the collect stays O(100·n) values — the
+    * driver-side state is Spark's own RangePartitioner scale). Bound i
+    * is the sample's ((i+1)/n)-quantile; duplicates collapse (a heavy
+    * key spanning buckets would put identical bounds next to each
+    * other — the bucket expression still assigns each row exactly
+    * one bucket). */
+  def trainBounds(df: DataFrame, sortCol: String, n: Int,
+      samplePrefix: Char = '3'): Array[Long] = {
+    require(n >= 2, s"range layout: need >= 2 buckets, got $n")
+    val sk = skOf(df, sortCol)
+    val sample = df
+      .filter(substring(md5(sk.cast("string")), 1, 1) <= lit(samplePrefix.toString))
+      .select(sk.as("sk"))
+      .collect().map(_.getLong(0)).sorted
+    require(sample.nonEmpty,
+      "range layout: md5 sample is empty — deepen samplePrefix or check the key column")
+    Array.tabulate(n - 1)(i => sample(((i + 1).toLong * sample.length / n).toInt
+      .min(sample.length - 1)))
+  }
+
+  /** Bucket id in [0, bounds.length]: the count of bounds ≤ key. A
+    * size(filter(...)) over the broadcast literal array — O(n) per row
+    * but whole-stage codegen'd; at very large n swap in a binary-
+    * search codegen Expression (the VectorOps pattern). */
+  def bucketOf(sk: Column, bounds: Array[Long]): Column =
+    size(filter(lit(bounds), b => sk >= b))
+
+  private def writeBounds(dir: String, b: Bounds): Unit = {
+    val json = s"""{"sortCol":"${b.sortCol}","schemaFp":"${b.schemaFp}",""" +
+      s""""bounds":[${b.bounds.mkString(",")}]}"""
+    Files.write(boundsPath(dir), json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The stored layout contract, or an error on an unitialized dir. */
+  def readBounds(dir: String): Bounds = {
+    require(Files.exists(boundsPath(dir)),
+      s"range layout: no _range_bounds.json under $dir — not a range-laid table")
+    val j = new String(Files.readAllBytes(boundsPath(dir)), StandardCharsets.UTF_8)
+    def str(k: String) = s""""$k":"([^"]+)"""".r.findFirstMatchIn(j).get.group(1)
+    val bs = """"bounds":\[([^\]]*)\]""".r.findFirstMatchIn(j).get.group(1)
+    Bounds(bs.split(",").filter(_.nonEmpty).map(_.trim.toLong),
+      str("sortCol"), str("schemaFp"))
+  }
+
+  /** Initial load: train bounds, lay out one sorted file per bucket
+    * directory, persist the contract. Returns the trained bounds. */
+  def write(df: DataFrame, sortCol: String, n: Int, dir: String,
+      samplePrefix: Char = '3'): Array[Long] = {
+    require(!Files.exists(Paths.get(dir)),
+      s"range layout: $dir already exists — append() to grow it")
+    val bounds = trainBounds(df, sortCol, n, samplePrefix)
+    val b = Bounds(bounds, sortCol, schemaFingerprint(df, sortCol))
+    withMicrosTimestamps(df.sparkSession) {
+      layout(df, sortCol, bounds).write.partitionBy("rbucket").parquet(dir)
+    }
+    writeBounds(dir, b)
+    bounds
+  }
+
+  /** Pin INT64-micros timestamps for the layout's files (set/restore):
+    * INT96 timestamps carry no usable footer statistics, which would
+    * silently disable the min/max skipping this layout exists for. */
+  private def withMicrosTimestamps[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Grow the table under the STORED bounds (fingerprint-checked):
+    * only the increment shuffles, only its buckets' directories gain
+    * files. */
+  def append(increment: DataFrame, sortCol: String, dir: String): Unit = {
+    val b = readBounds(dir)
+    require(b.sortCol == sortCol,
+      s"range layout: table is keyed on ${b.sortCol}, not $sortCol")
+    val fp = schemaFingerprint(increment, sortCol)
+    require(fp == b.schemaFp,
+      s"range layout: increment schema fingerprint $fp != stored ${b.schemaFp} " +
+        "— appending a drifted schema would corrupt the layout")
+    withMicrosTimestamps(increment.sparkSession) {
+      layout(increment, sortCol, b.bounds)
+        .write.mode("append").partitionBy("rbucket").parquet(dir)
+    }
+  }
+
+  /** Bucket + cluster: each bucket hash-routes to one task
+    * (`repartition` on the bucket id — every bucket is written by
+    * exactly one task, so each directory holds one sorted file per
+    * write), rows sorted by the key within. */
+  private def layout(df: DataFrame, sortCol: String, bounds: Array[Long]): DataFrame =
+    df.withColumn("rbucket", bucketOf(skOf(df, sortCol), bounds))
+      .repartition(bounds.length + 1, col("rbucket"))
+      .sortWithinPartitions(col("rbucket"), col(sortCol))
+
+  /** Every data file under `dir` with its footer min/max for
+    * `sortCol`: one footer read per file, run DISTRIBUTEDLY over the
+    * file listing (the RobustIngest probe shape — cost independent of
+    * data volume). Files with no usable stats surface as nulls so the
+    * caller can keep them conservatively. */
+  def fileStats(spark: SparkSession, dir: String, sortCol: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    def visible(p: Path): Boolean = {
+      val n = p.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[String] =
+      if (st.isFile) Seq(st.getPath.toString)
+      else fs.listStatus(st.getPath).toSeq.filter(s => visible(s.getPath)).flatMap(walk)
+    val files = fs.listStatus(root).toSeq.filter(s => visible(s.getPath)).flatMap(walk)
+    val bconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    files.toDF("file").as[String]
+      .mapPartitions { it =>
+        val econf = bconf.value.value
+        it.map { f =>
+          val (mn, mx) = footerMinMax(econf, f, sortCol)
+          (f, mn, mx)
+        }
+      }
+      .toDF("file", "min_key", "max_key")
+  }
+
+  /** (min, max) of `sortCol` across a file's row groups, from the
+    * parquet footer only; (null, null) when any row group lacks stats
+    * (the caller must then read the file — skipping on absent stats
+    * would drop rows). */
+  private def footerMinMax(conf: org.apache.hadoop.conf.Configuration,
+      file: String, sortCol: String): (Option[Long], Option[Long]) = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var i = 0
+      while (i < blocks.size()) {
+        val cols = blocks.get(i).getColumns
+        var found = false
+        var j = 0
+        while (j < cols.size() && !found) {
+          val c = cols.get(j)
+          if (c.getPath.toDotString == sortCol) {
+            found = true
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) return (None, None)
+            st.genericGetMin match {
+              case l: java.lang.Long =>
+                mn = math.min(mn, l.longValue())
+                mx = math.max(mx, st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+              case _ => return (None, None) // non-INT64 physical type
+            }
+          }
+          j += 1
+        }
+        if (!found) return (None, None)
+        i += 1
+      }
+      if (mn == Long.MaxValue) (None, None) else (Some(mn), Some(mx))
+    } finally reader.close()
+  }
+
+  /** Key-range scan `[lo, hi)` (long domain of the sort key: epoch
+    * micros for timestamps) served by file-level min/max skipping:
+    * footer stats prune the file list, survivors are read and the
+    * exact predicate re-applied — row-identical to the plain filter
+    * over everything ever written. Returns (data, filesRead,
+    * filesTotal); the caller's gate is filesRead < filesTotal. */
+  def prunedScan(spark: SparkSession, dir: String, sortCol: String,
+      lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val stats = fileStats(spark, dir, sortCol).collect()
+    require(stats.nonEmpty, s"range layout: no data files under $dir")
+    val kept = stats.filter { r =>
+      // missing stats → keep (conservative); else intersect [min,max]
+      // with [lo, hi)
+      r.isNullAt(1) || (r.getLong(2) >= lo && r.getLong(1) < hi)
+    }.map(_.getString(0)).sorted
+    val total = stats.length
+    if (kept.isEmpty) {
+      // schema-preserving empty frame: read nothing but keep columns
+      val any = spark.read.parquet(stats.map(_.getString(0)).sorted.head)
+      return (any.filter(lit(false)), 0, total)
+    }
+    val df = spark.read.parquet(kept: _*)
+    // re-filter on the NATIVE column type (timestamp bounds rebuilt
+    // from the micros), not a function of it — a bare column compare
+    // reaches the parquet reader as PushedFilters, so the surviving
+    // files' row groups min/max-skip too (the layout sorted them)
+    val (loV, hiV) = df.schema(sortCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        (timestamp_micros(lit(lo)), timestamp_micros(lit(hi)))
+      case _ => (lit(lo), lit(hi))
+    }
+    (df.filter(col(sortCol) >= loV && col(sortCol) < hiV), kept.length, total)
+  }
+}

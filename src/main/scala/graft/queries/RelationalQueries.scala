@@ -1556,6 +1556,41 @@ object RelationalQueries {
         sum(conv(substring(md5($"doc_id".cast("string").cast("binary")), 1, 8), 16, 10)
           .cast("long")).as("fp_sum"))
       a.crossJoin(broadcast(r))
+    },
+
+    // Range-partitioned SORTED layout + file-level min/max skipping —
+    // the third leg of the layout trio (q30 bucketed join keys, q33
+    // Z-order for 2-D boxes, q60 the single-key time-partitioned event
+    // log, THE most common 100 TB table). The fixture lays events out
+    // once per data dir on ts (16 range buckets, deterministic
+    // md5-sampled bounds — no rand()), half via create + half via
+    // append (the incremental path writes under the STORED bounds).
+    // The 3-day window then reads ONLY the files whose parquet footer
+    // min/max intersects it — the build asserts filesRead < filesTotal,
+    // so the driver's correctness run also proves the pruning, not
+    // just the answer. Oracle: the same aggregate over the PLAIN
+    // table — layout + skipping must not change a row.
+    sql(
+      "q60_range_layout",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value) + 1e-9, 2) AS sum_value,
+        |  CAST(min(event_id) AS BIGINT) AS min_event,
+        |  CAST(max(event_id) AS BIGINT) AS max_event
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val lo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+      val hi = java.time.Instant.parse("2024-01-13T00:00:00Z").toEpochMilli * 1000L
+      val (data, read, total) = graft.operators.RangeLayout
+        .prunedScan(s, rangeLayoutDir(s, d), "ts", lo, hi)
+      require(read < total,
+        s"range layout: footer stats pruned nothing ($read of $total files)")
+      data.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value") + 1e-9, 2).as("sum_value"),
+          min($"event_id").as("min_event"), max($"event_id").as("max_event"))
+        .orderBy($"event_type")
     }
   )
 
@@ -1905,6 +1940,27 @@ object RelationalQueries {
           Seq($"event_type"), $"value")
         .write.mode("overwrite").parquet(dir.toString)
       dir.toString
+    })
+
+  /** q60's range-laid events table, once per sf-dir: the low-md5 half
+    * through [[graft.operators.RangeLayout.write]] (trains the bounds),
+    * the high half through [[graft.operators.RangeLayout.append]]
+    * (stored-bounds path) — so the oracled query exercises BOTH write
+    * paths and still must equal the plain table. */
+  private val rangeLayoutCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def rangeLayoutDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    rangeLayoutCache.computeIfAbsent(d, _ => {
+      val parent = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "range-layout")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(parent))
+      val dir = parent.resolve("t").toString
+      val ev = Tables.events(s, d)
+      graft.operators.RangeLayout.write(
+        ev.filter(Tables.inLowMd5Half($"event_id")), "ts", 16, dir)
+      graft.operators.RangeLayout.append(
+        ev.filter(!Tables.inLowMd5Half($"event_id")), "ts", dir)
+      dir
     })
 
   private def bucketedPair(s: org.apache.spark.sql.SparkSession, d: String): (String, String) =

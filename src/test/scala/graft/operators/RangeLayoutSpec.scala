@@ -1,0 +1,102 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSupport
+
+class RangeLayoutSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-rlay").toString + "/t"
+
+  private def rows(ids: Range) =
+    ids.map(i => (i.toLong, (i * 7919L) % 100000L, s"p$i"))
+      .toDF("id", "k", "payload")
+
+  test("write + append + prunedScan == plain filter, and footer stats prune files") {
+    val dir = freshDir()
+    val base = rows(1 to 800)
+    val inc = rows(801 to 1200)
+    RangeLayout.write(base, "k", n = 8, dir = dir)
+    RangeLayout.append(inc, "k", dir = dir)
+    val all = base.union(inc)
+    for ((lo, hi) <- Seq((0L, 10000L), (40000L, 55000L), (90000L, 100001L))) {
+      val (got, read, total) = RangeLayout.prunedScan(spark, dir, "k", lo, hi)
+      val want = all.filter($"k" >= lo && $"k" < hi)
+        .select($"id").as[Long].collect().sorted.toSeq
+      assert(got.select($"id").as[Long].collect().sorted.toSeq === want,
+        s"range [$lo,$hi) diverged")
+      assert(read < total, s"range [$lo,$hi): no files pruned ($read of $total)")
+      assert(total === 16, "8 buckets x (create + append) should be 16 files")
+    }
+    // the full domain keeps everything — pruning must never drop data
+    val (gotAll, readAll, totalAll) = RangeLayout.prunedScan(spark, dir, "k", 0L, 100001L)
+    assert(gotAll.count() === all.count())
+    assert(readAll === totalAll)
+  }
+
+  test("empty range reads zero files and returns a schema-preserving empty frame") {
+    val dir = freshDir()
+    RangeLayout.write(rows(1 to 200), "k", n = 4, dir = dir)
+    val (got, read, _) = RangeLayout.prunedScan(spark, dir, "k", 200000L, 300000L)
+    assert(read === 0)
+    assert(got.count() === 0L)
+    assert(got.columns.toSet === Set("id", "k", "payload"))
+  }
+
+  test("timestamp sort key: bounds in epoch micros, pruning on INT64 footer stats") {
+    val dir = freshDir()
+    val df = (1 to 500).map { i =>
+      (i.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 3600L)))
+    }.toDF("id", "ts")
+    RangeLayout.write(df, "ts", n = 8, dir = dir)
+    val lo = java.time.Instant.parse("2024-01-05T00:00:00Z").toEpochMilli * 1000L
+    val hi = java.time.Instant.parse("2024-01-08T00:00:00Z").toEpochMilli * 1000L
+    val (got, read, total) = RangeLayout.prunedScan(spark, dir, "ts", lo, hi)
+    val want = df.filter(unix_micros($"ts") >= lo && unix_micros($"ts") < hi)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(got.select($"id").as[Long].collect().sorted.toSeq === want)
+    assert(read < total, s"no files pruned ($read of $total)")
+  }
+
+  test("bounds are deterministic (md5 sample, no rand) and append uses stored bounds") {
+    val b1 = RangeLayout.trainBounds(rows(1 to 500), "k", 8)
+    val b2 = RangeLayout.trainBounds(rows(1 to 500).repartition(7), "k", 8)
+    assert(b1.toSeq === b2.toSeq, "bounds must not depend on input partitioning")
+    val dir = freshDir()
+    RangeLayout.write(rows(1 to 500), "k", n = 8, dir = dir)
+    assert(RangeLayout.readBounds(dir).bounds.toSeq === b1.toSeq)
+  }
+
+  test("append refuses a drifted schema and a different sort column") {
+    val dir = freshDir()
+    RangeLayout.write(rows(1 to 100), "k", n = 4, dir = dir)
+    val drifted = rows(101 to 110).withColumn("extra", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      RangeLayout.append(drifted, "k", dir)
+    }
+    assert(e.getMessage.contains("fingerprint"))
+    val e2 = intercept[IllegalArgumentException] {
+      RangeLayout.append(rows(101 to 110), "id", dir)
+    }
+    assert(e2.getMessage.contains("keyed on"))
+  }
+
+  test("each bucket directory holds one sorted file per write") {
+    val dir = freshDir()
+    RangeLayout.write(rows(1 to 400), "k", n = 4, dir = dir)
+    val stats = RangeLayout.fileStats(spark, dir, "k").collect()
+    assert(stats.length === 4)
+    // bucket files cover near-disjoint key ranges: sorted by min, each
+    // file's min must not precede the previous file's max (strict
+    // layout — the property that makes narrow ranges cheap)
+    val sorted = stats.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    for (Seq((_, aMax), (bMin, _)) <- sorted.toSeq.sliding(2))
+      assert(bMin > aMax, "bucket key ranges overlap")
+  }
+}
