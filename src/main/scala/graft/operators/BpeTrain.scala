@@ -72,13 +72,40 @@ object BpeTrain {
         r.getAs[String]("y"), r.getAs[Long]("cnt")))
       .toVector
 
+  /** BYTE-level word table for [[trainBytes]]: words split on single
+    * spaces with NO normalization (byte-level's zero-OOV contract
+    * starts at training), each word's initial encoding its UTF-8 bytes
+    * as '|'-joined lowercase-hex pairs — the exact base alphabet
+    * [[graft.expressions.ByteBpe]] serves. */
+  def byteWordTable(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(split(textCol, " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("h", lower(hex(encode(col("word"), "UTF-8"))))
+      .withColumn("enc", expr(
+        "array_join(transform(sequence(1, length(h) div 2), i -> substring(h, 2*i-1, 2)), '|')"))
+      .drop("h")
+
   /** Learn `nMerges` merges from the corpus. Stops early only when no
     * adjacent pair exists at all (every word fully merged to one
     * token). Deterministic: the argmax total order is
     * (cnt DESC, x ASC, y ASC) and every input to it is an exact
     * integer count. */
-  def train(docs: DataFrame, textCol: Column, nMerges: Int): Vector[Merge] = {
-    var cur = wordTable(docs, textCol).localCheckpoint(true)
+  def train(docs: DataFrame, textCol: Column, nMerges: Int): Vector[Merge] =
+    trainRounds(wordTable(docs, textCol), nMerges)
+
+  /** [[train]]'s byte-level twin: same loop, same argmax order, the
+    * byte word table as round-0 state. The learned table is
+    * well-formed for [[graft.expressions.ByteBpe.ByteTable]] by
+    * construction (operands are single bytes or earlier outputs) and
+    * can never collide with a reserved token (outputs are always
+    * even-length lowercase hex; reserved tokens are validated
+    * non-hex-shaped). */
+  def trainBytes(docs: DataFrame, textCol: Column, nMerges: Int): Vector[Merge] =
+    trainRounds(byteWordTable(docs, textCol), nMerges)
+
+  private def trainRounds(words: DataFrame, nMerges: Int): Vector[Merge] = {
+    var cur = words.localCheckpoint(true)
     val learned = Vector.newBuilder[Merge]
     var rank = 1
     var exhausted = false

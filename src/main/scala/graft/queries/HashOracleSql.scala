@@ -299,6 +299,83 @@ object HashOracleSql {
         |FROM stats GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** [[bpeTrainCtes]]'s BYTE-level twin ([[graft.operators.BpeTrain
+    * .trainBytes]]): words split on raw single spaces (NO
+    * normalization — zero-OOV starts at training), round-0 encodings
+    * the words' UTF-8 bytes as '|'-joined lowercase-hex pairs
+    * (`lower(hex(encode(word)))` sliced in twos), then the identical
+    * independent pair-count/argmax/re-encode replay per round. */
+  private def byteTrainCtes(k: Int): Seq[String] = {
+    val base = Seq(
+      "btl AS (SELECT string_split(text, ' ') AS ws FROM documents)",
+      "bw AS (SELECT unnest(ws) AS word FROM btl)",
+      "wf AS (SELECT word, count(*) AS freq FROM bw WHERE word <> '' GROUP BY word)",
+      "enc0 AS (SELECT word, freq, array_to_string(list_transform(" +
+        "range(1, length(lower(hex(encode(word))))//2 + 1), " +
+        "i -> substr(lower(hex(encode(word))), 2*i-1, 2)), '|') AS enc FROM wf)")
+    val rounds = (1 to k).flatMap { r =>
+      Seq(
+        s"pr$r AS (SELECT t[CAST(i AS INT)] AS x, t[CAST(i AS INT)+1] AS y, sum(freq) AS cnt " +
+          "FROM (SELECT freq, t, unnest(range(1, len(t))) AS i " +
+          s"FROM (SELECT freq, string_split(enc, '|') AS t FROM enc${r - 1})) GROUP BY 1, 2)",
+        s"m$r AS (SELECT x, y, cnt FROM pr$r ORDER BY cnt DESC, x, y LIMIT 1)",
+        s"enc$r AS (SELECT word, freq, ${applyLearnedMergeSql("e.enc")} AS enc " +
+          s"FROM enc${r - 1} e LEFT JOIN m$r m ON TRUE)")
+    }
+    base ++ rounds
+  }
+
+  /** Per-document byte-level word stages d0..dk under the byte
+    * training replay (shared by [[byteBpeTokens]]/[[byteFertility]]). */
+  private def byteDocStages(k: Int): Seq[String] = {
+    val docBase = Seq(
+      "dtl AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)",
+      "dw AS (SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS widx FROM dtl)",
+      "d0 AS (SELECT doc_id, widx, array_to_string(list_transform(" +
+        "range(1, length(lower(hex(encode(word))))//2 + 1), " +
+        "i -> substr(lower(hex(encode(word))), 2*i-1, 2)), '|') AS enc " +
+        "FROM dw WHERE word <> '')")
+    val docRounds = (1 to k).map { r =>
+      s"d$r AS (SELECT doc_id, widx, ${applyLearnedMergeSql("e.enc")} AS enc " +
+        s"FROM d${r - 1} e LEFT JOIN m$r m ON TRUE)"
+    }
+    docBase ++ docRounds
+  }
+
+  /** t61: every document encoded under the LEARNED byte table,
+    * bracketed by the [BOS]/[EOS] reserved pair exactly as the kernel
+    * emits them — '[BOS]' + ('|' + token)* + '|[EOS]'. Token count
+    * includes the specials (they are tokens the LM consumer pays for). */
+  def byteBpeTokens(k: Int): String = {
+    val tail =
+      "agg AS (SELECT d.doc_id, " +
+        "'[BOS]' || coalesce('|' || string_agg(e.enc, '|' ORDER BY e.widx), '') || '|[EOS]' AS enc " +
+        s"FROM documents d LEFT JOIN d$k e USING (doc_id) GROUP BY d.doc_id)"
+    "WITH " + (byteTrainCtes(k) ++ byteDocStages(k) :+ tail).mkString(",\n") +
+      """
+        |SELECT doc_id,
+        |  CAST(len(string_split(enc, '|')) AS INT) AS n_tokens,
+        |  md5(enc) AS bpe_fp
+        |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** t63: per-language fertility under the byte table — tokens per
+    * word and single-BYTE-fragment fraction (length 2 = one hex pair),
+    * [[bpeFertility]] re-measured at the byte level. */
+  def byteFertility(k: Int): String = {
+    val tail =
+      s"stats AS (SELECT d.doc_id, d.lang, count(e.enc) AS n_words, " +
+        "coalesce(sum(len(string_split(e.enc, '|'))), 0) AS n_bpe, " +
+        "coalesce(sum(len(list_filter(string_split(e.enc, '|'), t -> length(t) = 2))), 0) AS n_single " +
+        s"FROM documents d LEFT JOIN d$k e USING (doc_id) GROUP BY d.doc_id, d.lang)"
+    "WITH " + (byteTrainCtes(k) ++ byteDocStages(k) :+ tail).mkString(",\n") +
+      """
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words) + 1e-9, 4) AS fertility,
+        |  round(CAST(sum(n_single) AS DOUBLE) / sum(n_bpe) + 1e-9, 4) AS single_frac
+        |FROM stats GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** CTEs ending in `allsims(doc_id, u)`: the unsigned 64-bit SimHash of
     * every document (0 for docs with no tokens, as in the kernel). */
   private def simHashCtes: Seq[String] =

@@ -47,6 +47,7 @@ object TextQueries {
     * (Defined before `all` — the oracle builders read it at registry
     * construction.) */
   private val BpeTrainRounds = 12
+  private[queries] val ByteBpeRounds = 10
 
   /** (doc_id, chunk_idx, chunk) — every document's overlapping token
     * windows, built entirely from codegen'd built-ins. */
@@ -345,6 +346,57 @@ object TextQueries {
           col("text"), col("doc_id"), n = 4)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("eval_id"), col("doc_id"))
+    },
+
+    // Raw-HTML boilerplate extraction — the stage BEFORE every other
+    // t-operator: strip script/style/comments, unwrap CDATA, tags →
+    // line structure, entity-decode in a fixed order, then the
+    // text-density line filter (≥5 tokens keeps prose, drops nav
+    // chrome/titles/footers). The fixture wraps each document's text
+    // in a deterministic HTML shell (nav + header + footer + one
+    // adversarial arm per doc_id%4: comment, entity soup, CDATA,
+    // BROKEN markup with an unclosed tag) — built from the SAME SQL
+    // expression in both engines — and the oracle replays every kernel
+    // stage as regexp/list CTEs, so the whole contract is pinned
+    // cross-engine down to the md5 of the extracted text. ONE kernel
+    // pass per row (project-level CSE; t18's discipline), no shuffle
+    // but the output sort.
+    sql(
+      "t59_html_extract", {
+      val page = htmlPageSql(id = "CAST(doc_id AS VARCHAR)")
+      s"""WITH h AS (SELECT doc_id, $page AS html FROM documents),
+         |c1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+         |    '(?is)<script\\b[^>]*>.*?</script>', '', 'g'),
+         |    '(?is)<style\\b[^>]*>.*?</style>', '', 'g'),
+         |    '(?s)<!--.*?-->', '', 'g') AS t FROM h),
+         |c2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!\\[CDATA\\[(.*?)\\]\\]>', '\\1', 'g') AS t FROM c1),
+         |c3 AS (SELECT doc_id, regexp_replace(t,
+         |    '(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|nav|footer|header|section|article|blockquote|pre)>|<br */?>',
+         |    chr(10), 'g') AS t FROM c2),
+         |c4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', '', 'g') AS t FROM c3),
+         |e AS (SELECT doc_id,
+         |    replace(replace(replace(replace(replace(replace(replace(replace(replace(t,
+         |      '&#65;', 'A'), '&#x42;', 'B'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+         |      '&nbsp;', ' '), '&copy;', '©'), '&amp;', '&') AS t FROM c4),
+         |l AS (SELECT doc_id, list_filter(list_transform(string_split(t, chr(10)),
+         |    x -> trim(regexp_replace(x, '[ \\t\\r\\f]+', ' ', 'g'))),
+         |    x -> x <> '' AND len(string_split(x, ' ')) >= 5) AS ls FROM e)
+         |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(coalesce(list_aggregate(ls, 'string_agg', chr(10)), '')) AS BIGINT) AS n_chars_kept,
+         |  md5(coalesce(list_aggregate(ls, 'string_agg', chr(10)), '')) AS text_fp
+         |FROM l ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val page = expr(htmlPageSql(id = "CAST(doc_id AS STRING)"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.expressions.HtmlExtract.htmlExtract(page).as("x"))
+        .select(col("doc_id"),
+          when(length(col("x")) === 0, 0L)
+            .otherwise(size(split(col("x"), "\n", -1)).cast("long")).as("n_lines"),
+          length(col("x")).cast("long").as("n_chars_kept"),
+          md5(col("x").cast("binary")).as("text_fp"))
+        .orderBy(col("doc_id"))
     },
 
     // Stratified deterministic sampling: per-language quota rates
@@ -807,6 +859,27 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // t53's features GENERALIZED — fastText-style hashed-n-gram
+    // classifier: word uni+bigrams hash into 64 buckets (the hashing
+    // trick: no vocabulary, bounded memory), one learned weight per
+    // bucket, trained by the same bit-portable distributed GD (softsign
+    // link + 1e-6 integer gradient sums — one ≤66-row aggregate per
+    // round reaches the driver). The oracle replays the ENTIRE 40-round
+    // fit in static MATERIALIZED CTEs with LIST-valued weights — t53's
+    // strongest-oracle pattern, now over 65 weights. Scoring is
+    // SHUFFLE-FREE: the z fold runs inside the row over array
+    // expressions (plan-gated: no explode, no join at serve).
+    sql(
+      "t62_hashed_classifier",
+      graft.operators.HashedClassifier.oracleSql(
+        "text", "n_chars > 300", "doc_id")) { (s, d) =>
+      import graft.operators.HashedClassifier
+      HashedClassifier.score(Tables.documents(s, d), col("text"), col("doc_id"),
+          classifierLabel, hashedWeights(s, d))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // Bigram interpolated surprisal — t26's perplexity filter upgraded
     // to a first-order LM, still trained on the corpus's OWN text:
     // s(w2|w1) = −ln(0.7·c(w1,w2)/c(w1·) + 0.3·u(w2)/T), per-doc
@@ -848,6 +921,70 @@ object TextQueries {
         .unionByName(bgNew.groupBy(col("g")).agg(sum(col("bf")).as("c")))
         .groupBy(col("g")).agg(sum(col("c")).as("c"))
       bigramScore(bgNew, merged)
+    },
+
+    // t55 CONDITIONED PER LANGUAGE (CCNet's actual design): each
+    // document is scored under its OWN language's bigram LM — a
+    // Wikipedia-quality zh doc must not look "surprising" merely
+    // because the corpus is mostly en. Same one-pass shape as t55:
+    // the (doc, lang, bigram, bf) table is built once (the lang key
+    // rides the same tokenize kernel pass — no second corpus scan),
+    // all three LM tables derive from it per language and stay
+    // Zipf-small × n_langs, so they still BROADCAST; joins key on
+    // (lang, gram). ln()/nudge/round per t55's precedent.
+    sql(
+      "t60_lang_surprisal",
+      s"""WITH tl AS (
+         |  SELECT doc_id, lang, list_filter(string_split(${Sql.normalizeText("text")}, ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |bg0 AS (
+         |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1])) AS g
+         |  FROM tl WHERE len(t) >= 2),
+         |bg AS (SELECT doc_id, lang, g, count(*) AS bf FROM bg0 GROUP BY doc_id, lang, g),
+         |bi AS (SELECT lang, g, CAST(sum(bf) AS BIGINT) AS c FROM bg GROUP BY lang, g),
+         |ctx AS (SELECT lang, split_part(g, ' ', 1) AS w1, CAST(sum(c) AS BIGINT) AS cw FROM bi GROUP BY 1, 2),
+         |uni AS (SELECT lang, split_part(g, ' ', 2) AS w2, CAST(sum(c) AS BIGINT) AS u FROM bi GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM bi GROUP BY lang),
+         |per AS (
+         |  SELECT bg.doc_id, bg.lang, bg.bf,
+         |    -ln((0.7 * (CAST(bi.c AS DOUBLE) / ctx.cw)) + (0.3 * (CAST(uni.u AS DOUBLE) / tot.t))) AS s
+         |  FROM bg JOIN bi ON bi.lang = bg.lang AND bi.g = bg.g
+         |  JOIN ctx ON ctx.lang = bg.lang AND ctx.w1 = split_part(bg.g, ' ', 1)
+         |  JOIN uni ON uni.lang = bg.lang AND uni.w2 = split_part(bg.g, ' ', 2)
+         |  JOIN tot ON tot.lang = bg.lang)
+         |SELECT doc_id, lang, CAST(sum(bf) AS BIGINT) AS n_bigrams,
+         |  round(sum(bf * s) / sum(bf) + 1e-9, 4) AS surprisal
+         |FROM per GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = filter(TextFunctions.tokens(col("text")), t => t =!= lit(""))
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1), (t, i) -> concat(t, ' ', toks[i + 1]))")).as("g"))
+        .groupBy(col("doc_id"), col("lang"), col("g"))
+        .agg(count(lit(1)).as("bf"))
+        .withColumn("w1", substring_index(col("g"), " ", 1))
+        .withColumn("w2", substring_index(col("g"), " ", -1))
+        .localCheckpoint()
+      val bi = bg.groupBy(col("lang"), col("g")).agg(sum(col("bf")).as("c"))
+      val ctx = bi.groupBy(col("lang"), substring_index(col("g"), " ", 1).as("w1"))
+        .agg(sum(col("c")).as("cw"))
+      val uni = bi.groupBy(col("lang"), substring_index(col("g"), " ", -1).as("w2"))
+        .agg(sum(col("c")).as("u"))
+      val tot = bi.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+      bg
+        .join(broadcast(bi), Seq("lang", "g"))
+        .join(broadcast(ctx), Seq("lang", "w1"))
+        .join(broadcast(uni), Seq("lang", "w2"))
+        .join(broadcast(tot), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("bf"),
+          (-log((lit(0.7) * (col("c").cast("double") / col("cw"))) +
+            (lit(0.3) * (col("u").cast("double") / col("t"))))).as("s"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("bf")).cast("long").as("n_bigrams"),
+          round(sum(col("bf") * col("s")) / sum(col("bf")) + 1e-9, 4).as("surprisal"))
+        .orderBy(col("doc_id"))
     },
 
     // Incremental dedup: the new crawl batch (doc_id % 5 = 0 stands in
@@ -1406,6 +1543,56 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // BYTE-level BPE with special tokens — the production tokenizer
+    // shape closing t42/t43's gap: merges over UTF-8 BYTES (2-hex-char
+    // base alphabet), so NO input is ever OOV — emoji, CJK, control
+    // bytes all encode and decode losslessly (ByteBpeSpec proves the
+    // round-trip on an adversarial corpus); a validated RESERVED table
+    // ([BOS]/[EOS]/[PAD]/[UNK], provably unforgeable by merges —
+    // they're non-hex-shaped) brackets every document. Trained by the
+    // same one-argmax-row-per-round distributed loop as t42, served
+    // through one codegen kernel; the oracle independently replays the
+    // ENTIRE byte-level fit and the serve, t42/t43's pattern.
+    sql("t61_byte_bpe",
+        HashOracleSql.byteBpeTokens(ByteBpeRounds)) { (s, d) =>
+      import graft.expressions.ByteBpe
+      val merges = trainedByteBpe(s, d).map(m => (m.x, m.y))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array(ByteBpe.encodeWith(col("text"), merges))).as("enc"))
+        .select(col("doc_id"),
+          size(split(col("enc"), "\\|")).cast("int").as("n_tokens"),
+          md5(col("enc").cast("binary")).as("bpe_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // t46's fertility eval RE-MEASURED under the byte table: tokens
+    // per word and single-BYTE-fragment fraction per language — the
+    // quality check a tokenizer swap must re-run (byte tables trade
+    // OOV-freedom for higher fertility on non-Latin scripts; this is
+    // the query that quantifies the trade). Same one-kernel-pass,
+    // dimension-sized-aggregate shape as t46.
+    sql("t63_byte_fertility",
+        HashOracleSql.byteFertility(ByteBpeRounds)) { (s, d) =>
+      import graft.expressions.ByteBpe
+      val merges = trainedByteBpe(s, d).map(m => (m.x, m.y))
+      Tables.documents(s, d)
+        .select(col("lang"),
+          size(filter(split(col("text"), " "), w => w =!= lit(""))).as("n_words"),
+          explode(array(ByteBpe.encodeWith(col("text"), merges))).as("enc"))
+        // strip the bracket pair: fertility counts CONTENT tokens per
+        // word (specials are per-doc overhead, not per-word cost)
+        .select(col("lang"), col("n_words"),
+          expr("filter(split(enc, '\\\\|'), t -> t NOT IN ('[BOS]', '[EOS]'))").as("toks"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(size(col("toks"))).cast("double") / sum(col("n_words")) + 1e-9, 4)
+            .as("fertility"),
+          round(sum(size(filter(col("toks"), t => length(t) === 2))).cast("double") /
+            sum(size(col("toks"))) + 1e-9, 4).as("single_frac"))
+        .orderBy(col("lang"))
+    },
+
     // Heavy hitters via count-min sketch, gated against exact counts
     // (q29/q39's sketch-trust pattern, now for an UNBOUNDED key
     // domain): at 100 TB the token vocabulary is billions of keys, so
@@ -1789,6 +1976,23 @@ object TextQueries {
       BpeTrain.load(s, dir.toString)
     })
 
+  /** Learned BYTE-level merges per data dir (t61/t63): trained once,
+    * round-tripped through the persisted artifact like [[trainedBpe]]. */
+  private val byteBpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[graft.operators.BpeTrain.Merge]]()
+
+  private[graft] def trainedByteBpe(s: org.apache.spark.sql.SparkSession,
+      d: String): Vector[graft.operators.BpeTrain.Merge] =
+    byteBpeCache.computeIfAbsent(d, _ => {
+      import graft.operators.BpeTrain
+      val learned = BpeTrain.trainBytes(Tables.documents(s, d), col("text"), ByteBpeRounds)
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "byte-bpe-merges")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      BpeTrain.save(s, learned, dir.toString)
+      BpeTrain.load(s, dir.toString)
+    })
+
   /** Prebuilt verified-pair LOG per data dir — the (id_a, id_b) edge
     * table that built [[prebuiltComponents]], persisted alongside it
     * exactly as a production pipeline would: the components table
@@ -1856,6 +2060,25 @@ object TextQueries {
     })
     s.read.parquet(path)
   }
+
+  /** t59's synthetic crawl page: the document's text wrapped in a
+    * deterministic HTML shell — style/script to drop, nav/header/
+    * footer boilerplate to density-filter, and one adversarial arm per
+    * doc_id%4 (comment, entity soup, CDATA, broken markup). ONE SQL
+    * expression string evaluated by BOTH engines (only the id cast
+    * differs by dialect), so the fixture cannot drift between them. */
+  private def htmlPageSql(id: String): String =
+    s"""'<html><head><title>Doc ' || $id || '</title>' ||
+       |'<style>body { margin:0; color:#333 }</style>' ||
+       |'<script type="text/javascript">var t = 1; track(t);</script>' ||
+       |'</head><body><nav><ul><li>Home</li><li>Docs</li><li>About</li></ul></nav>' ||
+       |'<header><h1>' || source || ' archive</h1></header>' ||
+       |CASE WHEN doc_id % 4 = 0 THEN '<!-- editorial note: draft, do not publish yet -->' ELSE '' END ||
+       |CASE WHEN doc_id % 4 = 1 THEN '<p>Rate &amp; review: 5 &lt; 10 &gt; 2, &quot;grade&quot;&nbsp;&#65;&#x42; overall</p>' ELSE '' END ||
+       |CASE WHEN doc_id % 4 = 2 THEN '<div><![CDATA[cdata payload retained as plain text content]]></div>' ELSE '' END ||
+       |CASE WHEN doc_id % 4 = 3 THEN '<p>broken <markup unclosed attr="x </p>' ELSE '' END ||
+       |'<article><p>' || text || '</p></article>' ||
+       |'<footer>&copy; 2024 ' || source || '</footer></body></html>'""".stripMargin
 
   /** t55/t57's shared oracle: the bigram-LM surprisal SQL, with
     * optional emission restriction for the incremental claim (the LM
@@ -1957,6 +2180,17 @@ object TextQueries {
   private[queries] def classifierWeights(s: org.apache.spark.sql.SparkSession, d: String): Array[Double] =
     classifierCache.computeIfAbsent(d, _ =>
       graft.operators.TextClassifier.fit(
+        Tables.documents(s, d), col("text"), classifierLabel))
+
+  /** One hashed-classifier fit per data dir (t62) — the
+    * share-the-training-run idiom; training is deterministic
+    * (bit-portable integer gradient sums), so WHICH query triggers it
+    * is immaterial. */
+  private val hashedCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  private def hashedWeights(s: org.apache.spark.sql.SparkSession, d: String): Array[Double] =
+    hashedCache.computeIfAbsent(d, _ =>
+      graft.operators.HashedClassifier.fit(
         Tables.documents(s, d), col("text"), classifierLabel))
 
   /** t56's warm-started weights: 30 rounds on the existing corpus
