@@ -1191,4 +1191,52 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"text never shuffles:\n${shuffles.mkString("\n")}")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
+
+  test("t59: html extraction is ONE kernel pass per row, no UDF, no shuffle but the sort") {
+    val p = plan("t59_html_extract")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+    // the kernel expression is computed in exactly one Project; the
+    // three consumers (line count, length, md5) reference its attribute
+    assert("html_extract\\(".r.findAllIn(p).size == 1,
+      s"kernel must run once per row:\n$p")
+    assert(nodeCount(p, "Scan parquet") == 1)
+    assert(nodeCount(p, "Exchange") <= 1, s"row map + output sort only:\n$p")
+  }
+
+  test("t60: per-language LM tables broadcast; corpus text never shuffles") {
+    val p = plan("t60_lang_surprisal")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"LM joins must broadcast:\n$p")
+    assert(nodeCount(p, "BroadcastHashJoin") == 4,
+      s"four LM-side broadcast joins (bi, ctx, uni, tot):\n$p")
+    val shuffles = p.linesIterator.filter(_.trim.startsWith("Arguments: hashpartitioning")).toSeq
+    assert(!shuffles.exists(_.contains("text")),
+      s"text never shuffles:\n${shuffles.mkString("\n")}")
+  }
+
+  test("t62: hashed-classifier serving is a shuffle-free row map — no explode, no join") {
+    val p = plan("t62_hashed_classifier")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+    assert(nodeCount(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
+    assert(nodeCount(p, "Generate") == 0, s"the z fold runs inside the row:\n$p")
+    assert(nodeCount(p, "BroadcastHashJoin") == 0 && !p.contains("SortMergeJoin"),
+      s"weights are a plan literal, not a join:\n$p")
+    assert(nodeCount(p, "Exchange") <= 1, s"row map + output sort only:\n$p")
+  }
+
+  test("q60: range layout — footer stats pruned the file list, residual predicate pushed down") {
+    val p = plan("q60_range_layout")
+    // the scan's file index holds ONLY the footer-surviving files: the
+    // query build already asserts filesRead < filesTotal (it throws
+    // otherwise), so reaching a plan at all proves the pruning — here
+    // we pin that the residual range predicate ALSO reaches the
+    // parquet reader (row-group min/max skipping inside kept files)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ts"),
+      s"ts range must reach the parquet reader:\n$p")
+    assert(nodeCount(p, "Scan parquet") == 1, s"one scan over kept files:\n$p")
+    assert(nodeCount(p, "HashAggregate") >= 2, s"partial+final aggregate:\n$p")
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(!read.contains("props") && !read.contains("user_id"),
+      s"scan must prune to (event_id, ts, event_type, value): $read")
+  }
 }
