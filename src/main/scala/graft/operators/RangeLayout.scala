@@ -174,6 +174,42 @@ object RangeLayout {
       .repartition(bounds.length + 1, col("rbucket"))
       .sortWithinPartitions(col("rbucket"), col(sortCol))
 
+  /** Compact every bucket directory that accumulated more than one
+    * file (each append adds one per touched bucket) back to a single
+    * SORTED file — the maintenance half of the layout lifecycle
+    * (create/append/query/compact, the ZOrderTable discipline): file
+    * counts stay O(buckets) however many increments arrived, and each
+    * bucket's footer min/max tightens back to one entry. Rewrite is
+    * per-bucket (write-temp + swap), so an interrupted compaction
+    * loses nothing — the bucket still has its old files or its new
+    * one, never neither. Returns the number of buckets rewritten. */
+  def compact(spark: SparkSession, dir: String, sortCol: String): Int = {
+    readBounds(dir) // layout-dir validation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    var rewritten = 0
+    for (st <- fs.listStatus(root) if st.isDirectory &&
+        st.getPath.getName.startsWith("rbucket=")) {
+      val files = fs.listStatus(st.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+      if (files.length > 1) {
+        val tmp = new Path(root, s".compact-${st.getPath.getName}")
+        withMicrosTimestamps(spark) {
+          spark.read.parquet(st.getPath.toString)
+            .coalesce(1).sortWithinPartitions(col(sortCol))
+            .write.mode("overwrite").parquet(tmp.toString)
+        }
+        fs.delete(st.getPath, true)
+        require(fs.rename(tmp, st.getPath),
+          s"range layout: compaction swap failed for ${st.getPath}")
+        rewritten += 1
+      }
+    }
+    rewritten
+  }
+
   /** Every data file under `dir` with its footer min/max for
     * `sortCol`: one footer read per file, run DISTRIBUTEDLY over the
     * file listing (the RobustIngest probe shape — cost independent of

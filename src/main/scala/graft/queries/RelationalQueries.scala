@@ -1570,29 +1570,53 @@ object RelationalQueries {
     // so the driver's correctness run also proves the pruning, not
     // just the answer. Oracle: the same aggregate over the PLAIN
     // table — layout + skipping must not change a row.
-    sql(
-      "q60_range_layout",
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-        |  round(sum(value) + 1e-9, 2) AS sum_value,
-        |  CAST(min(event_id) AS BIGINT) AS min_event,
-        |  CAST(max(event_id) AS BIGINT) AS max_event
-        |FROM events
-        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
-        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
-        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
-      val lo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
-      val hi = java.time.Instant.parse("2024-01-13T00:00:00Z").toEpochMilli * 1000L
-      val (data, read, total) = graft.operators.RangeLayout
-        .prunedScan(s, rangeLayoutDir(s, d), "ts", lo, hi)
-      require(read < total,
-        s"range layout: footer stats pruned nothing ($read of $total files)")
-      data.groupBy($"event_type")
-        .agg(count(lit(1)).as("n_events"),
-          round(sum($"value") + 1e-9, 2).as("sum_value"),
-          min($"event_id").as("min_event"), max($"event_id").as("max_event"))
-        .orderBy($"event_type")
+    sql("q60_range_layout", rangeWindowOracle) { (s, d) =>
+      rangeWindowQuery(s, rangeLayoutDir(s, d), expectTotal = 32)
+    },
+
+    // The MAINTENANCE half of q60's layout lifecycle: appends leave
+    // one file per touched bucket per increment, so file counts grow
+    // with ingestion cadence — compaction rewrites each multi-file
+    // bucket back to ONE sorted file (write-temp + swap per bucket;
+    // an interrupted run loses nothing), restoring O(buckets) files
+    // and one tight footer min/max entry per bucket. The query is
+    // q60's verbatim over a compacted copy of the layout: compaction
+    // must not change a row, and the pruned scan now reads half the
+    // files (16 vs q60's 32; the build asserts both).
+    sql("q61_range_compaction", rangeWindowOracle) { (s, d) =>
+      rangeWindowQuery(s, compactedRangeLayoutDir(s, d), expectTotal = 16)
     }
   )
+
+  /** q60/q61's shared oracle: the 3-day key-range aggregate over the
+    * PLAIN events table — layout, skipping, and compaction must not
+    * change a row. */
+  private lazy val rangeWindowOracle: String = // LAZY: declared after `all` (incJoinOracle's note)
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  round(sum(value) + 1e-9, 2) AS sum_value,
+      |  CAST(min(event_id) AS BIGINT) AS min_event,
+      |  CAST(max(event_id) AS BIGINT) AS max_event
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private def rangeWindowQuery(s: org.apache.spark.sql.SparkSession,
+      dir: String, expectTotal: Int): org.apache.spark.sql.DataFrame = {
+    val lo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+    val hi = java.time.Instant.parse("2024-01-13T00:00:00Z").toEpochMilli * 1000L
+    val (data, read, total) = graft.operators.RangeLayout
+      .prunedScan(s, dir, "ts", lo, hi)
+    require(total == expectTotal,
+      s"range layout: expected $expectTotal files, found $total")
+    require(read < total,
+      s"range layout: footer stats pruned nothing ($read of $total files)")
+    data.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value") + 1e-9, 2).as("sum_value"),
+        min($"event_id").as("min_event"), max($"event_id").as("max_event"))
+      .orderBy($"event_type")
+  }
 
   /** q55/s16's shared oracle: the full-join REBUILD — incremental view
     * maintenance is correct iff it equals this however the inserts
@@ -1960,6 +1984,27 @@ object RelationalQueries {
         ev.filter(Tables.inLowMd5Half($"event_id")), "ts", 16, dir)
       graft.operators.RangeLayout.append(
         ev.filter(!Tables.inLowMd5Half($"event_id")), "ts", dir)
+      dir
+    })
+
+  /** q61's layout: q60's create+append fixture COMPACTED — built
+    * independently (q60's instance must keep its 2-files-per-bucket
+    * state; fixtures are immutable once built). */
+  private val compactedRangeCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def compactedRangeLayoutDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    compactedRangeCache.computeIfAbsent(d, _ => {
+      val parent = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "range-layout-c")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(parent))
+      val dir = parent.resolve("t").toString
+      val ev = Tables.events(s, d)
+      graft.operators.RangeLayout.write(
+        ev.filter(Tables.inLowMd5Half($"event_id")), "ts", 16, dir)
+      graft.operators.RangeLayout.append(
+        ev.filter(!Tables.inLowMd5Half($"event_id")), "ts", dir)
+      val n = graft.operators.RangeLayout.compact(s, dir, "ts")
+      require(n > 0, "q61 fixture: compaction found nothing to rewrite")
       dir
     })
 

@@ -399,6 +399,51 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // INTRA-document duplicate-line removal — C4's line-level dedup
+    // stage (navigation chrome and lorem blocks repeat INSIDE a page;
+    // cross-doc span dedup t49/t50 can't see them): keep each line's
+    // FIRST occurrence, preserve order, drop the rest. The whole
+    // operator is a pure row map over array expressions — keep line i
+    // iff its first position in the doc's line list IS i (no explode,
+    // no shuffle; the O(lines²) in-row scan is bounded by page size,
+    // and the kernel-upgrade path is a per-row hash set if lines ever
+    // number thousands). Fixture: the doc's tokens chunked into 8-token
+    // lines with every third line re-appended as a duplicate — built
+    // from the same expression shape in both engines (Spark 0-based
+    // lambda indexes ⇄ DuckDB 1-based, offset explicitly).
+    sql(
+      "t64_dedup_lines",
+      s"""WITH tl AS (
+         |  SELECT doc_id, list_filter(string_split(${Sql.normalizeText("text")}, ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |ln AS (
+         |  SELECT doc_id, list_transform(generate_series(0, (len(t) - 1) // 8),
+         |    i -> array_to_string(t[(i*8+1):(i*8+8)], ' ')) AS ls
+         |  FROM tl WHERE len(t) >= 1),
+         |fx AS (SELECT doc_id, ls || list_filter(ls, (l, i) -> (i - 1) % 3 = 0) AS raw FROM ln),
+         |dd AS (SELECT doc_id, raw, list_filter(raw, (l, i) -> list_position(raw, l) = i) AS kept FROM fx)
+         |SELECT doc_id, CAST(len(raw) AS BIGINT) AS n_lines_in,
+         |  CAST(len(kept) AS BIGINT) AS n_lines_out,
+         |  md5(array_to_string(kept, chr(10))) AS text_fp
+         |FROM dd ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = filter(TextFunctions.tokens(col("text")), t => t =!= lit(""))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 1)
+        .withColumn("ls", transform(
+          sequence(lit(0), ((size(col("t")) - 1) / lit(8)).cast("int")),
+          i => array_join(slice(col("t"), i * 8 + 1, lit(8)), " ")))
+        .withColumn("raw", concat(col("ls"),
+          filter(col("ls"), (_, i) => i % 3 === 0)))
+        .withColumn("kept", filter(col("raw"),
+          (l, i) => array_position(col("raw"), l) === (i + 1).cast("long")))
+        .select(col("doc_id"),
+          size(col("raw")).cast("long").as("n_lines_in"),
+          size(col("kept")).cast("long").as("n_lines_out"),
+          md5(array_join(col("kept"), "\n").cast("binary")).as("text_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // Stratified deterministic sampling: per-language quota rates
     // rebalance a skewed corpus (the dominant language keeps 1/16, the
     // tail keeps 1/2) — the training-mix rebalancing step, done as a

@@ -1224,6 +1224,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(nodeCount(p, "Exchange") <= 1, s"row map + output sort only:\n$p")
   }
 
+  test("t64: line dedup is a pure row map — no explode, no join, no shuffle but the sort") {
+    val p = plan("t64_dedup_lines")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+    assert(nodeCount(p, "Generate") == 0, s"first-occurrence filter runs inside the row:\n$p")
+    assert(nodeCount(p, "Scan parquet") == 1)
+    assert(nodeCount(p, "Exchange") <= 1, s"row map + output sort only:\n$p")
+  }
+
   test("q60: range layout — footer stats pruned the file list, residual predicate pushed down") {
     val p = plan("q60_range_layout")
     // the scan's file index holds ONLY the footer-surviving files: the

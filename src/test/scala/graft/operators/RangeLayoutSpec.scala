@@ -87,6 +87,26 @@ class RangeLayoutSpec extends AnyFunSuite with SparkTestSupport {
     assert(e2.getMessage.contains("keyed on"))
   }
 
+  test("compact: multi-file buckets rewrite to one sorted file; rows and pruning unchanged") {
+    val dir = freshDir()
+    RangeLayout.write(rows(1 to 800), "k", n = 8, dir = dir)
+    RangeLayout.append(rows(801 to 1200), "k", dir = dir)
+    val before = RangeLayout.prunedScan(spark, dir, "k", 0L, 100001L)._1
+      .select($"id").as[Long].collect().sorted.toSeq
+    val rewritten = RangeLayout.compact(spark, dir, "k")
+    assert(rewritten === 8, "every bucket had 2 files")
+    val (got, read, total) = RangeLayout.prunedScan(spark, dir, "k", 0L, 100001L)
+    assert(total === 8, "compaction halves the file count")
+    assert(read === 8)
+    assert(got.select($"id").as[Long].collect().sorted.toSeq === before,
+      "compaction must not change a row")
+    // narrow range still prunes, and each surviving file is sorted
+    val (_, read2, total2) = RangeLayout.prunedScan(spark, dir, "k", 40000L, 55000L)
+    assert(read2 < total2)
+    // idempotent: nothing left to rewrite
+    assert(RangeLayout.compact(spark, dir, "k") === 0)
+  }
+
   test("each bucket directory holds one sorted file per write") {
     val dir = freshDir()
     RangeLayout.write(rows(1 to 400), "k", n = 4, dir = dir)
