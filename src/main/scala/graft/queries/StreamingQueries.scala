@@ -756,6 +756,27 @@ object StreamingQueries {
               TextQueries.classifierLabel, w)
             .withColumnRenamed("id", "doc_id")))
         .orderBy(col("doc_id"))
+    },
+
+    // The WHOLE crawl-preprocessing chain (t65) run at ingestion
+    // cadence: raw pages arrive as micro-batches, each batch pays its
+    // extraction + line-dedup + gate kernels ONCE (all per-row — the
+    // s19 discipline: page text never crosses a batch boundary), and
+    // the fold state is the narrow verdict table. Gating at serve is a
+    // row filter, so the answer is trivially slicing-invariant —
+    // the oracle is t65's full-pipeline SQL VERBATIM.
+    sql("s24_stream_crawl", TextQueries.crawlPipelineOracle) { (s, d) =>
+      import s.implicits._
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(documentSliceDir(s, d))
+      val init = Seq.empty[(Long, Long, String, Double, Int, String)]
+        .toDF("doc_id", "n_lines", "lang_pred", "quality", "n_tokens", "fp")
+      TextQueries.crawlGate(
+          StreamingRelational.oneShotFold(s, stream, init,
+            (state, batch) => state.unionByName(TextQueries.crawlVerdicts(batch))))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -362,31 +362,12 @@ object TextQueries {
     // pass per row (project-level CSE; t18's discipline), no shuffle
     // but the output sort.
     sql(
-      "t59_html_extract", {
-      val page = htmlPageSql(id = "CAST(doc_id AS VARCHAR)")
-      s"""WITH h AS (SELECT doc_id, $page AS html FROM documents),
-         |c1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
-         |    '(?is)<script\\b[^>]*>.*?</script>', '', 'g'),
-         |    '(?is)<style\\b[^>]*>.*?</style>', '', 'g'),
-         |    '(?s)<!--.*?-->', '', 'g') AS t FROM h),
-         |c2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!\\[CDATA\\[(.*?)\\]\\]>', '\\1', 'g') AS t FROM c1),
-         |c3 AS (SELECT doc_id, regexp_replace(t,
-         |    '(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|nav|footer|header|section|article|blockquote|pre)>|<br */?>',
-         |    chr(10), 'g') AS t FROM c2),
-         |c4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', '', 'g') AS t FROM c3),
-         |e AS (SELECT doc_id,
-         |    replace(replace(replace(replace(replace(replace(replace(replace(replace(t,
-         |      '&#65;', 'A'), '&#x42;', 'B'),
-         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
-         |      '&nbsp;', ' '), '&copy;', '©'), '&amp;', '&') AS t FROM c4),
-         |l AS (SELECT doc_id, list_filter(list_transform(string_split(t, chr(10)),
-         |    x -> trim(regexp_replace(x, '[ \\t\\r\\f]+', ' ', 'g'))),
-         |    x -> x <> '' AND len(string_split(x, ' ')) >= 5) AS ls FROM e)
+      "t59_html_extract",
+      s"""WITH ${htmlExtractCtes(dupArticle = false)}
          |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
          |  CAST(len(coalesce(list_aggregate(ls, 'string_agg', chr(10)), '')) AS BIGINT) AS n_chars_kept,
          |  md5(coalesce(list_aggregate(ls, 'string_agg', chr(10)), '')) AS text_fp
-         |FROM l ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
+         |FROM l ORDER BY doc_id""".stripMargin) { (s, d) =>
       val page = expr(htmlPageSql(id = "CAST(doc_id AS STRING)"))
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -441,6 +422,21 @@ object TextQueries {
           size(col("raw")).cast("long").as("n_lines_in"),
           size(col("kept")).cast("long").as("n_lines_out"),
           md5(array_join(col("kept"), "\n").cast("binary")).as("text_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The WHOLE crawl-preprocessing chain as one query — raw HTML in,
+    // clean gated corpus out: t59's extraction kernel → t64's
+    // intra-page line dedup (the fixture re-emits the article
+    // paragraph for every fifth doc; the stage must remove it) →
+    // t17/t19's language/quality gates, all PER-ROW (one corpus scan,
+    // no shuffle but the output sort; gate kernels behind the Generate
+    // barrier so the filter can't re-derive them). This is the
+    // composition a crawl pipeline actually runs, end to end, oracled
+    // as one SQL: t59's stage CTEs → the first-occurrence line filter
+    // → the t19 gate twins.
+    sql("t65_crawl_pipeline", crawlPipelineOracle) { (s, d) =>
+      crawlGate(crawlVerdicts(Tables.documents(s, d)))
         .orderBy(col("doc_id"))
     },
 
@@ -2112,7 +2108,12 @@ object TextQueries {
     * doc_id%4 (comment, entity soup, CDATA, broken markup). ONE SQL
     * expression string evaluated by BOTH engines (only the id cast
     * differs by dialect), so the fixture cannot drift between them. */
-  private def htmlPageSql(id: String): String =
+  private def htmlPageSql(id: String, dupArticle: Boolean = false): String = {
+    // t65's variant re-emits the article paragraph for every fifth doc
+    // — the intra-page duplication its line-dedup stage must remove
+    val dup = if (dupArticle)
+      "CASE WHEN doc_id % 5 = 0 THEN '<p>' || text || '</p>' ELSE '' END || "
+    else ""
     s"""'<html><head><title>Doc ' || $id || '</title>' ||
        |'<style>body { margin:0; color:#333 }</style>' ||
        |'<script type="text/javascript">var t = 1; track(t);</script>' ||
@@ -2123,7 +2124,81 @@ object TextQueries {
        |CASE WHEN doc_id % 4 = 2 THEN '<div><![CDATA[cdata payload retained as plain text content]]></div>' ELSE '' END ||
        |CASE WHEN doc_id % 4 = 3 THEN '<p>broken <markup unclosed attr="x </p>' ELSE '' END ||
        |'<article><p>' || text || '</p></article>' ||
-       |'<footer>&copy; 2024 ' || source || '</footer></body></html>'""".stripMargin
+       |$dup'<footer>&copy; 2024 ' || source || '</footer></body></html>'""".stripMargin
+  }
+
+  /** t65/s24's shared oracle: t59's stage CTEs → the first-occurrence
+    * line filter → the t19 gate twins, one static SQL. LAZY
+    * (incJoinOracle's forward-reference note). */
+  private[queries] lazy val crawlPipelineOracle: String =
+    s"""WITH ${htmlExtractCtes(dupArticle = true)},
+       |dd AS (SELECT doc_id, list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept
+       |       FROM l WHERE len(ls) > 0),
+       |cl AS (SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_lines,
+       |         array_to_string(kept, chr(10)) AS ct FROM dd)
+       |SELECT doc_id, n_lines,
+       |  ${Sql.langId("ct")} AS lang_pred,
+       |  ${Sql.qualityScore("ct")} AS quality,
+       |  ${Sql.tokenCount("ct")} AS n_tokens,
+       |  ${Sql.fingerprint("ct")} AS fp
+       |FROM cl
+       |WHERE ${Sql.qualityScore("ct")} >= 0.5 AND ${Sql.langId("ct")} <> 'und'
+       |ORDER BY doc_id""".stripMargin
+
+  /** t65/s24's per-row verdict map — extract → line-dedup → gate
+    * kernels (behind the Generate barrier), PRE-filter: the narrow
+    * verdict table a crawl pipeline folds per batch. */
+  private[queries] def crawlVerdicts(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val page = expr(htmlPageSql(id = "CAST(doc_id AS STRING)", dupArticle = true))
+    docs
+      // extraction behind its OWN Generate barrier: the empty-page
+      // filter below would otherwise re-derive the kernel through
+      // Project pushdown (t17's lesson) — two extractions per row
+      .select(col("doc_id"),
+        explode(array(graft.expressions.HtmlExtract.htmlExtract(page))).as("x"))
+      .filter(length(col("x")) > 0)
+      .withColumn("raw", split(col("x"), "\n", -1))
+      .withColumn("kept", filter(col("raw"),
+        (ln, i) => array_position(col("raw"), ln) === (i + 1).cast("long")))
+      .withColumn("cleaned", array_join(col("kept"), "\n"))
+      .select(col("doc_id"), size(col("kept")).cast("long").as("n_lines"),
+        explode(array(struct(
+          TextFunctions.langId(col("cleaned")).as("lang_pred"),
+          TextFunctions.qualityScore(col("cleaned")).as("quality"),
+          TextFunctions.tokenCount(col("cleaned")).as("n_tokens"),
+          TextFunctions.fingerprint(col("cleaned")).as("fp")))).as("k"))
+      .select(col("doc_id"), col("n_lines"), col("k.lang_pred"),
+        col("k.quality"), col("k.n_tokens"), col("k.fp"))
+  }
+
+  /** t65/s24's shared gate over the verdict table. */
+  private[queries] def crawlGate(v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    v.filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")
+
+  /** t59/t65's shared oracle stages: the html fixture + every kernel
+    * stage of [[graft.expressions.HtmlExtract]] as regexp/list CTEs,
+    * ending in `l(doc_id, ls)` — the density-surviving line list. */
+  private def htmlExtractCtes(dupArticle: Boolean): String = {
+    val page = htmlPageSql(id = "CAST(doc_id AS VARCHAR)", dupArticle = dupArticle)
+    s"""h AS (SELECT doc_id, $page AS html FROM documents),
+       |c1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+       |    '(?is)<script\\b[^>]*>.*?</script>', '', 'g'),
+       |    '(?is)<style\\b[^>]*>.*?</style>', '', 'g'),
+       |    '(?s)<!--.*?-->', '', 'g') AS t FROM h),
+       |c2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!\\[CDATA\\[(.*?)\\]\\]>', '\\1', 'g') AS t FROM c1),
+       |c3 AS (SELECT doc_id, regexp_replace(t,
+       |    '(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|nav|footer|header|section|article|blockquote|pre)>|<br */?>',
+       |    chr(10), 'g') AS t FROM c2),
+       |c4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', '', 'g') AS t FROM c3),
+       |e AS (SELECT doc_id,
+       |    replace(replace(replace(replace(replace(replace(replace(replace(replace(t,
+       |      '&#65;', 'A'), '&#x42;', 'B'),
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+       |      '&nbsp;', ' '), '&copy;', '©'), '&amp;', '&') AS t FROM c4),
+       |l AS (SELECT doc_id, list_filter(list_transform(string_split(t, chr(10)),
+       |    x -> trim(regexp_replace(x, '[ \\t\\r\\f]+', ' ', 'g'))),
+       |    x -> x <> '' AND len(string_split(x, ' ')) >= 5) AS ls FROM e)""".stripMargin
+  }
 
   /** t55/t57's shared oracle: the bigram-LM surprisal SQL, with
     * optional emission restriction for the incremental claim (the LM

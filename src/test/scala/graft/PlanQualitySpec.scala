@@ -1232,6 +1232,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(nodeCount(p, "Exchange") <= 1, s"row map + output sort only:\n$p")
   }
 
+  test("t65: the crawl pipeline is one scan, per-row stages, gates behind the Generate barrier") {
+    val p = plan("t65_crawl_pipeline")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+    assert(nodeCount(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
+    // extraction runs once; the gate kernels live behind ONE Generate
+    // (explode of the verdict struct) so the quality/lang filter can't
+    // re-derive them into the scan
+    assert("html_extract\\(".r.findAllIn(p).size == 1, s"extraction once per row:\n$p")
+    assert(nodeCount(p, "Generate") == 2, s"extraction + verdict barriers:\n$p")
+    assert(nodeCount(p, "Exchange") <= 1, s"row map + output sort only:\n$p")
+  }
+
   test("q60: range layout — footer stats pruned the file list, residual predicate pushed down") {
     val p = plan("q60_range_layout")
     // the scan's file index holds ONLY the footer-surviving files: the
