@@ -440,6 +440,40 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Iterative LINK ANALYSIS — PageRank with dangling-mass
+    // redistribution (t66): the crawl-prioritization stage (which
+    // pages are worth fetching/keeping is a link-centrality decision;
+    // the CC family t21/t40/t41 answers reachability, not importance).
+    // 8 synchronous rounds, per round one rank⋈edges join + one
+    // partial+final sum by dst + a 1-row broadcast dangling aggregate;
+    // per-edge contributions quantize to 1e-9 integers (t53's
+    // discipline on a graph iteration), so ranks are BIT-IDENTICAL
+    // functions of the graph and the oracle replays the entire
+    // iteration in static MATERIALIZED CTEs. Fixture: a deterministic
+    // 3-out-regular graph over doc ids (three affine maps mod N), with
+    // every 11th doc DANGLING so the mass-conservation arm is live.
+    sql("t66_link_rank", {
+      val nodesSql = "SELECT doc_id AS id FROM documents"
+      val edgesSql = (1 to 3).map(k =>
+        s"SELECT doc_id AS src, (doc_id * ${6 + k} + $k) % " +
+          "(SELECT count(*) FROM documents) AS dst FROM documents WHERE doc_id % 11 <> 0")
+        .mkString(" UNION ALL ")
+      s"""WITH ${graft.operators.LinkRank.oracleSql(nodesSql, edgesSql)}
+         |SELECT id AS doc_id, rank FROM prf ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nN = docs.count()
+      val nodes = docs.select(col("doc_id").as("id"))
+      val edges = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 7 + 1) % nN,
+          (col("doc_id") * 8 + 2) % nN,
+          (col("doc_id") * 9 + 3) % nN)).as("dst"))
+      graft.operators.LinkRank.pagerank(nodes, edges)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // Stratified deterministic sampling: per-language quota rates
     // rebalance a skewed corpus (the dominant language keeps 1/16, the
     // tail keeps 1/2) — the training-mix rebalancing step, done as a

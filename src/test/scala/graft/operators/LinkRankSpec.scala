@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSupport
+
+/** PageRank contract on hand-computable graphs: mass conservation
+  * (dangling redistribution — dropping it would leak rank), symmetry,
+  * a hand-checked hub, determinism across partitionings (the
+  * quantized-sum claim), and isolated-node behavior. The cross-engine
+  * half (DuckDB replaying the full iteration) is the t66 oracle. */
+class LinkRankSpec extends AnyFunSuite with SparkTestSupport {
+  import spark.implicits._
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)], rounds: Int = 8) =
+    LinkRank.pagerank(
+      nodes.toDF("id"), edges.toDF("src", "dst"), rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("rank mass is conserved (sums to 1) even with dangling nodes") {
+    // 3 is dangling (only inbound); 4 is isolated (no edges at all)
+    val ranks = run(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L)))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6,
+      s"mass leaked: ${ranks.values.sum}")
+  }
+
+  test("a symmetric cycle ranks uniformly; a hub out-ranks its spokes") {
+    val cycle = run(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(cycle.values.toSeq.distinct.size === 1, s"cycle must be uniform: $cycle")
+    assert(math.abs(cycle(1L) - 1.0 / 3) < 1e-9)
+    // spokes all point at the hub
+    val hub = run(Seq(1L, 2L, 3L, 4L), Seq((2L, 1L), (3L, 1L), (4L, 1L)))
+    assert(hub(1L) > hub(2L) * 2, s"hub must dominate: $hub")
+    assert(hub(2L) === hub(3L))
+    assert(hub(3L) === hub(4L))
+  }
+
+  test("deterministic across partitionings (quantized integer sums)") {
+    val nodes = (0L to 60L).toSeq
+    val edges = nodes.flatMap(i => Seq(i -> (i * 7 + 1) % 61, i -> (i * 11 + 3) % 61))
+      .filter(_._1 % 9 != 0) // some dangling
+    val a = LinkRank.pagerank(nodes.toDF("id"), edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = LinkRank.pagerank(nodes.toDF("id").repartition(7),
+        edges.toDF("src", "dst").repartition(5))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b, "ranks must be bit-identical under any partitioning")
+  }
+
+  test("all-dangling graph degenerates to uniform; empty node set refuses") {
+    val ranks = run(Seq(1L, 2L), Seq.empty)
+    assert(ranks(1L) === ranks(2L))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)
+    intercept[IllegalArgumentException] {
+      LinkRank.pagerank(Seq.empty[Long].toDF("id"),
+        Seq.empty[(Long, Long)].toDF("src", "dst"), rounds = 0)
+    }
+  }
+}
