@@ -49,8 +49,16 @@ object HashedClassifier {
 
   /** The doc's gram-occurrence buckets, SORTED ascending (canonical
     * fold order): unigrams + adjacent bigrams of the normalized
-    * tokens, each hashed md5-first-4-hex-digits mod D. */
-  def buckets(text: Column): Column = {
+    * tokens, each hashed md5-first-4-hex-digits mod D. One fused
+    * codegen kernel ([[graft.expressions.HashedOps]]) — the
+    * higher-order-function formulation is CodegenFallback and benched
+    * ~1 ms/row; HashedClassifierSpec pins kernel == HOF equality. */
+  def buckets(text: Column): Column =
+    graft.expressions.HashedOps.hashedBuckets(text, D)
+
+  /** The HOF formulation of [[buckets]] — kept as the kernel's
+    * executable spec (the equality is asserted, not assumed). */
+  private[operators] def bucketsHof(text: Column): Column = {
     val toks = filter(TextFunctions.tokens(text), t => t =!= lit(""))
     val bigrams = transform(
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
@@ -62,9 +70,14 @@ object HashedClassifier {
   private def softsign(z: Column): Column =
     lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))
 
-  /** z = fold(bias, sorted occurrence terms w[b]·X) — the expression
-    * shape the DuckDB twin mirrors with list_prepend + list_reduce. */
-  private def zOf(w: Array[Double], bk: Column): Column = {
+  /** z = fold(bias, sorted occurrence terms w[b]·X) — the exact fold
+    * order the DuckDB twin mirrors with list_prepend + list_reduce,
+    * as a codegen kernel (weights ride as a plan reference object). */
+  private def zOf(w: Array[Double], bk: Column): Column =
+    graft.expressions.HashedOps.hashedZ(bk, w, X)
+
+  /** zOf's HOF spec twin (HashedClassifierSpec equality). */
+  private[operators] def zOfHof(w: Array[Double], bk: Column): Column = {
     val wl = lit(w)
     aggregate(
       transform(bk, b => element_at(wl, b + 2) * lit(X)),
@@ -84,7 +97,12 @@ object HashedClassifier {
       var w = new Array[Double](D + 1)
       for (_ <- 1 to rounds) {
         val rows = feat
-          .withColumn("margin", softsign(zOf(w, col("bk"))) - col("y"))
+          // z behind a Generate barrier: softsign references z twice
+          // and higher-order functions don't codegen, so an inlined z
+          // would re-run the whole fold per reference (and the
+          // gradient would pay it again) — one evaluation per row
+          .select(col("y"), col("bk"), explode(array(zOf(w, col("bk")))).as("z"))
+          .withColumn("margin", softsign(col("z")) - col("y"))
           // occurrence rows: bias sentinel (bucket −1, x = 1) + every
           // gram occurrence (x = X); quantize per occurrence, sum
           // exactly per bucket; n rides as the sentinel's count
@@ -113,9 +131,14 @@ object HashedClassifier {
       w: Array[Double]): DataFrame = {
     require(w.length == D + 1,
       s"weights must have ${D + 1} entries (bias first): ${w.length}")
-    val s = softsign(zOf(w, buckets(text)))
+    // z once per row (Generate barrier — see fit()): without it the
+    // softsign + grid-floor chain re-evaluates the interpreted HOF
+    // fold several times per row (benched 5.3 s → 0.3 s at sf0.1)
+    val s = softsign(col("z"))
     docs.filter(text.isNotNull)
       .select(id.as("id"), label.cast("long").as("y"),
+        explode(array(zOf(w, buckets(text)))).as("z"))
+      .select(col("id"), col("y"),
         (floor(s * lit(Q) + lit(0.5)).cast("long") / lit(Q)).as("score"))
       .withColumn("pred", (col("score") >= 0.5).cast("long"))
   }

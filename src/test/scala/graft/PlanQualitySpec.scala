@@ -1214,11 +1214,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
       s"text never shuffles:\n${shuffles.mkString("\n")}")
   }
 
-  test("t62: hashed-classifier serving is a shuffle-free row map — no explode, no join") {
+  test("t62: hashed-classifier serving is a shuffle-free row map — z once, no join") {
     val p = plan("t62_hashed_classifier")
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
     assert(nodeCount(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
-    assert(nodeCount(p, "Generate") == 0, s"the z fold runs inside the row:\n$p")
+    // exactly ONE Generate: the z-fold barrier — softsign + grid-floor
+    // reference z several times and HOFs don't codegen, so an inlined
+    // z would re-run the whole interpreted fold per reference
+    assert(nodeCount(p, "Generate") == 1, s"one z barrier:\n$p")
+    assert("aggregate\\(".r.findAllIn(p).size <= 2, // tree + detail render
+      s"the z fold must appear once:\n$p")
     assert(nodeCount(p, "BroadcastHashJoin") == 0 && !p.contains("SortMergeJoin"),
       s"weights are a plan literal, not a join:\n$p")
     assert(nodeCount(p, "Exchange") <= 1, s"row map + output sort only:\n$p")

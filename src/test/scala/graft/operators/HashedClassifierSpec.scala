@@ -32,6 +32,28 @@ class HashedClassifierSpec extends AnyFunSuite with SparkTestSupport {
     assert(one.size === 5)
   }
 
+  test("the fused kernels equal their HOF executable specs (buckets and z)") {
+    val texts = corpus.union(Seq(
+      (9001L, ""), (9002L, "   "), (9003L, "one"), (9004L, "Mixed CASE & punct!! 123"),
+      (9005L, "repeat repeat repeat repeat")).toDF("id", "text"))
+    val viaKernel = texts.select(col("id"),
+        HashedClassifier.buckets(col("text")).as("bk")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val viaHof = texts.select(col("id"),
+        HashedClassifier.bucketsHof(col("text")).as("bk")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(viaKernel === viaHof, "bucket kernel diverged from its HOF spec")
+    val w = Array.tabulate(HashedClassifier.D + 1)(i => (i % 7) * 0.125 - 0.25)
+    val zk = texts.select(col("id"),
+        graft.expressions.HashedOps.hashedZ(
+          HashedClassifier.buckets(col("text")), w, HashedClassifier.X).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val zh = texts.select(col("id"),
+        HashedClassifier.zOfHof(w, HashedClassifier.bucketsHof(col("text"))).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(zk === zh, "z kernel diverged bitwise from its HOF spec")
+  }
+
   test("fit is deterministic across repartitionings (integer gradient sums)") {
     val label = length(col("text")) > 100
     val w1 = HashedClassifier.fit(corpus, col("text"), label, rounds = 5)
