@@ -48,7 +48,24 @@ object LinkRank {
     * edge list still rank (they hold and receive the uniform terms).
     * Returns (id, rank) with rank on the 1e-9 grid. */
   def pagerank(nodes: DataFrame, edges: DataFrame, d: Double = 0.85,
-      rounds: Int = 8): DataFrame = {
+      rounds: Int = 8): DataFrame =
+    run(nodes, edges, d, rounds, init = None)
+
+  /** CONTINUE from a stored rank table (the incremental path: a crawl
+    * delta adds edges; re-ranking from scratch re-pays every round
+    * over the full graph, while the iteration is memoryless beyond its
+    * rank vector — so K continuation rounds from the PUBLISHED table
+    * converge against the new graph at K-round cost). `stored` is
+    * (id, rank) exactly as [[pagerank]] emitted it (1e-9 grid — the
+    * grid IS the phase boundary contract, so a replay from the stored
+    * artifact is bit-identical to the run that wrote it). */
+  def continueFrom(nodes: DataFrame, edges: DataFrame, stored: DataFrame,
+      d: Double = 0.85, rounds: Int = 4): DataFrame =
+    run(nodes, edges, d, rounds,
+      init = Some(stored.select(col("id"), col("rank").as("r"))))
+
+  private def run(nodes: DataFrame, edges: DataFrame, d: Double,
+      rounds: Int, init: Option[DataFrame]): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val n = nodes.select(col("id")).distinct().localCheckpoint(true)
     val nN = n.count()
@@ -60,7 +77,8 @@ object LinkRank {
     val srcs = deg.select(col("src").as("id")).localCheckpoint(true)
     // shared scalar shapes (mirrored by the oracle): base = (1−d)/N
     val base = (lit(1.0) - lit(d)) / lit(nN.toDouble)
-    var ranks = n.select(col("id"), (lit(1.0) / lit(nN.toDouble)).as("r"))
+    var ranks = init
+      .getOrElse(n.select(col("id"), (lit(1.0) / lit(nN.toDouble)).as("r")))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val contrib = ranks.join(e, ranks("id") === e("src"))
@@ -89,31 +107,51 @@ object LinkRank {
     * 1-row dangling aggregate) plus the rank map, every expression
     * shape mirroring [[pagerank]] verbatim. */
   def oracleSql(nodesSql: String, edgesSql: String, d: Double = 0.85,
-      rounds: Int = 8): String = {
+      rounds: Int = 8): String =
+    oracleSqlPhased(nodesSql, Seq(edgesSql -> rounds), d)
+
+  /** The PHASED twin ([[continueFrom]]'s replay): one edge set + round
+    * count per phase, ranks chained across phases THROUGH the 1e-9
+    * grid (the stored-artifact boundary — exactly what a continuation
+    * run reads back). Emits a CTE chain ending in `prf(id, rank)`. */
+  def oracleSqlPhased(nodesSql: String, phases: Seq[(String, Int)],
+      d: Double = 0.85): String = {
+    require(phases.nonEmpty)
     def fmt(x: Double): String =
       if (x == math.floor(x) && math.abs(x) < 1e15) s"${x.toLong}.0" else x.toString
     val qS = fmt(Q)
     val dS = fmt(d)
-    val base = Seq(
-      s"prn AS MATERIALIZED (SELECT DISTINCT id FROM ($nodesSql))",
-      s"prnn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM prn)",
-      s"pre0 AS MATERIALIZED (SELECT src, dst FROM ($edgesSql))",
-      "prdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM pre0 GROUP BY src)",
-      "pre AS MATERIALIZED (SELECT e.src, e.dst, g.outdeg FROM pre0 e JOIN prdeg g USING (src))",
-      "prr0 AS MATERIALIZED (SELECT id, (1.0 / nn) AS r FROM prn, prnn)")
-    val roundCtes = (1 to rounds).flatMap { k =>
-      val prev = s"prr${k - 1}"
-      Seq(
-        s"prc$k AS MATERIALIZED (SELECT dst, sum(CAST(floor((r / outdeg) * $qS + 0.5) AS BIGINT)) AS inq " +
-          s"FROM $prev JOIN pre ON id = src GROUP BY dst)",
-        s"prd$k AS MATERIALIZED (SELECT coalesce(sum(CAST(floor(r * $qS + 0.5) AS BIGINT)), 0) AS dq " +
-          s"FROM $prev WHERE id NOT IN (SELECT src FROM prdeg))",
-        s"prr$k AS MATERIALIZED (SELECT n.id, " +
+    val ctes = Seq.newBuilder[String]
+    ctes += s"prn AS MATERIALIZED (SELECT DISTINCT id FROM ($nodesSql))"
+    ctes += s"prnn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM prn)"
+    ctes += "prr0 AS MATERIALIZED (SELECT id, (1.0 / nn) AS r FROM prn, prnn)"
+    var cur = "prr0"
+    var r = 0
+    for (((edgesSql, rounds), p) <- phases.zipWithIndex) {
+      ctes += s"pre${p}0 AS MATERIALIZED (SELECT src, dst FROM ($edgesSql))"
+      ctes += s"prdeg$p AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM pre${p}0 GROUP BY src)"
+      ctes += s"pre$p AS MATERIALIZED (SELECT e.src, e.dst, g.outdeg FROM pre${p}0 e JOIN prdeg$p g USING (src))"
+      if (p > 0) {
+        // phase boundary: the continuation reads the PUBLISHED grid
+        // table, so the replay must floor here too
+        ctes += s"prg$p AS MATERIALIZED (SELECT id, " +
+          s"CAST(floor(r * $qS + 0.5) AS BIGINT) / $qS AS r FROM $cur)"
+        cur = s"prg$p"
+      }
+      for (_ <- 1 to rounds) {
+        r += 1
+        ctes += s"prc$r AS MATERIALIZED (SELECT dst, sum(CAST(floor((r / outdeg) * $qS + 0.5) AS BIGINT)) AS inq " +
+          s"FROM $cur JOIN pre$p ON id = src GROUP BY dst)"
+        ctes += s"prd$r AS MATERIALIZED (SELECT coalesce(sum(CAST(floor(r * $qS + 0.5) AS BIGINT)), 0) AS dq " +
+          s"FROM $cur WHERE id NOT IN (SELECT src FROM prdeg$p))"
+        ctes += s"prr$r AS MATERIALIZED (SELECT n.id, " +
           s"((1.0 - $dS) / nn) + $dS * ((CAST(coalesce(c.inq, 0) AS DOUBLE) / $qS) + " +
           s"(CAST(d.dq AS DOUBLE) / ($qS * nn))) AS r " +
-          s"FROM prn n LEFT JOIN prc$k c ON n.id = c.dst, prd$k d, prnn)")
+          s"FROM prn n LEFT JOIN prc$r c ON n.id = c.dst, prd$r d, prnn)"
+        cur = s"prr$r"
+      }
     }
-    s"""${(base ++ roundCtes).mkString(",\n")},
-       |prf AS (SELECT id, CAST(floor(r * $qS + 0.5) AS BIGINT) / $qS AS rank FROM prr$rounds)""".stripMargin
+    s"""${ctes.result().mkString(",\n")},
+       |prf AS (SELECT id, CAST(floor(r * $qS + 0.5) AS BIGINT) / $qS AS rank FROM $cur)""".stripMargin
   }
 }
