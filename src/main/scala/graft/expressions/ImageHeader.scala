@@ -52,6 +52,21 @@ object ImageHeader {
     StructField("bits_per_sample", IntegerType, nullable = false),
     StructField("data_bytes", LongType, nullable = false)))
 
+  /** `mp4_meta(payload)`: movie timescale/duration (mvhd), track count
+    * (trak children of moov) and mdat payload size from an ISO-BMFF
+    * box walk — header-probe semantics: mdat's size comes from its
+    * declared size field, so a ranged read of the file HEAD suffices
+    * (the 100 TB-crawl probe never fetches the media body). NULL for
+    * anything not starting with a well-formed ftyp. */
+  def mp4Meta(payload: Column): Column =
+    graftx.column(Mp4MetaExpr(graftx.expr(payload)))
+
+  val mp4Type: StructType = StructType(Seq(
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false),
+    StructField("mdat_bytes", LongType, nullable = false)))
+
   val dimsType: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
@@ -197,6 +212,79 @@ object ImageHeaderImpl {
       null
     else InternalRow(channels, rate.toInt, bits, dataBytes)
   }
+
+  @inline private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  /** ISO-BMFF (MP4): top-level box walk — each box is size(BE32) +
+    * type(4CC); size 1 means a BE64 largesize follows; size 0 means
+    * to-end-of-buffer. The file must open with `ftyp`. `moov` is
+    * parsed for its `mvhd` (version-0 layout: timescale/duration at
+    * fixed offsets behind the version word) and its `trak` child
+    * count; `mdat`'s payload size comes from the DECLARED size (minus
+    * its own header), so the walk works on a head-only ranged read —
+    * the media body is never needed. All position arithmetic in LONG
+    * (the wavMeta adversarial-size discipline); anything malformed
+    * yields NULL, never a throw. */
+  def mp4Meta(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 16) return null
+    val n = bytes.length
+    if (!tag(bytes, 4, "ftyp")) return null
+    var pos = 0L
+    var timescale = -1L; var duration = -1L; var nTracks = 0; var mdatBytes = -1L
+    while (pos + 8 <= n) {
+      val p = pos.toInt
+      var size = be32(bytes, p)
+      var hdr = 8L
+      if (size == 1L) {
+        if (pos + 16 > n) return null
+        size = be64(bytes, p + 8)
+        hdr = 16L
+      } else if (size == 0L) size = n - pos // to end of buffer
+      if (size < hdr) return null // malformed: box smaller than its header
+      if (tag(bytes, p + 4, "moov")) {
+        // children must be fully present — moov is metadata, tiny
+        if (pos + size > n) return null
+        var cp = pos + hdr
+        val end = pos + size
+        while (cp + 8 <= end) {
+          val c = cp.toInt
+          var csize = be32(bytes, c)
+          var chdr = 8L
+          if (csize == 1L) {
+            if (cp + 16 > end) return null
+            csize = be64(bytes, c + 8)
+            chdr = 16L
+          } else if (csize == 0L) csize = end - cp
+          if (csize < chdr || cp + csize > end) return null
+          if (tag(bytes, c + 4, "mvhd")) {
+            // version 0: ver/flags(4) ctime(4) mtime(4) timescale(4)
+            // duration(4); version 1 widens the times to 64 bits
+            if (cp + chdr + 4 > end) return null
+            val ver = u8(bytes, (cp + chdr).toInt)
+            if (ver == 0) {
+              if (cp + chdr + 20 > end) return null
+              timescale = be32(bytes, (cp + chdr + 12).toInt)
+              duration = be32(bytes, (cp + chdr + 16).toInt)
+            } else if (ver == 1) {
+              if (cp + chdr + 32 > end) return null
+              timescale = be32(bytes, (cp + chdr + 20).toInt)
+              duration = be64(bytes, (cp + chdr + 24).toInt)
+            } else return null
+          } else if (tag(bytes, c + 4, "trak")) {
+            nTracks += 1
+          }
+          cp += csize
+        }
+      } else if (tag(bytes, p + 4, "mdat")) {
+        mdatBytes = size - hdr // declared size: head-probe semantics
+      }
+      pos += size
+    }
+    if (timescale <= 0 || timescale > Int.MaxValue || duration < 0 || mdatBytes < 0)
+      null
+    else InternalRow(timescale.toInt, duration, nTracks, mdatBytes)
+  }
 }
 
 abstract class DimsExpr extends UnaryExpression {
@@ -235,6 +323,21 @@ case class GifDimsExpr(child: Expression) extends DimsExpr {
   override protected def nullSafeEval(input: Any): Any =
     ImageHeaderImpl.gifDims(input.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): GifDimsExpr =
+    copy(child = newChild)
+}
+
+case class Mp4MetaExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ImageHeader.mp4Type
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_meta"
+  override protected def nullSafeEval(input: Any): Any =
+    ImageHeaderImpl.mp4Meta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ImageHeaderImpl.mp4Meta($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Mp4MetaExpr =
     copy(child = newChild)
 }
 

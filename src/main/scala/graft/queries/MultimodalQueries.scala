@@ -92,7 +92,78 @@ object MultimodalQueries {
        |  '64617461', ${le32("1000 + doc_id % 9000")}))
        |  || CAST(text AS BINARY)""".stripMargin)
 
+  /** m08's payload: a WELL-FORMED ISO-BMFF (MP4) head synthesized from
+    * doc_id — ftyp, an odd-sized `free` box on every third doc (the
+    * walk must step by declared size, not even offsets), a moov whose
+    * mvhd is VERSION 0 normally but VERSION 1 (64-bit times) on every
+    * seventh doc, 1–3 stub trak children, and an mdat whose body is
+    * ABSENT — its size is declared (largesize/BE64 form on every fifth
+    * doc), exactly the head-only ranged read a crawl probe performs.
+    * All multi-byte fields BIG-endian (lpad hex), the opposite of
+    * m06's RIFF — both byte orders stay exercised. */
+  private val m08PayloadExpr = {
+    def be32(e: String) = s"lpad(hex($e), 8, '0')"
+    def be64(e: String) = s"lpad(hex($e), 16, '0')"
+    val matrix =
+      "'000100000000000000000000000000000001000000000000000000000000000040000000'"
+    val ts = "600 * (1 + doc_id % 4)"
+    val dur = "6000 + doc_id % 90000"
+    val nT = "CAST(1 + doc_id % 3 AS INT)"
+    val mvhdV0 =
+      s"concat(${be32("108")}, '6D766864', '00000000', ${be32("0")}, ${be32("0")}, " +
+        s"${be32(ts)}, ${be32(dur)}, '00010000', '0100', '0000', ${be64("0")}, " +
+        s"$matrix, repeat('00', 24), ${be32("99")})"
+    val mvhdV1 =
+      s"concat(${be32("120")}, '6D766864', '01000000', ${be64("0")}, ${be64("0")}, " +
+        s"${be32(ts)}, ${be64(dur)}, '00010000', '0100', '0000', ${be64("0")}, " +
+        s"$matrix, repeat('00', 24), ${be32("99")})"
+    expr(
+      s"""unhex(concat(
+         |  ${be32("20")}, '66747970', '69736F6D', ${be32("512")}, '6D703431',
+         |  CASE WHEN doc_id % 3 = 0
+         |       THEN concat(${be32("13")}, '66726565', repeat('4A', 5)) ELSE '' END,
+         |  ${be32(s"8 + (CASE WHEN doc_id % 7 = 0 THEN 120 ELSE 108 END) + 8 * (1 + doc_id % 3)")},
+         |  '6D6F6F76',
+         |  CASE WHEN doc_id % 7 = 0 THEN $mvhdV1 ELSE $mvhdV0 END,
+         |  repeat('000000087472616B', $nT),
+         |  CASE WHEN doc_id % 5 = 0
+         |       THEN concat(${be32("1")}, '6D646174', ${be64("16 + 500 + doc_id % 4000")})
+         |       ELSE concat(${be32("8 + 500 + doc_id % 4000")}, '6D646174') END))""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // REAL video-container decode for the fourth modality slice
+    // (doc_id % 4 = 3, plain text elsewhere in the m-family): ISO-BMFF
+    // box walk — big-endian sizes, largesize/BE64 mdat form,
+    // version-0 AND version-1 mvhd layouts, stub-trak counting, and
+    // head-probe mdat sizing (the body is never present, matching the
+    // ranged read a 100 TB probe performs). Oracle: the ground truth
+    // by the same formulas that built the header (m03/m06's
+    // builder-parser-identity discipline).
+    sql(
+      "m08_video_meta",
+      """SELECT doc_id,
+        |  CAST(600 * (1 + doc_id % 4) AS INT) AS timescale,
+        |  CAST(6000 + doc_id % 90000 AS BIGINT) AS duration,
+        |  round((6000 + doc_id % 90000) / CAST(600 * (1 + doc_id % 4) AS DOUBLE) + 1e-9, 6) AS duration_s,
+        |  CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+        |  CAST(500 + doc_id % 4000 AS BIGINT) AS mdat_bytes
+        |FROM documents WHERE CAST(doc_id % 4 AS INT) = 3
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(expr("CAST(doc_id % 4 AS INT) = 3"))
+        .withColumn("payload", m08PayloadExpr)
+        .withColumn("m", graft.expressions.ImageHeader.mp4Meta(col("payload")))
+        .select(col("doc_id"),
+          col("m.timescale").as("timescale"),
+          col("m.duration").as("duration"),
+          round(col("m.duration") / col("m.timescale").cast("double") + 1e-9, 6)
+            .as("duration_s"),
+          col("m.n_tracks").as("n_tracks"),
+          col("m.mdat_bytes").as("mdat_bytes"))
+        .orderBy(col("doc_id"))
+    },
 
     // REAL audio-header decode for the audio modality (doc_id % 4 = 2):
     // RIFF-WAVE fmt/data chunk walk with even-length padding (the

@@ -205,6 +205,51 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     for (bad <- Seq(4L, 5L, 6L, 7L, 8L, 9L)) assert(got(bad).isEmpty, s"id=$bad must be NULL")
   }
 
+  test("mp4_meta: box walk — largesize, v0/v1 mvhd, head-probe mdat; malformed -> NULL") {
+    import spark.implicits._
+    def be32b(v: Long) = bin(((v >>> 24) & 0xff).toInt, ((v >>> 16) & 0xff).toInt,
+      ((v >>> 8) & 0xff).toInt, (v & 0xff).toInt)
+    def be64b(v: Long) = be32b(v >>> 32) ++ be32b(v & 0xffffffffL)
+    def box(t: String, body: Array[Byte]): Array[Byte] =
+      be32b(body.length + 8L) ++ t.getBytes ++ body
+    val ftyp = box("ftyp", "isom".getBytes ++ be32b(512) ++ "mp41".getBytes)
+    def mvhd0(ts: Int, dur: Int) = box("mvhd",
+      be32b(0) ++ be32b(0) ++ be32b(0) ++ be32b(ts) ++ be32b(dur) ++
+        Array.fill[Byte](80)(0))
+    def mvhd1(ts: Int, dur: Long) = box("mvhd",
+      bin(1, 0, 0, 0) ++ be64b(0) ++ be64b(0) ++ be32b(ts) ++ be64b(dur) ++
+        Array.fill[Byte](80)(0))
+    val trak = box("trak", Array.empty[Byte])
+    def mdat(n: Long) = box("mdat", Array.fill[Byte](n.toInt)(9))
+    def mdatHead(n: Long) = be32b(n + 8) ++ "mdat".getBytes // declared, body absent
+    def mdatLarge(n: Long) = be32b(1) ++ "mdat".getBytes ++ be64b(n + 16)
+    val rows = Seq(
+      (1L, ftyp ++ box("moov", mvhd0(600, 6000) ++ trak ++ trak) ++ mdat(12)),
+      // head-probe: mdat body absent, size declared; odd free box first
+      (2L, ftyp ++ box("free", bin(1, 2, 3, 4, 5)) ++
+        box("moov", mvhd0(1200, 48000) ++ trak) ++ mdatHead(777)),
+      // version-1 mvhd + largesize mdat
+      (3L, ftyp ++ box("moov", mvhd1(90000, 5400000L) ++ trak ++ trak ++ trak) ++
+        mdatLarge(2048)),
+      (4L, "junk".getBytes ++ be32b(8)), // no ftyp
+      (5L, ftyp ++ mdat(4)), // no moov → NULL (no timescale)
+      (6L, ftyp ++ box("moov", mvhd0(600, 100)) ++ mdatHead(5).take(6)), // truncated mdat header: walk ends, no mdat
+      // hostile: moov child with a size smaller than its header
+      (7L, ftyp ++ box("moov", be32b(4) ++ "mvhd".getBytes) ++ mdat(4)),
+      // hostile: near-2^31 top-level size must end the walk, not wrap
+      (8L, ftyp ++ be32b(Int.MaxValue.toLong - 3) ++ "skip".getBytes ++
+        box("moov", mvhd0(600, 100)) ++ mdat(4))
+    ).toDF("id", "payload")
+    val got = rows.select(col("id"),
+        graft.expressions.ImageHeader.mp4Meta(col("payload")).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getInt(0), s.getLong(1), s.getInt(2), s.getLong(3)))).toMap
+    assert(got(1L) === Some((600, 6000L, 2, 12L)))
+    assert(got(2L) === Some((1200, 48000L, 1, 777L)))
+    assert(got(3L) === Some((90000, 5400000L, 3, 2048L)))
+    for (bad <- Seq(4L, 5L, 6L, 7L, 8L)) assert(got(bad).isEmpty, s"id=$bad must be NULL")
+  }
+
   test("decodeImageHeader dispatches by sniffed magic; non-image formats stay NULL") {
     import spark.implicits._
     val jpeg = bin(0xFF, 0xD8, 0xFF, 0xC0, 0, 11, 8, 0, 5, 0, 6, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0)
