@@ -1591,7 +1591,7 @@ object RelationalQueries {
   /** q60/q61's shared oracle: the 3-day key-range aggregate over the
     * PLAIN events table — layout, skipping, and compaction must not
     * change a row. */
-  private lazy val rangeWindowOracle: String = // LAZY: declared after `all` (incJoinOracle's note)
+  private[queries] lazy val rangeWindowOracle: String = // LAZY: declared after `all` (incJoinOracle's note)
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
       |  round(sum(value) + 1e-9, 2) AS sum_value,
       |  CAST(min(event_id) AS BIGINT) AS min_event,

@@ -765,6 +765,58 @@ object StreamingQueries {
     // the fold state is the narrow verdict table. Gating at serve is a
     // row filter, so the answer is trivially slicing-invariant —
     // the oracle is t65's full-pipeline SQL VERBATIM.
+    // STREAMING range-layout ingestion — q60's table maintained at
+    // micro-batch cadence (the s15 side-effect discipline): the layout
+    // is created from the low-md5 half, each arriving batch APPENDS
+    // under the stored bounds (only its buckets' directories gain
+    // files), with per-epoch idempotence markers because foreachBatch
+    // is at-least-once and a re-delivered append would double rows.
+    // Serving is q60's footer-pruned range scan — and the answer must
+    // equal the PLAIN-table oracle verbatim, however the stream
+    // sliced. The complete event-log story: range layout + streaming
+    // ingest + min/max-skipped serving.
+    sql("s25_stream_range_ingest", RelationalQueries.rangeWindowOracle) { (s, d) =>
+      import graft.operators.RangeLayout
+      import s.implicits._
+      val dirP = java.nio.file.Files.createTempDirectory(
+        StreamingRelational.scratchBase, "stream-range")
+      StreamingRelational.registerScratch(dirP)
+      val dir = dirP.resolve("t").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      RangeLayout.write(ev.filter(Tables.inLowMd5Half(col("event_id"))), "ts", 16, dir)
+      val high = ev.filter(!Tables.inLowMd5Half(col("event_id"))).localCheckpoint(true)
+      val slices = orderedArrivalDir(s, "range-ingest-slices", Seq(
+        high.filter(col("event_id") % 3 === 0),
+        high.filter(col("event_id") % 3 === 1),
+        high.filter(col("event_id") % 3 === 2)))
+      val stream = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(slices)
+      val state = StreamingRelational.oneShotFoldWithEpoch(s, stream,
+        Seq(0L).toDF("n_batches"),
+        (st, batch, epoch) => {
+          val marker = dirP.resolve(s"_applied_$epoch")
+          if (!java.nio.file.Files.exists(marker)) {
+            RangeLayout.append(batch, "ts", dir)
+            java.nio.file.Files.createFile(marker)
+          }
+          st.select((col("n_batches") + 1L).as("n_batches"))
+        })
+      require(state.head().getLong(0) >= 3L, "s25: expected three arriving batches")
+      val lo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+      val hi = java.time.Instant.parse("2024-01-13T00:00:00Z").toEpochMilli * 1000L
+      val (data, read, total) = RangeLayout.prunedScan(s, dir, "ts", lo, hi)
+      require(read < total,
+        s"s25: footer stats pruned nothing ($read of $total files)")
+      data.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")) + 1e-9, 2).as("sum_value"),
+          min(col("event_id")).as("min_event"), max(col("event_id")).as("max_event"))
+        .orderBy(col("event_type"))
+    },
+
     sql("s24_stream_crawl", TextQueries.crawlPipelineOracle) { (s, d) =>
       import s.implicits._
       val stream = s.readStream
