@@ -39,10 +39,24 @@ only = {n.strip() for n in os.environ.get("SPARK_GRAFT_VERIFY_ONLY", "").split("
 if only:
     oracle = {k: v for k, v in oracle.items() if k in only}
 
-dump_dirs = [d for d in glob.glob(f"{OUT}/*")
-             if os.path.isdir(d)]
-if not only and len(dump_dirs) < len(oracle):
-    print(f"PRE-FLIGHT FAIL: {len(dump_dirs)} dump dirs < {len(oracle)} oracled queries")
+dump_dirs = {os.path.basename(d) for d in glob.glob(f"{OUT}/*")
+             if os.path.isdir(d)}
+# Set membership, not counts: rows-only dirs must not mask missing
+# oracled dumps (round-11 advisor finding).
+missing_dumps = sorted(set(oracle) - dump_dirs)
+if not only and missing_dumps:
+    print(f"PRE-FLIGHT FAIL: {len(missing_dumps)} oracled queries have no dump dir: "
+          f"{missing_dumps[:10]}")
+    sys.exit(2)
+# Oracle-count floor: a piecewise Verify run that shrank oracle_sql.json
+# (round 11 silently lost the 17 dump-time trained-model oracles) must
+# fail here, not be graded rows-only. Keep in lockstep with the real
+# oracled-query count (206 as of round 12; only gng_throughput and
+# gng_scale are legitimately rows-only).
+MIN_ORACLED = 206
+if not only and len(oracle) < MIN_ORACLED:
+    print(f"PRE-FLIGHT FAIL: only {len(oracle)} oracled queries in oracle_sql.json "
+          f"(expected >= {MIN_ORACLED}) — a subset Verify run likely shrank the file")
     sys.exit(2)
 print(f"pre-flight: {len(dump_dirs)} dump dirs, {len(oracle)} oracled queries, oracle_sql.json parses")
 

@@ -246,7 +246,38 @@ object Bench {
     * basename. `"full"` points to BENCH_COMPACT.json (full names,
     * decimal seconds, complete outlier/re-run detail). Total `value`
     * stays decimal SECONDS (the driver contract). */
-  def compactStdoutJson(results: Seq[Measurement], sfDir: String): String = {
+  /** Compact correctness summary for the stdout tail (round-11 verdict
+    * #8: the driver-side CORRECTNESS artifact arrived empty two rounds
+    * running — the bench log tail must carry enough to diagnose that
+    * loss alone): `{"pass":N,"q":N,"oracled":N,"fail":"name"}` read
+    * from the committed CORRECTNESS_SELF.json (the builder's own
+    * check_oracle artifact). Unreadable/absent file → None (the field
+    * is omitted, never a bench failure). ~45 chars — well inside the
+    * line budget. */
+  def correctnessSummary(path: String = "CORRECTNESS_SELF.json"): Option[String] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+      val qs = node.get("queries")
+      val names = qs.fieldNames()
+      var firstFail: String = null
+      while (names.hasNext && firstFail == null) {
+        val n = names.next()
+        val q = qs.get(n)
+        val rowsOnly = q.has("rows_only") && q.get("rows_only").asBoolean()
+        val ok = (!q.has("err") || q.get("err").isNull) &&
+          (if (rowsOnly) q.get("rows_match").asBoolean()
+           else q.get("rows_match").asBoolean() && q.get("schema_match").asBoolean() &&
+             q.get("hash_match").asBoolean())
+        if (!ok) firstFail = n
+      }
+      Some(s"""{"pass":${node.get("n_pass").asInt()},"q":${node.get("n_queries").asInt()},""" +
+        s""""oracled":${node.get("n_oracled").asInt()},"fail":${quote(
+          if (firstFail == null) "" else firstFail.take(30))}}""")
+    } catch { case _: Throwable => None }
+
+  def compactStdoutJson(results: Seq[Measurement], sfDir: String,
+      corr: Option[String] = None): String = {
     val keys = shortKeys(results.map(_.name))
     val split0 = results.map(m => keys(m.name) -> groupKey(keys(m.name)))
     // a (group, member) claimed by two distinct short keys (e.g. "q1"
@@ -280,7 +311,8 @@ object Bench {
     val total = results.filter(_.err.isEmpty).map(_.value).sum
     val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
     val totalStr = String.format(java.util.Locale.ROOT, "%.1f", Double.box(total))
-    s"""{"qunit":"ms","full":"BENCH_COMPACT.json","metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"out":${results.count(_.isOutlier)},"errors":$errs,"sf":"$sf"}"""
+    val corrField = corr.map(c => s""""corr":$c,""").getOrElse("")
+    s"""{"qunit":"ms","full":"BENCH_COMPACT.json",$corrField"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"out":${results.count(_.isOutlier)},"errors":$errs,"sf":"$sf"}"""
   }
 
   private def errorsJson(results: Seq[Measurement],
@@ -406,7 +438,7 @@ object Bench {
       try writeHistory(historyFile, sfDir,
         history :+ results.filter(_.err.isEmpty).map(m => m.name -> m.value).toMap)
       catch { case e: Throwable => System.err.println(s"[bench] could not write $historyFile: $e") }
-    println(compactStdoutJson(results, sfDir))
+    println(compactStdoutJson(results, sfDir, correctnessSummary()))
     spark.stop()
     val failed = results.filter(_.err.isDefined)
     if (failed.nonEmpty) {

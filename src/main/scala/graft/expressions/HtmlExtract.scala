@@ -28,10 +28,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *   5. every remaining tag is stripped (`<[^>]*>`; an unclosed `<`
   *      with no `>` stays literal text — broken markup degrades
   *      deterministically, it never throws);
-  *   6. entities decode in a FIXED order: numeric (`&#65;`/`&#x42;`)
-  *      first, then the named set lt/gt/quot/apos/nbsp/copy, `&amp;`
-  *      LAST (so `&amp;lt;` yields the literal `&lt;`, matching a
-  *      single-pass decoder);
+  *   6. entities decode in ONE left-to-right pass over the source
+  *      (numeric `&#65;`/`&#x42;` + the named set
+  *      lt/gt/quot/apos/nbsp/copy/amp in a single alternation), so
+  *      NO nested escape ever double-decodes: `&amp;lt;` and
+  *      `&#38;lt;` both yield the literal `&lt;` — real HTML
+  *      semantics (round-12 fix; the old numeric-then-named replace
+  *      chain got `&#38;lt;` wrong). The t59 oracle's replace-chain
+  *      twin is equivalent on the fixture because neither the page
+  *      shell nor the synthetic doc text contains nested escapes
+  *      (checked: zero `&` in documents.text at every SF);
   *   7. per line: whitespace runs collapse to one space, trim;
   *   8. text-density filter: keep lines with ≥ 5 whitespace-separated
   *      tokens (navigation chrome, titles, copyright lines fall
@@ -59,20 +65,38 @@ object HtmlExtractImpl {
   private val Block = Pattern.compile(
     "(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|nav|footer|header|section|article|blockquote|pre)>|<br */?>")
   private val Tag = Pattern.compile("<[^>]*>")
-  private val NumDec = Pattern.compile("&#([0-9]{1,7});")
-  private val NumHex = Pattern.compile("&#[xX]([0-9a-fA-F]{1,6});")
+  private val Entity = Pattern.compile(
+    "&(#([0-9]{1,7})|#[xX]([0-9a-fA-F]{1,6})|lt|gt|quot|apos|nbsp|copy|amp);")
   private val Ws = Pattern.compile("[ \\t\\r\\f]+")
 
-  private def decodeNumeric(s: String, p: Pattern, radix: Int): String = {
-    val m = p.matcher(s)
+  /** TRUE single-pass entity decode (round-11 advisor: the old
+    * numeric-then-named replace chain double-decoded nested escapes —
+    * '&#38;lt;' became '<' where real HTML semantics yield the literal
+    * '&lt;'): ONE left-to-right scan over the original text, every
+    * reference decoded from source characters only, so a decoded '&'
+    * can never recombine with following text into a second entity. */
+  private def decodeEntities(s: String): String = {
+    val m = Entity.matcher(s)
     if (!m.find()) return s
     val sb = new java.lang.StringBuilder
     var last = 0
     do {
       sb.append(s, last, m.start())
-      val cp = try Integer.parseInt(m.group(1), radix) catch { case _: NumberFormatException => -1 }
-      if (cp >= 0 && cp <= 0x10ffff && Character.isValidCodePoint(cp)) sb.appendCodePoint(cp)
-      else sb.append(m.group(0)) // out-of-range reference stays literal
+      if (m.group(2) != null || m.group(3) != null) {
+        val (digits, radix) =
+          if (m.group(2) != null) (m.group(2), 10) else (m.group(3), 16)
+        val cp = try Integer.parseInt(digits, radix) catch { case _: NumberFormatException => -1 }
+        if (cp >= 0 && cp <= 0x10ffff && Character.isValidCodePoint(cp)) sb.appendCodePoint(cp)
+        else sb.append(m.group(0)) // out-of-range reference stays literal
+      } else sb.append(m.group(1) match {
+        case "lt" => "<"
+        case "gt" => ">"
+        case "quot" => "\""
+        case "apos" => "'"
+        case "nbsp" => " "
+        case "copy" => "©"
+        case _ => "&" // amp
+      })
       last = m.end()
     } while (m.find())
     sb.append(s, last, s.length)
@@ -87,11 +111,7 @@ object HtmlExtractImpl {
     t = Cdata.matcher(t).replaceAll("$1")
     t = Block.matcher(t).replaceAll("\n")
     t = Tag.matcher(t).replaceAll("")
-    t = decodeNumeric(t, NumDec, 10)
-    t = decodeNumeric(t, NumHex, 16)
-    t = t.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
-      .replace("&apos;", "'").replace("&nbsp;", " ").replace("&copy;", "©")
-      .replace("&amp;", "&")
+    t = decodeEntities(t)
     val sb = new java.lang.StringBuilder
     for (line <- t.split("\n", -1)) {
       val collapsed = Ws.matcher(line).replaceAll(" ").trim

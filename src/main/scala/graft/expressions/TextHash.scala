@@ -107,6 +107,14 @@ object TextHash {
   def shingleHashes(text: Column, n: Int = 3): Column =
     graftx.column(ShingleHashes(graftx.expr(text), n))
 
+  /** `char_shingle_hashes(text, L)` → array<bigint> of 64-bit hashes of
+    * every L-char window (stride 1), in document order — the
+    * character-granularity building block for exact-substring dedup
+    * (SpanDedup.duplicateCharSpans). Feed NORMALIZED text so positions
+    * replay in the SQL oracle. Empty array below L chars. */
+  def charShingleHashes(text: Column, L: Int): Column =
+    graftx.column(CharShingleHashes(graftx.expr(text), L))
+
   /** 64-bit SimHash over the normalized tokens. */
   def simHash64(text: Column): Column =
     graftx.column(SimHash64(graftx.expr(text)))
@@ -287,6 +295,23 @@ case class ShingleHashes(child: Expression, n: Int)
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.shingleHashesData($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+case class CharShingleHashes(child: Expression, L: Int)
+    extends UnaryExpression {
+  require(L >= 2, s"char shingle width must be >= 2, got $L")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashImpl.charShingleHashesData(input.asInstanceOf[UTF8String], L)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashImpl.charShingleHashesData($c, $L)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingleHashes =
     copy(child = newChild)
 }
 

@@ -95,6 +95,42 @@ object TextHashImpl {
   def shingleHashesData(s: UTF8String, n: Int): ArrayData =
     new GenericArrayData(shingleHashes(s.toString, n))
 
+  /** 64-bit hashes of EVERY L-char window (stride 1) of `s` — the
+    * character-granularity twin of [[shingleHashes]], for
+    * exact-substring dedup below the token-k-gram grid (Lee et al.'s
+    * suffix-array ExactSubstr target: any shared substring of length
+    * ≥ L contains a shared L-char window, so window hits + interval
+    * merge recover every MAXIMAL shared substring, byte-precise).
+    * Positions are Java char offsets; callers feed NORMALIZED text
+    * ([a-z0-9 ] ASCII), where char == code point == what DuckDB's
+    * substring() counts — the oracle replays positions exactly.
+    * O(len) via a polynomial ROLLING hash mod 2^64 (h·31 + c in, the
+    * leading c·31^(L−1) term subtracted out), each window mixed
+    * through [[mix64]] at emit so raw-polynomial adjacency never
+    * correlates bucket keys. Empty for text shorter than L. */
+  def charShingleHashes(s: String, L: Int): Array[Long] = {
+    val len = s.length
+    if (len < L) return Array.emptyLongArray
+    var pow = 1L // 31^(L-1) mod 2^64
+    var j = 1
+    while (j < L) { pow *= 31L; j += 1 }
+    val out = new Array[Long](len - L + 1)
+    var h = 0L
+    var i = 0
+    while (i < L) { h = h * 31L + s.charAt(i); i += 1 }
+    out(0) = mix64(h)
+    while (i < len) {
+      h = (h - s.charAt(i - L) * pow) * 31L + s.charAt(i)
+      out(i - L + 1) = mix64(h)
+      i += 1
+    }
+    out
+  }
+
+  /** [[charShingleHashes]] boxed for the Catalyst expression layer. */
+  def charShingleHashesData(s: UTF8String, L: Int): ArrayData =
+    new GenericArrayData(charShingleHashes(s.toString, L))
+
   /** Stopword lists per language for the language-ID heuristic — the
     * canonical table (TextFunctions re-exports it; the DuckDB oracle
     * twin inlines the same lists). Deliberately tiny and fixed: the

@@ -308,6 +308,41 @@ object Dedup {
     Collapse.expandPairs(cross, self, members, "hamming")
   }
 
+  /** Generic banded near-dup pairs over ANY 64-bit signature column
+    * (SimHash, perceptual dHash, …): band each signature into four
+    * 16-bit chunks — by pigeonhole, any pair within hamming ≤ 3 agrees
+    * on at least one whole band, so recall is EXACT at the default
+    * threshold — self-join on (band, chunk), verify by popcount of the
+    * XOR. The [[simHashPairs]] block+verify shape with the signature
+    * supplied by the caller instead of derived from text (m09 feeds
+    * decoded-pixel dHashes through it). Candidates are bucket-mates
+    * only — never the O(n²) cross join. Input `sigs`: (idCol, sigCol);
+    * null signatures never band, never pair. Output:
+    * (id_a, id_b, hamming), id_a < id_b. */
+  def hamming64Pairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding guarantees recall only to hamming 3, got $maxHamming")
+    val banded = sigs
+      .filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("id"), col(sigCol).as("sig"),
+        posexplode(array((0 until 4).map { b =>
+          shiftright(col(sigCol), b * 16).bitwiseAND(lit(0xFFFFL))
+        }: _*)).as(Seq("band", "chunk")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Exact n-gram Jaccard similarity of two text columns (distinct
     * word-n-gram shingle sets; 0.0 when both sets are empty). */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =

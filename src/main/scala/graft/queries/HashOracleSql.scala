@@ -553,6 +553,34 @@ object HashOracleSql {
       "THEN 1 ELSE 0 END AS b FROM pm)",
     "runs AS (SELECT doc_id, start0, sum(b) OVER (PARTITION BY doc_id ORDER BY start0) AS run FROM brk)")
 
+  /** t69/t70: the CHARACTER-granularity twin of
+    * [[graft.operators.SpanDedup.duplicateCharSpans]] — a genuine
+    * SUBSTRING oracle: DuckDB compares the actual L-char windows of
+    * the normalized text (substring(), 1-based → 0-based start0), no
+    * hash arithmetic replayed at all, so the oracle is strictly
+    * stronger than the kernel (a 64-bit rolling-hash collision in the
+    * engine would FAIL the gate, not hide). Qualification (min ≠ max
+    * doc over the gram group, optionally restricted to an emit
+    * predicate for the incremental claim) and the run merge are the
+    * [[duplicateSpans]] shapes verbatim. */
+  def duplicateCharSpans(L: Int, emitPred: Option[String] = None): String = {
+    val emit = emitPred.map(p => s" WHERE $p").getOrElse("")
+    val nt = graft.functions.TextFunctions.Sql.normalizeText("text")
+    val ctes = Seq(
+      s"t AS (SELECT doc_id, $nt AS nt FROM documents)",
+      s"grams AS (SELECT doc_id, i - 1 AS start0, substring(nt, i, $L) AS gh " +
+        s"FROM t, LATERAL unnest(generate_series(1, len(nt) - $L + 1)) AS u(i))",
+      "dups AS (SELECT gh FROM grams GROUP BY gh HAVING min(doc_id) <> max(doc_id))",
+      s"hits AS (SELECT doc_id, start0 FROM grams JOIN dups USING (gh)$emit)") ++
+      runCtes("hits", L)
+    "WITH " + ctes.mkString(",\n") +
+      s"""
+         |SELECT doc_id, CAST(min(start0) AS BIGINT) AS span_start,
+         |  CAST(max(start0) + $L AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_grams
+         |FROM runs GROUP BY doc_id, run ORDER BY doc_id, span_start""".stripMargin
+  }
+
   /** t50: the cut twin of [[graft.operators.SpanDedup.cutDuplicateSpans]].
     * Canonical occurrence = lexicographic-first (doc_id, start0) in the
     * gram group via first_value windows; every other occurrence of a

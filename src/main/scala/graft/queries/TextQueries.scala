@@ -509,6 +509,42 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Exact-substring dedup at CHARACTER granularity (t49 below the
+    // k-token grid): every MAXIMAL substring of >= 40 normalized chars
+    // shared verbatim across documents — the suffix-array-ExactSubstr
+    // contract (Lee et al. 2022) delivered as stride-1 rolling-hash
+    // windows + interval merge: one text pass, two shuffles, text
+    // never leaves hash space (SpanDedup.duplicateCharSpans). The
+    // oracle is a genuine SUBSTRING twin — DuckDB compares the actual
+    // 40-char windows, so a kernel hash collision would FAIL the gate,
+    // not hide behind a replayed hash.
+    sql(
+      "t69_exact_substrings",
+      HashOracleSql.duplicateCharSpans(L = 40)) { (s, d) =>
+      graft.operators.SpanDedup.duplicateCharSpans(
+          Tables.documents(s, d), col("text"), col("doc_id"), L = 40)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // t69 made INCREMENTAL — char-level span detection for the
+    // arriving increment (doc_id % 5 = 0, the t25/t51 split) against
+    // the persisted CHAR-gram index of the existing corpus: a new
+    // doc's window qualifies iff the stored index holds it or >= 2 new
+    // docs carry it == t69's full-corpus qualification restricted to
+    // the increment. The old corpus's text is never re-scanned; the
+    // index side shuffles bare hashes. Oracle: full-recompute equality
+    // (the t51 claim form) over actual substrings.
+    sql(
+      "t70_incremental_substrings",
+      HashOracleSql.duplicateCharSpans(L = 40, emitPred = Some("doc_id % 5 = 0"))) { (s, d) =>
+      graft.operators.SpanDedup.charSpansAgainstIndex(
+          Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+          col("text"), col("doc_id"), charSpanIndex(s, d), L = 40)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // Stratified deterministic sampling: per-language quota rates
     // rebalance a skewed corpus (the dominant language keeps 1/16, the
     // tail keeps 1/2) — the training-mix rebalancing step, done as a
@@ -1094,6 +1130,114 @@ object TextQueries {
         .groupBy(col("doc_id"), col("lang"))
         .agg(sum(col("bf")).cast("long").as("n_bigrams"),
           round(sum(col("bf") * col("s")) / sum(col("bf")) + 1e-9, 4).as("surprisal"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Kneser-Ney-smoothed TRIGRAM LM surprisal, conditioned per
+    // language (t55/t60's interpolated bigram upgraded to the
+    // smoothing CCNet-class quality filters actually run): interpolated
+    // KN with absolute discount D = 0.75 at both levels —
+    //   P(w3|w1w2) = max(c(w1w2w3)-D,0)/c(w1w2)
+    //              + D·N1+(w1w2·)/c(w1w2) · P_KN(w3|w2)
+    //   P_KN(w3|w2) = max(N1+(·w2w3)-D,0)/N1+(·w2·)
+    //               + D·N1+(w2·)/N1+(·w2·) · N1+(·w3)/|distinct w2w3|
+    // where every lower-order quantity is a CONTINUATION count (how
+    // many distinct contexts, not how often) — the KN insight that
+    // "francisco" is frequent but follows only "san". Every scored
+    // trigram is IN the LM (the corpus trains on itself, the t55
+    // contract), so no zero-denominator path exists. ALL tables derive
+    // from the ONE per-doc trigram count table (one tokenize pass,
+    // localCheckpoint, then groupBys + broadcast joins back — no
+    // corpus re-scan at serve, plan-gated); counts are pure sums, so
+    // the t57 incremental-merge path applies verbatim: merging
+    // increment trigram counts and re-deriving reproduces the full
+    // rebuild exactly. Oracle replays the discount/backoff arithmetic
+    // in CTEs with identical parenthesization (t60's ln/nudge/round
+    // discipline).
+    sql(
+      "t68_kneser_ney",
+      s"""WITH tl AS (
+         |  SELECT doc_id, lang, list_filter(string_split(${Sql.normalizeText("text")}, ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |tg0 AS (
+         |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(t) - 2),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+         |  FROM tl WHERE len(t) >= 3),
+         |tg AS (SELECT doc_id, lang, g, count(*) AS tf FROM tg0 GROUP BY doc_id, lang, g),
+         |tri AS (SELECT lang, g, CAST(sum(tf) AS BIGINT) AS c FROM tg GROUP BY lang, g),
+         |big AS (SELECT lang, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+         |          CAST(sum(c) AS BIGINT) AS cw, CAST(count(*) AS BIGINT) AS nf
+         |        FROM tri GROUP BY 1, 2, 3),
+         |cont AS (SELECT lang, split_part(g, ' ', 2) AS w2, split_part(g, ' ', 3) AS w3,
+         |           CAST(count(*) AS BIGINT) AS n1p
+         |         FROM tri GROUP BY 1, 2, 3),
+         |mid AS (SELECT lang, w2, CAST(sum(n1p) AS BIGINT) AS nmid,
+         |          CAST(count(*) AS BIGINT) AS nf1
+         |        FROM cont GROUP BY 1, 2),
+         |cw3 AS (SELECT lang, w3, CAST(count(*) AS BIGINT) AS n1w3 FROM cont GROUP BY 1, 2),
+         |nbg AS (SELECT lang, CAST(count(*) AS BIGINT) AS nb FROM cont GROUP BY lang),
+         |per AS (
+         |  SELECT tg.doc_id, tg.lang, tg.tf,
+         |    -ln((greatest(CAST(tri.c AS DOUBLE) - 0.75, 0) / big.cw)
+         |      + ((0.75 * big.nf / big.cw)
+         |        * ((greatest(CAST(cont.n1p AS DOUBLE) - 0.75, 0) / mid.nmid)
+         |          + ((0.75 * mid.nf1 / mid.nmid)
+         |            * (CAST(cw3.n1w3 AS DOUBLE) / nbg.nb))))) AS s
+         |  FROM tg
+         |  JOIN tri ON tri.lang = tg.lang AND tri.g = tg.g
+         |  JOIN big ON big.lang = tg.lang AND big.w1 = split_part(tg.g, ' ', 1)
+         |          AND big.w2 = split_part(tg.g, ' ', 2)
+         |  JOIN cont ON cont.lang = tg.lang AND cont.w2 = split_part(tg.g, ' ', 2)
+         |           AND cont.w3 = split_part(tg.g, ' ', 3)
+         |  JOIN mid ON mid.lang = tg.lang AND mid.w2 = split_part(tg.g, ' ', 2)
+         |  JOIN cw3 ON cw3.lang = tg.lang AND cw3.w3 = split_part(tg.g, ' ', 3)
+         |  JOIN nbg ON nbg.lang = tg.lang)
+         |SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+         |  round(sum(tf * s) / sum(tf) + 1e-9, 4) AS surprisal
+         |FROM per GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = filter(TextFunctions.tokens(col("text")), t => t =!= lit(""))
+      val w1 = substring_index(col("g"), " ", 1)
+      val w2 = substring_index(substring_index(col("g"), " ", 2), " ", -1)
+      val w3 = substring_index(col("g"), " ", -1)
+      val tg = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), toks.as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(slice(toks, 1, size(toks) - 2), " +
+            "(t, i) -> concat(t, ' ', toks[i + 1], ' ', toks[i + 2]))")).as("g"))
+        .groupBy(col("doc_id"), col("lang"), col("g"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("w1", w1).withColumn("w2", w2).withColumn("w3", w3)
+        .localCheckpoint()
+      val tri = tg.groupBy(col("lang"), col("g")).agg(sum(col("tf")).as("c"))
+      val big = tg.groupBy(col("lang"), col("g")).agg(first(col("w1")).as("w1"),
+          first(col("w2")).as("w2"), sum(col("tf")).as("c"))
+        .groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(sum(col("c")).as("cw"), count(lit(1)).as("nf"))
+      val cont = tg.groupBy(col("lang"), col("g")).agg(first(col("w2")).as("w2"),
+          first(col("w3")).as("w3"))
+        .groupBy(col("lang"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("n1p"))
+      val mid = cont.groupBy(col("lang"), col("w2"))
+        .agg(sum(col("n1p")).as("nmid"), count(lit(1)).as("nf1"))
+      val cw3 = cont.groupBy(col("lang"), col("w3")).agg(count(lit(1)).as("n1w3"))
+      val nbg = cont.groupBy(col("lang")).agg(count(lit(1)).as("nb"))
+      tg
+        .join(broadcast(tri), Seq("lang", "g"))
+        .join(broadcast(big), Seq("lang", "w1", "w2"))
+        .join(broadcast(cont), Seq("lang", "w2", "w3"))
+        .join(broadcast(mid), Seq("lang", "w2"))
+        .join(broadcast(cw3), Seq("lang", "w3"))
+        .join(broadcast(nbg), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("tf"),
+          (-log((greatest(col("c").cast("double") - 0.75, lit(0.0)) / col("cw"))
+            + ((lit(0.75) * col("nf") / col("cw"))
+              * ((greatest(col("n1p").cast("double") - 0.75, lit(0.0)) / col("nmid"))
+                + ((lit(0.75) * col("nf1") / col("nmid"))
+                  * (col("n1w3").cast("double") / col("nb"))))))).as("s"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("tf")).cast("long").as("n_trigrams"),
+          round(sum(col("tf") * col("s")) / sum(col("tf")) + 1e-9, 4).as("surprisal"))
         .orderBy(col("doc_id"))
     },
 
@@ -2157,6 +2301,25 @@ object TextQueries {
     * (dedupIndex's idiom); at scale it would be bucketed by gh. */
   private val spanIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** t70's stored char-gram index (old corpus = doc_id % 5 != 0),
+    * built once per data dir — the [[spanGramIndex]] discipline at
+    * character granularity. */
+  private val charSpanIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def charSpanIndex(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val path = charSpanIndexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "char-span-index")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      graft.operators.SpanDedup.charGramIndex(
+          Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0),
+          col("text"), col("doc_id"), L = 40)
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+    s.read.parquet(path)
+  }
+
   private[queries] def spanGramIndex(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val path = spanIndexCache.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory(
@@ -2246,7 +2409,13 @@ object TextQueries {
 
   /** t59/t65's shared oracle stages: the html fixture + every kernel
     * stage of [[graft.expressions.HtmlExtract]] as regexp/list CTEs,
-    * ending in `l(doc_id, ls)` — the density-surviving line list. */
+    * ending in `l(doc_id, ls)` — the density-surviving line list.
+    * The `e` stage's replace CHAIN is equivalent to the kernel's
+    * single-pass entity decoder ON THIS FIXTURE only because neither
+    * the page shell nor the synthetic doc text contains nested
+    * escapes (`&amp;lt;`-style; documents.text has zero `&` at every
+    * SF) — the kernel itself is single-pass (HtmlExtractSpec pins the
+    * nested cases the chain would get wrong). */
   private def htmlExtractCtes(dupArticle: Boolean): String = {
     val page = htmlPageSql(id = "CAST(doc_id AS VARCHAR)", dupArticle = dupArticle)
     s"""h AS (SELECT doc_id, $page AS html FROM documents),

@@ -174,4 +174,113 @@ object GStreamKeyed {
       val last = rows.maxBy(_.kk)
       k -> ((deserialize[GngModel](last.model), last.kk))
     }
+
+  // ---- tenant-scale persistent state (round-12: no driver collect) -------
+
+  /** [[fitKeyed]] WITHOUT the terminal driver collect: the per-tenant
+    * models stay a DISTRIBUTED table (key, kk, node_count, model,
+    * pending) — at 10^5 tenants × 300-node models the collected map is
+    * driver-bound (round-11 verdict #9); a table is not. `pending` is
+    * the pre-bootstrap point buffer (null for every fitted row here;
+    * [[applyKeyedBatch]] uses it for tenants that trickle in). */
+  def fitKeyedTable(points: Dataset[KeyedPoint], params: GngParams,
+      nChunks: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.groupByKey(_.key)
+      .mapGroups { (key, it) =>
+        val pts = it.map(kp => Point(kp.features, kp.label, kp.id)).toArray
+        require(pts.length >= 2, s"key $key: need at least 2 points to bootstrap")
+        val m = GStream.fitChunkedLocal(pts.sortBy(_.id), params, nChunks)
+        (key, nChunks, m.nodeCount, serialize(m), null: Array[Byte])
+      }
+      .toDF("key", "kk", "node_count", "model", "pending")
+  }
+
+  /** Initialize the per-tenant model store ([[graft.operators.EpochState]]:
+    * versioned snapshots + atomic pointer — the state table IS the
+    * exactly-once state, sharded parquet, never a driver map). */
+  def initKeyedState(spark: SparkSession, stateDir: String,
+      points: Dataset[KeyedPoint], params: GngParams, nChunks: Int): Unit =
+    graft.operators.EpochState.init(spark, stateDir,
+      fitKeyedTable(points, params, nChunks))
+
+  /** Fold one micro-batch of arriving points into the stored
+    * per-tenant models, exactly-once under replay (the EpochState
+    * epoch stamp makes a re-delivered batch a no-op — the crash
+    * window between "models updated" and "state committed" cannot
+    * double-train). Per-key work runs in EXECUTOR tasks via a cogroup
+    * of (stored models, batch points) on the key: touched tenants run
+    * the same single-model update path as [[trainKeyedStreaming]]
+    * (assignAggregateLocal + GngModel.update, ascending-id canonical
+    * order); untouched tenants' rows carry over byte-identical; brand-
+    * new tenants bootstrap at two points (buffering in `pending`
+    * until then, GStream.bootstrap's two-lowest-ids rule). The driver
+    * never deserializes a model. */
+  def commitKeyedBatch(spark: SparkSession, stateDir: String,
+      batch: Dataset[KeyedPoint], params: GngParams, epoch: Long): Unit =
+    graft.operators.EpochState.commit(spark, stateDir, epoch)(
+      state => applyKeyedBatch(state, batch, params))
+
+  /** The pure step behind [[commitKeyedBatch]] (separated so specs can
+    * drive crash halves through EpochState directly). */
+  private[graft] def applyKeyedBatch(state: DataFrame, batch: Dataset[KeyedPoint],
+      params: GngParams): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val st = state
+      .select(col("key").cast("long"), col("kk").cast("int"),
+        col("node_count").cast("int"), col("model"), col("pending"))
+      .as[(Long, Int, Int, Array[Byte], Array[Byte])]
+    st.groupByKey(_._1)
+      .cogroup(batch.groupByKey(_.key)) { (key, stIt, ptsIt) =>
+        val pts = ptsIt.map(kp => Point(kp.features, kp.label, kp.id))
+          .toArray.sortBy(_.id)
+        val existing = stIt.toSeq.headOption
+        existing match {
+          case Some(row @ (_, kk0, _, mb, pend)) if mb != null =>
+            if (pts.isEmpty) Iterator.single(row)
+            else {
+              val model = deserialize[GngModel](mb)
+              val stats = graft.operators.GngOps.assignAggregateLocal(pts, model.centroids)
+              if (stats.isEmpty) Iterator.single(row)
+              else {
+                val kk = kk0 + 1
+                model.update(stats, kk)
+                Iterator.single((key, kk, model.nodeCount, serialize(model), pend))
+              }
+            }
+          case other =>
+            // no model yet: merge any buffered points with the arrivals
+            val buffered = other.flatMap(r => Option(r._5))
+              .map(deserialize[Array[Point]]).getOrElse(Array.empty[Point])
+            val all = (buffered ++ pts).sortBy(_.id)
+            if (all.isEmpty) Iterator.empty
+            else if (all.length < 2)
+              Iterator.single((key, 0, 0, null: Array[Byte], serialize(all)))
+            else {
+              val model = new GngModel(params, all(0).features.length)
+                .init2Nodes(all(0), all(1))
+              val rest = all.drop(2)
+              val stats = graft.operators.GngOps.assignAggregateLocal(rest, model.centroids)
+              val kk = if (stats.nonEmpty) { model.update(stats, 1); 1 } else 0
+              Iterator.single((key, kk, model.nodeCount, serialize(model),
+                null: Array[Byte]))
+            }
+        }
+      }
+      .toDF("key", "kk", "node_count", "model", "pending")
+  }
+
+  /** Serve ONE tenant's model from the committed state — a pushdown-
+    * filtered read of the current version's parquet (row-group skip on
+    * the key; bucket the state table by key if 10^5-tenant serve-path
+    * latency ever matters), never a full-table deserialize. */
+  def keyedModel(spark: SparkSession, stateDir: String,
+      key: Long): Option[(GngModel, Int)] =
+    graft.operators.EpochState.state(spark, stateDir)
+      .filter(col("key") === key && col("model").isNotNull)
+      .select(col("model"), col("kk"))
+      .collect().headOption
+      .map(r => (deserialize[GngModel](r.getAs[Array[Byte]](0)), r.getInt(1)))
 }

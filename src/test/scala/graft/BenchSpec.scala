@@ -189,7 +189,8 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
       val m = Bench.Measurement(n, Seq((if (i % 10 == 0) 3.21 else 0.453, 0L)), None)
       if (i % 5 == 0) m.copy(rerunReps = Seq((0.1, 0L)), baseline = Some(0.05)) else m
     }
-    val line = Bench.compactStdoutJson(real, "/root/testdata/sf0.1")
+    val corr = Some("""{"pass":208,"q":208,"oracled":206,"fail":""}""")
+    val line = Bench.compactStdoutJson(real, "/root/testdata/sf0.1", corr)
     // real budget: 2000-char capture minus sbt's ~80-char banner = ~1920;
     // the round-10 positional-array encoding (numeric groups drop their
     // member keys) bought another ~800 chars over the round-9 grouped
@@ -213,8 +214,13 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     // 1900 ceiling, which is physical.
     val grown = real ++ (0 until 100).map(i =>
       Bench.Measurement(f"z$i%03d_future_query_name", Seq((0.51, 0L)), None))
-    assert(Bench.compactStdoutJson(grown, "/root/testdata/sf0.1").length < 1900,
+    assert(Bench.compactStdoutJson(grown, "/root/testdata/sf0.1", corr).length < 1900,
       "the format must absorb several more rounds of suite growth")
+    // the corr field parses back and stays ~60 chars (round-12: the
+    // stdout tail must carry its own correctness evidence — the
+    // driver-side CORRECTNESS artifact arrived empty in r10 AND r11)
+    val corrNode = mapper.readTree(line).get("corr")
+    assert(corrNode.get("pass").asInt() === 208 && corrNode.get("oracled").asInt() === 206)
     // round-trip through readBaselines: next round compares against this one
     val tmp = java.nio.file.Files.createTempFile("bench", ".json")
     java.nio.file.Files.writeString(tmp, Bench.detailJson(rs, "sfX"))
@@ -223,6 +229,29 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     // a baseline from another SF dir must not apply (it would flag the
     // whole suite as outliers)
     assert(Bench.readBaselines(tmp.toString, "sfOther") === Map.empty)
+  }
+
+  test("correctnessSummary: reads the self-artifact, names the first failure, never throws") {
+    val self = java.nio.file.Files.createTempFile("corr-self", ".json")
+    java.nio.file.Files.writeString(self,
+      """{"n_pass": 3, "n_oracled": 3, "n_queries": 4, "queries": {
+        | "a01": {"err": null, "rows_match": true, "schema_match": true, "hash_match": true},
+        | "b02": {"err": null, "rows_match": true, "schema_match": true, "hash_match": false},
+        | "c03": {"err": "no spark output", "rows_match": false, "schema_match": false, "hash_match": false},
+        | "d04": {"err": null, "rows_match": true, "rows_only": true, "schema_match": null, "hash_match": null}
+        |}}""".stripMargin)
+    val corr = Bench.correctnessSummary(self.toString)
+    assert(corr.isDefined)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(corr.get)
+    assert(node.get("pass").asInt() === 3 && node.get("q").asInt() === 4 &&
+      node.get("oracled").asInt() === 3)
+    assert(node.get("fail").asText() === "b02", "first failing query by iteration order")
+    assert(corr.get.length < 80, s"corr field must stay compact: ${corr.get.length}")
+    // absent/garbage file → None, never a throw (bench must not fail on it)
+    assert(Bench.correctnessSummary("/nonexistent/corr.json") === None)
+    val bad = java.nio.file.Files.createTempFile("corr-bad", ".json")
+    java.nio.file.Files.writeString(bad, "not json at all")
+    assert(Bench.correctnessSummary(bad.toString) === None)
     assert(Bench.readBaselines("/nonexistent/path.json", "sfX") === Map.empty)
   }
 }

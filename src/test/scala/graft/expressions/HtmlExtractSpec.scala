@@ -47,13 +47,19 @@ class HtmlExtractSpec extends AnyFunSuite with SparkTestSupport {
     assert(extractOne("<nav><li>Home</li><li>About</li></nav><footer>© 2024 corp</footer>") === "")
   }
 
-  test("entities decode in fixed order; &amp;lt; stays literal &lt; (single-pass semantics)") {
+  test("entities decode in ONE pass; no nested escape ever double-decodes") {
     assert(extractOne("<p>a &lt;tag&gt; &quot;q&quot; &apos;s&apos; x&nbsp;y &amp; z</p>") ===
       "a <tag> \"q\" 's' x y & z")
-    // double-escaped entity: &amp;lt; -> &lt; (NOT '<'), because &amp;
-    // decodes last
+    // double-escaped named entity: &amp;lt; -> &lt; (NOT '<')
     assert(extractOne("<p>escaped &amp;lt;literal entity shown here</p>") ===
       "escaped &lt;literal entity shown here")
+    // double-escaped NUMERIC ampersand (round-11 advisor case): the
+    // old numeric-first chain turned &#38;lt; into '<'; a single-pass
+    // decoder yields the literal &lt;
+    assert(extractOne("<p>numeric escape &#38;lt;literal stays put here</p>") ===
+      "numeric escape &lt;literal stays put here")
+    assert(extractOne("<p>also hex escape &#x26;amp;literal stays put here</p>") ===
+      "also hex escape &amp;literal stays put here")
     // numeric dec + hex, out-of-range stays literal
     assert(extractOne("<p>grade &#65;&#x42; and bogus &#1114112; reference kept</p>") ===
       "grade AB and bogus &#1114112; reference kept")

@@ -281,4 +281,97 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
       .select(col("r.width"), col("r.est_bytes")).head()
     assert(r.getInt(0) === 224 && r.getInt(1) === 224 * 224 * 1)
   }
+
+  // ---- m09: perceptual dHash over decoded pixels --------------------------
+
+  private def gpr1(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val b = Array.newBuilder[Byte]
+    b ++= "GPR1".getBytes; b += (w >> 8).toByte; b += w.toByte
+    b += (h >> 8).toByte; b += h.toByte
+    for (y <- 0 until h; x <- 0 until w) b += px(x, y).toByte
+    b.result()
+  }
+
+  private def gpc1(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val b = Array.newBuilder[Byte]
+    b ++= "GPC1".getBytes; b += (w >> 8).toByte; b += w.toByte
+    b += (h >> 8).toByte; b += h.toByte
+    for (x <- 0 until w; y <- 0 until h) b += (px(x, y) ^ 0xa5).toByte
+    b.result()
+  }
+
+  private def dhashOf(p: Array[Byte]): Option[Long] =
+    Option(graft.expressions.PixelHashImpl.grayDhash64(p)).map(_.longValue())
+
+  test("gray_dhash64: the same picture re-encoded (GPR1 vs GPC1) hashes identically") {
+    def px(x: Int, y: Int): Int = (x * 37 + y * 91 + x * y * 13) % 256
+    val a = dhashOf(gpr1(18, 16, px))
+    val b = dhashOf(gpc1(18, 16, px))
+    assert(a.isDefined && a === b, "re-encode must not change the perceptual hash")
+    // while the BYTE streams share nothing (the m05 gap this closes):
+    // byte-level cosine features of the two encodings are far apart
+    import spark.implicits._
+    val feats = Seq(("a", gpr1(18, 16, px)), ("b", gpc1(18, 16, px)))
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.extractFeatures(col("payload"), dim = 64).as("emb"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val (fa, fb) = (feats("a"), feats("b"))
+    val cos = fa.zip(fb).map { case (u, v) => u * v }.sum /
+      (math.sqrt(fa.map(v => v * v).sum) * math.sqrt(fb.map(v => v * v).sum))
+    assert(cos < 0.9, s"byte features should NOT see the re-encode as near-dup (cos=$cos)")
+  }
+
+  test("gray_dhash64: global brightness shift preserves the hash; real edits move few bits") {
+    def px(x: Int, y: Int): Int = 30 + (x * 53 + y * 29 + x * x * 3) % 180
+    val base = dhashOf(gpr1(18, 16, px)).get
+    // +20 brightness, no wrap (values stay < 256): every comparison unchanged
+    val brighter = dhashOf(gpr1(18, 16, (x, y) => px(x, y) + 20)).get
+    assert(base === brighter, "monotone brightness shift must preserve dHash")
+    // a local retouch moves only the bits whose blocks it touches
+    val retouched = dhashOf(gpr1(18, 16,
+      (x, y) => if (x < 2 && y < 2) (px(x, y) + 120) % 256 else px(x, y))).get
+    val hamming = java.lang.Long.bitCount(base ^ retouched)
+    assert(hamming <= 4, s"local retouch must stay local (hamming $hamming)")
+  }
+
+  test("gray_dhash64: block-mean resize — different resolutions of the same picture agree") {
+    // 36x32 is the 18x16 picture with every pixel doubled in both axes:
+    // block means are identical, so the hash must be too
+    def px(x: Int, y: Int): Int = (x * 41 + y * 67 + x * y * 7) % 256
+    val small = dhashOf(gpr1(18, 16, px)).get
+    val big = dhashOf(gpr1(36, 32, (x, y) => px(x / 2, y / 2))).get
+    assert(small === big, "2x upscale has identical block means — hash must match")
+  }
+
+  test("gray_dhash64: hostile containers yield NULL, never a throw") {
+    assert(dhashOf(null) === None)
+    assert(dhashOf(Array[Byte]()) === None)
+    assert(dhashOf("GPR1".getBytes) === None) // truncated header
+    assert(dhashOf(gpr1(18, 16, (_, _) => 7).dropRight(1)) === None) // short body
+    assert(dhashOf(gpr1(18, 16, (_, _) => 7) ++ Array[Byte](0)) === None) // long body
+    val badMagic = gpr1(18, 16, (_, _) => 7); badMagic(2) = 'X'
+    assert(dhashOf(badMagic) === None)
+    // impossible dims: w < 9 and h < 8 refuse
+    assert(dhashOf(gpr1(8, 16, (_, _) => 7)) === None)
+    assert(dhashOf(gpr1(18, 7, (_, _) => 7)) === None)
+  }
+
+  test("hamming64Pairs: exact recall to hamming 3, no pairs past the budget") {
+    import spark.implicits._
+    val base = 0x0123456789abcdefL
+    val sigs = Seq(
+      1L -> base,
+      2L -> base,                       // hamming 0
+      3L -> (base ^ 0x7L),              // hamming 3 — must be found
+      4L -> (base ^ 0xfL),              // hamming 4 — must NOT emit
+      5L -> ~base,                      // hamming 64
+      6L -> (base ^ (1L << 63))         // hamming 1 across the sign bit
+    ).toDF("id", "sig")
+    val pairs = Dedup.hamming64Pairs(sigs, "id", "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // 3^4 = 0b0111^0b1111 = one bit -> hamming 1; 6 flips only the sign
+    // bit (the arithmetic-shift band must mask correctly)
+    assert(pairs === Seq((1L, 2L, 0L), (1L, 3L, 3L), (1L, 6L, 1L),
+      (2L, 3L, 3L), (2L, 6L, 1L), (3L, 4L, 1L)), s"got $pairs")
+  }
 }

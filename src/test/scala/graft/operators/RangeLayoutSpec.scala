@@ -107,6 +107,94 @@ class RangeLayoutSpec extends AnyFunSuite with SparkTestSupport {
     assert(RangeLayout.compact(spark, dir, "k") === 0)
   }
 
+  test("sample depth auto-deepens: collected sample stays O(100*n) at any table size") {
+    import org.apache.spark.sql.functions.col
+    // The depth/threshold decision is analytic — assert the expected
+    // sample stays within 2x of target from 10^4 to 10^13 rows (a
+    // 40k-row probe can't measure a 2/16^7 keep fraction empirically).
+    for (exp <- 4 to 13; total = math.pow(10, exp).toLong;
+        target <- Seq(800L, 1000L, 5000L)) {
+      RangeLayout.sampleDepth(total, target) match {
+        case None =>
+          assert(total <= target, s"total=$total: decision missing")
+        case Some((depth, thrIdx)) =>
+          val expectedSample = total.toDouble * (thrIdx + 1) / math.pow(16.0, depth)
+          assert(expectedSample <= 2.0 * target,
+            s"total=$total target=$target: expected sample $expectedSample > 2x")
+          assert(expectedSample >= target / 2.0,
+            s"total=$total target=$target: expected sample $expectedSample < half")
+      }
+    }
+    // and the predicate's empirical keep fraction matches the decision
+    // at a measurable depth (total=10*probe → ~10% keep)
+    val probe = spark.range(40000).toDF("k")
+    val kept = probe.filter(
+      RangeLayout.samplePredicate(col("k").cast("long"), 400000L, 40000L).get).count()
+    assert(kept > 2000 && kept < 8000, s"10%-ish keep fraction, got $kept/40000")
+    // the default target is O(100*n): bounds still train fine and stay
+    // deterministic with the auto depth
+    val b1 = RangeLayout.trainBounds(rows(1 to 5000), "k", 8)
+    val b2 = RangeLayout.trainBounds(rows(1 to 5000).repartition(11), "k", 8)
+    assert(b1.toSeq === b2.toSeq)
+    assert(b1.length === 7 && b1.toSeq === b1.sorted.toSeq)
+  }
+
+  test("compact crash windows: scans heal and never lose rows") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ids(dir: String): Seq[Long] =
+      RangeLayout.prunedScan(spark, dir, "k", 0L, 100001L)._1
+        .select($"id").as[Long].collect().sorted.toSeq
+    val want = rows(1 to 400).union(rows(401 to 600))
+      .select($"id").as[Long].collect().sorted.toSeq
+
+    // window A: crash after the temp was written, before any rename —
+    // live bucket intact, orphan .compact-* must be swept
+    val dirA = freshDir()
+    RangeLayout.write(rows(1 to 400), "k", n = 4, dir = dirA)
+    RangeLayout.append(rows(401 to 600), "k", dirA)
+    val bucketA = fs.listStatus(new Path(dirA))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("rbucket="))
+      .head.getPath
+    val tmpA = new Path(dirA, s".compact-${bucketA.getName}")
+    spark.read.parquet(bucketA.toString).write.parquet(tmpA.toString)
+    assert(ids(dirA) === want, "orphan temp must not change a scan")
+    assert(!fs.exists(tmpA), "fileStats must sweep the orphan temp")
+
+    // window B: crash between retire and swap — live bucket MISSING,
+    // rows only under .retired-* (the round-11 silent-loss window)
+    val dirB = freshDir()
+    RangeLayout.write(rows(1 to 400), "k", n = 4, dir = dirB)
+    RangeLayout.append(rows(401 to 600), "k", dirB)
+    val bucketB = fs.listStatus(new Path(dirB))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("rbucket="))
+      .head.getPath
+    val tmpB = new Path(dirB, s".compact-${bucketB.getName}")
+    spark.read.parquet(bucketB.toString).coalesce(1).write.parquet(tmpB.toString)
+    assert(fs.rename(bucketB, new Path(dirB, s".retired-${bucketB.getName}")))
+    assert(ids(dirB) === want, "retired-but-unswapped bucket rows must survive")
+    assert(fs.exists(bucketB), "recovery must restore the live bucket dir")
+
+    // window C: crash after the swap, before the retired copy dropped —
+    // live bucket has the new file, .retired-* is a stale duplicate
+    val dirC = freshDir()
+    RangeLayout.write(rows(1 to 400), "k", n = 4, dir = dirC)
+    RangeLayout.append(rows(401 to 600), "k", dirC)
+    val bucketC = fs.listStatus(new Path(dirC))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("rbucket="))
+      .head.getPath
+    val retiredC = new Path(dirC, s".retired-${bucketC.getName}")
+    // simulate: copy-as-retire (old content), live keeps the real rows
+    org.apache.hadoop.fs.FileUtil.copy(fs, bucketC, fs, retiredC, false, true,
+      spark.sparkContext.hadoopConfiguration)
+    assert(ids(dirC) === want, "stale retired copy must not double rows")
+    assert(!fs.exists(retiredC), "recovery must drop the completed swap's retired copy")
+
+    // and a fresh compact over healed state still works end-to-end
+    assert(RangeLayout.compact(spark, dirB, "k") >= 1)
+    assert(ids(dirB) === want)
+  }
+
   test("each bucket directory holds one sorted file per write") {
     val dir = freshDir()
     RangeLayout.write(rows(1 to 400), "k", n = 4, dir = dir)

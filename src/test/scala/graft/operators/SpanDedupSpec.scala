@@ -223,4 +223,135 @@ class SpanDedupSpec extends AnyFunSuite with SparkTestSupport {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out === Seq((200L, 1L, 5L)))
   }
+
+  // ---- character-granularity exact-substring (t69/t70) -------------------
+
+  private def charSpans(L: Int, docs: (Long, String)*): Seq[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    SpanDedup.duplicateCharSpans(docs.toDF("id", "text"), col("text"), col("id"), L)
+      .orderBy(col("id"), col("span_start"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+  }
+
+  /** Independent in-spec reference: normalize (the regex twin of the
+    * kernel's normalize), brute-force compare ACTUAL L-char substrings
+    * across docs, merge qualifying window starts with the same run
+    * rule. No hashes anywhere — a kernel hash bug cannot hide. */
+  private def bruteCharSpans(L: Int, docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long)] = {
+    val norm = docs.map { case (id, t) =>
+      (id, t.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", " ").trim)
+    }
+    val grams = norm.flatMap { case (id, t) =>
+      (0 to t.length - L).map(i => (id, i, t.substring(i, i + L)))
+    }
+    val cross = grams.groupBy(_._3).values
+      .filter(g => g.map(_._1).distinct.size >= 2).flatten.toSeq
+    cross.groupBy(_._1).toSeq.flatMap { case (id, hits) =>
+      val ss = hits.map(_._2).sorted
+      val runs = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]() // start,end,n
+      for (s <- ss) runs.lastOption match {
+        case Some((a, b, n)) if s <= b => runs(runs.length - 1) = (a, math.max(b, s + L), n + 1)
+        case _ => runs += ((s, s + L, 1))
+      }
+      runs.map { case (a, b, n) => (id, a.toLong, b.toLong, n.toLong) }
+    }.sorted
+  }
+
+  private def checkAgainstBrute(L: Int, docs: (Long, String)*): Seq[(Long, Long, Long, Long)] = {
+    val got = charSpans(L, docs: _*)
+    val want = bruteCharSpans(L, docs)
+    assert(got === want, s"engine $got != brute-force substring reference $want")
+    got
+  }
+
+  test("char spans: a shared substring below the token grid is found, offsets char-exact") {
+    // the shared run is only 3 tokens — invisible to any k>=4 token
+    // gram; flanks differ so the maximal run is exactly the fixture's
+    val out = checkAgainstBrute(10,
+      1L -> "alpha beta licence x9 42 gamma delta words",
+      2L -> "zeta licence x9 42 eta theta more words here")
+    assert(out.nonEmpty && out.map(_._1).distinct.sorted === Seq(1L, 2L))
+    // both spans cover the SAME substring of their normalized docs
+    val n1 = "alpha beta licence x9 42 gamma delta words"
+    val n2 = "zeta licence x9 42 eta theta more words here"
+    val Seq(s1, s2) = out.sortBy(_._1)
+    assert(n1.substring(s1._2.toInt, s1._3.toInt) === n2.substring(s2._2.toInt, s2._3.toInt))
+    assert(n1.substring(s1._2.toInt, s1._3.toInt).contains("licence x9 42"))
+  }
+
+  test("char spans: nested duplicates — doc with only the middle slice reports only it") {
+    val mid = "the quick brown foxes jump over lazy dogs"
+    val long = s"prefix padding $mid suffix padding tail"
+    val out = checkAgainstBrute(12,
+      1L -> s"aaa unique1 $long unique2",
+      2L -> s"bbb other $long yet more",
+      3L -> s"ccc $mid ddd")
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3.size === 1, s"doc3: one maximal span expected, got $d3")
+    assert(d3.head._3 - d3.head._2 >= mid.length,
+      s"doc3 span must cover its whole slice: $d3")
+    for (id <- Seq(1L, 2L)) {
+      val s = out.filter(_._1 == id)
+      assert(s.size === 1 && s.head._3 - s.head._2 >= long.length - 1,
+        s"doc $id: one maximal span >= the long run, got $s")
+    }
+  }
+
+  test("char spans: overlapping duplicates from different partners merge into one span") {
+    // doc1 = A ++ B where A is shared with doc2 and B with doc3,
+    // overlapping inside doc1 — doc1 must report ONE merged span
+    val out = checkAgainstBrute(15,
+      1L -> "first shared block of characters here second shared block too",
+      2L -> "xxx first shared block of characters here yyy",
+      3L -> "qqq characters here second shared block too zzz")
+    assert(out.count(_._1 == 1L) === 1,
+      s"doc1 must merge overlapping partner spans: ${out.filter(_._1 == 1L)}")
+  }
+
+  test("char spans: below-L sharing and intra-doc-only repetition emit nothing") {
+    checkAgainstBrute(20,
+      1L -> "short shared bit plus unique alpha text",
+      2L -> "short shared bit plus other beta words")
+    assert(checkAgainstBrute(30,
+      1L -> "short shared bit unique alpha padding text",
+      2L -> "short shared bit other beta words padding").isEmpty,
+      "a sub-L shared run must not fire")
+    val rep = "repeat this exact chorus line again and again " * 3
+    assert(checkAgainstBrute(20, 1L -> rep,
+      2L -> "completely different content with no overlap at all").isEmpty)
+  }
+
+  test("char spans: positions are normalized-space (case/punct changes don't defeat matching)") {
+    val out = checkAgainstBrute(16,
+      1L -> "AAA!! The-Licence_Header 2024 BBB",
+      2L -> "ccc the licence header 2024 ddd")
+    assert(out.size === 2, s"case/punct must not defeat matching: $out")
+  }
+
+  test("char spans incremental: against the stored char index == full recompute on the new docs") {
+    val olds = Seq(1L -> "stored corpus document with the licence header block here",
+      2L -> "another stored doc, unrelated content entirely my friend")
+    val news = Seq(10L -> "new arrival carrying the licence header block here too",
+      11L -> "fresh text with nothing shared at all anywhere")
+    val index = SpanDedup.charGramIndex(df(olds), col("text"), col("id"), L = 20)
+    val inc = SpanDedup.charSpansAgainstIndex(df(news), col("text"), col("id"), index, L = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    val full = charSpans(20, (olds ++ news): _*).filter(_._1 >= 10L)
+    assert(inc === full, s"incremental $inc != full-recompute-restricted $full")
+    assert(inc.nonEmpty && inc.forall(_._1 == 10L))
+  }
+
+  test("char spans plan gate: document text never enters an exchange (hash-only shuffles)") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i =>
+      (i, s"document number $i with the shared licence header block plus tail $i"))
+      .toDF("id", "text")
+    val exec = SpanDedup.duplicateCharSpans(docs, col("text"), col("id"), L = 20)
+    exec.collect()
+    val shuffles = exec.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(shuffles.nonEmpty, "expected at least one exchange (window partitioning)")
+    assert(!shuffles.exists(_.contains("text")),
+      s"document text must never shuffle — hash-only exchanges, got:\n${shuffles.mkString("\n")}")
+  }
 }
