@@ -151,6 +151,58 @@ object SpanDedup {
       index: DataFrame, L: Int = 40): DataFrame =
     spansFromGrams(charGramsOf(newDocs, text, id, L), index, L)
 
+  /** The cut at CHARACTER granularity — [[cutDuplicateSpans]]' rule on
+    * [[duplicateCharSpans]]' detection: every occurrence of a
+    * cross-document L-char window EXCEPT the globally first
+    * (lexicographic-min (id, start0) in the window group) becomes a
+    * cut interval; merged intervals are removed from the NORMALIZED
+    * text and the patch re-emitted as
+    * (id, n_spans_cut, n_chars_before, n_chars_after, clean_text) —
+    * only affected documents appear (the t50 patch contract: the
+    * corpus is never rewritten; the patch is proportional to the
+    * duplication). The reconstruction is a per-row fold over the
+    * dimension-sized span list (substring concatenation — spans per
+    * doc are few, so the interpreted HOF is not a corpus-hot loop),
+    * after broadcasting the per-doc interval lists onto a second
+    * corpus scan. Text never shuffles. */
+  def cutDuplicateCharSpans(docs: DataFrame, text: Column, id: Column,
+      L: Int = 40): DataFrame = {
+    val byGram = Window.partitionBy(col("gh"))
+    val cuts = charGramsOf(docs, text, id, L)
+      .withColumn("cmin", min(struct(col("id"), col("start0"))).over(byGram))
+      .withColumn("d0", min(col("id")).over(byGram))
+      .withColumn("d1", max(col("id")).over(byGram))
+      .filter(col("d0") =!= col("d1") &&
+        !(col("cmin.id") === col("id") && col("cmin.start0") === col("start0")))
+      .select(col("id"), col("start0"))
+    val spans = mergedSpans(cuts, L)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+          .as("spans"),
+        count(lit(1)).as("n_spans_cut"))
+    docs
+      .select(id.as("id"), TextHash.normalizeText(text).as("nt"))
+      .join(broadcast(spans), Seq("id"))
+      // fold over the DISJOINT ascending spans: emit the gap before
+      // each span, then the tail after the last one (half-open char
+      // offsets into nt; substring is 1-based)
+      .withColumn("clean_text", expr(
+        """concat(
+          |  aggregate(spans, named_struct('pos', 0L, 'acc', ''),
+          |    (st, sp) -> named_struct(
+          |      'pos', sp.span_end,
+          |      'acc', concat(st.acc,
+          |        substring(nt, cast(st.pos + 1 as int),
+          |          cast(sp.span_start - st.pos as int)))),
+          |    st -> st.acc),
+          |  substring(nt, cast(element_at(spans, -1).span_end + 1 as int),
+          |    length(nt)))""".stripMargin))
+      .select(col("id"), col("n_spans_cut"),
+        length(col("nt")).cast("long").as("n_chars_before"),
+        length(col("clean_text")).cast("long").as("n_chars_after"),
+        col("clean_text"))
+  }
+
   /** Maximal merged spans of k-token grams shared verbatim with at
     * least one other document: (id, span_start, span_end, n_grams) —
     * token offsets in normalized-token space, half-open

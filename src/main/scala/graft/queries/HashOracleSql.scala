@@ -581,6 +581,48 @@ object HashOracleSql {
          |FROM runs GROUP BY doc_id, run ORDER BY doc_id, span_start""".stripMargin
   }
 
+  /** t71: the cut twin of
+    * [[graft.operators.SpanDedup.cutDuplicateCharSpans]] — [[cutSpans]]'
+    * canonical-occurrence + run-merge shapes at CHARACTER granularity,
+    * over actual substrings (no hash arithmetic), with the cleaned
+    * text rebuilt char-by-char (string_agg over uncovered positions —
+    * position-identical to the engine's gap-concatenation fold). */
+  def cutCharSpans(L: Int): String = {
+    val nt = graft.functions.TextFunctions.Sql.normalizeText("text")
+    val ctes = Seq(
+      s"t AS (SELECT doc_id, $nt AS nt FROM documents)",
+      s"grams AS (SELECT doc_id, i - 1 AS start0, substring(nt, i, $L) AS gh " +
+        s"FROM t, LATERAL unnest(generate_series(1, len(nt) - $L + 1)) AS u(i))",
+      "firsts AS (SELECT doc_id, start0, " +
+        "min(doc_id) OVER wg AS d0, max(doc_id) OVER wg AS d1, " +
+        "first_value(doc_id) OVER wo AS cdoc, first_value(start0) OVER wo AS cstart " +
+        "FROM grams WINDOW wg AS (PARTITION BY gh), " +
+        "wo AS (PARTITION BY gh ORDER BY doc_id, start0))",
+      "cuts AS (SELECT doc_id, start0 FROM firsts " +
+        "WHERE d0 <> d1 AND NOT (doc_id = cdoc AND start0 = cstart))") ++
+      runCtes("cuts", L) ++ Seq(
+        s"spans AS (SELECT doc_id, run, min(start0) AS s, max(start0) + $L AS e " +
+          "FROM runs GROUP BY doc_id, run)",
+        "sc AS (SELECT doc_id, count(*) AS n_spans_cut FROM spans GROUP BY doc_id)",
+        "chars AS (SELECT t.doc_id, i AS pos, substring(t.nt, i, 1) AS ch " +
+          "FROM t, LATERAL unnest(generate_series(1, len(t.nt))) AS u(i) " +
+          "WHERE t.doc_id IN (SELECT doc_id FROM sc))",
+        "keptc AS (SELECT c.doc_id, c.pos, c.ch FROM chars c WHERE NOT EXISTS (" +
+          "SELECT 1 FROM spans s WHERE s.doc_id = c.doc_id " +
+          "AND c.pos - 1 >= s.s AND c.pos - 1 < s.e))",
+        "agg AS (SELECT doc_id, count(*) AS n_after, " +
+          "string_agg(ch, '' ORDER BY pos) AS clean_text FROM keptc GROUP BY doc_id)")
+    "WITH " + ctes.mkString(",\n") +
+      s"""
+         |SELECT sc.doc_id, CAST(sc.n_spans_cut AS BIGINT) AS n_spans_cut,
+         |  CAST(len(t.nt) AS BIGINT) AS n_chars_before,
+         |  CAST(coalesce(agg.n_after, 0) AS BIGINT) AS n_chars_after,
+         |  coalesce(agg.clean_text, '') AS clean_text
+         |FROM sc JOIN t ON sc.doc_id = t.doc_id
+         |LEFT JOIN agg ON sc.doc_id = agg.doc_id
+         |ORDER BY sc.doc_id""".stripMargin
+  }
+
   /** t50: the cut twin of [[graft.operators.SpanDedup.cutDuplicateSpans]].
     * Canonical occurrence = lexicographic-first (doc_id, start0) in the
     * gram group via first_value windows; every other occurrence of a

@@ -782,6 +782,33 @@ object StreamingQueries {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // Char-granularity exact-substring dedup at ingestion cadence —
+    // s22's companion one rung down the grid, on t69/t70's machinery:
+    // each arriving batch pays its char-gram kernel ONCE (text never
+    // leaves hash space; the fold state is bare (id, start0, gh)
+    // rows), and serving runs the same qualification as the batch
+    // operator against the stored char-gram index. Oracle: t70's
+    // full-recompute substring SQL VERBATIM (slicing must not change
+    // a span).
+    sql(
+      "s26_stream_substrings",
+      HashOracleSql.duplicateCharSpans(L = 40, emitPred = Some("doc_id % 5 = 0"))) { (s, d) =>
+      import graft.operators.SpanDedup
+      import s.implicits._
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(documentSliceDir(s, d))
+        .filter(col("doc_id") % 5 === 0)
+      val init = Seq.empty[(Long, Int, Long)].toDF("id", "start0", "gh")
+      val grams = StreamingRelational.oneShotFold(s, stream, init,
+        (state, batch) => state.unionByName(
+          SpanDedup.charGramsOf(batch, col("text"), col("doc_id"), 40)))
+      SpanDedup.spansFromGrams(grams, TextQueries.charSpanIndex(s, d), 40)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // The trained classifier SERVED on the stream — the deployment
     // mode a learned filter actually runs in: weights are frozen (one
     // fit per data dir, shared with t53/t54), each micro-batch scores

@@ -545,6 +545,25 @@ object TextQueries {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // The cut on top of t69's char-level detection (t50's rule one
+    // rung down the grid): keep the globally FIRST occurrence of every
+    // cross-document 40-char window, remove all others from the
+    // NORMALIZED text, emit a patch table of only the affected
+    // documents. Reconstruction is a per-row fold over the
+    // dimension-sized cut-interval list (gap concatenation) after
+    // broadcasting the per-doc lists — text never shuffles. Oracle
+    // rebuilds the cleaned text char-by-char over actual substrings
+    // (string_agg of uncovered positions), so the engine's
+    // segment-concatenation fold is verified position-exactly.
+    sql(
+      "t71_cut_substrings",
+      HashOracleSql.cutCharSpans(L = 40)) { (s, d) =>
+      graft.operators.SpanDedup.cutDuplicateCharSpans(
+          Tables.documents(s, d), col("text"), col("doc_id"), L = 40)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // Stratified deterministic sampling: per-language quota rates
     // rebalance a skewed corpus (the dominant language keeps 1/16, the
     // tail keeps 1/2) — the training-mix rebalancing step, done as a

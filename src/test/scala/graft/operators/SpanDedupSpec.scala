@@ -341,6 +341,80 @@ class SpanDedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(inc.nonEmpty && inc.forall(_._1 == 10L))
   }
 
+  private def charCuts(L: Int, docs: (Long, String)*): Seq[(Long, Long, Long, Long, String)] = {
+    import spark.implicits._
+    SpanDedup.cutDuplicateCharSpans(docs.toDF("id", "text"), col("text"), col("id"), L)
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+  }
+
+  /** Brute reference for the char cut: same normalize, canonical =
+    * min (id, start0) per actual-substring group, merge, then remove
+    * covered chars one by one. */
+  private def bruteCharCuts(L: Int, docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long, String)] = {
+    val norm = docs.map { case (id, t) =>
+      (id, t.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", " ").trim)
+    }
+    val grams = norm.flatMap { case (id, t) =>
+      (0 to t.length - L).map(i => (id, i, t.substring(i, i + L)))
+    }
+    val cuts = grams.groupBy(_._3).values
+      .filter(g => g.map(_._1).distinct.size >= 2)
+      .flatMap { g => val c = g.minBy(x => (x._1, x._2)); g.filterNot(_ == c) }
+      .toSeq
+    cuts.groupBy(_._1).toSeq.flatMap { case (id, hits) =>
+      val ss = hits.map(_._2).distinct.sorted
+      val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      for (s <- ss) runs.lastOption match {
+        case Some((a, b)) if s <= b => runs(runs.length - 1) = (a, math.max(b, s + L))
+        case _ => runs += ((s, s + L))
+      }
+      val nt = norm.find(_._1 == id).get._2
+      val clean = nt.zipWithIndex
+        .filterNot { case (_, i) => runs.exists(r => i >= r._1 && i < r._2) }
+        .map(_._1).mkString
+      Seq((id, runs.size.toLong, nt.length.toLong, clean.length.toLong, clean))
+    }.sortBy(_._1)
+  }
+
+  private def checkCutsAgainstBrute(L: Int, docs: (Long, String)*): Seq[(Long, Long, Long, Long, String)] = {
+    val got = charCuts(L, docs: _*)
+    val want = bruteCharCuts(L, docs)
+    assert(got === want, s"engine $got != brute reference $want")
+    got
+  }
+
+  test("char cut: globally first occurrence survives, the copy's chars are removed") {
+    val shared = "the shared licence header block two"
+    val out = checkCutsAgainstBrute(20,
+      1L -> s"alpha $shared omega",
+      2L -> s"beta $shared psi chi")
+    // only doc 2 (the non-canonical copy) enters the patch
+    assert(out.map(_._1) === Seq(2L))
+    assert(!out.head._5.contains("licence header"), s"cut text leaked: ${out.head._5}")
+    assert(out.head._4 < out.head._3)
+  }
+
+  test("char cut: a fully duplicated document empties; clean docs stay out of the patch") {
+    val page = "entirely duplicated page content repeated verbatim in another document"
+    val out = checkCutsAgainstBrute(20,
+      1L -> page, 2L -> page,
+      3L -> "a perfectly original document with its own words only")
+    assert(out.map(_._1) === Seq(2L), s"only the copy is patched: $out")
+    assert(out.head._4 === 0L && out.head._5 === "")
+  }
+
+  test("char cut: intra-doc repeats of a cross-doc window are cut beyond the canonical one") {
+    val run = "chorus line repeated enough"
+    val out = checkCutsAgainstBrute(20,
+      1L -> s"$run and then $run once more",
+      2L -> s"other doc also has $run inside")
+    // doc 1 owns the canonical first occurrence; its SECOND occurrence
+    // and doc 2's copy are both cut
+    assert(out.map(_._1).toSet === Set(1L, 2L))
+  }
+
   test("char spans plan gate: document text never enters an exchange (hash-only shuffles)") {
     import spark.implicits._
     val docs = (1L to 20L).map(i =>
