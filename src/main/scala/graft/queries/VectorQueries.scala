@@ -230,6 +230,51 @@ object VectorQueries {
     if (ss.size == 1) Some(ss.get(0)) else None
   }
 
+  /** v32's dump-time oracle: k-means assignment from the inlined seeds
+    * (the kmeansOracle CTEs), exhaustive within-cluster cosine pairs at
+    * the same rounded threshold, recursive closure, and the paper's
+    * keep-rule (lowest centroid-cosine, id tie-break) — singletons keep
+    * themselves. */
+  private def semDedupOracle: Option[String] =
+    soleKmSeeds.map { sd =>
+      val vecDists = sd.zipWithIndex
+        .map { case (c, i) => s"SELECT vec_id, $i AS cluster, ${graft.GngQueries.distSql("v", c)} AS dsq FROM e" }
+        .mkString("\nUNION ALL ")
+      val centVals = sd.zipWithIndex
+        .map { case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])" }
+        .mkString(", ")
+      s"""WITH RECURSIVE
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS ($vecDists),
+         |win AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cluster) AS rk FROM d)
+         |  WHERE rk = 1),
+         |cent AS (SELECT * FROM (VALUES $centVals) AS t(cluster, cent)),
+         |rk AS (SELECT e.vec_id, w.cluster,
+         |         round(list_cosine_similarity(e.v, c.cent), 4) AS cent_sim
+         |       FROM e JOIN win w ON w.vec_id = e.vec_id
+         |       JOIN cent c ON c.cluster = w.cluster),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |      FROM (SELECT e.vec_id, e.v, w.cluster FROM e JOIN win w ON w.vec_id = e.vec_id) a
+         |      JOIN (SELECT e.vec_id, e.v, w.cluster FROM e JOIN win w ON w.vec_id = e.vec_id) b
+         |        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35),
+         |ed(src, dst) AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT DISTINCT src, src FROM ed
+         |  UNION
+         |  SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src),
+         |cc AS (SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS rep FROM reach GROUP BY a),
+         |vd AS (SELECT cc.vec_id, cc.rep,
+         |         row_number() OVER (PARTITION BY cc.rep ORDER BY rk.cent_sim, cc.vec_id) AS rn
+         |       FROM cc JOIN rk ON rk.vec_id = cc.vec_id)
+         |SELECT rk.vec_id, CAST(rk.cluster AS INT) AS cluster,
+         |  CAST(coalesce(vd.rep, rk.vec_id) AS BIGINT) AS group_rep,
+         |  coalesce(vd.rn = 1, TRUE) AS keep
+         |FROM rk LEFT JOIN vd ON vd.vec_id = rk.vec_id
+         |ORDER BY rk.vec_id""".stripMargin
+    }
+
   /** One Lloyd round from the inlined seeds: assignment via the SAME
     * left-assoc distance chains + lowest-index ties as the kernel
     * (GngQueries.distSql), means per (cluster, pos), v09's 4-decimal
@@ -748,6 +793,56 @@ object VectorQueries {
           pairs.select(col("id_a"), col("id_b")))
         .transform(sizedClusters)
     },
+
+    // SemDeDup (Abbas et al. 2023): SEMANTIC dedup with k-means
+    // clusters as the blocking structure — embeddings assign to their
+    // nearest k-means seed (the v19 assignment, centroids as plan
+    // constants), pairwise cosine runs ONLY within a cluster (the
+    // paper's point: k scales with the corpus so the quadratic term is
+    // per-cluster, never corpus²), ε-similar pairs close into groups
+    // (the t21/v24 star contraction), and each group keeps ONE
+    // example — the paper's rule: the member FARTHEST from its cluster
+    // centroid (lowest centroid-cosine; round-then-rank + id tie-break,
+    // the cross-engine ranking discipline). Output is the keep/drop
+    // verdict table a training pipeline consumes. Oracle replays
+    // assignment (distSql chains + lowest-index ties), the within-
+    // cluster pairs, the recursive closure, and the canonical ranking.
+    QueryDef("v32_semantic_dedup", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val seeds = kmSeeds(s, d)
+      val assigned = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        graft.expressions.VectorOps.nearestCentroid(
+          col("embedding").cast("array<double>"), seeds).as("cluster"))
+      val centDf = seeds.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("cluster", "cent")
+      val ranked = assigned.join(broadcast(centDf), Seq("cluster"))
+        .select(col("vec_id"), col("cluster"), col("v"),
+          round(graft.expressions.VectorOps.cosineSimilarity(col("v"), col("cent")), 4)
+            .as("cent_sim"))
+      val pairs = ranked.select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
+        .join(ranked.select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb")),
+          Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(graft.expressions.VectorOps.cosineSimilarity(col("va"), col("vb")), 4)
+          >= 0.35)
+        .select(col("id_a"), col("id_b"))
+      val comps = graft.operators.Dedup.connectedComponents(pairs)
+      val w = Window.partitionBy(col("rep")).orderBy(col("cent_sim"), col("id"))
+      val verdicts = comps
+        .join(ranked.select(col("vec_id").as("id"), col("cent_sim")), Seq("id"))
+        .withColumn("rk", row_number().over(w))
+        .select(col("id").as("vec_id"), col("rep").as("group_rep"),
+          (col("rk") === 1).as("keep"))
+      ranked.select(col("vec_id"), col("cluster"))
+        .join(verdicts, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+          coalesce(col("group_rep"), col("vec_id")).as("group_rep"),
+          coalesce(col("keep"), lit(true)).as("keep"))
+        .orderBy(col("vec_id"))
+    }, semDedupOracle),
 
     // v24 in its PRODUCTION shape (the t31/t32 amortization pattern for
     // the embedding side): the LSH banding + cosine verify + star
