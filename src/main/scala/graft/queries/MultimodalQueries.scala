@@ -92,6 +92,35 @@ object MultimodalQueries {
        |  '64617461', ${le32("1000 + doc_id % 9000")}))
        |  || CAST(text AS BINARY)""".stripMargin)
 
+  /** m10's payload: a COMPLETE PCM16 WAV — m06's chunk-walk structure
+    * (LIST-before-fmt on every third doc) but with a REAL sample body:
+    * nf = 48 + doc_id % 80 frames × (1 + doc_id % 2) channels of int16
+    * little-endian samples s_k = ((doc_id·131 + k·7919) % 20001) −
+    * 10000 — both engines derive the waveform from this formula, so
+    * the decoded features verify end-to-end (builder-parser identity
+    * on actual sample bytes, not just headers). bits fixed at 16
+    * (PCM16 is the decode contract); byteRate deliberately junk. */
+  private val m10PayloadExpr = {
+    val ch = "(1 + doc_id % 2)"
+    val nf = "(48 + doc_id % 80)"
+    val db = s"(2 * $nf * $ch)"
+    val sampleHex =
+      s"""array_join(transform(sequence(0, $nf * $ch - 1), k ->
+         |  concat(substr(lpad(hex(pmod(pmod(doc_id * 131 + k * 7919, 20001) - 10000, 65536)), 4, '0'), 3, 2),
+         |         substr(lpad(hex(pmod(pmod(doc_id * 131 + k * 7919, 20001) - 10000, 65536)), 4, '0'), 1, 2))), '')""".stripMargin
+    expr(
+      s"""unhex(concat('52494646', ${le32(s"36 + $db")}, '57415645',
+         |  CASE WHEN doc_id % 3 = 0
+         |       THEN concat('4C495354', ${le32("5")}, repeat('4A', 5), '00')
+         |       ELSE '' END,
+         |  '666D7420', ${le32("16")},
+         |  ${le16("1")}, ${le16(ch)},
+         |  ${le32(s"8000 * (1 + doc_id % 5)")},
+         |  ${le32("8000")}, ${le16("4")}, ${le16("16")},
+         |  '64617461', ${le32(db)},
+         |  $sampleHex))""".stripMargin)
+  }
+
   /** m08's payload: a WELL-FORMED ISO-BMFF (MP4) head synthesized from
     * doc_id — ftyp, an odd-sized `free` box on every third doc (the
     * walk must step by declared size, not even offsets), a moov whose
@@ -236,6 +265,50 @@ object MultimodalQueries {
         .select(col("id"), Multimodal.grayDhash64(col("payload")).as("dh"))
       graft.operators.Dedup.hamming64Pairs(sigs, "id", "dh", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // PCM16 sample-level features — the tier above m06's header probe:
+    // the chunk walk reaches `data`, the int16 LE waveform is DECODED,
+    // and peak / zero-crossings / energy come off the raw samples in
+    // one kernel pass (PCM is uncompressed — no codec, no stub). The
+    // oracle states ground truth by the SAME sample formula that built
+    // the body (builder-parser identity m03/m06/m09 discipline), so a
+    // single mis-decoded byte fails the hash. sum_sq stays exact in
+    // LONG; rms's sqrt is IEEE-correctly-rounded in both engines.
+    sql(
+      "m10_audio_pcm",
+      """WITH ap AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS ch,
+        |         CAST(8000 * (1 + doc_id % 5) AS INT) AS rate,
+        |         48 + doc_id % 80 AS nf
+        |  FROM documents WHERE CAST(doc_id % 4 AS INT) = 2),
+        |sm AS (
+        |  SELECT doc_id, ch, rate, nf, k,
+        |    ((doc_id * 131 + k * 7919) % 20001) - 10000 AS s,
+        |    CASE WHEN k >= 1 THEN ((doc_id * 131 + (k - 1) * 7919) % 20001) - 10000 END AS sp
+        |  FROM ap, LATERAL (SELECT unnest(generate_series(0, nf * ch - 1)) AS k) kk)
+        |SELECT doc_id, ch AS channels, rate AS sample_rate,
+        |  CAST(nf * ch AS BIGINT) AS n_samples,
+        |  CAST(nf * 1000 // rate AS BIGINT) AS duration_ms,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+        |  CAST(sum(CASE WHEN sp IS NOT NULL AND sp * s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+        |  round(sqrt(sum(s * s) * 1.0 / (nf * ch)) + 1e-9, 4) AS rms
+        |FROM sm GROUP BY doc_id, ch, rate, nf
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(expr("CAST(doc_id % 4 AS INT) = 2"))
+        .withColumn("payload", m10PayloadExpr)
+        .withColumn("st", graft.expressions.AudioPcm.pcmStats(col("payload")))
+        .select(col("doc_id"),
+          col("st.channels").as("channels"),
+          col("st.sample_rate").as("sample_rate"),
+          col("st.n_samples").as("n_samples"),
+          expr("(st.n_samples div st.channels) * 1000 div st.sample_rate").as("duration_ms"),
+          col("st.peak_abs").as("peak_abs"),
+          col("st.zero_cross").as("zero_cross"),
+          round(sqrt(col("st.sum_sq").cast("double") / col("st.n_samples")) + lit(1e-9), 4)
+            .as("rms"))
+        .orderBy(col("doc_id"))
     },
 
 

@@ -836,6 +836,33 @@ object StreamingQueries {
         .orderBy(col("doc_id"))
     },
 
+    // DSIR at ingestion cadence — t72's selection with the hash kernel
+    // paid per arriving micro-batch: each batch featurizes row-locally
+    // (text dies inside the batch — the s19 discipline; only ids,
+    // target flags and int buckets enter the fold state), the final
+    // ≤64-row count aggregate fits λ once at serve, and scoring is a
+    // pure row map over the folded feature state. Counts are
+    // associative and scoring is per-row under the FINAL λ, so the
+    // answer is slicing-invariant — the oracle is t72's SQL VERBATIM.
+    sql(
+      "s27_stream_dsir",
+      graft.operators.Dsir.oracleSql(
+        "text", "n_chars > 300", "doc_id", threshold = 0.0)) { (s, d) =>
+      import graft.operators.Dsir
+      import s.implicits._
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(documentSliceDir(s, d))
+      val init = Seq.empty[(Long, Int, Seq[Int])].toDF("id", "t", "bk")
+      val feat = StreamingRelational.oneShotFold(s, stream, init,
+        (state, batch) => state.unionByName(
+          Dsir.features(batch, col("text"), col("doc_id"), col("n_chars") > 300)))
+      Dsir.scoreFeatures(feat, Dsir.fitFromFeatures(feat), threshold = 0.0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // The WHOLE crawl-preprocessing chain (t65) run at ingestion
     // cadence: raw pages arrive as micro-batches, each batch pays its
     // extraction + line-dedup + gate kernels ONCE (all per-row — the

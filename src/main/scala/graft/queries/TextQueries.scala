@@ -1260,6 +1260,62 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // DSIR data selection (Xie et al. 2023): importance-resample the
+    // raw corpus toward a target distribution using hashed-n-gram bag
+    // likelihood ratios — the published scale answer to "pick the 20%
+    // of a 100 TB crawl that looks like Wikipedia". Target here = the
+    // long-doc proxy t62 trains on (n_chars > 300); features = t62's
+    // verified 64-bucket uni+bigram hash. Fitting is one ≤64-row
+    // aggregation; scoring is a shuffle-free codegen fold per row with
+    // λ as a plan literal; selection is a row-local threshold on the
+    // ROUNDED weight (no global rank — scale-safe by construction).
+    sql(
+      "t72_dsir_selection",
+      graft.operators.Dsir.oracleSql(
+        "text", "n_chars > 300", "doc_id", threshold = 0.0)) { (s, d) =>
+      import graft.operators.Dsir
+      // ONE hash-kernel pass: the narrow (id, t, bk) feature table is
+      // materialized once (t55's localCheckpoint idiom) and feeds both
+      // the ≤64-row fit aggregate and the shuffle-free scoring map
+      val feat = Dsir.features(Tables.documents(s, d), col("text"),
+        col("doc_id"), col("n_chars") > 300).localCheckpoint()
+      Dsir.scoreFeatures(feat, Dsir.fitFromFeatures(feat), threshold = 0.0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // Unigram-LM tokenizer TRAINING (SentencePiece, Kudo 2018, hard-EM
+    // variant) — the third tokenizer family beside merge-BPE (t42) and
+    // byte-BPE (t61). One corpus tokenize pass builds the Zipf-small
+    // distinct-word table; every EM round is a Viterbi kernel row map
+    // over THAT table + one ≤|vocab|-row count aggregate to the driver
+    // (t42's discipline). Costs are integer-quantized (−ln(p)·1e6) and
+    // the (cost, joined-seg) tie-break is append-monotone, so the
+    // oracle's brute-force path enumeration (recursive CTE, bounded by
+    // MaxWord=12) picks the identical segmentation — final counts are
+    // exact integers.
+    sql(
+      "t73_unigram_train",
+      graft.operators.UnigramLm.trainOracleSql("text")) { (s, d) =>
+      graft.operators.UnigramLm.vocabTable(s, unigramVocab(s, d))
+        .orderBy(col("piece"))
+    },
+
+    // Unigram-LM tokenizer SERVING: per-doc word/piece counts +
+    // fertility under the trained vocab — ONE shuffle-free codegen
+    // kernel pass (the ≤48-candidate integer DP per word beats any
+    // join; words longer than MaxWord fall back to single-char
+    // pieces). The oracle replays the FULL training, then segments
+    // every distinct doc word through the same enumeration.
+    sql(
+      "t74_unigram_tokens",
+      graft.operators.UnigramLm.serveOracleSql("text", "doc_id")) { (s, d) =>
+      graft.operators.UnigramLm.tokenStats(
+          Tables.documents(s, d), col("text"), col("doc_id"), unigramVocab(s, d))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental dedup: the new crawl batch (doc_id % 5 = 0 stands in
     // for today's increment) matched against the PREBUILT signature
     // index of the existing corpus — written once per dir, read back
@@ -2569,6 +2625,16 @@ object TextQueries {
     hashedCache.computeIfAbsent(d, _ =>
       graft.operators.HashedClassifier.fit(
         Tables.documents(s, d), col("text"), classifierLabel))
+
+  /** One unigram-LM fit per data dir (t73/t74) — the
+    * share-the-training-run idiom; training is deterministic (integer
+    * Viterbi costs, exact count re-estimation). */
+  private val unigramCache = new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+
+  private def unigramVocab(s: org.apache.spark.sql.SparkSession, d: String): Map[String, Long] =
+    unigramCache.computeIfAbsent(d, _ =>
+      graft.operators.UnigramLm.fit(Tables.documents(s, d), col("text")))
+
 
   /** t56's warm-started weights: 30 rounds on the existing corpus
     * (doc_id % 5 ≠ 0), 10 continuation rounds on old ∪ increment. */
