@@ -121,7 +121,11 @@ object UnigramLm {
       vocab: Map[String, Long]): DataFrame = {
     val costs = costMap(vocab)
     docs.filter(text.isNotNull)
-      .select(id.as("id"), UnigramOps.unigramStats(text, costs).as("st"))
+      // kernel behind a Generate barrier: the n_words filter below
+      // would otherwise substitute THROUGH the projection and re-run
+      // the whole DP per reference (t17/t19 precedent)
+      .select(id.as("id"),
+        explode(array(UnigramOps.unigramStats(text, costs))).as("st"))
       .filter(col("st.n_words") > 0)
       .select(col("id"),
         col("st.n_words").cast("long").as("n_words"),

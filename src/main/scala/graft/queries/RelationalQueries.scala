@@ -1612,8 +1612,50 @@ object RelationalQueries {
     // files (16 vs q60's 32; the build asserts both).
     sql("q61_range_compaction", rangeWindowOracle) { (s, d) =>
       rangeWindowQuery(s, compactedRangeLayoutDir(s, d), expectTotal = 16)
+    },
+
+    // The FOURTH leg of the layout story: point lookups on a NON-sort
+    // key. q60's footer min/max skips on ts only — "find these event
+    // ids" would scan every file. A per-file Bloom sidecar (the
+    // Delta/Iceberg file-level bloom index) prunes by membership:
+    // driver tests each file's filter against the key list (sidecar is
+    // file-count-sized), survivors are scanned with the exact IN
+    // predicate pushed to the reader. False positives cost one extra
+    // file; false negatives are impossible — so the oracle is the
+    // PLAIN IN-filter over everything, and the build asserts
+    // filesRead < filesTotal (the pruning is proved by the driver's
+    // correctness run, not just the answer).
+    sql("q62_bloom_lookup", bloomLookupOracle) { (s, d) =>
+      val dir = bloomLayoutDir(s, d)
+      val keys = bloomLookupKeys(s, d)
+      val (data, read, total) = graft.operators.RangeLayout
+        .bloomLookup(s, dir, "event_id", keys)
+      require(read < total,
+        s"bloom sidecar pruned nothing ($read of $total files)")
+      data.select($"event_id", $"event_type",
+          round($"value" + lit(1e-9), 2).as("value_r"))
+        .orderBy($"event_id")
     }
   )
+
+  /** q62/s28's shared oracle: the plain IN-filter over everything —
+    * bloom-sidecar pruning must not change a row. The key list is
+    * itself deterministic SQL (5 smallest ids of a sparse residue
+    * class), so both engines derive it independently. */
+  private[queries] lazy val bloomLookupOracle: String = // LAZY: declared after `all`
+    """SELECT event_id, event_type, round(value + 1e-9, 2) AS value_r
+      |FROM events WHERE event_id IN (
+      |  SELECT event_id FROM events WHERE event_id % 97 = 3
+      |  ORDER BY event_id LIMIT 5)
+      |ORDER BY event_id""".stripMargin
+
+  /** q62's lookup-key list (both engines' oracle subquery, collected). */
+  private[queries] def bloomLookupKeys(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[Long] =
+    Tables.events(s, d)
+      .filter(org.apache.spark.sql.functions.col("event_id") % 97 === 3)
+      .orderBy(org.apache.spark.sql.functions.col("event_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
 
   /** q60/q61's shared oracle: the 3-day key-range aggregate over the
     * PLAIN events table — layout, skipping, and compaction must not
@@ -2032,6 +2074,29 @@ object RelationalQueries {
         ev.filter(!Tables.inLowMd5Half($"event_id")), "ts", dir)
       val n = graft.operators.RangeLayout.compact(s, dir, "ts")
       require(n > 0, "q61 fixture: compaction found nothing to rewrite")
+      dir
+    })
+
+  /** q62's layout: the compacted 16-file fixture + a Bloom sidecar on
+    * event_id (built independently — fixtures are immutable once
+    * built; the sidecar is written AFTER compaction, the rebuild-on-
+    * maintenance contract). */
+  private val bloomLayoutCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bloomLayoutDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bloomLayoutCache.computeIfAbsent(d, _ => {
+      val parent = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "range-layout-b")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(parent))
+      val dir = parent.resolve("t").toString
+      val ev = Tables.events(s, d)
+      graft.operators.RangeLayout.write(
+        ev.filter(Tables.inLowMd5Half($"event_id")), "ts", 16, dir)
+      graft.operators.RangeLayout.append(
+        ev.filter(!Tables.inLowMd5Half($"event_id")), "ts", dir)
+      graft.operators.RangeLayout.compact(s, dir, "ts")
+      val n = graft.operators.RangeLayout.writeBloomIndex(s, dir, "event_id")
+      require(n == 16, s"q62 fixture: expected 16 compacted files, indexed $n")
       dir
     })
 

@@ -863,6 +863,64 @@ object StreamingQueries {
         .orderBy(col("doc_id"))
     },
 
+    // q62's Bloom sidecar MAINTAINED at ingestion cadence: the stream
+    // appends whole files to the range layout (s25's intent/applied
+    // replay discipline), and after each epoch refreshBloomIndex
+    // indexes ONLY the files the sidecar does not name yet — per-file
+    // filters compose, nothing existing is rewritten, and a crash
+    // mid-refresh just leaves files un-indexed (bloomLookup reads them
+    // conservatively: pruning degrades, correctness never). Serve is
+    // q62's point lookup — and must equal the PLAIN IN-filter however
+    // the stream sliced. The complete secondary-index story: layout +
+    // streaming ingest + incremental bloom maintenance + pruned serve.
+    sql("s28_stream_bloom_ingest", RelationalQueries.bloomLookupOracle) { (s, d) =>
+      import graft.operators.RangeLayout
+      import s.implicits._
+      val dirP = java.nio.file.Files.createTempDirectory(
+        StreamingRelational.scratchBase, "stream-bloom")
+      StreamingRelational.registerScratch(dirP)
+      val dir = dirP.resolve("t").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      RangeLayout.write(ev.filter(Tables.inLowMd5Half(col("event_id"))), "ts", 16, dir)
+      RangeLayout.writeBloomIndex(s, dir, "event_id")
+      val high = ev.filter(!Tables.inLowMd5Half(col("event_id"))).localCheckpoint(true)
+      val slices = orderedArrivalDir(s, "bloom-ingest-slices", Seq(
+        high.filter(col("event_id") % 3 === 0),
+        high.filter(col("event_id") % 3 === 1),
+        high.filter(col("event_id") % 3 === 2)))
+      val stream = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(slices)
+      val state = StreamingRelational.oneShotFoldWithEpoch(s, stream,
+        Seq(0L).toDF("n_indexed"),
+        (st, batch, epoch) => {
+          val applied = dirP.resolve(s"_applied_$epoch")
+          val intent = dirP.resolve(s"_intent_$epoch")
+          if (!java.nio.file.Files.exists(applied)) {
+            require(!java.nio.file.Files.exists(intent),
+              s"s28: batch $epoch crashed between intent and applied markers — " +
+                "rebuild the layout dir rather than silently re-appending")
+            java.nio.file.Files.createFile(intent)
+            RangeLayout.append(batch, "ts", dir)
+            java.nio.file.Files.createFile(applied)
+            java.nio.file.Files.delete(intent)
+          }
+          // idempotent by construction: indexes only sidecar-missing files
+          val n = RangeLayout.refreshBloomIndex(s, dir, "event_id")
+          st.select((col("n_indexed") + n.toLong).as("n_indexed"))
+        })
+      require(state.head().getLong(0) >= 3L,
+        "s28: the incremental refresh should have indexed appended files")
+      val (data, read, total) = RangeLayout.bloomLookup(
+        s, dir, "event_id", RelationalQueries.bloomLookupKeys(s, d))
+      require(read < total, s"s28: blooms pruned nothing ($read of $total files)")
+      data.select(col("event_id"), col("event_type"),
+          round(col("value") + lit(1e-9), 2).as("value_r"))
+        .orderBy(col("event_id"))
+    },
+
     // The WHOLE crawl-preprocessing chain (t65) run at ingestion
     // cadence: raw pages arrive as micro-batches, each batch pays its
     // extraction + line-dedup + gate kernels ONCE (all per-row — the

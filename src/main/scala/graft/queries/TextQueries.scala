@@ -509,6 +509,37 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // COMMUNITY DETECTION by label propagation (t75) — the third graph
+    // operator: components (t21) answer reachability, PageRank (t66)
+    // importance, LPA the densely-linked clusters (site sections,
+    // mirror farms) a pipeline samples or caps BY. Deterministic
+    // synchronous variant: mode-of-neighbors + self-vote, ties to the
+    // smallest label — all integer arithmetic, so the oracle replays
+    // the entire iteration exactly. Fixture: 23 planted communities
+    // (per-class star + member chain) with every 17th doc wiring one
+    // cross-class noise edge the voting must out-weigh.
+    sql("t75_link_communities", {
+      val nodesSql = "SELECT doc_id AS id FROM documents"
+      val edgesSql =
+        """SELECT doc_id AS src, doc_id % 23 AS dst FROM documents WHERE doc_id >= 23
+          | UNION ALL SELECT doc_id AS src, doc_id - 23 AS dst FROM documents WHERE doc_id >= 46
+          | UNION ALL SELECT doc_id AS src, (doc_id * 3 + 1) % 23 AS dst
+          |   FROM documents WHERE doc_id % 17 = 0 AND doc_id >= 23""".stripMargin
+      s"""WITH ${graft.operators.Communities.oracleSql(nodesSql, edgesSql, rounds = 4)}
+         |SELECT id AS doc_id, lbl AS community FROM lp4 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val v = col("doc_id")
+      val nodes = docs.select(v.as("id"))
+      val edges = docs.filter(v >= 23).select(v.as("src"), (v % 23).as("dst"))
+        .unionByName(docs.filter(v >= 46).select(v.as("src"), (v - 23).as("dst")))
+        .unionByName(docs.filter(v % 17 === 0 && v >= 23)
+          .select(v.as("src"), ((v * 3 + 1) % 23).as("dst")))
+      graft.operators.Communities.labelPropagation(nodes, edges, rounds = 4)
+        .select(col("id").as("doc_id"), col("lbl").as("community"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact-substring dedup at CHARACTER granularity (t49 below the
     // k-token grid): every MAXIMAL substring of >= 40 normalized chars
     // shared verbatim across documents — the suffix-array-ExactSubstr

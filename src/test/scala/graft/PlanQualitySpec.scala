@@ -1264,4 +1264,49 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!read.contains("props") && !read.contains("user_id"),
       s"scan must prune to (event_id, ts, event_type, value): $read")
   }
+
+  test("t72: DSIR scoring is a shuffle-free fold over the checkpointed features") {
+    val p = plan("t72_dsir_selection")
+    // the feature table is localCheckpoint'd (one hash-kernel pass
+    // feeds fit AND scoring); the scoring side must stay a pure row
+    // map: the z fold kernel, no join, no Generate, and only the
+    // output sort's Exchange
+    assert(p.contains("hashed_z"), s"scoring must run the fused fold kernel:\n$p")
+    assert(nodeCount(p, "Exchange") <= 1, s"row map + output sort only:\n$p")
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+  }
+
+  test("t74: unigram serving is one scan, one stats kernel, no shuffle but the sort") {
+    val p = plan("t74_unigram_tokens")
+    assert(p.contains("unigram_stats"), s"serving must run the fused DP kernel:\n$p")
+    assert(nodeCount(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
+    assert(nodeCount(p, "Exchange") <= 1, s"row map + output sort only:\n$p")
+    assert(!p.contains("Join"), s"serving must not join:\n$p")
+    // the DP kernel sits behind ONE Generate barrier so the n_words
+    // filter cannot re-derive it per reference (t17 precedent)
+    assert(nodeCount(p, "Generate") == 1, s"kernel barrier missing:\n$p")
+    assert("unigram_stats".r.findAllIn(p).size <= 2,
+      s"stats kernel must not be re-derived per consumer:\n$p")
+  }
+
+  test("m10: PCM decode is one scan, one kernel, no shuffle but the sort") {
+    val p = plan("m10_audio_pcm")
+    assert(p.contains("pcm_stats"), s"decode must run the fused kernel:\n$p")
+    assert(nodeCount(p, "Scan parquet") == 1, s"one scan:\n$p")
+    assert(nodeCount(p, "Exchange") <= 1, s"row map + output sort only:\n$p")
+    assert(!p.contains("Join"), s"decode must not join:\n$p")
+  }
+
+  test("q62: bloom lookup pushes the exact IN predicate into the kept-file scan") {
+    val p = plan("q62_bloom_lookup")
+    // the build itself asserts filesRead < filesTotal (bloom pruning);
+    // here we pin that the residual IN predicate reaches the parquet
+    // reader so kept files row-group-skip too
+    assert(p.contains("PushedFilters") && p.contains("In(event_id"),
+      s"IN list must reach the parquet reader:\n$p")
+    assert(nodeCount(p, "Scan parquet") == 1, s"one scan over kept files:\n$p")
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(!read.contains("props") && !read.contains("user_id"),
+      s"scan must prune to (event_id, event_type, value): $read")
+  }
 }

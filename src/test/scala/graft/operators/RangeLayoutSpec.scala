@@ -195,6 +195,37 @@ class RangeLayoutSpec extends AnyFunSuite with SparkTestSupport {
     assert(ids(dirB) === want)
   }
 
+  test("bloom sidecar: lookup == plain IN filter, prunes files, survives staleness") {
+    val dir = freshDir()
+    RangeLayout.write(rows(1 to 800), "k", n = 8, dir = dir)
+    val indexed = RangeLayout.writeBloomIndex(spark, dir, "id")
+    assert(indexed === 8)
+    // point lookup: ids live in few of the 8 range buckets (id and k
+    // are correlated through the fixture's k = id*7919 % 100000)
+    val keys = Seq(5L, 6L, 7L)
+    val (got, read, total) = RangeLayout.bloomLookup(spark, dir, "id", keys)
+    val gotIds = got.select($"id").as[Long].collect().sorted.toSeq
+    assert(gotIds === keys, "lookup must equal the plain IN filter")
+    assert(read < total, s"blooms pruned nothing ($read of $total)")
+    // absent keys: zero rows, and typically zero files read
+    val (none, _, _) = RangeLayout.bloomLookup(spark, dir, "id", Seq(999999L))
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Seq("id", "k", "payload"),
+      "empty result must preserve the schema")
+    // STALE sidecar: an append adds files the sidecar does not name —
+    // those must be read conservatively, never skipped
+    RangeLayout.append(rows(801 to 900), "k", dir = dir)
+    val (stale, readS, totalS) = RangeLayout.bloomLookup(spark, dir, "id", Seq(850L))
+    assert(stale.select($"id").as[Long].collect().toSeq === Seq(850L),
+      "a key only in un-indexed files must still be found")
+    assert(totalS === 16 && readS >= 8,
+      "all appended (un-indexed) files must be candidates")
+    // rebuild heals pruning
+    assert(RangeLayout.writeBloomIndex(spark, dir, "id") === 16)
+    val (_, readR, _) = RangeLayout.bloomLookup(spark, dir, "id", Seq(850L))
+    assert(readR < readS, "rebuilt sidecar must prune the appended files again")
+  }
+
   test("each bucket directory holds one sorted file per write") {
     val dir = freshDir()
     RangeLayout.write(rows(1 to 400), "k", n = 4, dir = dir)
