@@ -362,6 +362,98 @@ object Dedup {
     * narrow pass (shingle kernel + explode) feeding a map-side
     * broadcast join, then a single keyed shuffle to re-aggregate per
     * document. The 100 TB corpus is never shuffled on content. */
+  /** EXACT containment similarity join via PREFIX FILTERING (Bayardo
+    * et al., "Scaling Up All Pairs Similarity Search", WWW 2007) —
+    * unlike the MinHash families (t09/t25: probabilistic recall), the
+    * blocking here is LOSSLESS: containment(a→b) = |S(a)∩S(b)|/|S(a)|
+    * ≥ τ implies |S(a)\S(b)| ≤ (1−τ)·|S(a)|, so by pigeonhole at least
+    * one of a's ⌊(1−τ)·na⌋+1 smallest shingle hashes (GLOBAL hash
+    * order) appears in S(b) — probing only those prefixes against the
+    * full shingle index finds EVERY qualifying pair. Containment (not
+    * Jaccard) is the asymmetric measure that catches a small document
+    * quoted inside a much larger one, where Jaccard is near zero.
+    *
+    * Determinism: the verify threshold is pure integer arithmetic
+    * (inter·q ≥ na·p for τ = p/q) — no float anywhere in the decision;
+    * the emitted containment rounds to 4 dp. Orientation: pairs emit
+    * small→big (na < nb, ties by id).
+    *
+    * Scale shape: one shingle-kernel pass into a narrow checkpointed
+    * (id, ns, sorted-hashes) table; the probe side explodes ONLY
+    * prefixes (≈(1−τ) of each doc's shingles), the index side is the
+    * usual posting explode; candidates dedup on bare id pairs and the
+    * verify joins sets back by id — text never shuffles, and the
+    * candidate count is output-bounded plus prefix collisions, never
+    * all-pairs. */
+  def containmentJoin(docs: DataFrame, textCol: Column, idCol: Column,
+      n: Int = 3, tauP: Int = 7, tauQ: Int = 10): DataFrame = {
+    require(tauP > 0 && tauP <= tauQ, s"tau must be in (0,1]: $tauP/$tauQ")
+    val base = containmentFeatures(docs, textCol, idCol, n).localCheckpoint()
+    // prefix length ⌊(1−τ)·na⌋+1 in EXACT integer arithmetic:
+    // ((q−p)·na) div q + 1 — a float ⌊0.3·na⌋ can round one short and
+    // silently break the losslessness guarantee
+    val plen = (lit(tauQ - tauP) * $"ns") / lit(tauQ) + lit(1)
+    val prefix = base.select($"id".as("a"), $"ns".as("na"),
+      explode(slice($"shs", lit(1), plen.cast("int"))).as("sh"))
+    val index = base.select($"id".as("b"), $"ns".as("nb"), explode($"shs").as("sh"))
+    val cands = prefix.join(index, Seq("sh"))
+      .filter($"a" =!= $"b" && ($"na" < $"nb" || ($"na" === $"nb" && $"a" < $"b")))
+      .select($"a", $"b").distinct()
+    cands
+      .join(base.select($"id".as("a"), $"ns".as("na"), $"shs".as("sa")), Seq("a"))
+      .join(base.select($"id".as("b"), $"shs".as("sb")), Seq("b"))
+      .select($"a", $"b", $"na", size(array_intersect($"sa", $"sb")).as("inter"))
+      .filter($"inter" * tauQ >= $"na" * tauP)
+      .select($"a".as("small_id"), $"b".as("big_id"),
+        round($"inter".cast("double") / $"na" + 1e-9, 4).as("containment"))
+  }
+
+  /** The (id, ns, sorted-shingle-hashes) feature table
+    * [[containmentJoin]] and its incremental form build on — ONE
+    * kernel pass over the text; everything downstream is id/hash
+    * arithmetic. */
+  def containmentFeatures(docs: DataFrame, textCol: Column, idCol: Column,
+      n: Int): DataFrame =
+    docs
+      .select(idCol.as("id"),
+        sort_array(array_distinct(TextHash.shingleHashes(textCol, n))).as("shs"))
+      .select($"id", size($"shs").as("ns"), $"shs")
+      .filter($"ns" > 0)
+
+  /** [[containmentJoin]] made INCREMENTAL: the new batch joins against
+    * a STORED feature table (the t25/t51 stored-corpus-index idiom —
+    * old text never re-scanned), emitting only pairs with exactly one
+    * new side. Losslessness needs BOTH probe directions (containment
+    * is asymmetric — the small side's prefix must do the probing, and
+    * either side can be the small one): new-prefix ⋈ stored-postings
+    * AND stored-prefix ⋈ new-postings. Old↔old pairs are never probed
+    * (the stored side's prefixes only meet the batch's postings), so
+    * per-batch cost scales with the batch, not the corpus. */
+  def incrementalContainment(newDocs: DataFrame, textCol: Column, idCol: Column,
+      stored: DataFrame, n: Int = 3, tauP: Int = 7, tauQ: Int = 10): DataFrame = {
+    require(tauP > 0 && tauP <= tauQ, s"tau must be in (0,1]: $tauP/$tauQ")
+    val nb = containmentFeatures(newDocs, textCol, idCol, n).localCheckpoint()
+    def plen(ns: Column) = ((lit(tauQ - tauP) * ns) / lit(tauQ) + lit(1)).cast("int")
+    def prefixOf(df: DataFrame) = df.select($"id".as("a"), $"ns".as("na"),
+      explode(slice($"shs", lit(1), plen($"ns"))).as("sh"))
+    def postOf(df: DataFrame) = df.select($"id".as("b"), $"ns".as("nb"),
+      explode($"shs").as("sh"))
+    val cands = prefixOf(nb).join(postOf(stored), Seq("sh"))
+      .select($"a", $"na", $"b", $"nb")
+      .unionByName(prefixOf(stored).join(postOf(nb), Seq("sh"))
+        .select($"a", $"na", $"b", $"nb"))
+      .filter($"a" =!= $"b" && ($"na" < $"nb" || ($"na" === $"nb" && $"a" < $"b")))
+      .select($"a", $"b").distinct()
+    val all = nb.unionByName(stored.select($"id", $"ns", $"shs"))
+    cands
+      .join(all.select($"id".as("a"), $"ns".as("na"), $"shs".as("sa")), Seq("a"))
+      .join(all.select($"id".as("b"), $"shs".as("sb")), Seq("b"))
+      .select($"a", $"b", $"na", size(array_intersect($"sa", $"sb")).as("inter"))
+      .filter($"inter" * tauQ >= $"na" * tauP)
+      .select($"a".as("small_id"), $"b".as("big_id"),
+        round($"inter".cast("double") / $"na" + 1e-9, 4).as("containment"))
+  }
+
   def contamination(corpus: DataFrame, evalSet: DataFrame,
       textCol: Column, idCol: Column, n: Int = 8): DataFrame = {
     val shingles = array_distinct(TextHash.shingleHashes(textCol, n))

@@ -96,7 +96,7 @@ object EpochState {
     * the current state (a replay re-runs it against the SAME version:
     * the pointer only advances after the new version is fully
     * written). */
-  def commit(spark: SparkSession, dir: String, epoch: Long)
+  def commit(spark: SparkSession, dir: String, epoch: Long, keep: Long = 2)
       (step: DataFrame => DataFrame): Boolean = {
     require(epoch >= 0, s"EpochState: epochs must be >= 0, got $epoch")
     val p = readPointer(dir).getOrElse(
@@ -105,8 +105,40 @@ object EpochState {
     else {
       writeVersion(spark, dir, p, epoch, step)
       publish(dir, Pointer(p.version + 1, epoch))
-      prune(dir, p.version + 1)
+      prune(dir, p.version + 1, keep)
       true
+    }
+  }
+
+  /** TIME TRAVEL: the state AS OF an older retained version — the
+    * lakehouse read a reproducibility audit runs ("what did the table
+    * say when epoch E trained that model?"). Versions inside the
+    * commit-time `keep` window are plain parquet under `v=N/`; outside
+    * it they are pruned, and the error says so rather than returning a
+    * torn or empty frame. */
+  def stateAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val p = readPointer(dir).getOrElse(
+      throw new IllegalStateException(s"EpochState: $dir is not initialized"))
+    require(version <= p.version,
+      s"EpochState: version $version not committed yet (latest ${p.version})")
+    val vd = versionDir(dir, version)
+    require(java.nio.file.Files.exists(vd),
+      s"EpochState: version $version pruned (retained: ${versions(dir).mkString(",")})")
+    spark.read.parquet(vd.toString)
+  }
+
+  /** Retained version numbers, ascending. */
+  def versions(dir: String): Seq[Long] = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) Seq.empty
+    else {
+      val it = java.nio.file.Files.list(root).iterator()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("v=")) out += n.substring(2).toLong
+      }
+      out.sorted.toSeq
     }
   }
 

@@ -130,6 +130,74 @@ object Multimodal {
     * images that share no payload bytes (m05's byte sketches miss
     * them by construction); NULL on malformed containers. Pair with
     * [[Dedup.hamming64Pairs]] for banded near-dup detection. */
+  /** A REAL 8-bit-grayscale PNG encoder (m11's fixture side): proper
+    * signature, IHDR with CRC32s, per-row forward filters cycling
+    * through ALL five types (y mod 5 — so the decoder's every
+    * unfilter branch is exercised), a zlib-deflated IDAT (split across
+    * TWO chunks on every third image — concatenation exercised), an
+    * ancillary tEXt chunk on every fifth (skip branch), IEND. Pixels
+    * come from the deterministic formula
+    * p(x,y) = (id·31 + y·w + x·7) mod 256 with w = 8 + id mod 9,
+    * h = 8 + 3·id mod 9 — both engines state ground truth from it
+    * (builder-parser identity, m03/m06/m10 discipline), and the
+    * decode is genuinely end-to-end: deflate → inflate → unfilter. */
+  def pngEncode(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + (id * 3) % 9).toInt
+    def px(x: Int, y: Int): Int = ((id * 31 + y.toLong * w + x.toLong * 7) % 256).toInt
+    // forward-filter the scanlines
+    val raw = new Array[Byte](h * (w + 1))
+    for (y <- 0 until h) {
+      val f = y % 5
+      raw(y * (w + 1)) = f.toByte
+      for (x <- 0 until w) {
+        val cur = px(x, y)
+        val a = if (x > 0) px(x - 1, y) else 0
+        val b = if (y > 0) px(x, y - 1) else 0
+        val c = if (x > 0 && y > 0) px(x - 1, y - 1) else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => (cur - a) & 0xff
+          case 2 => (cur - b) & 0xff
+          case 3 => (cur - ((a + b) >> 1)) & 0xff
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (cur - pred) & 0xff
+        }
+        raw(y * (w + 1) + 1 + x) = filtered.toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](512)
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val z = zout.toByteArray
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(body)
+      be32(body.length.toLong) ++ t ++ body ++ be32(crc.getValue)
+    }
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = chunk("IHDR",
+      be32(w.toLong) ++ be32(h.toLong) ++ Array[Byte](8, 0, 0, 0, 0))
+    val text = if (id % 5 == 0)
+      chunk("tEXt", s"id $id".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    else Array.empty[Byte]
+    val idat = if (id % 3 == 0 && z.length > 1) {
+      val cut = z.length / 2
+      chunk("IDAT", z.take(cut)) ++ chunk("IDAT", z.drop(cut))
+    } else chunk("IDAT", z)
+    sig ++ ihdr ++ text ++ idat ++ chunk("IEND", Array.empty[Byte])
+  }
+
   def grayDhash64(payload: Column): Column =
     graft.expressions.PixelHash.grayDhash64(payload)
 }

@@ -267,6 +267,47 @@ object MultimodalQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // REAL PNG pixel decode (m11) — the decoder-stub caveat closed for
+    // the 8-bit-grayscale subset: the fixture ENCODES real PNGs
+    // (forward filters cycling all five types, zlib-deflated IDAT —
+    // split in two on every third image, ancillary tEXt on every
+    // fifth), and the kernel decodes them end-to-end: chunk walk →
+    // Inflater → per-row unfilter (Sub/Up/Average/Paeth reversed per
+    // spec) → features off the reconstructed pixels. The oracle states
+    // ground truth by the pixel FORMULA — a single mis-unfiltered byte
+    // breaks px_sum, and the position-weighted checksum breaks on any
+    // transposition. All features exact integers.
+    sql(
+      "m11_png_decode",
+      """WITH pp AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+        |  FROM documents WHERE CAST(doc_id % 4 AS INT) = 1),
+        |pk AS (
+        |  SELECT doc_id, w, h, k,
+        |    (doc_id * 31 + (k // w) * w + (k % w) * 7) % 256 AS p
+        |  FROM pp, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS k) kk)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sum(p) AS BIGINT) AS px_sum,
+        |  CAST(min(p) AS INT) AS px_min, CAST(max(p) AS INT) AS px_max,
+        |  CAST(sum(p * (1 + k % 97)) AS BIGINT) AS checksum
+        |FROM pk GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ids = Tables.documents(s, d)
+        .filter(expr("CAST(doc_id % 4 AS INT) = 1"))
+        .select(col("doc_id")).as[Long]
+      val payloads = ids.map(id => (id, Multimodal.pngEncode(id)))
+        .toDF("doc_id", "payload")
+      payloads
+        .withColumn("st", graft.expressions.PngPixels.pngStats(col("payload")))
+        .select(col("doc_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.px_sum").as("px_sum"),
+          col("st.px_min").as("px_min"), col("st.px_max").as("px_max"),
+          col("st.checksum").as("checksum"))
+        .orderBy(col("doc_id"))
+    },
+
     // PCM16 sample-level features — the tier above m06's header probe:
     // the chunk walk reaches `data`, the int16 LE waveform is DECODED,
     // and peak / zero-crossings / energy come off the raw samples in

@@ -1614,6 +1614,30 @@ object RelationalQueries {
       rangeWindowQuery(s, compactedRangeLayoutDir(s, d), expectTotal = 16)
     },
 
+    // TIME TRAVEL (q63): read an incrementally-maintained table AS OF
+    // an older epoch while the pointer sits at a newer one — the
+    // lakehouse read a reproducibility audit runs ("what did the table
+    // say when epoch E trained that model?"). The fixture maintains a
+    // per-type event-count state through the exactly-once EpochState
+    // loop (init = slice 0, epochs 0-2 commit slices 1-3, keep=10),
+    // then serves version 2 — slices 0..2 — and asserts the pointer
+    // has MOVED ON (version 3). Counts are exact integers; the oracle
+    // is the plain aggregate over the first three slices.
+    sql(
+      "q63_time_travel",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(event_id) AS BIGINT) AS min_event,
+        |  CAST(max(event_id) AS BIGINT) AS max_event
+        |FROM events WHERE event_id % 4 <= 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      import graft.operators.EpochState
+      val dir = timeTravelDir(s, d)
+      val p = EpochState.readPointer(dir).get
+      require(p.version == 3L, s"q63 fixture: expected pointer at v3, got $p")
+      EpochState.stateAt(s, dir, version = 2L)
+        .orderBy($"event_type")
+    },
+
     // The FOURTH leg of the layout story: point lookups on a NON-sort
     // key. q60's footer min/max skips on ts only — "find these event
     // ids" would scan every file. A per-file Bloom sidecar (the
@@ -2074,6 +2098,32 @@ object RelationalQueries {
         ev.filter(!Tables.inLowMd5Half($"event_id")), "ts", dir)
       val n = graft.operators.RangeLayout.compact(s, dir, "ts")
       require(n > 0, "q61 fixture: compaction found nothing to rewrite")
+      dir
+    })
+
+  /** q63's versioned state store, once per sf-dir: per-type event
+    * counts maintained through EpochState with keep=10 so older
+    * versions stay readable. */
+  private val timeTravelCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def timeTravelDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    timeTravelCache.computeIfAbsent(d, _ => {
+      import graft.operators.EpochState
+      val parent = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "time-travel")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(parent))
+      val dir = parent.resolve("t").toString
+      def slice(k: Int) = Tables.events(s, d).filter($"event_id" % 4 === k)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min($"event_id").as("min_event"), max($"event_id").as("max_event"))
+      def merged(st: org.apache.spark.sql.DataFrame, inc: org.apache.spark.sql.DataFrame) =
+        st.unionByName(inc).groupBy($"event_type")
+          .agg(sum($"n_events").as("n_events"),
+            min($"min_event").as("min_event"), max($"max_event").as("max_event"))
+      EpochState.init(s, dir, slice(0))
+      for (e <- 0 to 2)
+        EpochState.commit(s, dir, epoch = e.toLong, keep = 10L)(st => merged(st, slice(e + 1)))
       dir
     })
 

@@ -863,6 +863,32 @@ object StreamingQueries {
         .orderBy(col("doc_id"))
     },
 
+    // t77's EXACT containment join at ingestion cadence: each arriving
+    // micro-batch's new docs (doc_id % 5 = 0) probe the PREBUILT
+    // feature index of the existing corpus — old text never re-scanned
+    // (the t25/t51 idiom). Losslessness needs BOTH probe directions
+    // (either side can be the small one), and new↔new pairs are never
+    // probed, so the per-batch answer is slicing-invariant by
+    // construction and the oracle is t77's semantics restricted to
+    // exactly-one-new-side pairs.
+    sql(
+      "s29_stream_containment",
+      TextQueries.containmentOracle("(a.id % 5 = 0) <> (b.id % 5 = 0)")) { (s, d) =>
+      import s.implicits._
+      val stored = TextQueries.containmentIndex(s, d).localCheckpoint()
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(documentSliceDir(s, d))
+      val init = Seq.empty[(Long, Long, Double)].toDF("small_id", "big_id", "containment")
+      StreamingRelational.oneShotFold(s, stream, init,
+        (state, batch) => state.unionByName(
+          graft.operators.Dedup.incrementalContainment(
+            batch.filter(col("doc_id") % 5 === 0), col("text"), col("doc_id"),
+            stored, n = 3, tauP = 7, tauQ = 10)))
+        .orderBy(col("small_id"), col("big_id"))
+    },
+
     // q62's Bloom sidecar MAINTAINED at ingestion cadence: the stream
     // appends whole files to the range layout (s25's intent/applied
     // replay discipline), and after each epoch refreshBloomIndex

@@ -509,6 +509,50 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // EXACT containment similarity join (t77) — prefix filtering
+    // (Bayardo et al. WWW 2007): unlike the MinHash families'
+    // probabilistic recall, the blocking is LOSSLESS (pigeonhole over
+    // the ⌊(1−τ)·na⌋+1 smallest shingle hashes), so the oracle needs
+    // NO blocking replay at all — it is the pure quadratic semantics.
+    // Containment (|S(a)∩S(b)|/|S(a)|, small→big) is the asymmetric
+    // measure that catches a short doc quoted inside a long one where
+    // Jaccard is near zero. The verify threshold is integer-exact
+    // (inter·10 ≥ na·7) — no float in any decision.
+    sql(
+      "t77_containment_join", containmentOracle("TRUE")) { (s, d) =>
+      Dedup.containmentJoin(Tables.documents(s, d), col("text"), col("doc_id"),
+          n = 3, tauP = 7, tauQ = 10)
+        .orderBy(col("small_id"), col("big_id"))
+    },
+
+    // WEIGHTED sampling WITHOUT replacement (t76) — Efraimidis &
+    // Spirakis 2006 (A-ES): each doc draws key = ln(u)/w with u a
+    // deterministic md5-derived uniform and w its quality weight
+    // (n_chars here); the k largest keys ARE a weighted sample without
+    // replacement. The one-pass, top-k-only answer to "sample 25 docs
+    // proportionally to quality from 100 TB" — no global sort, no
+    // second pass, no RNG state (t17's md5 discipline upgraded from
+    // uniform to weighted). u = (md5_52bit + 1) / (2^52 + 1) ∈ (0,1],
+    // so ln never sees 0; keys round to 12 dp before ranking (ln-ulp
+    // insurance), ties break on doc_id.
+    sql(
+      "t76_weighted_sample",
+      """SELECT doc_id, w, k FROM (
+        |  SELECT doc_id, CAST(greatest(n_chars, 1) AS BIGINT) AS w,
+        |    round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+        |      / 4503599627370497.0) / greatest(n_chars, 1) + 1e-15, 12) AS k
+        |  FROM documents)
+        |ORDER BY k DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      val w = greatest(col("n_chars"), lit(1L))
+      val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 13),
+        16, 10).cast("long") + lit(1.0)) / lit(4503599627370497.0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), w.cast("long").as("w"),
+          round(log(u) / w + lit(1e-15), 12).as("k"))
+        .orderBy(col("k").desc, col("doc_id"))
+        .limit(25)
+    },
+
     // COMMUNITY DETECTION by label propagation (t75) — the third graph
     // operator: components (t21) answer reachability, PageRank (t66)
     // importance, LPA the densely-linked clusters (site sections,
@@ -2656,6 +2700,45 @@ object TextQueries {
     hashedCache.computeIfAbsent(d, _ =>
       graft.operators.HashedClassifier.fit(
         Tables.documents(s, d), col("text"), classifierLabel))
+
+  /** t77/s29's shared oracle: exact containment over every qualifying
+    * pair (small→big, integer threshold) — the blocking is lossless,
+    * so no replay of it is needed; `pairPred` restricts which pairs
+    * the variant emits (s29: exactly one new side). */
+  private[queries] def containmentOracle(pairPred: String): String = {
+    val shSet = TextFunctions.Sql.shingleSet("text", 3)
+    s"""WITH cds AS MATERIALIZED (SELECT doc_id AS id, $shSet AS s FROM documents),
+       |cdn AS MATERIALIZED (SELECT id, s, len(s) AS ns FROM cds WHERE len(s) > 0)
+       |SELECT a.id AS small_id, b.id AS big_id,
+       |  round(len(list_intersect(a.s, b.s)) * 1.0 / a.ns + 1e-9, 4) AS containment
+       |FROM cdn a JOIN cdn b
+       |  ON a.id <> b.id AND (a.ns < b.ns OR (a.ns = b.ns AND a.id < b.id))
+       |  AND ($pairPred)
+       |WHERE len(list_intersect(a.s, b.s)) * 10 >= a.ns * 7
+       |ORDER BY small_id, big_id""".stripMargin
+  }
+
+  /** Prebuilt containment feature index of the "existing" corpus
+    * (doc_id % 5 ≠ 0), written once per data dir and served from
+    * parquet — s29's stored side (the t25/t51 idiom: old text never
+    * re-scanned at ingestion time). */
+  private val containmentIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def containmentIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val path = containmentIndexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "containment-index")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      val p = dir.resolve("t").toString
+      Dedup.containmentFeatures(
+          Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0),
+          col("text"), col("doc_id"), n = 3)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 
   /** One unigram-LM fit per data dir (t73/t74) — the
     * share-the-training-run idiom; training is deterministic (integer

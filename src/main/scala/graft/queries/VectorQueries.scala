@@ -891,6 +891,27 @@ object VectorQueries {
       Sq.sqKnn(index, queryVector(s, d), r, k = 10)
     },
 
+    // BINARY quantization (v33) — the 1-BIT rung below SQ8/PQ: each
+    // 64-dim vector packs into ONE long (256x smaller than raw), the
+    // shortlist metric is xor + bit_count per candidate, and exact
+    // cosine reranks only the 50-candidate shortlist (recall by
+    // over-fetch, never by trusting hamming). Thresholds are
+    // per-dimension means over 1e-4-QUANTIZED components, so every
+    // bit is an exact-integer comparison — no cross-engine float
+    // boundary exists anywhere before the (already 4-dp-rounded)
+    // rerank. The oracle replays quantization, thresholds, the
+    // differing-bit count (== bit_count(xor) of the packs), the
+    // (hd, id) shortlist, and the rerank.
+    sql(
+      "v33_knn_binary",
+      graft.operators.BinaryQuant.oracleSql("vec_id = 0", shortlist = 50, k = 10)) { (s, d) =>
+      import graft.operators.BinaryQuant
+      val emb = Tables.embeddings(s, d)
+      val thr = BinaryQuant.trainThresholds(emb, col("embedding"))
+      BinaryQuant.knn(emb, col("embedding"), col("vec_id"),
+        queryVector(s, d), thr, shortlist = 50, k = 10)
+    },
+
     // Late-interaction retrieval (ColBERT MaxSim): the 64-dim
     // embedding chunked into 8 token sub-vectors of 8 dims; score =
     // Σ over query tokens of the max cosine against any doc token.

@@ -113,4 +113,34 @@ class EpochStateSpec extends AnyFunSuite with SparkTestSupport {
       spark, stream, stateDir, init, step)
     assert(snap(stateDir) === expected)
   }
+
+  test("time travel: retained versions read AS OF, pruned ones fail loud") {
+    val dir = tmpDir("es-travel")
+    EpochState.init(spark, dir, agg(Seq(("a", 1.0))))
+    for (e <- 0 to 3)
+      EpochState.commit(spark, dir, e.toLong, keep = 10L)(
+        mergeStep(agg(Seq(("a", 1.0)))))
+    assert(EpochState.versions(dir) === Seq(0L, 1L, 2L, 3L, 4L))
+    // as-of version 2 = base + epochs 0,1 -> count 3
+    val v2 = EpochState.stateAt(spark, dir, 2L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v2 === Map("a" -> 3L))
+    assert(EpochState.readPointer(dir).get.version === 4L,
+      "the pointer must have moved past the travelled-to version")
+    // default keep window prunes: a tight-keep store loses v0
+    val dir2 = tmpDir("es-travel2")
+    EpochState.init(spark, dir2, agg(Seq(("a", 1.0))))
+    for (e <- 0 to 3)
+      EpochState.commit(spark, dir2, e.toLong)(mergeStep(agg(Seq(("a", 1.0)))))
+    assert(!EpochState.versions(dir2).contains(0L), "v0 should be pruned at keep=2")
+    val err = intercept[IllegalArgumentException] {
+      EpochState.stateAt(spark, dir2, 0L)
+    }
+    assert(err.getMessage.contains("pruned"))
+    // a version beyond the pointer is refused
+    val err2 = intercept[IllegalArgumentException] {
+      EpochState.stateAt(spark, dir, 99L)
+    }
+    assert(err2.getMessage.contains("not committed"))
+  }
 }
