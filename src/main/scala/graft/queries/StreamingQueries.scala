@@ -863,6 +863,31 @@ object StreamingQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The trained unigram-LM tokenizer SERVED on the stream — the
+    // deployment mode of t74 (the s23 frozen-weights discipline for a
+    // frozen VOCAB): one fit per data dir (shared with t73/t74), each
+    // micro-batch segments row-locally through the Viterbi kernel, and
+    // the fold state is the scored rows themselves. Per-row scoring →
+    // trivially slicing-invariant → t74's full train-then-serve oracle
+    // VERBATIM.
+    sql(
+      "s30_stream_unigram",
+      graft.operators.UnigramLm.serveOracleSql("text", "doc_id")) { (s, d) =>
+      import s.implicits._
+      val vocab = TextQueries.unigramVocab(s, d)
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(documentSliceDir(s, d))
+      val init = Seq.empty[(Long, Long, Long, Double)]
+        .toDF("doc_id", "n_words", "n_pieces", "fertility")
+      StreamingRelational.oneShotFold(s, stream, init,
+        (state, batch) => state.unionByName(
+          graft.operators.UnigramLm.tokenStats(batch, col("text"), col("doc_id"), vocab)
+            .withColumnRenamed("id", "doc_id")))
+        .orderBy(col("doc_id"))
+    },
+
     // t77's EXACT containment join at ingestion cadence: each arriving
     // micro-batch's new docs (doc_id % 5 = 0) probe the PREBUILT
     // feature index of the existing corpus — old text never re-scanned

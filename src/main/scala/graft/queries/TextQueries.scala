@@ -2745,7 +2745,7 @@ object TextQueries {
     * Viterbi costs, exact count re-estimation). */
   private val unigramCache = new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
 
-  private def unigramVocab(s: org.apache.spark.sql.SparkSession, d: String): Map[String, Long] =
+  private[queries] def unigramVocab(s: org.apache.spark.sql.SparkSession, d: String): Map[String, Long] =
     unigramCache.computeIfAbsent(d, _ =>
       graft.operators.UnigramLm.fit(Tables.documents(s, d), col("text")))
 

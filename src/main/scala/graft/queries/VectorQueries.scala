@@ -275,6 +275,34 @@ object VectorQueries {
          |ORDER BY rk.vec_id""".stripMargin
     }
 
+  /** v34's dump-time oracle: k-means assignment from the inlined seeds
+    * (v32's win CTE shape), the 4-dp L2-norm weight (v01's twin,
+    * floored at 1e-4), the A-ES key (t76's md5-uniform arithmetic),
+    * and the per-cluster top-5 rank. */
+  private def clusterSampleOracle: Option[String] =
+    soleKmSeeds.map { sd =>
+      val vecDists = sd.zipWithIndex
+        .map { case (c, i) => s"SELECT vec_id, $i AS cluster, ${graft.GngQueries.distSql("v", c)} AS dsq FROM e" }
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS ($vecDists),
+         |win AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cluster) AS rk FROM d)
+         |  WHERE rk = 1),
+         |wn AS (SELECT vec_id, greatest(round(sqrt(sum(x * x)), 4), 0.0001) AS w
+         |       FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+         |       GROUP BY vec_id),
+         |ky AS (SELECT wn.vec_id, win.cluster, wn.w,
+         |         round(ln((CAST(('0x' || substr(md5(CAST(wn.vec_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+         |           / 4503599627370497.0) / wn.w + 1e-15, 12) AS k
+         |       FROM wn JOIN win ON win.vec_id = wn.vec_id)
+         |SELECT CAST(cluster AS INT) AS cluster, vec_id, w FROM (
+         |  SELECT vec_id, cluster, w, k,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY k DESC, vec_id) AS rn
+         |  FROM ky) WHERE rn <= 5
+         |ORDER BY cluster, vec_id""".stripMargin
+    }
+
   /** One Lloyd round from the inlined seeds: assignment via the SAME
     * left-assoc distance chains + lowest-index ties as the kernel
     * (GngQueries.distSql), means per (cluster, pos), v09's 4-decimal
@@ -911,6 +939,33 @@ object VectorQueries {
       BinaryQuant.knn(emb, col("embedding"), col("vec_id"),
         queryVector(s, d), thr, shortlist = 50, k = 10)
     },
+
+    // CLUSTER-BALANCED weighted sampling (v34) — the curation move
+    // after SemDeDup-style clustering: sample a per-cluster quota so
+    // no dense region dominates the mix, weighted by a quality signal
+    // (the vector's L2 norm here), WITHOUT replacement and without
+    // RNG state — t76's A-ES keys ranked per k-means cluster (v19's
+    // assignment, centroids as plan constants). Per-cluster top-5 via
+    // a cluster-partitioned window (no global sort); the weight floors
+    // at 1e-4 so a zero vector cannot divide the key to infinity.
+    QueryDef("v34_cluster_sample", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val seeds = kmSeeds(s, d)
+      val u = (conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 13),
+        16, 10).cast("long") + lit(1.0)) / lit(4503599627370497.0)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.expressions.VectorOps.nearestCentroid(
+            col("embedding").cast("array<double>"), seeds).as("cluster"),
+          greatest(round(graft.expressions.VectorOps.norm2(
+            col("embedding").cast("array<double>")), 4), lit(0.0001)).as("w"))
+        .withColumn("k", round(log(u) / col("w") + lit(1e-15), 12))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cluster")).orderBy(col("k").desc, col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("cluster").cast("int").as("cluster"), col("vec_id"), col("w"))
+        .orderBy(col("cluster"), col("vec_id"))
+    }, clusterSampleOracle),
 
     // Late-interaction retrieval (ColBERT MaxSim): the 64-dim
     // embedding chunked into 8 token sub-vectors of 8 dims; score =
