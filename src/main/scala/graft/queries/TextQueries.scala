@@ -1250,88 +1250,31 @@ object TextQueries {
     // discipline).
     sql(
       "t68_kneser_ney",
-      s"""WITH tl AS (
-         |  SELECT doc_id, lang, list_filter(string_split(${Sql.normalizeText("text")}, ' '), x -> x <> '') AS t
-         |  FROM documents),
-         |tg0 AS (
-         |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(t) - 2),
-         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
-         |  FROM tl WHERE len(t) >= 3),
-         |tg AS (SELECT doc_id, lang, g, count(*) AS tf FROM tg0 GROUP BY doc_id, lang, g),
-         |tri AS (SELECT lang, g, CAST(sum(tf) AS BIGINT) AS c FROM tg GROUP BY lang, g),
-         |big AS (SELECT lang, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
-         |          CAST(sum(c) AS BIGINT) AS cw, CAST(count(*) AS BIGINT) AS nf
-         |        FROM tri GROUP BY 1, 2, 3),
-         |cont AS (SELECT lang, split_part(g, ' ', 2) AS w2, split_part(g, ' ', 3) AS w3,
-         |           CAST(count(*) AS BIGINT) AS n1p
-         |         FROM tri GROUP BY 1, 2, 3),
-         |mid AS (SELECT lang, w2, CAST(sum(n1p) AS BIGINT) AS nmid,
-         |          CAST(count(*) AS BIGINT) AS nf1
-         |        FROM cont GROUP BY 1, 2),
-         |cw3 AS (SELECT lang, w3, CAST(count(*) AS BIGINT) AS n1w3 FROM cont GROUP BY 1, 2),
-         |nbg AS (SELECT lang, CAST(count(*) AS BIGINT) AS nb FROM cont GROUP BY lang),
-         |per AS (
-         |  SELECT tg.doc_id, tg.lang, tg.tf,
-         |    -ln((greatest(CAST(tri.c AS DOUBLE) - 0.75, 0) / big.cw)
-         |      + ((0.75 * big.nf / big.cw)
-         |        * ((greatest(CAST(cont.n1p AS DOUBLE) - 0.75, 0) / mid.nmid)
-         |          + ((0.75 * mid.nf1 / mid.nmid)
-         |            * (CAST(cw3.n1w3 AS DOUBLE) / nbg.nb))))) AS s
-         |  FROM tg
-         |  JOIN tri ON tri.lang = tg.lang AND tri.g = tg.g
-         |  JOIN big ON big.lang = tg.lang AND big.w1 = split_part(tg.g, ' ', 1)
-         |          AND big.w2 = split_part(tg.g, ' ', 2)
-         |  JOIN cont ON cont.lang = tg.lang AND cont.w2 = split_part(tg.g, ' ', 2)
-         |           AND cont.w3 = split_part(tg.g, ' ', 3)
-         |  JOIN mid ON mid.lang = tg.lang AND mid.w2 = split_part(tg.g, ' ', 2)
-         |  JOIN cw3 ON cw3.lang = tg.lang AND cw3.w3 = split_part(tg.g, ' ', 3)
-         |  JOIN nbg ON nbg.lang = tg.lang)
-         |SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_trigrams,
-         |  round(sum(tf * s) / sum(tf) + 1e-9, 4) AS surprisal
-         |FROM per GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val toks = filter(TextFunctions.tokens(col("text")), t => t =!= lit(""))
-      val w1 = substring_index(col("g"), " ", 1)
-      val w2 = substring_index(substring_index(col("g"), " ", 2), " ", -1)
-      val w3 = substring_index(col("g"), " ", -1)
-      val tg = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), toks.as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), col("lang"), explode(expr(
-          "transform(slice(toks, 1, size(toks) - 2), " +
-            "(t, i) -> concat(t, ' ', toks[i + 1], ' ', toks[i + 2]))")).as("g"))
-        .groupBy(col("doc_id"), col("lang"), col("g"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("w1", w1).withColumn("w2", w2).withColumn("w3", w3)
-        .localCheckpoint()
-      val tri = tg.groupBy(col("lang"), col("g")).agg(sum(col("tf")).as("c"))
-      val big = tg.groupBy(col("lang"), col("g")).agg(first(col("w1")).as("w1"),
-          first(col("w2")).as("w2"), sum(col("tf")).as("c"))
-        .groupBy(col("lang"), col("w1"), col("w2"))
-        .agg(sum(col("c")).as("cw"), count(lit(1)).as("nf"))
-      val cont = tg.groupBy(col("lang"), col("g")).agg(first(col("w2")).as("w2"),
-          first(col("w3")).as("w3"))
-        .groupBy(col("lang"), col("w2"), col("w3"))
-        .agg(count(lit(1)).as("n1p"))
-      val mid = cont.groupBy(col("lang"), col("w2"))
-        .agg(sum(col("n1p")).as("nmid"), count(lit(1)).as("nf1"))
-      val cw3 = cont.groupBy(col("lang"), col("w3")).agg(count(lit(1)).as("n1w3"))
-      val nbg = cont.groupBy(col("lang")).agg(count(lit(1)).as("nb"))
-      tg
-        .join(broadcast(tri), Seq("lang", "g"))
-        .join(broadcast(big), Seq("lang", "w1", "w2"))
-        .join(broadcast(cont), Seq("lang", "w2", "w3"))
-        .join(broadcast(mid), Seq("lang", "w2"))
-        .join(broadcast(cw3), Seq("lang", "w3"))
-        .join(broadcast(nbg), Seq("lang"))
-        .select(col("doc_id"), col("lang"), col("tf"),
-          (-log((greatest(col("c").cast("double") - 0.75, lit(0.0)) / col("cw"))
-            + ((lit(0.75) * col("nf") / col("cw"))
-              * ((greatest(col("n1p").cast("double") - 0.75, lit(0.0)) / col("nmid"))
-                + ((lit(0.75) * col("nf1") / col("nmid"))
-                  * (col("n1w3").cast("double") / col("nb"))))))).as("s"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("tf")).cast("long").as("n_trigrams"),
-          round(sum(col("tf") * col("s")) / sum(col("tf")) + 1e-9, 4).as("surprisal"))
+      s"""$knOracleSql
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      knSurprisal(s, d).orderBy(col("doc_id"))
+    },
+
+    // CCNet's actual BUCKETING stage (t78): split the corpus into
+    // head/middle/tail perplexity terciles PER LANGUAGE over t68's KN
+    // surprisal — the decision table CCNet feeds downstream (keep
+    // head, LM-filter middle, drop tail). Terciles are RANK-exact:
+    // ntile(3) over (lang; surprisal, doc_id) — the 4-dp-rounded
+    // surprisal plus the id tie-break make the frame ordering (and so
+    // the bucket boundaries) deterministic in both engines; ntile's
+    // rows-as-even-as-possible split is the same standard definition
+    // in Spark and DuckDB. One lang-partitioned window on top of the
+    // t68 chain — no extra corpus scan.
+    sql(
+      "t78_perplexity_buckets",
+      s"""SELECT doc_id, lang, n_trigrams, surprisal,
+         |  CAST(ntile(3) OVER (PARTITION BY lang ORDER BY surprisal, doc_id) AS INT) AS bucket
+         |FROM ($knOracleSql) b
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      knSurprisal(s, d)
+        .withColumn("bucket", ntile(3).over(
+          Window.partitionBy(col("lang")).orderBy(col("surprisal"), col("doc_id"))))
         .orderBy(col("doc_id"))
     },
 
@@ -2700,6 +2643,101 @@ object TextQueries {
     hashedCache.computeIfAbsent(d, _ =>
       graft.operators.HashedClassifier.fit(
         Tables.documents(s, d), col("text"), classifierLabel))
+
+  /** t68/t78's shared oracle body: the full Kneser-Ney derivation up
+    * to the per-doc (doc_id, lang, n_trigrams, surprisal) rows —
+    * callers append their ORDER BY (t68) or wrap it as a subquery
+    * under the ntile window (t78). LAZY: declared after `all`. */
+  private lazy val knOracleSql: String =
+    s"""WITH tl AS (
+       |  SELECT doc_id, lang, list_filter(string_split(${Sql.normalizeText("text")}, ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |tg0 AS (
+       |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+       |  FROM tl WHERE len(t) >= 3),
+       |tg AS (SELECT doc_id, lang, g, count(*) AS tf FROM tg0 GROUP BY doc_id, lang, g),
+       |tri AS (SELECT lang, g, CAST(sum(tf) AS BIGINT) AS c FROM tg GROUP BY lang, g),
+       |big AS (SELECT lang, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+       |          CAST(sum(c) AS BIGINT) AS cw, CAST(count(*) AS BIGINT) AS nf
+       |        FROM tri GROUP BY 1, 2, 3),
+       |cont AS (SELECT lang, split_part(g, ' ', 2) AS w2, split_part(g, ' ', 3) AS w3,
+       |           CAST(count(*) AS BIGINT) AS n1p
+       |         FROM tri GROUP BY 1, 2, 3),
+       |mid AS (SELECT lang, w2, CAST(sum(n1p) AS BIGINT) AS nmid,
+       |          CAST(count(*) AS BIGINT) AS nf1
+       |        FROM cont GROUP BY 1, 2),
+       |cw3 AS (SELECT lang, w3, CAST(count(*) AS BIGINT) AS n1w3 FROM cont GROUP BY 1, 2),
+       |nbg AS (SELECT lang, CAST(count(*) AS BIGINT) AS nb FROM cont GROUP BY lang),
+       |per AS (
+       |  SELECT tg.doc_id, tg.lang, tg.tf,
+       |    -ln((greatest(CAST(tri.c AS DOUBLE) - 0.75, 0) / big.cw)
+       |      + ((0.75 * big.nf / big.cw)
+       |        * ((greatest(CAST(cont.n1p AS DOUBLE) - 0.75, 0) / mid.nmid)
+       |          + ((0.75 * mid.nf1 / mid.nmid)
+       |            * (CAST(cw3.n1w3 AS DOUBLE) / nbg.nb))))) AS s
+       |  FROM tg
+       |  JOIN tri ON tri.lang = tg.lang AND tri.g = tg.g
+       |  JOIN big ON big.lang = tg.lang AND big.w1 = split_part(tg.g, ' ', 1)
+       |          AND big.w2 = split_part(tg.g, ' ', 2)
+       |  JOIN cont ON cont.lang = tg.lang AND cont.w2 = split_part(tg.g, ' ', 2)
+       |           AND cont.w3 = split_part(tg.g, ' ', 3)
+       |  JOIN mid ON mid.lang = tg.lang AND mid.w2 = split_part(tg.g, ' ', 2)
+       |  JOIN cw3 ON cw3.lang = tg.lang AND cw3.w3 = split_part(tg.g, ' ', 3)
+       |  JOIN nbg ON nbg.lang = tg.lang)
+       |SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+       |  round(sum(tf * s) / sum(tf) + 1e-9, 4) AS surprisal
+       |FROM per GROUP BY doc_id, lang""".stripMargin
+
+  /** t68's build chain (see the t68 registration comment), shared with
+    * t78's bucketing stage: per-doc (doc_id, lang, n_trigrams,
+    * surprisal) — unordered; callers sort or window on top. */
+  private def knSurprisal(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val toks = filter(TextFunctions.tokens(col("text")), t => t =!= lit(""))
+    val w1 = substring_index(col("g"), " ", 1)
+    val w2 = substring_index(substring_index(col("g"), " ", 2), " ", -1)
+    val w3 = substring_index(col("g"), " ", -1)
+    val tg = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(slice(toks, 1, size(toks) - 2), " +
+          "(t, i) -> concat(t, ' ', toks[i + 1], ' ', toks[i + 2]))")).as("g"))
+      .groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("w1", w1).withColumn("w2", w2).withColumn("w3", w3)
+      .localCheckpoint()
+    val tri = tg.groupBy(col("lang"), col("g")).agg(sum(col("tf")).as("c"))
+    val big = tg.groupBy(col("lang"), col("g")).agg(first(col("w1")).as("w1"),
+        first(col("w2")).as("w2"), sum(col("tf")).as("c"))
+      .groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(sum(col("c")).as("cw"), count(lit(1)).as("nf"))
+    val cont = tg.groupBy(col("lang"), col("g")).agg(first(col("w2")).as("w2"),
+        first(col("w3")).as("w3"))
+      .groupBy(col("lang"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n1p"))
+    val mid = cont.groupBy(col("lang"), col("w2"))
+      .agg(sum(col("n1p")).as("nmid"), count(lit(1)).as("nf1"))
+    val cw3 = cont.groupBy(col("lang"), col("w3")).agg(count(lit(1)).as("n1w3"))
+    val nbg = cont.groupBy(col("lang")).agg(count(lit(1)).as("nb"))
+    tg
+      .join(broadcast(tri), Seq("lang", "g"))
+      .join(broadcast(big), Seq("lang", "w1", "w2"))
+      .join(broadcast(cont), Seq("lang", "w2", "w3"))
+      .join(broadcast(mid), Seq("lang", "w2"))
+      .join(broadcast(cw3), Seq("lang", "w3"))
+      .join(broadcast(nbg), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("tf"),
+        (-log((greatest(col("c").cast("double") - 0.75, lit(0.0)) / col("cw"))
+          + ((lit(0.75) * col("nf") / col("cw"))
+            * ((greatest(col("n1p").cast("double") - 0.75, lit(0.0)) / col("nmid"))
+              + ((lit(0.75) * col("nf1") / col("nmid"))
+                * (col("n1w3").cast("double") / col("nb"))))))).as("s"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf")).cast("long").as("n_trigrams"),
+        round(sum(col("tf") * col("s")) / sum(col("tf")) + 1e-9, 4).as("surprisal"))
+  }
 
   /** t77/s29's shared oracle: exact containment over every qualifying
     * pair (small→big, integer threshold) — the blocking is lossless,
