@@ -42,6 +42,11 @@ object BinaryQuant {
       .collect()
     require(rows.nonEmpty, "binary quant: empty corpus")
     val dim = rows.map(_.getInt(0)).max + 1
+    // The pack is ONE long (1L << i per bit): a corpus wider than 64
+    // dims would silently truncate the shortlist metric to the first
+    // 64 bits while the oracle counts all of them — fail loud instead.
+    require(dim <= 64,
+      s"binary quant: packs into a single 64-bit word; corpus has $dim dims")
     val thr = new Array[Long](dim)
     rows.foreach { r =>
       thr(r.getInt(0)) = math.floor(r.getLong(1).toDouble / r.getLong(2).toDouble + 0.5).toLong
@@ -52,6 +57,8 @@ object BinaryQuant {
   /** Hamming-shortlist + exact-cosine rerank kNN: (id, score) top-k. */
   def knn(df: DataFrame, embCol: Column, idCol: Column, query: Array[Double],
       thrQ: Array[Long], shortlist: Int, k: Int): DataFrame = {
+    require(thrQ.length <= 64,
+      s"binary quant: packs into a single 64-bit word; got ${thrQ.length} dims")
     val qPack = BitPack.packVector(query, thrQ)
     val q = array(query.toIndexedSeq.map(lit): _*)
     df.filter(embCol.isNotNull)

@@ -392,9 +392,8 @@ object Dedup {
     // prefix length ⌊(1−τ)·na⌋+1 in EXACT integer arithmetic:
     // ((q−p)·na) div q + 1 — a float ⌊0.3·na⌋ can round one short and
     // silently break the losslessness guarantee
-    val plen = (lit(tauQ - tauP) * $"ns") / lit(tauQ) + lit(1)
     val prefix = base.select($"id".as("a"), $"ns".as("na"),
-      explode(slice($"shs", lit(1), plen.cast("int"))).as("sh"))
+      explode(slice($"shs", lit(1), prefixLen($"ns", tauP, tauQ))).as("sh"))
     val index = base.select($"id".as("b"), $"ns".as("nb"), explode($"shs").as("sh"))
     val cands = prefix.join(index, Seq("sh"))
       .filter($"a" =!= $"b" && ($"na" < $"nb" || ($"na" === $"nb" && $"a" < $"b")))
@@ -407,6 +406,14 @@ object Dedup {
       .select($"a".as("small_id"), $"b".as("big_id"),
         round($"inter".cast("double") / $"na" + 1e-9, 4).as("containment"))
   }
+
+  /** Prefix length ⌊(1−p/q)·ns⌋+1 as GENUINE integer arithmetic: the
+    * SQL `div` operator on a BIGINT product, not a double division
+    * whose exactness would silently depend on (q−p)·ns < 2⁵². */
+  private def prefixLen(ns: Column, tauP: Int, tauQ: Int): Column =
+    (call_function("div",
+      ns.cast("long") * lit((tauQ - tauP).toLong), lit(tauQ.toLong)) + lit(1L))
+      .cast("int")
 
   /** The (id, ns, sorted-shingle-hashes) feature table
     * [[containmentJoin]] and its incremental form build on — ONE
@@ -433,9 +440,8 @@ object Dedup {
       stored: DataFrame, n: Int = 3, tauP: Int = 7, tauQ: Int = 10): DataFrame = {
     require(tauP > 0 && tauP <= tauQ, s"tau must be in (0,1]: $tauP/$tauQ")
     val nb = containmentFeatures(newDocs, textCol, idCol, n).localCheckpoint()
-    def plen(ns: Column) = ((lit(tauQ - tauP) * ns) / lit(tauQ) + lit(1)).cast("int")
     def prefixOf(df: DataFrame) = df.select($"id".as("a"), $"ns".as("na"),
-      explode(slice($"shs", lit(1), plen($"ns"))).as("sh"))
+      explode(slice($"shs", lit(1), prefixLen($"ns", tauP, tauQ))).as("sh"))
     def postOf(df: DataFrame) = df.select($"id".as("b"), $"ns".as("nb"),
       explode($"shs").as("sh"))
     val cands = prefixOf(nb).join(postOf(stored), Seq("sh"))

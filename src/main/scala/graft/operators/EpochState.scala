@@ -132,13 +132,19 @@ object EpochState {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.exists(root)) Seq.empty
     else {
-      val it = java.nio.file.Files.list(root).iterator()
-      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-      while (it.hasNext) {
-        val n = it.next().getFileName.toString
-        if (n.startsWith("v=")) out += n.substring(2).toLong
-      }
-      out.sorted.toSeq
+      // Files.list holds a directory handle until closed — without the
+      // finally, every versions() call (stateAt's error path included)
+      // leaks one fd.
+      val stream = java.nio.file.Files.list(root)
+      try {
+        val it = stream.iterator()
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith("v=")) out += n.substring(2).toLong
+        }
+        out.sorted.toSeq
+      } finally stream.close()
     }
   }
 

@@ -504,6 +504,9 @@ object RangeLayout {
     val bcCounts = spark.sparkContext.broadcast(counts)
     spark.read.parquet(files: _*)
       .select(input_file_name().as("file"), col(keyCol).cast("long").as("k"))
+      // a null (or non-castable) key can never match the IN lookup, so
+      // drop it here instead of NPE-ing the (String, Long) encoder
+      .filter(col("k").isNotNull)
       .as[(String, Long)]
       .groupByKey(p => plainPath(p._1))
       .mapGroups { (f, it) =>
@@ -536,12 +539,18 @@ object RangeLayout {
     recoverInterrupted(fs, root)
     val files = dataFileList(fs, root)
     require(files.nonEmpty, s"bloom lookup: no data files under $dir")
-    val blooms = spark.read.parquet(bloomDir(root, keyCol).toString)
-      .collect()
-      .map(r => r.getString(0) ->
-        org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom"))))
-      .toMap
+    // a sidecar that was never built is the fully-missing case of the
+    // "absent rows are read conservatively" contract: empty map → every
+    // file kept, identical rows, zero pruning
+    val bd = bloomDir(root, keyCol)
+    val blooms =
+      if (!fs.exists(bd)) Map.empty[String, org.apache.spark.util.sketch.BloomFilter]
+      else spark.read.parquet(bd.toString)
+        .collect()
+        .map(r => r.getString(0) ->
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom"))))
+        .toMap
     val kept = files.filter { f =>
       blooms.get(plainPath(f)) match {
         case Some(b) => keys.exists(b.mightContainLong)

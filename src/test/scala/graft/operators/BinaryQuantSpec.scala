@@ -45,6 +45,20 @@ class BinaryQuantSpec extends AnyFunSuite with SparkTestSupport {
     assert(viaKernel === viaDriver)
   }
 
+  test("wider than 64 dims fails loud: the pack is one 64-bit word") {
+    val wide = Seq((0L, Seq.fill(80)(1.0f)), (1L, Seq.fill(80)(-1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      BinaryQuant.trainThresholds(wide, col("embedding"))
+    }
+    assert(e.getMessage.contains("64"))
+    val e2 = intercept[IllegalArgumentException] {
+      BinaryQuant.knn(wide, col("embedding"), col("vec_id"),
+        Array.fill(80)(1.0), Array.fill(80)(0L), shortlist = 2, k = 1)
+    }
+    assert(e2.getMessage.contains("64"))
+  }
+
   test("shortlist + rerank recovers the planted nearest cluster") {
     val thr = BinaryQuant.trainThresholds(corpus, col("embedding"))
     val q = corpus.filter(col("vec_id") === 0)

@@ -226,6 +226,26 @@ class RangeLayoutSpec extends AnyFunSuite with SparkTestSupport {
     assert(readR < readS, "rebuilt sidecar must prune the appended files again")
   }
 
+  test("bloom sidecar: never-built index reads conservatively; null keys don't break the build") {
+    val dir = freshDir()
+    RangeLayout.write(rows(1 to 200), "k", n = 4, dir = dir)
+    // lookup BEFORE any writeBloomIndex: the fully-missing sidecar is
+    // the degenerate stale case — every file read, rows identical
+    val (got, read, total) = RangeLayout.bloomLookup(spark, dir, "id", Seq(5L, 6L))
+    assert(got.select($"id").as[Long].collect().sorted.toSeq === Seq(5L, 6L))
+    assert(read === total, "missing sidecar must read every file (conservative)")
+
+    // null / non-castable keys can never match an IN lookup — the index
+    // build must skip them, not NPE
+    val dirN = freshDir()
+    val withNulls = rows(1 to 100)
+      .withColumn("id", when($"id" % 10 === 0, lit(null)).otherwise($"id"))
+    RangeLayout.write(withNulls, "k", n = 2, dir = dirN)
+    assert(RangeLayout.writeBloomIndex(spark, dirN, "id") === 2)
+    val (gotN, _, _) = RangeLayout.bloomLookup(spark, dirN, "id", Seq(7L))
+    assert(gotN.select($"id").as[Long].collect().toSeq === Seq(7L))
+  }
+
   test("each bucket directory holds one sorted file per write") {
     val dir = freshDir()
     RangeLayout.write(rows(1 to 400), "k", n = 4, dir = dir)
