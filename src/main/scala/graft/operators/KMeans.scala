@@ -37,6 +37,24 @@ object KMeans {
     * cluster size in the final assignment pass (0 for empty clusters). */
   final case class Model(centroids: Array[Array[Double]], counts: Array[Long])
 
+  /** CORPUS-DERIVED k: clusters sized for a bounded quadratic.
+    * `ceil(n / targetClusterSize)` clamped to [kMin, kMax] — the
+    * [[RangeLayout]] trainBounds discipline (derive the constant from a
+    * cheap `count()`, never hardcode it), applied to blocking k-means.
+    * The expected cluster size stays ≤ `targetClusterSize` until
+    * kMax·targetClusterSize rows (~4M at the defaults); past that the
+    * seeds would outgrow the driver/plan-constant budget (kMax=4096 ×
+    * 64 dims ≈ 2 MB), so callers whose downstream cost is quadratic in
+    * the cluster size MUST split further — [[SemDedup.prefixBits]] is
+    * that continuation. */
+  def deriveK(n: Long, targetClusterSize: Long = 1024L,
+      kMin: Int = 8, kMax: Int = 4096): Int = {
+    require(targetClusterSize > 0 && kMin > 0 && kMax >= kMin,
+      s"deriveK: bad bounds ($targetClusterSize, $kMin, $kMax)")
+    val want = (n + targetClusterSize - 1) / targetClusterSize
+    math.min(math.max(want, kMin.toLong), kMax.toLong).toInt
+  }
+
   /** Deterministic init: the k lowest-id vectors, as doubles. */
   def seeds(df: DataFrame, vecCol: Column, idCol: Column, k: Int): Array[Array[Double]] = {
     require(k > 0, s"k must be positive: $k")

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.VectorOps
+
+/** SemDeDup blocking that stays sub-quadratic at ANY corpus size
+  * (Abbas et al. 2023, arXiv:2303.09540). The paper's premise — "k
+  * scales with the corpus so the within-cluster pairwise term is
+  * bounded" — is enforced here by construction, in two rungs:
+  *
+  *  1. k itself is corpus-derived ([[KMeans.deriveK]] from a cheap
+  *     `count()`): expected cluster size ≤ `targetClusterSize` (1024)
+  *     up to kMax·target ≈ 4M rows, where the seed matrix hits its
+  *     driver/plan-constant budget.
+  *  2. Past that, [[prefixBits]] splits every cluster by the first `b`
+  *     bits of a deterministic sign-random-projection signature
+  *     ([[Similarity.hyperplanes]], fixed seed — the v24 LSH family),
+  *     with b chosen so the EXPECTED block size n/(k·2^b) is back
+  *     under the target. Pairwise cosine then runs within
+  *     (cluster, prefix) blocks: total candidate work is
+  *     O(n · targetClusterSize) — linear in n — at every scale.
+  *
+  * The prefix split trades recall the same way the paper's own
+  * cluster restriction does (two ε-similar vectors in different
+  * blocks are never compared; sign-LSH makes that unlikely in
+  * proportion to their angle). At bench/test scales b = 0 and the
+  * semantics are EXACTLY the paper's within-cluster pairwise — the
+  * dump-time oracle replays that path verbatim; the b > 0 path is
+  * pinned by SemDedupScaleSpec against an exhaustive local replay.
+  */
+object SemDedup {
+
+  /** Expected-cluster-size target shared by [[KMeans.deriveK]]'s
+    * default and [[prefixBits]] — O(10³), so a block's pairwise term
+    * is ~10⁶ comparisons, a single-task cost. */
+  val TargetClusterSize: Long = 1024L
+
+  /** Extra blocking bits needed once k alone can no longer hold the
+    * expected cluster size at `target`: smallest b with
+    * n / (k·2^b) ≤ target. 0 at small n (the exact-paper path). */
+  def prefixBits(n: Long, k: Int, target: Long = TargetClusterSize): Int = {
+    require(n >= 0 && k > 0 && target > 0, s"prefixBits: bad args ($n, $k, $target)")
+    var b = 0
+    while ((n.toDouble / k / (1L << b)) > target && b < 48) b += 1
+    b
+  }
+
+  /** The blocking key: the cluster id alone when `bits` == 0 (the
+    * paper-exact path — no signature kernel in the plan), else
+    * cluster·2^bits + the `bits`-bit sign-projection prefix. `dim`
+    * sizes the hyperplane matrix (a plan constant). */
+  def blockKey(vecCol: Column, clusterCol: Column, bits: Int, dim: Int): Column =
+    if (bits == 0) clusterCol.cast("long")
+    else {
+      val planes = Similarity.hyperplanes(bits, dim)
+      clusterCol.cast("long") * lit(1L << bits) +
+        element_at(VectorOps.lshBandSignatures(vecCol, planes,
+          Array.emptyDoubleArray, bits), 1)
+    }
+
+  /** ε-similar pairs within blocks: the SemDeDup candidate step.
+    * `assigned` must carry (id, v, cluster); output (id_a, id_b) with
+    * id_a < id_b and round(cosine, 4) ≥ eps. One shuffle of the corpus
+    * by block key on each join side; per-block work is quadratic in
+    * the BLOCK size, which [[prefixBits]] bounds at the target — so
+    * total candidate work is linear in n. */
+  def withinBlockPairs(assigned: DataFrame, idCol: Column, vecCol: Column,
+      clusterCol: Column, bits: Int, dim: Int, eps: Double): DataFrame = {
+    val blocked = assigned.select(idCol.as("id"), vecCol.as("v"),
+      blockKey(vecCol, clusterCol, bits, dim).as("block"))
+    blocked.select(col("block"), col("id").as("id_a"), col("v").as("va"))
+      .join(blocked.select(col("block"), col("id").as("id_b"), col("v").as("vb")),
+        Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(VectorOps.cosineSimilarity(col("va"), col("vb")), 4) >= eps)
+      .select(col("id_a"), col("id_b"))
+  }
+}

@@ -214,20 +214,31 @@ object VectorQueries {
     if (cbs.size == 1) Some(cbs.get(0)) else None
   }
 
-  /** v19's k-means seeds per data dir (deterministic: the 8 lowest-id
-    * vectors), shared between the query run and its dump-time oracle —
-    * the pqCache pattern. */
+  /** v19/v32/v34's k-means seeds per data dir (deterministic: the k
+    * lowest-id vectors, k CORPUS-DERIVED via [[graft.operators.KMeans
+    * .deriveK]] from a cheap count — never a hardcoded constant),
+    * shared between the query run and its dump-time oracle — the
+    * pqCache pattern. The count rides along for [[graft.operators
+    * .SemDedup.prefixBits]]. */
+  private final case class KmBlocking(n: Long, seeds: Array[Array[Double]])
+
   private val kmSeedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, KmBlocking]()
+
+  private def kmBlocking(s: org.apache.spark.sql.SparkSession, d: String): KmBlocking =
+    kmSeedCache.computeIfAbsent(d, _ => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      KmBlocking(n, graft.operators.KMeans.seeds(emb, col("embedding"),
+        col("vec_id"), graft.operators.KMeans.deriveK(n)))
+    })
 
   private def kmSeeds(s: org.apache.spark.sql.SparkSession, d: String): Array[Array[Double]] =
-    kmSeedCache.computeIfAbsent(d, _ =>
-      graft.operators.KMeans.seeds(Tables.embeddings(s, d), col("embedding"),
-        col("vec_id"), k = 8))
+    kmBlocking(s, d).seeds
 
   private def soleKmSeeds: Option[Array[Array[Double]]] = {
     val ss = new java.util.ArrayList(kmSeedCache.values())
-    if (ss.size == 1) Some(ss.get(0)) else None
+    if (ss.size == 1) Some(ss.get(0).seeds) else None
   }
 
   /** v32's dump-time oracle: k-means assignment from the inlined seeds
@@ -825,9 +836,13 @@ object VectorQueries {
     // SemDeDup (Abbas et al. 2023): SEMANTIC dedup with k-means
     // clusters as the blocking structure — embeddings assign to their
     // nearest k-means seed (the v19 assignment, centroids as plan
-    // constants), pairwise cosine runs ONLY within a cluster (the
-    // paper's point: k scales with the corpus so the quadratic term is
-    // per-cluster, never corpus²), ε-similar pairs close into groups
+    // constants), pairwise cosine runs ONLY within a cluster — and the
+    // paper's premise "k scales with the corpus so the quadratic term
+    // is per-cluster, never corpus²" is ENFORCED, not assumed:
+    // KMeans.deriveK sizes k from a cheap count, and past the seed
+    // budget SemDedup.prefixBits splits oversized clusters by a
+    // deterministic sign-projection prefix (bits = 0 at oracle
+    // scales). ε-similar pairs close into groups
     // (the t21/v24 star contraction), and each group keeps ONE
     // example — the paper's rule: the member FARTHEST from its cluster
     // centroid (lowest centroid-cosine; round-then-rank + id tie-break,
@@ -838,7 +853,8 @@ object VectorQueries {
     QueryDef("v32_semantic_dedup", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
-      val seeds = kmSeeds(s, d)
+      val blocking = kmBlocking(s, d)
+      val seeds = blocking.seeds
       val assigned = Tables.embeddings(s, d).select(
         col("vec_id"),
         col("embedding").cast("array<double>").as("v"),
@@ -850,13 +866,14 @@ object VectorQueries {
         .select(col("vec_id"), col("cluster"), col("v"),
           round(graft.expressions.VectorOps.cosineSimilarity(col("v"), col("cent")), 4)
             .as("cent_sim"))
-      val pairs = ranked.select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
-        .join(ranked.select(col("cluster"), col("vec_id").as("id_b"), col("v").as("vb")),
-          Seq("cluster"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(round(graft.expressions.VectorOps.cosineSimilarity(col("va"), col("vb")), 4)
-          >= 0.35)
-        .select(col("id_a"), col("id_b"))
+      // candidate pairs within (cluster [, sign-prefix]) blocks — the
+      // prefix bits are 0 until k alone can't bound the cluster size
+      // (SemDedup.prefixBits), so at oracle scales this IS the paper's
+      // exact within-cluster pairwise
+      val pairs = graft.operators.SemDedup.withinBlockPairs(
+        ranked, col("vec_id"), col("v"), col("cluster"),
+        bits = graft.operators.SemDedup.prefixBits(blocking.n, seeds.length),
+        dim = seeds(0).length, eps = 0.35)
       val comps = graft.operators.Dedup.connectedComponents(pairs)
       val w = Window.partitionBy(col("rep")).orderBy(col("cent_sim"), col("id"))
       val verdicts = comps
