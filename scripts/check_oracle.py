@@ -51,9 +51,9 @@ if not only and missing_dumps:
 # Oracle-count floor: a piecewise Verify run that shrank oracle_sql.json
 # (round 11 silently lost the 17 dump-time trained-model oracles) must
 # fail here, not be graded rows-only. Keep in lockstep with the real
-# oracled-query count (230 as of round 12 — t68–t78/q62/q63/m09–m11/
-# s26–s30/v32–v34; only gng_throughput/gng_scale are legitimately rows-only).
-MIN_ORACLED = 230
+# oracled-query count (231 as of round 13 — +s31; only
+# gng_throughput/gng_scale are legitimately rows-only).
+MIN_ORACLED = 231
 if not only and len(oracle) < MIN_ORACLED:
     print(f"PRE-FLIGHT FAIL: only {len(oracle)} oracled queries in oracle_sql.json "
           f"(expected >= {MIN_ORACLED}) — a subset Verify run likely shrank the file")

@@ -77,4 +77,48 @@ object SemDedup {
       .filter(round(VectorOps.cosineSimilarity(col("va"), col("vb")), 4) >= eps)
       .select(col("id_a"), col("id_b"))
   }
+
+  /** The STREAMING increment's candidate step: ε-similar pairs with at
+    * least one side in the arriving batch — `newAssigned` × (stored ∪
+    * batch), block-keyed. Every unordered corpus pair is discovered in
+    * the batch where its LATER member arrives, so the union of all
+    * increments' pairs equals [[withinBlockPairs]] over the full
+    * corpus, whatever the slicing. Both inputs carry (vec_id, v,
+    * cluster). Scale: the batch side is increment-sized; the stored
+    * side streams through one block-keyed join (partition the member
+    * store by block and the scan prunes to the batch's blocks). */
+  def incrementPairs(newAssigned: DataFrame, allAssigned: DataFrame,
+      bits: Int, dim: Int, eps: Double): DataFrame = {
+    def blocked(df: DataFrame, side: String) = df.select(
+      blockKey(col("v"), col("cluster"), bits, dim).as("block"),
+      col("vec_id").as(s"id_$side"), col("v").as(s"v$side"))
+    blocked(newAssigned, "a").join(blocked(allAssigned, "b"), Seq("block"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(round(VectorOps.cosineSimilarity(col("va"), col("vb")), 4) >= eps)
+      // batch×batch pairs surface in both orders — canonicalize + dedup
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+  }
+
+  /** One micro-batch of SemDeDup maintenance over the member state
+    * (vec_id, v, cluster, rep): new members enter as singletons
+    * (rep = self), [[incrementPairs]] finds every pair the batch
+    * completes, and [[Dedup.mergeComponents]] folds them in (its
+    * output satisfies its own input precondition, so the fold is
+    * associative — the s20 law: any slicing lands on the same final
+    * state, equal to the batch operator's one-shot clustering).
+    * `batchAssigned` carries (vec_id, v, cluster). */
+  def foldStep(state: DataFrame, batchAssigned: DataFrame,
+      bits: Int, dim: Int, eps: Double): DataFrame = {
+    val a = batchAssigned.select(col("vec_id"), col("v"), col("cluster"),
+      col("vec_id").as("rep"))
+    val all = state.select(col("vec_id"), col("v"), col("cluster"), col("rep"))
+      .unionByName(a)
+    val pairs = incrementPairs(a, all, bits, dim, eps)
+    val merged = Dedup.mergeComponents(
+      all.select(col("vec_id").as("id"), col("rep")), pairs)
+    all.select(col("vec_id"), col("v"), col("cluster"))
+      .join(merged.withColumnRenamed("id", "vec_id"), Seq("vec_id"))
+  }
 }

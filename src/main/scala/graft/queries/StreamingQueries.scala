@@ -1195,7 +1195,7 @@ object StreamingQueries {
     * ordered-arrival primitive behind s09 and s11: with
     * `maxFilesPerTrigger=1` under AvailableNow, slice k IS micro-batch
     * k. */
-  private def orderedArrivalDir(s: org.apache.spark.sql.SparkSession,
+  private[queries] def orderedArrivalDir(s: org.apache.spark.sql.SparkSession,
       tag: String, slices: Seq[org.apache.spark.sql.DataFrame]): String = {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory(StreamingRelational.scratchBase, tag)

@@ -241,6 +241,45 @@ object VectorQueries {
     if (ss.size == 1) Some(ss.get(0).seeds) else None
   }
 
+  /** v32/s31's shared verdict assembly: per component keep the member
+    * FARTHEST from its cluster centroid (lowest 4-dp cent_sim, id
+    * tie-break); singletons (absent from `comps` or self-repped) keep
+    * themselves. `ranked` carries (vec_id, cluster, cent_sim); `comps`
+    * (id, rep). */
+  private def semDedupAssemble(ranked: org.apache.spark.sql.DataFrame,
+      comps: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("rep")).orderBy(col("cent_sim"), col("id"))
+    val verdicts = comps
+      .join(ranked.select(col("vec_id").as("id"), col("cent_sim")), Seq("id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("id").as("vec_id"), col("rep").as("group_rep"),
+        (col("rk") === 1).as("keep"))
+    ranked.select(col("vec_id"), col("cluster"))
+      .join(verdicts, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+        coalesce(col("group_rep"), col("vec_id")).as("group_rep"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** s31's arrival fixture: the embeddings table (id + double vector)
+    * in three ordered micro-batches sliced by vec_id % 3 — an ε-pair's
+    * members can arrive two batches apart, which is exactly what the
+    * incremental pair discovery + component fold must absorb. */
+  private val embSliceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def embeddingSliceDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    embSliceCache.computeIfAbsent(d, _ => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      StreamingQueries.orderedArrivalDir(s, "emb-slices", Seq(
+        e.filter(col("vec_id") % 3 === 0),
+        e.filter(col("vec_id") % 3 === 1),
+        e.filter(col("vec_id") % 3 === 2)))
+    })
+
   /** v32's dump-time oracle: k-means assignment from the inlined seeds
     * (the kmeansOracle CTEs), exhaustive within-cluster cosine pairs at
     * the same rounded threshold, recursive closure, and the paper's
@@ -875,18 +914,47 @@ object VectorQueries {
         bits = graft.operators.SemDedup.prefixBits(blocking.n, seeds.length),
         dim = seeds(0).length, eps = 0.35)
       val comps = graft.operators.Dedup.connectedComponents(pairs)
-      val w = Window.partitionBy(col("rep")).orderBy(col("cent_sim"), col("id"))
-      val verdicts = comps
-        .join(ranked.select(col("vec_id").as("id"), col("cent_sim")), Seq("id"))
-        .withColumn("rk", row_number().over(w))
-        .select(col("id").as("vec_id"), col("rep").as("group_rep"),
-          (col("rk") === 1).as("keep"))
-      ranked.select(col("vec_id"), col("cluster"))
-        .join(verdicts, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
-          coalesce(col("group_rep"), col("vec_id")).as("group_rep"),
-          coalesce(col("keep"), lit(true)).as("keep"))
-        .orderBy(col("vec_id"))
+      semDedupAssemble(ranked, comps)
+    }, semDedupOracle),
+
+    // STREAMING SemDeDup (v32's ingestion twin — every other dedup
+    // family already has one): embedding batches arrive as
+    // micro-batches, each assigns against the STORED centroids (the
+    // same frozen k-means seeds), SemDedup.incrementPairs finds every
+    // ε-pair the batch completes (batch × stored∪batch, block-keyed),
+    // and the verdict components fold through Dedup.mergeComponents —
+    // the s20 machinery, so any slicing lands on the same final state.
+    // Serving assembles the identical keep-rule over the folded member
+    // state. Oracle: v32's VERBATIM — slicing invariance is the claim.
+    // Restart: StreamStateRestartSpec drives this exact foldStep
+    // through the exactly-once EpochState loop with a kill+resume.
+    QueryDef("s31_stream_semantic_dedup", (s, d) => {
+      import graft.operators.SemDedup
+      import s.implicits._
+      val blocking = kmBlocking(s, d)
+      val seeds = blocking.seeds
+      val bits = SemDedup.prefixBits(blocking.n, seeds.length)
+      val dim = seeds(0).length
+      val stream = s.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(embeddingSliceDir(s, d))
+      def assign(b: org.apache.spark.sql.DataFrame) = b.select(
+        col("vec_id"), col("embedding").as("v"),
+        graft.expressions.VectorOps.nearestCentroid(col("embedding"), seeds)
+          .as("cluster"))
+      val init = Seq.empty[(Long, Seq[Double], Int, Long)]
+        .toDF("vec_id", "v", "cluster", "rep")
+      val folded = graft.streaming.StreamingRelational.oneShotFold(
+        s, stream, init,
+        (state, batch) => SemDedup.foldStep(state, assign(batch), bits, dim, eps = 0.35))
+      val centDf = seeds.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("cluster", "cent")
+      val ranked = folded.join(broadcast(centDf), Seq("cluster"))
+        .select(col("vec_id"), col("cluster"),
+          round(graft.expressions.VectorOps.cosineSimilarity(col("v"), col("cent")), 4)
+            .as("cent_sim"))
+      semDedupAssemble(ranked, folded.select(col("vec_id").as("id"), col("rep")))
     }, semDedupOracle),
 
     // v24 in its PRODUCTION shape (the t31/t32 amortization pattern for

@@ -151,4 +151,44 @@ class StreamStateRestartSpec extends AnyFunSuite with SparkTestSupport {
     // isolated (no surviving pair) and drops; 20 drops with 21
     assert(reps === Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("SemDeDup member fold (s31 family): assign+pairs+merge survives kill+resume") {
+    import graft.operators.{KMeans, SemDedup}
+    // 4-d corpus in two sign families; near-duplicates planted so the
+    // last slice completes pairs whose first member arrived in slice 1
+    def vec(i: Int): Array[Double] = {
+      val c = i % 2
+      Array.tabulate(4) { j =>
+        (if ((j + c) % 2 == 0) 1.0 else -1.0) * (1.0 + 0.02 * ((i / 2) % 7))
+      }
+    }
+    val rows = (0 until 60).map(i => (i.toLong, vec(i).toSeq))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val seeds = KMeans.seeds(corpus, col("embedding"), col("vec_id"), k = 2)
+    def assign(b: DataFrame) = b.select(
+      col("vec_id"), col("embedding").as("v"),
+      graft.expressions.VectorOps.nearestCentroid(col("embedding"), seeds)
+        .as("cluster"))
+    val slices = Seq(0L, 1L, 2L).map(m =>
+      corpus.filter(col("vec_id") % 3 === m))
+    val init = Seq.empty[(Long, Seq[Double], Int, Long)]
+      .toDF("vec_id", "v", "cluster", "rep")
+    val step: (DataFrame, DataFrame) => DataFrame = (st, batch) =>
+      SemDedup.foldStep(st, assign(batch), bits = 0, dim = 4, eps = 0.35)
+    val (a, b) = runBothWays("sd", "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+      slices, init, step)
+    def repsOf(df: DataFrame) = df.select(col("vec_id"), col("rep"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repsOf(a) === repsOf(b))
+    assert(a.count() === 60L, "every member exactly once after resume")
+    // and the folded components equal the one-shot batch clustering
+    val oneShot = graft.operators.Dedup.connectedComponents(
+      SemDedup.withinBlockPairs(assign(corpus), col("vec_id"), col("v"),
+        col("cluster"), bits = 0, dim = 4, eps = 0.35))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val folded = repsOf(b)
+    for ((id, rep) <- oneShot)
+      assert(folded(id) === rep, s"fold drifted from one-shot at id $id")
+    assert(folded.values.toSet.size > 1, "fixture must form multiple components")
+  }
 }
