@@ -1,0 +1,160 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftx
+import org.apache.spark.sql.types._
+
+/** Standard-container pixel decode via `javax.imageio` (m12) — the
+  * JDK's own PNG/JPEG/GIF/BMP decoders, public knowledge and present
+  * in every JVM, widening [[PngPixels]]' hand-rolled 8-bit-grayscale
+  * path to truecolor PNG, palette PNG, and (lossy) JPEG. The
+  * hand-rolled decoder stays as the adversarial-input arm (it sees
+  * every byte); this one is the production rung that makes
+  * cross-FORMAT re-encodes (PNG↔JPEG) land in the same perceptual
+  * buckets through [[PixelHash]]'s dHash.
+  *
+  * Safety discipline (the m01/m08 probe rules): NULL on anything
+  * undecodable, never a throw; dimensions are read from the header and
+  * capped BEFORE pixel allocation (a decompression bomb stops at the
+  * size check); luma is the exact-integer BT.601 form
+  * `(299·r + 587·g + 114·b + 500) div 1000`, which reduces to the gray
+  * value when r = g = b — so lossless decodes of gray-valued fixtures
+  * replay exactly in SQL. */
+object ImageIoPixels {
+
+  /** Same pixel cap as [[PngPixels]]; dims additionally boxed to the
+    * dHash-meaningful range. */
+  private val MaxPixels = 1L << 22
+
+  /** `imageio_dhash64(payload)` → the decoded raster's 64-bit dHash
+    * ([[PixelHashImpl.dhashOf]] — identical grid arithmetic to GPR1/
+    * GPC1 hashes, so hashes are comparable across decode paths). */
+  def imageDhash64(payload: Column): Column =
+    graftx.column(ImageIoDhash64(graftx.expr(payload)))
+
+  /** `imageio_stats(payload)` → (width, height, px_sum, px_min,
+    * px_max, checksum) over the decoded LUMA raster — m11's feature
+    * set, same position-weighted checksum. */
+  def imageStats(payload: Column): Column =
+    graftx.column(ImageIoStatsExpr(graftx.expr(payload)))
+
+  val statsType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
+    StructField("px_min", IntegerType, nullable = false),
+    StructField("px_max", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** Decode to a row-major luma grid; null on anything malformed,
+    * unsupported, or adversarially sized. */
+  private[expressions] def decodeLuma(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    if (b == null || b.length < 16) return null
+    var iis: javax.imageio.stream.ImageInputStream = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        // header-declared dims, checked BEFORE any pixel allocation
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        if (w < 9 || h < 8 || w > 4096 || h > 4096 ||
+          w.toLong * h > MaxPixels) return null
+        val img = reader.read(0)
+        if (img == null || img.getWidth != w || img.getHeight != h) return null
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val bl = rgb & 0xff
+            px(y * w + x) = (299 * r + 587 * g + 114 * bl + 500) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, px)
+      } finally reader.dispose()
+    } catch {
+      case _: Exception => null // truncated/hostile input: NULL, never a throw
+    } finally {
+      if (iis != null) try iis.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** Boxed entry for the Catalyst layer: Long dHash or null. */
+  def dhashImpl(b: Array[Byte]): java.lang.Long = {
+    val d = decodeLuma(b)
+    if (d == null) null
+    else java.lang.Long.valueOf(PixelHashImpl.dhashOf(d._1, d._2, d._3))
+  }
+
+  def statsImpl(b: Array[Byte]): InternalRow = {
+    val d = decodeLuma(b)
+    if (d == null) return null
+    val (w, h, px) = d
+    var sum = 0L; var mn = 255; var mx = 0; var chk = 0L
+    var k = 0
+    while (k < px.length) {
+      val v = px(k)
+      sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      chk += v.toLong * (1L + k % 97)
+      k += 1
+    }
+    InternalRow(w, h, sum, mn, mx, chk)
+  }
+}
+
+case class ImageIoDhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "imageio_dhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = ImageIoPixels.dhashImpl(input.asInstanceOf[Array[Byte]])
+    if (v == null) null else v.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("dh")
+      s"""
+        java.lang.Long $boxed = graft.expressions.ImageIoPixels.dhashImpl($c);
+        ${ev.isNull} = ($boxed == null);
+        if (!${ev.isNull}) ${ev.value} = $boxed.longValue();
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ImageIoDhash64 =
+    copy(child = newChild)
+}
+
+case class ImageIoStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ImageIoPixels.statsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "imageio_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageIoPixels.statsImpl(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ImageIoPixels.statsImpl($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ImageIoStatsExpr =
+    copy(child = newChild)
+}

@@ -200,4 +200,103 @@ object Multimodal {
 
   def grayDhash64(payload: Column): Column =
     graft.expressions.PixelHash.grayDhash64(payload)
+
+  // ---- m12: standard-container fixtures encoded through javax.imageio ----
+
+  /** m12's image: 72×64, nine 8×8-FLAT gray blocks per row — the block
+    * value is an m09-style multiplicative mix quantized to 12 levels
+    * 17 apart (range 25..212). Flat blocks aligned to JPEG's 8×8 DCT
+    * grid make the lossy arm's dHash DETERMINISTICALLY equal to the
+    * lossless one's: a flat block has only a DC coefficient, DC
+    * dequantization is monotone in the block value with error far
+    * under the 17-level gap, and equal blocks decode identically — so
+    * no adjacent-mean comparison can flip. That turns "PNG↔JPEG
+    * re-encode lands in the same perceptual bucket" from a
+    * probabilistic claim into an oracle-solid one. */
+  def m12Block(d: Long, br: Int, bc: Int): Int = {
+    val mix = d * 31 + bc * 7 + br * 13 + bc.toLong * br + d * bc + 2 * d * br
+    ((((mix * 2654435761L) % 1000003L) % 12L) * 17L + 25L).toInt
+  }
+
+  val M12W = 72
+  val M12H = 64
+
+  private def m12Raster(d: Long,
+      img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    var y = 0
+    while (y < M12H) {
+      var x = 0
+      while (x < M12W) {
+        val v = m12Block(d, y / 8, x / 8)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def writeBytes(img: java.awt.image.BufferedImage,
+      fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  /** Truecolor (color-type-2) PNG of the m12 grid. */
+  def encodePng24(d: Long): Array[Byte] =
+    writeBytes(m12Raster(d, new java.awt.image.BufferedImage(
+      M12W, M12H, java.awt.image.BufferedImage.TYPE_INT_RGB)), "png")
+
+  /** PALETTE (color-type-3) PNG of the SAME grid: an indexed raster
+    * over a 16-entry palette — a genuinely different byte stream and
+    * PNG color model for the same picture. The 12 used entries are
+    * exact grays (v, v, v) so luma replays the formula; the 4 filler
+    * entries are deliberately NON-gray — a full gray-ramp palette
+    * makes the JDK writer "optimize" to color type 0 (grayscale),
+    * whose linear-gray decode shifts every value through a gamma
+    * curve (monotone — dHash survives — but the stats oracle
+    * wouldn't). */
+  def encodePng8(d: Long): Array[Byte] = {
+    val r = new Array[Byte](16); val g = new Array[Byte](16); val b = new Array[Byte](16)
+    for (i <- 0 until 12) {
+      val v = (25 + 17 * i).toByte
+      r(i) = v; g(i) = v; b(i) = v
+    }
+    for (i <- 12 until 16) { r(i) = 0xff.toByte; g(i) = 0; b(i) = (i * 16).toByte }
+    val cm = new java.awt.image.IndexColorModel(8, 16, r, g, b)
+    val img = new java.awt.image.BufferedImage(
+      M12W, M12H, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    var y = 0
+    while (y < M12H) {
+      var x = 0
+      while (x < M12W) {
+        raster.setSample(x, y, 0, (m12Block(d, y / 8, x / 8) - 25) / 17)
+        x += 1
+      }
+      y += 1
+    }
+    writeBytes(img, "png")
+  }
+
+  /** JPEG of the SAME grid at quality 0.95 — the LOSSY re-encode. */
+  def encodeJpeg(d: Long): Array[Byte] = {
+    val img = m12Raster(d, new java.awt.image.BufferedImage(
+      M12W, M12H, java.awt.image.BufferedImage.TYPE_INT_RGB))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.95f)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
 }

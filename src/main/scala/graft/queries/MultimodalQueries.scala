@@ -240,6 +240,40 @@ object MultimodalQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** m12's DuckDB oracle: ground truth from the block formula that
+    * built the fixtures (builder-parser identity). Lossless features
+    * replay exactly; the JPEG/hostile feature columns are NULL by
+    * construction; `caught` states the deterministic banding claim
+    * (all three encodings mutually at hamming 0 → every member pairs;
+    * the hostile blob decodes to NULL → never pairs). */
+  private val m12OracleSql: String = {
+    val blockSql =
+      "((((d*31 + bc*7 + br*13 + bc*br + d*bc + 2*d*br) * 2654435761) % 1000003) % 12) * 17 + 25"
+    s"""WITH m12d AS (SELECT doc_id AS d FROM documents WHERE CAST(doc_id % 8 AS INT) = 1),
+       |px AS (
+       |  SELECT d, k, $blockSql AS p
+       |  FROM (SELECT d, k, (k // 576) AS br, ((k % 72) // 8) AS bc
+       |        FROM m12d, LATERAL (SELECT unnest(generate_series(0, 4607)) AS k) kk) g),
+       |feats AS (
+       |  SELECT d, CAST(sum(p) AS BIGINT) AS px_sum,
+       |    CAST(sum(p * (1 + k % 97)) AS BIGINT) AS checksum
+       |  FROM px GROUP BY d),
+       |rows_ AS (
+       |  SELECT d, d AS id, 'png24' AS enc, TRUE AS lossless, TRUE AS ok FROM m12d
+       |  UNION ALL SELECT d, d + 10000000, 'png8', TRUE, TRUE FROM m12d
+       |  UNION ALL SELECT d, d + 20000000, 'jpeg', FALSE, TRUE FROM m12d
+       |  UNION ALL SELECT d, d + 30000000, 'hostile', FALSE, FALSE FROM m12d
+       |    WHERE CAST(d % 16 AS INT) = 1)
+       |SELECT r.id, r.enc,
+       |  CASE WHEN r.ok THEN 72 END AS width,
+       |  CASE WHEN r.ok THEN 64 END AS height,
+       |  CASE WHEN r.lossless THEN f.px_sum END AS px_sum,
+       |  CASE WHEN r.lossless THEN f.checksum END AS checksum,
+       |  r.ok AS caught
+       |FROM rows_ r JOIN feats f USING (d)
+       |ORDER BY r.id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Perceptual image near-dup over DECODED PIXELS (dHash) — the rung
@@ -265,6 +299,54 @@ object MultimodalQueries {
         .select(col("id"), Multimodal.grayDhash64(col("payload")).as("dh"))
       graft.operators.Dedup.hamming64Pairs(sigs, "id", "dh", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // STANDARD-container decode via javax.imageio (m12) — the decoder
+    // rung above m11's hand-rolled grayscale PNG path: truecolor PNG,
+    // genuine color-type-3 PALETTE PNG, and lossy JPEG of the SAME
+    // 72×64 picture (nine 8×8-flat blocks per row, 12 gray levels 17
+    // apart — see Multimodal.m12Block). Lossless decodes replay the
+    // block formula EXACTLY (width/height/px_sum/checksum oracle-
+    // solid); the JPEG arm's pixel features are lossy (px_sum/checksum
+    // NULLed — honest), but its dHash is DETERMINISTICALLY equal to
+    // the PNGs' (flat DCT-aligned blocks: only a monotone DC term, no
+    // adjacent-mean comparison can flip), so m09's banding must catch
+    // every PNG↔JPEG re-encode pair — `caught` is a TRUE twin, never
+    // probabilistic. Hostile arm (truncated PNG after the reader
+    // matches): NULL features, caught = FALSE, never a throw.
+    sql("m12_imageio_decode", m12OracleSql) { (s, d) =>
+      import s.implicits._
+      val ids = Tables.documents(s, d)
+        .filter(expr("CAST(doc_id % 8 AS INT) = 1"))
+        .select(col("doc_id")).as[Long]
+      val imgs = ids.flatMap { id =>
+        val base = Seq(
+          (id, "png24", Multimodal.encodePng24(id)),
+          (id + 10000000L, "png8", Multimodal.encodePng8(id)),
+          (id + 20000000L, "jpeg", Multimodal.encodeJpeg(id)))
+        if (id % 16 == 1)
+          base :+ ((id + 30000000L, "hostile", Multimodal.encodePng24(id).take(24)))
+        else base
+      }.toDF("id", "enc", "payload")
+      val feat = imgs.select(col("id"), col("enc"),
+        graft.expressions.ImageIoPixels.imageStats(col("payload")).as("st"),
+        graft.expressions.ImageIoPixels.imageDhash64(col("payload")).as("dh"))
+        .localCheckpoint()
+      val caught = graft.operators.Dedup.hamming64Pairs(
+          feat.filter(col("dh").isNotNull).select(col("id"), col("dh")),
+          "id", "dh", maxHamming = 3)
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .distinct()
+        .withColumn("c", lit(true))
+      feat.join(caught, Seq("id"), "left")
+        .select(col("id"), col("enc"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          when(col("enc") === "jpeg", lit(null)).otherwise(col("st.px_sum"))
+            .cast("long").as("px_sum"),
+          when(col("enc") === "jpeg", lit(null)).otherwise(col("st.checksum"))
+            .cast("long").as("checksum"),
+          coalesce(col("c"), lit(false)).as("caught"))
+        .orderBy(col("id"))
     },
 
     // REAL PNG pixel decode (m11) — the decoder-stub caveat closed for

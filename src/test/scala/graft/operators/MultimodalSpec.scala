@@ -374,4 +374,74 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     assert(pairs === Seq((1L, 2L, 0L), (1L, 3L, 3L), (1L, 6L, 1L),
       (2L, 3L, 3L), (2L, 6L, 1L), (3L, 4L, 1L)), s"got $pairs")
   }
+
+  // ---- m12: javax.imageio decode (truecolor/palette PNG + JPEG) ----------
+
+  private def ioDhash(p: Array[Byte]): Option[Long] = {
+    import spark.implicits._
+    val r = Seq(Tuple1(p)).toDF("payload")
+      .select(graft.expressions.ImageIoPixels.imageDhash64(col("payload")))
+      .head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  test("imageio decode: truecolor PNG, palette PNG, and JPEG of the same picture hash identically") {
+    for (d <- Seq(1L, 9L, 17L, 105L, 4097L)) {
+      val a = ioDhash(Multimodal.encodePng24(d))
+      val b = ioDhash(Multimodal.encodePng8(d))
+      val c = ioDhash(Multimodal.encodeJpeg(d))
+      assert(a.isDefined, s"d=$d: truecolor decode failed")
+      assert(a === b, s"d=$d: palette re-encode changed the hash")
+      // the DETERMINISTIC lossy claim: flat DCT-aligned blocks with
+      // 17-apart levels cannot flip an adjacent-mean comparison
+      assert(a === c, s"d=$d: JPEG re-encode changed the hash")
+    }
+  }
+
+  test("imageio stats: lossless decodes replay the block formula exactly; JPEG stays within the DC budget") {
+    import spark.implicits._
+    val d = 33L
+    def want: (Long, Int, Int) = {
+      var sum = 0L; var mn = 255; var mx = 0
+      for (br <- 0 until 8; bc <- 0 until 9) {
+        val v = Multimodal.m12Block(d, br, bc)
+        sum += v.toLong * 64; mn = math.min(mn, v); mx = math.max(mx, v)
+      }
+      (sum, mn, mx)
+    }
+    val (wSum, wMin, wMax) = want
+    for (enc <- Seq(Multimodal.encodePng24(d), Multimodal.encodePng8(d))) {
+      val st = Seq(Tuple1(enc)).toDF("payload")
+        .select(graft.expressions.ImageIoPixels.imageStats(col("payload")).as("st"))
+        .select("st.*").head()
+      assert(st.getInt(0) === 72 && st.getInt(1) === 64)
+      assert(st.getLong(2) === wSum, "lossless px_sum must equal the formula")
+      assert(st.getInt(3) === wMin && st.getInt(4) === wMax)
+    }
+    val stJ = Seq(Tuple1(Multimodal.encodeJpeg(d))).toDF("payload")
+      .select(graft.expressions.ImageIoPixels.imageStats(col("payload")).as("st"))
+      .select("st.*").head()
+    assert(stJ.getInt(0) === 72 && stJ.getInt(1) === 64)
+    // lossy: sum moves, but bounded by the per-pixel DC-error budget
+    // that underwrites the dHash-equality claim (|err| <= 8 per pixel)
+    assert(math.abs(stJ.getLong(2) - wSum) <= 8L * 72 * 64,
+      s"JPEG px_sum drifted past the DC budget: ${stJ.getLong(2)} vs $wSum")
+  }
+
+  test("imageio decode: hostile inputs yield NULL, never a throw") {
+    val hostiles = Seq(
+      Multimodal.encodePng24(5L).take(24), // truncated after a reader matches
+      Array.fill(64)(0x41.toByte), // no reader claims it
+      Array.empty[Byte],
+      // valid stream, adversarial dims: a 1x1 PNG (below the dHash grid)
+      {
+        val img = new java.awt.image.BufferedImage(1, 1,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      })
+    for ((p, i) <- hostiles.zipWithIndex)
+      assert(ioDhash(p) === None, s"hostile input $i must decode to NULL")
+  }
 }
