@@ -1242,12 +1242,13 @@ object TextQueries {
     // contract), so no zero-denominator path exists. ALL tables derive
     // from the ONE per-doc trigram count table (one tokenize pass,
     // localCheckpoint, then groupBys + broadcast joins back — no
-    // corpus re-scan at serve, plan-gated); counts are pure sums, so
-    // the t57 incremental-merge path applies verbatim: merging
-    // increment trigram counts and re-deriving reproduces the full
-    // rebuild exactly. Oracle replays the discount/backoff arithmetic
-    // in CTEs with identical parenthesization (t60's ln/nudge/round
-    // discipline).
+    // corpus re-scan at serve, plan-gated). Incremental maintenance is
+    // NOT a t57 pure-sum merge — the continuation counts are COUNT
+    // DISTINCTs that don't add — but the corpus trigram table IS pure
+    // sums, and every distinct count re-derives exactly from its
+    // merged key set: t79 persists that table and proves the equality.
+    // Oracle replays the discount/backoff arithmetic in CTEs with
+    // identical parenthesization (t60's ln/nudge/round discipline).
     sql(
       "t68_kneser_ney",
       s"""$knOracleSql
@@ -1276,6 +1277,30 @@ object TextQueries {
         .withColumn("bucket", ntile(3).over(
           Window.partitionBy(col("lang")).orderBy(col("surprisal"), col("doc_id"))))
         .orderBy(col("doc_id"))
+    },
+
+    // INCREMENTAL Kneser-Ney maintenance (t79) — the claim t68 made in
+    // prose, proven as a gate: the continuation counts (N1+ families)
+    // are COUNT DISTINCTs and do NOT merge as sums (an increment
+    // re-observing a known (w2,w3) pair must not bump n1p), so the
+    // persisted state is the corpus TRIGRAM count table (lang, g, c) —
+    // pure sums, merged by key — and every distinct count RE-DERIVES
+    // from the merged table's key set. The old corpus (doc_id % 5 ≠ 0)
+    // enters only through its stored trigram parquet; the increment
+    // (doc_id % 5 = 0) pays one tokenize pass; scoring the increment
+    // against the merged LM must equal the FULL-corpus rebuild (t68's
+    // oracle restricted to the new docs — any distinct-merge error
+    // shifts a continuation count and fails the hash).
+    sql(
+      "t79_kneser_ney_incremental",
+      s"""SELECT doc_id, lang, n_trigrams, surprisal
+         |FROM ($knOracleSql) k WHERE CAST(doc_id % 5 AS INT) = 0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tgNew = knTrigrams(
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 0)).localCheckpoint()
+      val merged = knTriIndex(s, d).unionByName(knTriCounts(tgNew))
+        .groupBy(col("lang"), col("g")).agg(sum(col("c")).as("c"))
+      knScore(tgNew, merged).orderBy(col("doc_id"))
     },
 
     // DSIR data selection (Xie et al. 2023): importance-resample the
@@ -2694,11 +2719,15 @@ object TextQueries {
     * surprisal) — unordered; callers sort or window on top. */
   private def knSurprisal(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    val tg = knTrigrams(Tables.documents(s, d)).localCheckpoint()
+    knScore(tg, knTriCounts(tg))
+  }
+
+  /** The per-doc trigram table everything KN derives from: (doc_id,
+    * lang, g, tf, w1, w2, w3) — ONE tokenize pass over `docs`. */
+  private def knTrigrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = filter(TextFunctions.tokens(col("text")), t => t =!= lit(""))
-    val w1 = substring_index(col("g"), " ", 1)
-    val w2 = substring_index(substring_index(col("g"), " ", 2), " ", -1)
-    val w3 = substring_index(col("g"), " ", -1)
-    val tg = Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("lang"), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), explode(expr(
@@ -2706,15 +2735,34 @@ object TextQueries {
           "(t, i) -> concat(t, ' ', toks[i + 1], ' ', toks[i + 2]))")).as("g"))
       .groupBy(col("doc_id"), col("lang"), col("g"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("w1", w1).withColumn("w2", w2).withColumn("w3", w3)
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(substring_index(col("g"), " ", 2), " ", -1))
+      .withColumn("w3", substring_index(col("g"), " ", -1))
+  }
+
+  /** Corpus-level trigram counts (lang, g, c) — the ONLY persisted KN
+    * state: pure sums, so increments merge by (lang, g) sum. */
+  private def knTriCounts(tg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    tg.groupBy(col("lang"), col("g")).agg(sum(col("tf")).as("c"))
+
+  /** Score `tg`'s docs against the LM defined by the corpus trigram
+    * table `tri` (lang, g, c). EVERY lower-order KN quantity — bigram
+    * sums, continuation counts N1+, follower counts — is a groupBy
+    * over tri's rows and KEY SET alone (distinct trigram types), never
+    * over raw text: that is what makes [[knTriCounts]] sufficient
+    * state for exact incremental maintenance (t79) — distinct counts
+    * don't merge as sums, but they RE-DERIVE exactly from the merged
+    * presence table. */
+  private def knScore(tg: org.apache.spark.sql.DataFrame,
+      tri: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val triW = tri.select(col("lang"), col("g"), col("c"),
+      substring_index(col("g"), " ", 1).as("w1"),
+      substring_index(substring_index(col("g"), " ", 2), " ", -1).as("w2"),
+      substring_index(col("g"), " ", -1).as("w3"))
       .localCheckpoint()
-    val tri = tg.groupBy(col("lang"), col("g")).agg(sum(col("tf")).as("c"))
-    val big = tg.groupBy(col("lang"), col("g")).agg(first(col("w1")).as("w1"),
-        first(col("w2")).as("w2"), sum(col("tf")).as("c"))
-      .groupBy(col("lang"), col("w1"), col("w2"))
+    val big = triW.groupBy(col("lang"), col("w1"), col("w2"))
       .agg(sum(col("c")).as("cw"), count(lit(1)).as("nf"))
-    val cont = tg.groupBy(col("lang"), col("g")).agg(first(col("w2")).as("w2"),
-        first(col("w3")).as("w3"))
+    val cont = triW.select(col("lang"), col("w2"), col("w3"))
       .groupBy(col("lang"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("n1p"))
     val mid = cont.groupBy(col("lang"), col("w2"))
@@ -2722,7 +2770,7 @@ object TextQueries {
     val cw3 = cont.groupBy(col("lang"), col("w3")).agg(count(lit(1)).as("n1w3"))
     val nbg = cont.groupBy(col("lang")).agg(count(lit(1)).as("nb"))
     tg
-      .join(broadcast(tri), Seq("lang", "g"))
+      .join(broadcast(triW.select(col("lang"), col("g"), col("c"))), Seq("lang", "g"))
       .join(broadcast(big), Seq("lang", "w1", "w2"))
       .join(broadcast(cont), Seq("lang", "w2", "w3"))
       .join(broadcast(mid), Seq("lang", "w2"))
@@ -2772,6 +2820,27 @@ object TextQueries {
       Dedup.containmentFeatures(
           Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0),
           col("text"), col("doc_id"), n = 3)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** t79's persisted LM state: the OLD corpus's (lang, g, c) trigram
+    * counts (doc_id % 5 ≠ 0), written once per data dir and served
+    * from parquet — the old text is never re-tokenized at increment
+    * time (the t25/t51 stored-index idiom). */
+  private val knTriIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def knTriIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val path = knTriIndexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "kn-tri-index")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      val p = dir.resolve("t").toString
+      knTriCounts(knTrigrams(
+          Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)))
         .write.mode("overwrite").parquet(p)
       p
     })
