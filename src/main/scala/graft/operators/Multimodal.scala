@@ -243,6 +243,57 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---- m13: IMA-ADPCM fixture -------------------------------------------
+
+  /** m13's per-doc parameters: mono, rate from m10's family, 64..127
+    * samples in 36-byte blocks (65 samples per block → 1–2 blocks, the
+    * second partial — so block restarts AND pad-nibble stopping are
+    * both exercised). Headers and nibbles come from closed-form
+    * formulas BOTH engines evaluate; the decoded waveform is the
+    * state machine over them (the oracle replays it recursively). */
+  def m13Rate(d: Long): Int = (8000 * (1 + d % 5)).toInt
+  def m13Nf(d: Long): Int = (64 + d % 64).toInt
+  val M13BlockAlign = 36
+  val M13Spb: Int = (M13BlockAlign - 4) * 2 + 1 // 65
+
+  def m13Predictor(d: Long, b: Int): Int =
+    (((d * 131 + b * 7919) % 20001) - 10000).toInt
+  def m13Index(d: Long, b: Int): Int = ((d * 17 + b * 31) % 89).toInt
+  def m13Nibble(d: Long, b: Int, j: Int): Int = ((d * 7 + b * 5 + j * 13) % 16).toInt
+
+  /** A complete mono IMA-ADPCM WAV for doc `d`: fmt (tag 0x0011, bits
+    * 4, the cbSize=2 samples-per-block extension), fact (true sample
+    * count), and full-size blocks whose trailing nibbles past the fact
+    * count are pad (the decoder must stop, not decode them). */
+  def adpcmEncode(d: Long): Array[Byte] = {
+    val nf = m13Nf(d)
+    val nBlocks = (nf + M13Spb - 1) / M13Spb
+    val dataBytes = nBlocks * M13BlockAlign
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def w32(v: Long): Unit = { w8(v.toInt); w8((v >> 8).toInt); w8((v >> 16).toInt); w8((v >> 24).toInt) }
+    def tag(t: String): Unit = t.foreach(c => w8(c.toInt))
+    tag("RIFF"); w32(4L + (8 + 20) + (8 + 4) + (8 + dataBytes)); tag("WAVE")
+    tag("fmt "); w32(20L)
+    w16(0x11); w16(1); w32(m13Rate(d).toLong)
+    w32(m13Rate(d).toLong * M13BlockAlign / M13Spb) // nominal byte rate
+    w16(M13BlockAlign); w16(4); w16(2); w16(M13Spb)
+    tag("fact"); w32(4L); w32(nf.toLong)
+    tag("data"); w32(dataBytes.toLong)
+    for (b <- 0 until nBlocks) {
+      w16(m13Predictor(d, b) & 0xffff); w8(m13Index(d, b)); w8(0)
+      var j = 0
+      while (j < (M13BlockAlign - 4) * 2) {
+        val lo = m13Nibble(d, b, j)
+        val hi = m13Nibble(d, b, j + 1)
+        w8(lo | (hi << 4))
+        j += 2
+      }
+    }
+    out.toByteArray
+  }
+
   /** Truecolor (color-type-2) PNG of the m12 grid. */
   def encodePng24(d: Long): Array[Byte] =
     writeBytes(m12Raster(d, new java.awt.image.BufferedImage(

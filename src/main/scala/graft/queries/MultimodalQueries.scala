@@ -274,6 +274,60 @@ object MultimodalQueries {
        |ORDER BY r.id""".stripMargin
   }
 
+  /** m13's DuckDB oracle: the IMA state machine replayed as a
+    * RECURSIVE CTE — per (doc, block), sample r+1 derives from sample
+    * r through the step-size table (injected from the SAME Scala
+    * constant the kernel uses), the nibble formula, and the spec's
+    * clamps; features aggregate over the concatenated blocks. A
+    * single mis-stepped nibble, a wrong clamp, or a decoded pad
+    * nibble shifts the checksum and fails the hash. */
+  private val m13OracleSql: String = {
+    val stepValues = graft.expressions.AudioAdpcm.StepTable.zipWithIndex
+      .map { case (sz, i) => s"($i, $sz)" }.mkString(", ")
+    val nib = "(dec.d * 7 + dec.b * 5 + dec.r * 13) % 16"
+    s"""WITH RECURSIVE
+       |ad AS (SELECT doc_id AS d, CAST(8000 * (1 + doc_id % 5) AS INT) AS rate,
+       |         64 + doc_id % 64 AS nf
+       |       FROM documents WHERE CAST(doc_id % 4 AS INT) = 2),
+       |blk AS (SELECT d, nf, b, least(65, nf - b * 65) AS inblk
+       |        FROM ad, LATERAL (SELECT unnest(generate_series(0, (nf + 64) // 65 - 1)) AS b) bb),
+       |stt(i, sz) AS (SELECT * FROM (VALUES $stepValues) t(i, sz)),
+       |dec(d, b, r, val, idx) AS (
+       |  SELECT d, b, 0, ((d * 131 + b * 7919) % 20001) - 10000, (d * 17 + b * 31) % 89
+       |  FROM blk
+       |  UNION ALL
+       |  SELECT x.d, x.b, x.r + 1,
+       |    least(greatest(CASE WHEN x.nib >= 8 THEN x.val - x.vpdiff
+       |                        ELSE x.val + x.vpdiff END, -32768), 32767),
+       |    least(greatest(x.idx + CASE x.nib % 8 WHEN 4 THEN 2 WHEN 5 THEN 4
+       |                                          WHEN 6 THEN 6 WHEN 7 THEN 8
+       |                                          ELSE -1 END, 0), 88)
+       |  FROM (
+       |    SELECT dec.d, dec.b, dec.r, dec.val, dec.idx, $nib AS nib,
+       |      (stt.sz // 8)
+       |        + CASE WHEN ($nib) % 8 >= 4 THEN stt.sz ELSE 0 END
+       |        + CASE WHEN (($nib) % 8) % 4 >= 2 THEN stt.sz // 2 ELSE 0 END
+       |        + CASE WHEN ($nib) % 2 = 1 THEN stt.sz // 4 ELSE 0 END AS vpdiff
+       |    FROM dec
+       |    JOIN stt ON stt.i = dec.idx
+       |    JOIN blk ON blk.d = dec.d AND blk.b = dec.b
+       |    WHERE dec.r + 1 < blk.inblk) x),
+       |sm AS (
+       |  SELECT d, b * 65 + r AS k, val AS s,
+       |    lag(val) OVER (PARTITION BY d ORDER BY b * 65 + r) AS sp
+       |  FROM dec)
+       |SELECT ad.d AS doc_id, ad.rate AS sample_rate,
+       |  CAST(ad.nf AS BIGINT) AS n_samples,
+       |  CAST(ad.nf * 1000 // ad.rate AS BIGINT) AS duration_ms,
+       |  CAST(max(abs(sm.s)) AS BIGINT) AS peak_abs,
+       |  CAST(sum(CASE WHEN sm.sp IS NOT NULL AND sm.sp * sm.s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+       |  round(sqrt(sum(sm.s * sm.s) * 1.0 / ad.nf) + 1e-9, 4) AS rms,
+       |  CAST(sum(sm.s * (1 + sm.k % 97)) AS BIGINT) AS checksum
+       |FROM ad JOIN sm ON sm.d = ad.d
+       |GROUP BY ad.d, ad.rate, ad.nf
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Perceptual image near-dup over DECODED PIXELS (dHash) — the rung
@@ -434,6 +488,36 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     },
 
+
+    // IMA-ADPCM decode (m13) — the COMPRESSED-audio rung above m10's
+    // raw PCM: 4-bit nibbles expand through the public-spec state
+    // machine (89-entry step table, index walk, int16 clamps), pure
+    // integer arithmetic, no codec library. Fixtures are complete mono
+    // IMA WAVs built from closed-form header/nibble formulas — 36-byte
+    // blocks (65 samples each), 64..127 samples, so block RESTARTS and
+    // fact-count pad-stopping are both on the scored path. The oracle
+    // replays the identical state machine as a recursive CTE (step
+    // table injected from the same Scala constant): builder-parser
+    // identity at the sample level — one wrong nibble, clamp, or
+    // decoded pad byte breaks the position-weighted checksum.
+    sql("m13_audio_adpcm", m13OracleSql) { (s, d) =>
+      import s.implicits._
+      val ids = Tables.documents(s, d)
+        .filter(expr("CAST(doc_id % 4 AS INT) = 2"))
+        .select(col("doc_id")).as[Long]
+      ids.map(id => (id, Multimodal.adpcmEncode(id))).toDF("doc_id", "payload")
+        .withColumn("st", graft.expressions.AudioAdpcm.adpcmStats(col("payload")))
+        .select(col("doc_id"),
+          col("st.sample_rate").as("sample_rate"),
+          col("st.n_samples").as("n_samples"),
+          expr("st.n_samples * 1000 div st.sample_rate").as("duration_ms"),
+          col("st.peak_abs").as("peak_abs"),
+          col("st.zero_cross").as("zero_cross"),
+          round(sqrt(col("st.sum_sq").cast("double") / col("st.n_samples")) + lit(1e-9), 4)
+            .as("rms"),
+          col("st.checksum").as("checksum"))
+        .orderBy(col("doc_id"))
+    },
 
     // REAL video-container decode for the fourth modality slice
     // (doc_id % 4 = 3, plain text elsewhere in the m-family): ISO-BMFF

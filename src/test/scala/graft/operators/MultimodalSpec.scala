@@ -428,6 +428,81 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
       s"JPEG px_sum drifted past the DC budget: ${stJ.getLong(2)} vs $wSum")
   }
 
+  // ---- m13: IMA-ADPCM decode ---------------------------------------------
+
+  private def adpcmRow(p: Array[Byte]) = {
+    import spark.implicits._
+    val r = Seq(Tuple1(p)).toDF("payload")
+      .select(graft.expressions.AudioAdpcm.adpcmStats(col("payload")).as("st"))
+      .select("st.*").head()
+    if (r.isNullAt(0)) None
+    else Some((r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+  }
+
+  /** Independent local replay: decode the formula-built blocks with a
+    * straight-line state machine (not the kernel's walker). */
+  private def adpcmLocal(d: Long): (Int, Long, Long, Long, Long, Long) = {
+    val nf = Multimodal.m13Nf(d)
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var b = 0
+    while (samples.size < nf) {
+      var v = Multimodal.m13Predictor(d, b)
+      var i = Multimodal.m13Index(d, b)
+      samples += v
+      var j = 0
+      while (j < Multimodal.M13Spb - 1 && samples.size < nf) {
+        val (v2, i2) = graft.expressions.AudioAdpcm.step(v, i, Multimodal.m13Nibble(d, b, j))
+        v = v2; i = i2
+        samples += v
+        j += 1
+      }
+      b += 1
+    }
+    var peak = 0L; var zc = 0L; var sq = 0L; var chk = 0L
+    for (k <- samples.indices) {
+      val s = samples(k)
+      peak = math.max(peak, math.abs(s.toLong))
+      sq += s.toLong * s
+      if (k >= 1 && samples(k - 1).toLong * s < 0) zc += 1
+      chk += s.toLong * (1L + k % 97)
+    }
+    (Multimodal.m13Rate(d), nf.toLong, peak, zc, sq, chk)
+  }
+
+  test("adpcm decode: kernel equals the straight-line state-machine replay") {
+    for (d <- Seq(2L, 6L, 66L, 130L, 998L)) {
+      val got = adpcmRow(Multimodal.adpcmEncode(d))
+      assert(got === Some(adpcmLocal(d)), s"d=$d diverged")
+    }
+    // at least one fixture must span two blocks (restart + pad-stop paths)
+    assert(Multimodal.m13Nf(66L) > Multimodal.M13Spb)
+  }
+
+  test("adpcm decode: clamps engage on adversarial state") {
+    // all-max nibbles from a high predictor must pin at 32767 and walk
+    // the index to its ceiling without overflow; all-sign nibbles pin
+    // at -32768 — exercised through the public step() directly
+    var v = 30000; var i = 88
+    for (_ <- 0 until 50) { val r = graft.expressions.AudioAdpcm.step(v, i, 7); v = r._1; i = r._2 }
+    assert(v === 32767 && i === 88)
+    var v2 = -30000; var i2 = 0
+    for (_ <- 0 until 50) { val r = graft.expressions.AudioAdpcm.step(v2, i2, 15); v2 = r._1; i2 = r._2 }
+    assert(v2 === -32768 && i2 === 88)
+  }
+
+  test("adpcm decode: hostile inputs yield NULL, never a throw") {
+    val good = Multimodal.adpcmEncode(2L)
+    val hostiles: Seq[Array[Byte]] = Seq(
+      good.take(40), // truncated inside fmt/data
+      good.updated(20, 0x01.toByte), // format tag flipped to PCM
+      good.updated(34, 0x10.toByte), // bits=16 under an ADPCM tag
+      good.updated(46, 0xff.toByte), // fact count the blocks can't hold
+      Array.fill(64)(0x52.toByte),
+      Array.empty[Byte])
+    for ((p, i) <- hostiles.zipWithIndex)
+      assert(adpcmRow(p) === None, s"hostile input $i must be NULL")
+  }
+
   test("imageio decode: hostile inputs yield NULL, never a throw") {
     val hostiles = Seq(
       Multimodal.encodePng24(5L).take(24), // truncated after a reader matches
