@@ -276,8 +276,28 @@ object Bench {
           if (firstFail == null) "" else firstFail.take(30))}}""")
     } catch { case _: Throwable => None }
 
+  /** The TWO-RUN triage rule (codifying the r11/r12 variance lesson):
+    * a query is a CONFIRMED regression only when its value exceeds the
+    * noise threshold vs the historical best in THIS run AND in the
+    * previous stored run — a single-run flip is ambient (±10-15%
+    * whole-suite envelope; r12's t68 flip reverted unprompted).
+    * BENCH_NOTES.md documents the rule; the stdout/compact artifacts
+    * carry the confirmed list so triage never starts from one run. */
+  def confirmedFlags(results: Seq[Measurement],
+      history: Seq[Map[String, Double]]): Seq[String] = {
+    if (history.isEmpty) return Nil
+    val base = baselinesFrom(history)
+    val prev = history.last
+    results.collect {
+      case m if m.err.isEmpty &&
+        base.get(m.name).exists(b => isSuspect(m.value, b)) &&
+        prev.get(m.name).zip(base.get(m.name))
+          .exists { case (p, b) => isSuspect(p, b) } => m.name
+    }
+  }
+
   def compactStdoutJson(results: Seq[Measurement], sfDir: String,
-      corr: Option[String] = None): String = {
+      corr: Option[String] = None, flags: Seq[String] = Nil): String = {
     val keys = shortKeys(results.map(_.name))
     val split0 = results.map(m => keys(m.name) -> groupKey(keys(m.name)))
     // a (group, member) claimed by two distinct short keys (e.g. "q1"
@@ -312,7 +332,8 @@ object Bench {
     val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
     val totalStr = String.format(java.util.Locale.ROOT, "%.1f", Double.box(total))
     val corrField = corr.map(c => s""""corr":$c,""").getOrElse("")
-    s"""{"qunit":"ms","full":"BENCH_COMPACT.json",$corrField"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"out":${results.count(_.isOutlier)},"errors":$errs,"sf":"$sf"}"""
+    val flagsField = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"qunit":"ms","full":"BENCH_COMPACT.json",$corrField"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"out":${results.count(_.isOutlier)},"flags":$flagsField,"errors":$errs,"sf":"$sf"}"""
   }
 
   private def errorsJson(results: Seq[Measurement],
@@ -438,7 +459,8 @@ object Bench {
       try writeHistory(historyFile, sfDir,
         history :+ results.filter(_.err.isEmpty).map(m => m.name -> m.value).toMap)
       catch { case e: Throwable => System.err.println(s"[bench] could not write $historyFile: $e") }
-    println(compactStdoutJson(results, sfDir, correctnessSummary()))
+    println(compactStdoutJson(results, sfDir, correctnessSummary(),
+      confirmedFlags(results, history)))
     spark.stop()
     val failed = results.filter(_.err.isDefined)
     if (failed.nonEmpty) {

@@ -70,16 +70,33 @@ object GStreamKeyed {
       .as[KeyedPoint]
   }
 
+  /** The most keys [[fitKeyed]] will collect to the driver: a fixture/
+    * debug-scale bound (≈ a few MB of models), NOT a tenant-scale one.
+    * Past it, the call fails loud and points at [[fitKeyedTable]],
+    * whose models live in an executor-written table. */
+  val MaxCollectKeys: Int = 1024
+
   /** Deterministic keyed BATCH training: group by key, run the full
     * single-model chunked loop per key in its executor task, collect
     * the (small) models. Each key's result is BIT-IDENTICAL to
     * [[GStream.fitChunkedLocal]] over that key's id-sorted points with
     * the same params/chunking (spec-asserted) — sharding must never
-    * change what any tenant's model learns. */
+    * change what any tenant's model learns.
+    *
+    * SCALE GUARD: this is the fixture/debug form — its terminal
+    * collect is keyed by tenant, so 10⁵ tenants would pull 10⁵ models
+    * onto the driver. The key count is checked (one cheap distinct
+    * pass) against `maxKeys` and fails loud over it; production keyed
+    * training is [[fitKeyedTable]] (models stay in an EpochState
+    * table, serve by single-key pushdown read). */
   def fitKeyed(points: Dataset[KeyedPoint], params: GngParams,
-      nChunks: Int): Map[Long, GngModel] = {
+      nChunks: Int, maxKeys: Int = MaxCollectKeys): Map[Long, GngModel] = {
     val spark = points.sparkSession
     import spark.implicits._
+    val nKeys = points.select(col("key")).distinct().count()
+    require(nKeys <= maxKeys,
+      s"fitKeyed: $nKeys keys exceed the driver-collect bound $maxKeys — " +
+        "use fitKeyedTable (models stay in a table; serve by key pushdown)")
     points.groupByKey(_.key)
       .mapGroups { (key, it) =>
         val pts = it.map(kp => Point(kp.features, kp.label, kp.id)).toArray

@@ -98,6 +98,32 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     assert(Bench.readHistory("/nonexistent/hist.json", "sfX") === Nil)
   }
 
+  test("two-run rule: a regression is confirmed only when BOTH runs exceed the threshold") {
+    def m(name: String, v: Double) =
+      Bench.Measurement(name, Seq((v, 0L)), None)
+    // history: best run had a=1.0, b=1.0; previous run had a slow at
+    // 2.0 (over 1.5x) and b fast at 1.0
+    val history = Seq(Map("a" -> 1.0, "b" -> 1.0), Map("a" -> 2.0, "b" -> 1.0))
+    val rs = Seq(m("a", 2.2), m("b", 2.2), m("c", 9.9))
+    // a: over threshold now AND in the previous run -> confirmed
+    // b: over now, previous run was at baseline -> ambient, not flagged
+    // c: no history at all -> never flagged
+    assert(Bench.confirmedFlags(rs, history) === Seq("a"))
+    assert(Bench.confirmedFlags(rs, Nil) === Nil)
+    // errored queries never flag
+    assert(Bench.confirmedFlags(
+      Seq(Bench.Measurement("a", Seq((2.2, 0L)), Some("boom"))), history) === Nil)
+    // and the artifact SHAPE the rule needs: exactly two runs persist
+    val tmp = java.nio.file.Files.createTempFile("bench-hist2", ".json")
+    Bench.writeHistory(tmp.toString, "sfX", history :+ Map("a" -> 2.2), keep = 2)
+    assert(Bench.readHistory(tmp.toString, "sfX").size === 2,
+      "the two-run artifact must always carry the last two full runs")
+    // the flags field rides the stdout line and parses
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val line = mapper.readTree(Bench.compactStdoutJson(rs, "sfX", None, Seq("a")))
+    assert(line.get("flags").isArray && line.get("flags").get(0).asText() === "a")
+  }
+
   test("short keys: numbered prefixes are unique; gng names stay full; collisions fall back") {
     val names = Seq("q01_pricing_summary", "t30_source_drift", "v17_knn_ivfpq_batch",
       "gng_throughput", "a01_asof_signup")

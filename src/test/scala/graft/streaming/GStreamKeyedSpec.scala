@@ -45,6 +45,18 @@ class GStreamKeyedSpec extends AnyFunSuite with SparkTestSupport {
       assert(fingerprint(again(key)) === fingerprint(keyed(key)), s"key=$key repartition")
   }
 
+  test("fitKeyed: the driver-collect bound fails loud and points at fitKeyedTable") {
+    import spark.implicits._
+    val pts = (for (key <- 0L to 4L; i <- 0 until 4) yield kp(key, i)).toSeq
+    val e = intercept[IllegalArgumentException] {
+      GStreamKeyed.fitKeyed(spark.createDataset(pts), GngParams(), nChunks = 2,
+        maxKeys = 4)
+    }
+    assert(e.getMessage.contains("fitKeyedTable"))
+    // the default bound is the spec-pinned fixture-scale constant
+    assert(GStreamKeyed.MaxCollectKeys === 1024)
+  }
+
   test("trainKeyedStreaming: interleaved micro-batches == per-key manual update loop; late bootstrap buffers") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
