@@ -520,6 +520,36 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("t79: incremental KN — increment tokenizes once, old corpus enters only via the trigram parquet") {
+    val df = SparkEntry.queries("t79_kneser_ney_incremental")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the served plan starts from the increment's CHECKPOINTED trigram
+    // rows and the stored (lang, g, c) parquet — no tokenize kernel,
+    // no document text read, LM tables broadcast back
+    assert(!p.contains("normalize_text"),
+      s"no tokenize kernel may run at serve:\n$p")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.forall(r => !r.contains("text")),
+      s"the old corpus's text must never be re-read:\n${reads.mkString("\n")}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5,
+      s"the merged LM tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("m12: imageio decode — one decode pass feeds features and banding; no corpus shuffle of payloads") {
+    val df = SparkEntry.queries("m12_imageio_decode")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // features come from the checkpointed decode (payload bytes never
+    // shuffle); the caught-id side broadcasts back onto it
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"caught ids must broadcast onto the feature table:\n$p")
+    assert(!p.contains("imageio_stats"),
+      s"the decode must serve from the checkpoint, not re-run:\n$p")
+  }
+
   test("v14: filtered ANN — the label pre-filter reaches the parquet scan") {
     val p = plan("v14_knn_filtered")
     assert(p.contains("GreaterThanOrEqual(label,5)"),
