@@ -92,6 +92,57 @@ object ImageIoPixels {
     }
   }
 
+  /** `imageio_resize(payload, W, H)` → exact-integer AREA-AVERAGE
+    * downsample features (m14) — the real operation behind
+    * `Multimodal.resizeStub`, now that pixels genuinely decode. Source
+    * pixel (x, y) feeds output cell (x·W div w, y·H div h) — the
+    * floor-partitioned boxes SQL replays verbatim as GROUP BY keys —
+    * and each cell's value is the floor-div mean of its box. Features
+    * over the RESIZED grid: sum, min, max, position-weighted checksum
+    * (catches a transposed or mis-binned cell a sum would not). */
+  def imageResize(payload: Column, outW: Int, outH: Int): Column =
+    graftx.column(ImageIoResizeExpr(graftx.expr(payload), outW, outH))
+
+  val resizeType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("r_sum", LongType, nullable = false),
+    StructField("r_min", IntegerType, nullable = false),
+    StructField("r_max", IntegerType, nullable = false),
+    StructField("r_checksum", LongType, nullable = false)))
+
+  def resizeImpl(b: Array[Byte], outW: Int, outH: Int): InternalRow = {
+    val d = decodeLuma(b)
+    if (d == null) return null
+    val (w, h, px) = d
+    if (outW > w || outH > h) return null // downsample only
+    val sums = new Array[Long](outW * outH)
+    val counts = new Array[Long](outW * outH)
+    var y = 0
+    while (y < h) {
+      val yy = y.toLong * outH / h
+      var x = 0
+      while (x < w) {
+        val cell = (yy * outW + x.toLong * outW / w).toInt
+        sums(cell) += px(y * w + x)
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var sum = 0L; var mn = 255; var mx = 0; var chk = 0L
+    var k = 0
+    while (k < sums.length) {
+      val v = (sums(k) / counts(k)).toInt
+      sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      chk += v.toLong * (1L + k % 97)
+      k += 1
+    }
+    InternalRow(w, h, sum, mn, mx, chk)
+  }
+
   /** Boxed entry for the Catalyst layer: Long dHash or null. */
   def dhashImpl(b: Array[Byte]): java.lang.Long = {
     val d = decodeLuma(b)
@@ -138,6 +189,26 @@ case class ImageIoDhash64(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): ImageIoDhash64 =
+    copy(child = newChild)
+}
+
+case class ImageIoResizeExpr(child: Expression, outW: Int, outH: Int)
+    extends UnaryExpression {
+  require(outW > 0 && outH > 0, s"imageio_resize: bad target ${outW}x$outH")
+  override def dataType: DataType = ImageIoPixels.resizeType
+  override def nullable: Boolean = true
+  override def prettyName: String = "imageio_resize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageIoPixels.resizeImpl(input.asInstanceOf[Array[Byte]], outW, outH)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ImageIoPixels.resizeImpl($c, $outW, $outH);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ImageIoResizeExpr =
     copy(child = newChild)
 }
 

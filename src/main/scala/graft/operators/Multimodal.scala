@@ -308,7 +308,10 @@ object Multimodal {
     * whose linear-gray decode shifts every value through a gamma
     * curve (monotone — dHash survives — but the stats oracle
     * wouldn't). */
-  def encodePng8(d: Long): Array[Byte] = {
+  def encodePng8(d: Long): Array[Byte] = writeBytes(m12Indexed(d), "png")
+
+  /** The shared indexed raster behind the palette PNG and GIF arms. */
+  private def m12Indexed(d: Long): java.awt.image.BufferedImage = {
     val r = new Array[Byte](16); val g = new Array[Byte](16); val b = new Array[Byte](16)
     for (i <- 0 until 12) {
       val v = (25 + 17 * i).toByte
@@ -324,6 +327,39 @@ object Multimodal {
       var x = 0
       while (x < M12W) {
         raster.setSample(x, y, 0, (m12Block(d, y / 8, x / 8) - 25) / 17)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** GIF of the SAME grid — the fourth container through the one
+    * decode path: lossless palette format, so features replay the
+    * formula exactly and the dHash equals the PNGs'. Reuses the
+    * indexed raster (GIF is palette-native). */
+  def encodeGif(d: Long): Array[Byte] = writeBytes(m12Indexed(d), "gif")
+
+  // ---- m14: textured truecolor PNG for the REAL resize ------------------
+
+  /** m14's source: per-doc dims (20+d%13 × 16+3d%11 — deliberately NOT
+    * multiples of the 7×5 target, so uneven boxes are on the scored
+    * path), m11's textured pixel formula rendered as exact gray RGB. */
+  def m14W(d: Long): Int = (20 + d % 13).toInt
+  def m14H(d: Long): Int = (16 + (d * 3) % 11).toInt
+  def m14Px(d: Long, x: Int, y: Int): Int =
+    ((d * 31 + y.toLong * m14W(d) + x.toLong * 7) % 256).toInt
+
+  def encodePngTextured(d: Long): Array[Byte] = {
+    val w = m14W(d); val h = m14H(d)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = m14Px(d, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
         x += 1
       }
       y += 1

@@ -262,6 +262,7 @@ object MultimodalQueries {
        |  SELECT d, d AS id, 'png24' AS enc, TRUE AS lossless, TRUE AS ok FROM m12d
        |  UNION ALL SELECT d, d + 10000000, 'png8', TRUE, TRUE FROM m12d
        |  UNION ALL SELECT d, d + 20000000, 'jpeg', FALSE, TRUE FROM m12d
+       |  UNION ALL SELECT d, d + 40000000, 'gif', TRUE, TRUE FROM m12d
        |  UNION ALL SELECT d, d + 30000000, 'hostile', FALSE, FALSE FROM m12d
        |    WHERE CAST(d % 16 AS INT) = 1)
        |SELECT r.id, r.enc,
@@ -357,9 +358,9 @@ object MultimodalQueries {
 
     // STANDARD-container decode via javax.imageio (m12) — the decoder
     // rung above m11's hand-rolled grayscale PNG path: truecolor PNG,
-    // genuine color-type-3 PALETTE PNG, and lossy JPEG of the SAME
-    // 72×64 picture (nine 8×8-flat blocks per row, 12 gray levels 17
-    // apart — see Multimodal.m12Block). Lossless decodes replay the
+    // genuine color-type-3 PALETTE PNG, lossless-palette GIF, and
+    // lossy JPEG of the SAME 72×64 picture (nine 8×8-flat blocks per
+    // row, 12 gray levels 17 apart — see Multimodal.m12Block). Lossless decodes replay the
     // block formula EXACTLY (width/height/px_sum/checksum oracle-
     // solid); the JPEG arm's pixel features are lossy (px_sum/checksum
     // NULLed — honest), but its dHash is DETERMINISTICALLY equal to
@@ -377,7 +378,8 @@ object MultimodalQueries {
         val base = Seq(
           (id, "png24", Multimodal.encodePng24(id)),
           (id + 10000000L, "png8", Multimodal.encodePng8(id)),
-          (id + 20000000L, "jpeg", Multimodal.encodeJpeg(id)))
+          (id + 20000000L, "jpeg", Multimodal.encodeJpeg(id)),
+          (id + 40000000L, "gif", Multimodal.encodeGif(id)))
         if (id % 16 == 1)
           base :+ ((id + 30000000L, "hostile", Multimodal.encodePng24(id).take(24)))
         else base
@@ -401,6 +403,49 @@ object MultimodalQueries {
             .cast("long").as("checksum"),
           coalesce(col("c"), lit(false)).as("caught"))
         .orderBy(col("id"))
+    },
+
+    // REAL area-average resize (m14) — the resizeStub caveat closed
+    // now that pixels genuinely decode: source pixel (x,y) feeds
+    // output cell (x·W div w, y·H div h) (floor-partitioned boxes the
+    // oracle replays verbatim as GROUP BY keys) and each cell is the
+    // floor-div mean of its box — exact integers end to end. Fixtures
+    // are textured truecolor PNGs whose dims (20+d%13 × 16+3d%11) are
+    // deliberately NOT multiples of the 7×5 target, so uneven boxes
+    // sit on the scored path. One decode kernel pass, no shuffle.
+    sql(
+      "m14_image_resize",
+      """WITH mp AS (
+        |  SELECT doc_id, 20 + doc_id % 13 AS w, 16 + (doc_id * 3) % 11 AS h
+        |  FROM documents WHERE CAST(doc_id % 4 AS INT) = 1),
+        |rpx AS (
+        |  SELECT doc_id, w, h, k % w AS x, k // w AS y,
+        |    (doc_id * 31 + (k // w) * w + (k % w) * 7) % 256 AS p
+        |  FROM mp, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS k) kk),
+        |cells AS (
+        |  SELECT doc_id, w, h, (y * 5) // h AS cy, (x * 7) // w AS cx,
+        |    sum(p) // count(*) AS v
+        |  FROM rpx GROUP BY doc_id, w, h, (y * 5) // h, (x * 7) // w)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sum(v) AS BIGINT) AS r_sum,
+        |  CAST(min(v) AS INT) AS r_min, CAST(max(v) AS INT) AS r_max,
+        |  CAST(sum(v * (1 + (cy * 7 + cx) % 97)) AS BIGINT) AS r_checksum
+        |FROM cells GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ids = Tables.documents(s, d)
+        .filter(expr("CAST(doc_id % 4 AS INT) = 1"))
+        .select(col("doc_id")).as[Long]
+      ids.map(id => (id, Multimodal.encodePngTextured(id)))
+        .toDF("doc_id", "payload")
+        .withColumn("st",
+          graft.expressions.ImageIoPixels.imageResize(col("payload"), 7, 5))
+        .select(col("doc_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.r_sum").as("r_sum"),
+          col("st.r_min").as("r_min"), col("st.r_max").as("r_max"),
+          col("st.r_checksum").as("r_checksum"))
+        .orderBy(col("doc_id"))
     },
 
     // REAL PNG pixel decode (m11) — the decoder-stub caveat closed for

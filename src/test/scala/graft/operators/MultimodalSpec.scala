@@ -385,17 +385,47 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSupport {
     if (r.isNullAt(0)) None else Some(r.getLong(0))
   }
 
-  test("imageio decode: truecolor PNG, palette PNG, and JPEG of the same picture hash identically") {
+  test("imageio decode: truecolor PNG, palette PNG, GIF, and JPEG of the same picture hash identically") {
     for (d <- Seq(1L, 9L, 17L, 105L, 4097L)) {
       val a = ioDhash(Multimodal.encodePng24(d))
       val b = ioDhash(Multimodal.encodePng8(d))
       val c = ioDhash(Multimodal.encodeJpeg(d))
+      val g = ioDhash(Multimodal.encodeGif(d))
       assert(a.isDefined, s"d=$d: truecolor decode failed")
       assert(a === b, s"d=$d: palette re-encode changed the hash")
+      assert(a === g, s"d=$d: GIF re-encode changed the hash")
       // the DETERMINISTIC lossy claim: flat DCT-aligned blocks with
       // 17-apart levels cannot flip an adjacent-mean comparison
       assert(a === c, s"d=$d: JPEG re-encode changed the hash")
     }
+  }
+
+  test("imageio resize: exact box means vs a local recompute; upsample refused") {
+    import spark.implicits._
+    for (d <- Seq(1L, 5L, 13L, 29L)) {
+      val (w, h) = (Multimodal.m14W(d), Multimodal.m14H(d))
+      val (outW, outH) = (7, 5)
+      val sums = Array.fill(outW * outH)(0L)
+      val counts = Array.fill(outW * outH)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val cell = (y * outH / h) * outW + (x * outW / w)
+        sums(cell) += Multimodal.m14Px(d, x, y); counts(cell) += 1
+      }
+      val vs = sums.indices.map(k => sums(k) / counts(k))
+      val st = Seq(Tuple1(Multimodal.encodePngTextured(d))).toDF("payload")
+        .select(graft.expressions.ImageIoPixels.imageResize(col("payload"), outW, outH).as("st"))
+        .select("st.*").head()
+      assert(st.getInt(0) === w && st.getInt(1) === h, s"d=$d dims")
+      assert(st.getLong(2) === vs.sum, s"d=$d r_sum")
+      assert(st.getInt(3) === vs.min && st.getInt(4) === vs.max, s"d=$d min/max")
+      assert(st.getLong(5) ===
+        vs.zipWithIndex.map { case (v, k) => v * (1L + k % 97) }.sum, s"d=$d checksum")
+    }
+    // a target larger than the source is an upsample — refused as NULL
+    val up = Seq(Tuple1(Multimodal.encodePngTextured(1L))).toDF("payload")
+      .select(graft.expressions.ImageIoPixels.imageResize(col("payload"), 500, 5).as("st"))
+      .head()
+    assert(up.isNullAt(0), "upsample must be NULL, not interpolated garbage")
   }
 
   test("imageio stats: lossless decodes replay the block formula exactly; JPEG stays within the DC budget") {
