@@ -809,6 +809,30 @@ object StreamingQueries {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // STREAMING incremental Kneser-Ney (s32) — t79 at ingestion
+    // cadence: each arriving batch pays its tokenize pass ONCE
+    // (TextQueries.knTrigrams — text dies inside the batch; the fold
+    // state is the Zipf-bounded per-doc trigram rows), and serving
+    // merges the folded counts into the STORED trigram table by key
+    // (pure sums) and re-derives every continuation count from the
+    // merged key set — t79's proof that distinct counts re-derive, run
+    // at stream granularity. Trivially slicing-invariant (the fold is
+    // a row-map union); oracle: t79's VERBATIM.
+    sql(
+      "s32_stream_kneser_ney", TextQueries.knIncrementOracle) { (s, d) =>
+      import s.implicits._
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(documentSliceDir(s, d))
+        .filter(col("doc_id") % 5 === 0)
+      val init = Seq.empty[(Long, String, String, Long, String, String, String)]
+        .toDF("doc_id", "lang", "g", "tf", "w1", "w2", "w3")
+      val folded = StreamingRelational.oneShotFold(s, stream, init,
+        (state, batch) => state.unionByName(TextQueries.knTrigrams(batch)))
+      TextQueries.knScoreIncrement(s, d, folded)
+    },
+
     // The trained classifier SERVED on the stream — the deployment
     // mode a learned filter actually runs in: weights are frozen (one
     // fit per data dir, shared with t53/t54), each micro-batch scores

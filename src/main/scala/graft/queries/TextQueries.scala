@@ -1292,15 +1292,10 @@ object TextQueries {
     // oracle restricted to the new docs — any distinct-merge error
     // shifts a continuation count and fails the hash).
     sql(
-      "t79_kneser_ney_incremental",
-      s"""SELECT doc_id, lang, n_trigrams, surprisal
-         |FROM ($knOracleSql) k WHERE CAST(doc_id % 5 AS INT) = 0
-         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      "t79_kneser_ney_incremental", knIncrementOracle) { (s, d) =>
       val tgNew = knTrigrams(
         Tables.documents(s, d).filter(col("doc_id") % 5 === 0)).localCheckpoint()
-      val merged = knTriIndex(s, d).unionByName(knTriCounts(tgNew))
-        .groupBy(col("lang"), col("g")).agg(sum(col("c")).as("c"))
-      knScore(tgNew, merged).orderBy(col("doc_id"))
+      knScoreIncrement(s, d, tgNew)
     },
 
     // DSIR data selection (Xie et al. 2023): importance-resample the
@@ -2725,7 +2720,7 @@ object TextQueries {
 
   /** The per-doc trigram table everything KN derives from: (doc_id,
     * lang, g, tf, w1, w2, w3) — ONE tokenize pass over `docs`. */
-  private def knTrigrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[queries] def knTrigrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = filter(TextFunctions.tokens(col("text")), t => t =!= lit(""))
     docs
       .select(col("doc_id"), col("lang"), toks.as("toks"))
@@ -2742,7 +2737,7 @@ object TextQueries {
 
   /** Corpus-level trigram counts (lang, g, c) — the ONLY persisted KN
     * state: pure sums, so increments merge by (lang, g) sum. */
-  private def knTriCounts(tg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[queries] def knTriCounts(tg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     tg.groupBy(col("lang"), col("g")).agg(sum(col("tf")).as("c"))
 
   /** Score `tg`'s docs against the LM defined by the corpus trigram
@@ -2753,7 +2748,7 @@ object TextQueries {
     * state for exact incremental maintenance (t79) — distinct counts
     * don't merge as sums, but they RE-DERIVE exactly from the merged
     * presence table. */
-  private def knScore(tg: org.apache.spark.sql.DataFrame,
+  private[queries] def knScore(tg: org.apache.spark.sql.DataFrame,
       tri: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val triW = tri.select(col("lang"), col("g"), col("c"),
       substring_index(col("g"), " ", 1).as("w1"),
@@ -2826,13 +2821,32 @@ object TextQueries {
     s.read.parquet(path)
   }
 
+  /** t79/s32's shared oracle: t68's FULL-corpus replay restricted to
+    * the increment docs — any distinct-merge error shifts a
+    * continuation count and fails the hash. LAZY: builds on
+    * knOracleSql, declared after `all`. */
+  private[queries] lazy val knIncrementOracle: String =
+    s"""SELECT doc_id, lang, n_trigrams, surprisal
+       |FROM ($knOracleSql) k WHERE CAST(doc_id % 5 AS INT) = 0
+       |ORDER BY doc_id""".stripMargin
+
+  /** t79/s32's shared serve step: merge the increment's trigram counts
+    * into the stored table by key and score the increment against the
+    * merged LM. */
+  private[queries] def knScoreIncrement(s: org.apache.spark.sql.SparkSession,
+      d: String, tgNew: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val merged = knTriIndex(s, d).unionByName(knTriCounts(tgNew))
+      .groupBy(col("lang"), col("g")).agg(sum(col("c")).as("c"))
+    knScore(tgNew, merged).orderBy(col("doc_id"))
+  }
+
   /** t79's persisted LM state: the OLD corpus's (lang, g, c) trigram
     * counts (doc_id % 5 ≠ 0), written once per data dir and served
     * from parquet — the old text is never re-tokenized at increment
     * time (the t25/t51 stored-index idiom). */
   private val knTriIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def knTriIndex(s: org.apache.spark.sql.SparkSession,
+  private[queries] def knTriIndex(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val path = knTriIndexCache.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory(
