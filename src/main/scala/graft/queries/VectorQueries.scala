@@ -263,6 +263,55 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** v32's full build — clustering, within-block pairs, closure,
+    * keep-rule — shared by the query, the prebuilt writer (v35), and
+    * nothing else: the streaming twin (s31) re-derives the same answer
+    * through the incremental fold. */
+  private def semDedupVerdicts(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val blocking = kmBlocking(s, d)
+    val seeds = blocking.seeds
+    val assigned = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      graft.expressions.VectorOps.nearestCentroid(
+        col("embedding").cast("array<double>"), seeds).as("cluster"))
+    val centDf = seeds.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cluster", "cent")
+    val ranked = assigned.join(broadcast(centDf), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("v"),
+        round(graft.expressions.VectorOps.cosineSimilarity(col("v"), col("cent")), 4)
+          .as("cent_sim"))
+    // candidate pairs within (cluster [, sign-prefix]) blocks — the
+    // prefix bits are 0 until k alone can't bound the cluster size
+    // (SemDedup.prefixBits), so at oracle scales this IS the paper's
+    // exact within-cluster pairwise
+    val pairs = graft.operators.SemDedup.withinBlockPairs(
+      ranked, col("vec_id"), col("v"), col("cluster"),
+      bits = graft.operators.SemDedup.prefixBits(blocking.n, seeds.length),
+      dim = seeds(0).length, eps = 0.35)
+    val comps = graft.operators.Dedup.connectedComponents(pairs)
+    semDedupAssemble(ranked, comps)
+  }
+
+  /** v35's materialized verdict table, written once per data dir. */
+  private val semVerdictCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def prebuiltSemVerdicts(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val path = semVerdictCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamingRelational.scratchBase, "sem-verdicts")
+      sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
+      val p = dir.resolve("t").toString
+      semDedupVerdicts(s, d).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** s31's arrival fixture: the embeddings table (id + double vector)
     * in three ordered micro-batches sliced by vec_id % 3 — an ε-pair's
     * members can arrive two batches apart, which is exactly what the
@@ -889,33 +938,19 @@ object VectorQueries {
     // verdict table a training pipeline consumes. Oracle replays
     // assignment (distSql chains + lowest-index ties), the within-
     // cluster pairs, the recursive closure, and the canonical ranking.
-    QueryDef("v32_semantic_dedup", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      import s.implicits._
-      val blocking = kmBlocking(s, d)
-      val seeds = blocking.seeds
-      val assigned = Tables.embeddings(s, d).select(
-        col("vec_id"),
-        col("embedding").cast("array<double>").as("v"),
-        graft.expressions.VectorOps.nearestCentroid(
-          col("embedding").cast("array<double>"), seeds).as("cluster"))
-      val centDf = seeds.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-        .toSeq.toDF("cluster", "cent")
-      val ranked = assigned.join(broadcast(centDf), Seq("cluster"))
-        .select(col("vec_id"), col("cluster"), col("v"),
-          round(graft.expressions.VectorOps.cosineSimilarity(col("v"), col("cent")), 4)
-            .as("cent_sim"))
-      // candidate pairs within (cluster [, sign-prefix]) blocks — the
-      // prefix bits are 0 until k alone can't bound the cluster size
-      // (SemDedup.prefixBits), so at oracle scales this IS the paper's
-      // exact within-cluster pairwise
-      val pairs = graft.operators.SemDedup.withinBlockPairs(
-        ranked, col("vec_id"), col("v"), col("cluster"),
-        bits = graft.operators.SemDedup.prefixBits(blocking.n, seeds.length),
-        dim = seeds(0).length, eps = 0.35)
-      val comps = graft.operators.Dedup.connectedComponents(pairs)
-      semDedupAssemble(ranked, comps)
-    }, semDedupOracle),
+    QueryDef("v32_semantic_dedup",
+      (s, d) => semDedupVerdicts(s, d), semDedupOracle),
+
+    // v32 in its PRODUCTION shape (the v24→v28 amortization pattern):
+    // the clustering + pairwise + closure + keep-rule run ONCE per
+    // data dir into a materialized verdict table; every additional
+    // consumer (a training-mix builder reading keep flags) pays a bare
+    // 4-column scan — zero kernels, zero joins at serve (plan-gated).
+    // Same oracle as v32 — serving a materialized verdict table must
+    // not change a row.
+    QueryDef("v35_semantic_dedup_prebuilt",
+      (s, d) => prebuiltSemVerdicts(s, d).orderBy(col("vec_id")),
+      semDedupOracle),
 
     // STREAMING SemDeDup (v32's ingestion twin — every other dedup
     // family already has one): embedding batches arrive as

@@ -446,6 +446,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(p.contains("Window"), s"cluster_size is the only computed column:\n$p")
   }
 
+  test("v35: prebuilt SemDeDup verdicts serve with zero kernels and zero joins") {
+    val p = plan("v35_semantic_dedup_prebuilt")
+    assert(nodeFree(p, "cosine") == 0 && nodeFree(p, "nearest_centroid") == 0,
+      s"serving a materialized verdict table must not touch embeddings:\n$p")
+    assert(nodeCount(p, "\\w*Join") == 0, s"serve is scan + sort:\n$p")
+  }
+
   test("q31: bucketed upsert — snapshot side joins in place, only the increment shuffles") {
     val p = plan("q31_bucketed_upsert")
     assert(p.contains("SortMergeJoin FullOuter"), s"upsert is one full-outer merge join:\n$p")
