@@ -332,8 +332,12 @@ object Bench {
     val sf = java.nio.file.Paths.get(sfDir).getFileName.toString
     val totalStr = String.format(java.util.Locale.ROOT, "%.1f", Double.box(total))
     val corrField = corr.map(c => s""""corr":$c,""").getOrElse("")
-    val flagsField = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"qunit":"ms","full":"BENCH_COMPACT.json",$corrField"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"out":${results.count(_.isOutlier)},"flags":$flagsField,"errors":$errs,"sf":"$sf"}"""
+    // flags (the two-run confirmed-regression list) rides the line only
+    // when non-empty — the all-clear case pays zero tail-capture bytes
+    val flagsField =
+      if (flags.isEmpty) ""
+      else s""""flags":${flags.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
+    s"""{"qunit":"ms","full":"BENCH_COMPACT.json",$corrField"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"out":${results.count(_.isOutlier)},$flagsField"errors":$errs,"sf":"$sf"}"""
   }
 
   private def errorsJson(results: Seq[Measurement],
