@@ -195,6 +195,60 @@ object VectorQueries {
 
   private lazy val unfilteredKnnSql: String = multiprobeKnnSql("TRUE")
 
+  /** v02's exact top-10 — also the ladder eval's truth leg (v36). */
+  private val bruteKnnSql: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id AS id,
+      |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)), 4) AS score
+      |FROM embeddings
+      |ORDER BY score DESC, id
+      |LIMIT 10""".stripMargin
+
+  /** v25's full quantization replay — also a v36 ladder leg. */
+  private val sq8KnnSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |x AS (SELECT vec_id, i, v[i] AS val
+      |      FROM e, unnest(generate_series(1, len(v))) AS s(i)),
+      |dims AS (SELECT i, min(val) mn, max(val) mx FROM x GROUP BY i),
+      |q AS (SELECT i, val AS qv FROM x WHERE vec_id = 0),
+      |dq AS (
+      |  SELECT x.vec_id, x.i,
+      |    CASE WHEN d.mx = d.mn THEN d.mn
+      |         ELSE d.mn + least(greatest(floor((x.val - d.mn) / ((d.mx - d.mn) / 255.0) + 0.5), 0), 255)
+      |                     * ((d.mx - d.mn) / 255.0)
+      |    END AS deq
+      |  FROM x JOIN dims d USING (i)),
+      |dist AS (
+      |  SELECT dq.vec_id, round(sum((q.qv - dq.deq) * (q.qv - dq.deq)) + 1e-9, 4) AS qdist
+      |  FROM dq JOIN q ON dq.i = q.i
+      |  GROUP BY dq.vec_id)
+      |SELECT vec_id AS id, qdist FROM dist ORDER BY qdist, id LIMIT 10""".stripMargin
+
+  /** v36's dump-time oracle: every ladder leg's EXISTING oracle SQL
+    * nested verbatim (the v20/v27 whole-oracle-as-leg precedent), hits
+    * counted against the exact top-10 — so the ladder report can only
+    * pass if each rung's published oracle agrees with its published
+    * query AND the recall arithmetic matches. */
+  private def annLadderOracle: Option[String] =
+    for { pq <- pqOracle; ivf <- ivfPqOracle } yield {
+      def leg(name: String, sqlStr: String) =
+        s"SELECT '$name' AS method, id FROM ($sqlStr) ${name}_leg"
+      val legs = Seq(
+        leg("binary", graft.operators.BinaryQuant.oracleSql("vec_id = 0", shortlist = 50, k = 10)),
+        leg("ivfpq", ivf),
+        leg("lsh", unfilteredKnnSql),
+        leg("pq", pq),
+        leg("sq8", sq8KnnSql)).mkString("\nUNION ALL\n")
+      s"""WITH lad_exact AS (SELECT id FROM ($bruteKnnSql) ex_leg),
+         |lad_all AS (
+         |$legs)
+         |SELECT a.method, CAST(count(e.id) AS BIGINT) AS n_hit,
+         |  round(count(e.id) / 10.0 + 1e-9, 4) AS recall
+         |FROM lad_all a LEFT JOIN lad_exact e ON e.id = a.id
+         |GROUP BY a.method
+         |ORDER BY a.method""".stripMargin
+    }
+
   /** Trained PQ codebook per data dir (deterministic: bounded
     * lowest-id sample, fixed Lloyd iterations — [[graft.operators.Pq.train]]),
     * shared between the v10 query run and its dump-time oracle. */
@@ -441,14 +495,7 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     },
 
-    sql(
-      "v02_knn_bruteforce",
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
-        |SELECT vec_id AS id,
-        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)), 4) AS score
-        |FROM embeddings
-        |ORDER BY score DESC, id
-        |LIMIT 10""".stripMargin) { (s, d) =>
+    sql("v02_knn_bruteforce", bruteKnnSql) { (s, d) =>
       Similarity.bruteForceKnn(
         Tables.embeddings(s, d), col("embedding"), col("vec_id"),
         queryVector(s, d), 10)
@@ -1013,24 +1060,7 @@ object VectorQueries {
     // dequantized distances — so a hash-pass pins the exact
     // quantization arithmetic, not merely "some top-10".
     sql(
-      "v25_knn_sq8",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        |x AS (SELECT vec_id, i, v[i] AS val
-        |      FROM e, unnest(generate_series(1, len(v))) AS s(i)),
-        |dims AS (SELECT i, min(val) mn, max(val) mx FROM x GROUP BY i),
-        |q AS (SELECT i, val AS qv FROM x WHERE vec_id = 0),
-        |dq AS (
-        |  SELECT x.vec_id, x.i,
-        |    CASE WHEN d.mx = d.mn THEN d.mn
-        |         ELSE d.mn + least(greatest(floor((x.val - d.mn) / ((d.mx - d.mn) / 255.0) + 0.5), 0), 255)
-        |                     * ((d.mx - d.mn) / 255.0)
-        |    END AS deq
-        |  FROM x JOIN dims d USING (i)),
-        |dist AS (
-        |  SELECT dq.vec_id, round(sum((q.qv - dq.deq) * (q.qv - dq.deq)) + 1e-9, 4) AS qdist
-        |  FROM dq JOIN q ON dq.i = q.i
-        |  GROUP BY dq.vec_id)
-        |SELECT vec_id AS id, qdist FROM dist ORDER BY qdist, id LIMIT 10""".stripMargin) { (s, d) =>
+      "v25_knn_sq8", sq8KnnSql) { (s, d) =>
       import graft.operators.Sq
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -1086,6 +1116,35 @@ object VectorQueries {
         .select(col("cluster").cast("int").as("cluster"), col("vec_id"), col("w"))
         .orderBy(col("cluster"), col("vec_id"))
     }, clusterSampleOracle),
+
+    // ANN recall LADDER (v36) — the eval table a pipeline reads to
+    // pick its serving rung: recall@10 vs the exact top-10 for every
+    // compression/bucketing method (multiprobe LSH, PQ/ADC, IVFADC,
+    // SQ8, 1-bit binary), computed by DRIVING the published query
+    // surface itself (each leg is the registered query verbatim, so
+    // the report can never drift from what users actually run). The
+    // corpus embeddings are unit-norm, so the cosine-exact truth leg
+    // is simultaneously the L2 truth — no metric mismatch against the
+    // distance-ranked rungs (checked: exact L2 top-10 == cosine
+    // top-10). The low pq/ivfpq/lsh numbers at bench scale are the
+    // honest story of their parameters (m=8/k=16 codebook, 2 probes,
+    // minimal-radius buckets) — exactly the signal this table exists
+    // to surface. The oracle nests every leg's published oracle SQL
+    // (the v20/v27 whole-oracle-as-leg form) — a hash-pass certifies
+    // both the recall arithmetic and the whole ladder's consistency.
+    QueryDef("v36_ann_recall_ladder", (s, d) => {
+      def ids(n: String) = graft.SparkEntry.queries(n)(s, d).select(col("id"))
+      val exact = ids("v02_knn_bruteforce").withColumn("hit", lit(1))
+      Seq("binary" -> "v33_knn_binary", "ivfpq" -> "v11_knn_ivfpq",
+        "lsh" -> "v03_knn_lsh", "pq" -> "v10_knn_pq", "sq8" -> "v25_knn_sq8")
+        .map { case (m, qn) => ids(qn).withColumn("method", lit(m)) }
+        .reduce(_ unionByName _)
+        .join(broadcast(exact), Seq("id"), "left")
+        .groupBy(col("method"))
+        .agg(count(col("hit")).as("n_hit"),
+          round(count(col("hit")) / 10.0 + 1e-9, 4).as("recall"))
+        .orderBy(col("method"))
+    }, annLadderOracle),
 
     // Late-interaction retrieval (ColBERT MaxSim): the 64-dim
     // embedding chunked into 8 token sub-vectors of 8 dims; score =
