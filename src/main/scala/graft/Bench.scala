@@ -337,7 +337,10 @@ object Bench {
     val flagsField =
       if (flags.isEmpty) ""
       else s""""flags":${flags.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
-    s"""{"qunit":"ms","full":"BENCH_COMPACT.json",$corrField"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"out":${results.count(_.isOutlier)},$flagsField"errors":$errs,"sf":"$sf"}"""
+    // errors, like flags, rides only when non-empty — the all-green
+    // line stays minimal (consumers treat a missing map as empty)
+    val errsField = if (errs == "{}") "" else s""""errors":$errs,"""
+    s"""{"qunit":"ms","full":"BENCH_COMPACT.json",$corrField"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"out":${results.count(_.isOutlier)},$flagsField$errsField"sf":"$sf"}"""
   }
 
   private def errorsJson(results: Seq[Measurement],
