@@ -55,7 +55,11 @@ object ImageIoPixels {
     if (b == null || b.length < 16) return null
     var iis: javax.imageio.stream.ImageInputStream = null
     try {
-      iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream keeps decoding fully in-memory: the
+      // default createImageInputStream path spools through a temp FILE
+      // per row, and on a read-only/full tmp dir the IOException would
+      // be swallowed into a silent all-NULL column.
+      iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(b))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return null
@@ -65,7 +69,7 @@ object ImageIoPixels {
         // header-declared dims, checked BEFORE any pixel allocation
         val w = reader.getWidth(0)
         val h = reader.getHeight(0)
-        if (w < 9 || h < 8 || w > 4096 || h > 4096 ||
+        if (w < 1 || h < 1 || w > 4096 || h > 4096 ||
           w.toLong * h > MaxPixels) return null
         val img = reader.read(0)
         if (img == null || img.getWidth != w || img.getHeight != h) return null
@@ -143,10 +147,13 @@ object ImageIoPixels {
     InternalRow(w, h, sum, mn, mx, chk)
   }
 
-  /** Boxed entry for the Catalyst layer: Long dHash or null. */
+  /** Boxed entry for the Catalyst layer: Long dHash or null. The 9×8
+    * floor is the dHash GRID minimum and applies only here — stats and
+    * resize accept any decodable dims (a 3×3 icon has features even
+    * though it has no difference hash). */
   def dhashImpl(b: Array[Byte]): java.lang.Long = {
     val d = decodeLuma(b)
-    if (d == null) null
+    if (d == null || d._1 < 9 || d._2 < 8) null
     else java.lang.Long.valueOf(PixelHashImpl.dhashOf(d._1, d._2, d._3))
   }
 

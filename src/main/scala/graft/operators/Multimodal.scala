@@ -214,7 +214,11 @@ object Multimodal {
     * re-encode lands in the same perceptual bucket" from a
     * probabilistic claim into an oracle-solid one. */
   def m12Block(d: Long, br: Int, bc: Int): Int = {
-    val mix = d * 31 + bc * 7 + br * 13 + bc.toLong * br + d * bc + 2 * d * br
+    // mix is reduced mod the prime BEFORE the Knuth multiply so the
+    // product stays ~2^51 — no Long wrap at any doc_id, and the DuckDB
+    // oracle (which would NOT wrap) evaluates the identical value.
+    val mix = (d * 31 + bc * 7 + br * 13 + bc.toLong * br + d * bc +
+      2 * d * br) % 1000003L
     ((((mix * 2654435761L) % 1000003L) % 12L) * 17L + 25L).toInt
   }
 
@@ -348,7 +352,7 @@ object Multimodal {
   def m14W(d: Long): Int = (20 + d % 13).toInt
   def m14H(d: Long): Int = (16 + (d * 3) % 11).toInt
   def m14Px(d: Long, x: Int, y: Int): Int =
-    ((d * 31 + y.toLong * m14W(d) + x.toLong * 7) % 256).toInt
+    ((d % 1000003L * 31 + y.toLong * m14W(d) + x.toLong * 7) % 256).toInt
 
   def encodePngTextured(d: Long): Array[Byte] = {
     val w = m14W(d); val h = m14H(d)

@@ -248,7 +248,7 @@ object MultimodalQueries {
     * the hostile blob decodes to NULL → never pairs). */
   private val m12OracleSql: String = {
     val blockSql =
-      "((((d*31 + bc*7 + br*13 + bc*br + d*bc + 2*d*br) * 2654435761) % 1000003) % 12) * 17 + 25"
+      "(((((d*31 + bc*7 + br*13 + bc*br + d*bc + 2*d*br) % 1000003) * 2654435761) % 1000003) % 12) * 17 + 25"
     s"""WITH m12d AS (SELECT doc_id AS d FROM documents WHERE CAST(doc_id % 8 AS INT) = 1),
        |px AS (
        |  SELECT d, k, $blockSql AS p
@@ -259,11 +259,11 @@ object MultimodalQueries {
        |    CAST(sum(p * (1 + k % 97)) AS BIGINT) AS checksum
        |  FROM px GROUP BY d),
        |rows_ AS (
-       |  SELECT d, d AS id, 'png24' AS enc, TRUE AS lossless, TRUE AS ok FROM m12d
-       |  UNION ALL SELECT d, d + 10000000, 'png8', TRUE, TRUE FROM m12d
-       |  UNION ALL SELECT d, d + 20000000, 'jpeg', FALSE, TRUE FROM m12d
-       |  UNION ALL SELECT d, d + 40000000, 'gif', TRUE, TRUE FROM m12d
-       |  UNION ALL SELECT d, d + 30000000, 'hostile', FALSE, FALSE FROM m12d
+       |  SELECT d, d * 8 AS id, 'png24' AS enc, TRUE AS lossless, TRUE AS ok FROM m12d
+       |  UNION ALL SELECT d, d * 8 + 1, 'png8', TRUE, TRUE FROM m12d
+       |  UNION ALL SELECT d, d * 8 + 2, 'jpeg', FALSE, TRUE FROM m12d
+       |  UNION ALL SELECT d, d * 8 + 4, 'gif', TRUE, TRUE FROM m12d
+       |  UNION ALL SELECT d, d * 8 + 3, 'hostile', FALSE, FALSE FROM m12d
        |    WHERE CAST(d % 16 AS INT) = 1)
        |SELECT r.id, r.enc,
        |  CASE WHEN r.ok THEN 72 END AS width,
@@ -374,14 +374,16 @@ object MultimodalQueries {
       val ids = Tables.documents(s, d)
         .filter(expr("CAST(doc_id % 8 AS INT) = 1"))
         .select(col("doc_id")).as[Long]
+      // Arm ids are doc_id*8 + armIndex — collision-free at ANY corpus
+      // size (the old +1e7 offsets alias once doc_ids pass 10M).
       val imgs = ids.flatMap { id =>
         val base = Seq(
-          (id, "png24", Multimodal.encodePng24(id)),
-          (id + 10000000L, "png8", Multimodal.encodePng8(id)),
-          (id + 20000000L, "jpeg", Multimodal.encodeJpeg(id)),
-          (id + 40000000L, "gif", Multimodal.encodeGif(id)))
+          (id * 8, "png24", Multimodal.encodePng24(id)),
+          (id * 8 + 1, "png8", Multimodal.encodePng8(id)),
+          (id * 8 + 2, "jpeg", Multimodal.encodeJpeg(id)),
+          (id * 8 + 4, "gif", Multimodal.encodeGif(id)))
         if (id % 16 == 1)
-          base :+ ((id + 30000000L, "hostile", Multimodal.encodePng24(id).take(24)))
+          base :+ ((id * 8 + 3, "hostile", Multimodal.encodePng24(id).take(24)))
         else base
       }.toDF("id", "enc", "payload")
       val feat = imgs.select(col("id"), col("enc"),
@@ -420,7 +422,7 @@ object MultimodalQueries {
         |  FROM documents WHERE CAST(doc_id % 4 AS INT) = 1),
         |rpx AS (
         |  SELECT doc_id, w, h, k % w AS x, k // w AS y,
-        |    (doc_id * 31 + (k // w) * w + (k % w) * 7) % 256 AS p
+        |    (doc_id % 1000003 * 31 + (k // w) * w + (k % w) * 7) % 256 AS p
         |  FROM mp, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS k) kk),
         |cells AS (
         |  SELECT doc_id, w, h, (y * 5) // h AS cy, (x * 7) // w AS cx,
