@@ -212,18 +212,21 @@ object Similarity {
     * regions — probing by hamming radius is probe-ordering by
     * collision probability.
     *
-    * `overProbe` is the candidate-oversampling factor: the radius grows
-    * until ≥ overProbe·k candidates are in scope (still exactly k
-    * returned). A true neighbor that disagrees with the query on one
-    * plane sits at hamming 1; oversampling is what pulls those buckets
-    * in even when the query's own bucket already holds k rows —
-    * recall rises steeply with it, scan breadth linearly. */
+    * The radius grows until the CANDIDATE BUDGET is in scope (still
+    * exactly k returned): corpus-derived via
+    * [[AnnParams.candidateBudget]] from the histogram's own total —
+    * `min(n, max(3k, ⌈6·√(n·k)⌉))` — unless `minCandidates` overrides
+    * it. A true neighbor that disagrees with the query on one plane
+    * sits at hamming 1; the budget is what pulls those buckets in even
+    * when the query's own bucket already holds k rows — recall rises
+    * steeply with it, scan breadth linearly (measured floors in
+    * RecallSpec). */
   def lshKnn(df: DataFrame, embCol: Column, idCol: Column,
       query: Array[Double], k: Int, nBits: Int = 8, seed: Long = 42L,
-      overProbe: Int = 3): DataFrame =
+      minCandidates: Long = 0L): DataFrame =
     lshKnnOnIndex(
       lshBuckets(df, embCol, idCol, nBits, seed, dim = query.length),
-      query, k, nBits, seed, overProbe)
+      query, k, nBits, seed, minCandidates)
 
   /** [[lshKnn]] against a PREBUILT bucket index — the serving shape.
     * `bucketed` is [[lshBuckets]] output (id, emb, bucket), typically
@@ -243,7 +246,7 @@ object Similarity {
     * whose centroids/codebooks drift as the corpus grows and need a
     * re-train-and-rebuild policy. */
   def lshKnnOnIndex(bucketed: DataFrame, query: Array[Double], k: Int,
-      nBits: Int = 8, seed: Long = 42L, overProbe: Int = 3): DataFrame = {
+      nBits: Int = 8, seed: Long = 42L, minCandidates: Long = 0L): DataFrame = {
     val planes = hyperplanes(nBits, query.length, seed)
     val qSig = planes.zipWithIndex.map { case (p, i) =>
       val d = p.zip(query).map { case (a, b) => a * b }.sum
@@ -261,7 +264,14 @@ object Similarity {
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap
     val cumulative = (0 to nBits).scanLeft(0L)((c, r) => c + byRadius.getOrElse(r, 0L)).tail
-    val radius = cumulative.indexWhere(_ >= k.toLong * overProbe) match {
+    // candidate budget from the histogram's own total — one driver-side
+    // formula, no extra scan (the oracle computes the identical value
+    // from count(*) over the same filtered corpus)
+    val total = cumulative.last
+    val budget =
+      if (minCandidates > 0L) math.min(minCandidates, math.max(total, 1L))
+      else AnnParams.candidateBudget(total, k)
+    val radius = cumulative.indexWhere(_ >= budget) match {
       case -1 => nBits // not enough rows in total: scan everything
       case r  => r
     }
@@ -331,8 +341,10 @@ object Similarity {
     *  1. query signatures via the fused kernel (one scan of `queries`);
     *  2. the bucket-occupancy table (≤ 2^nBits rows — index metadata)
     *     broadcasts; each query's hamming-distance histogram, running
-    *     total, and minimal radius with ≥ overProbe·k candidates are
-    *     one groupBy + window + groupBy chain over |Q|·2^nBits rows;
+    *     total, and minimal radius reaching the corpus-derived
+    *     candidate budget ([[AnnParams.candidateBudget]], computed
+    *     engine-side from the histogram's own total) are one groupBy +
+    *     window + groupBy chain over |Q|·2^nBits rows;
     *  3. the probe set (qid, bucket ≤ radius) broadcasts into an
     *     equi-join against the bucket index — on a bucket-partitioned
     *     index the scan prunes to probed buckets (v07's layout);
@@ -348,8 +360,8 @@ object Similarity {
     * duplicate probe rows — silently corrupting the radius AND the
     * top-k). Output: (qid, id, score, rk), rk = 1..k. */
   def lshKnnBatch(bucketed: DataFrame, queries: DataFrame, qembCol: Column,
-      qidCol: Column, dim: Int, k: Int, nBits: Int = 8, seed: Long = 42L,
-      overProbe: Int = 3): DataFrame = {
+      qidCol: Column, dim: Int, k: Int, nBits: Int = 8,
+      seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(nBits, dim, seed)
     // null embeddings drop BEFORE the qid-dedup, so a (valid, null)
     // duplicate pair can never collapse to the null row and silently
@@ -369,14 +381,22 @@ object Similarity {
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"hd")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // corpus-derived candidate budget, computed ENGINE-SIDE from the
+    // histogram's own total (a full-partition window over ≤ nBits+1
+    // rows per query) — Spark's ceil/sqrt and the oracle's evaluate
+    // the same IEEE doubles, so the derived radius matches bit-for-bit
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy($"qid")
     val radii = q.crossJoin(broadcast(counts))
       .select($"qid", bit_count($"bucket".bitwiseXOR($"qsig")).as("hd"), $"n")
       .groupBy($"qid", $"hd").agg(sum($"n").as("bn"))
       .withColumn("cum", sum($"bn").over(wq))
+      .withColumn("total", sum($"bn").over(wt))
+      .withColumn("budget", least($"total",
+        greatest(lit(3L * k), ceil(lit(6.0) * sqrt($"total" * k)))))
       .groupBy($"qid")
-      // smallest radius whose cumulative occupancy reaches overProbe·k;
+      // smallest radius whose cumulative occupancy reaches the budget;
       // a corpus with fewer rows in total scans everything (radius nBits)
-      .agg(min(when($"cum" >= k.toLong * overProbe, $"hd")).as("rsel"))
+      .agg(min(when($"cum" >= $"budget", $"hd")).as("rsel"))
       .select($"qid", coalesce($"rsel", lit(nBits)).as("radius"))
     // probes broadcast as bare (qid, bucket): at wide radii a query
     // probes up to 2^nBits buckets, and rows carrying qemb would

@@ -11,7 +11,11 @@ import graft.queries.QueryDef.sql
   * claim. */
 object StreamingQueries {
 
-  val all: Seq[QueryDef] = Seq(
+  // `def`, not `val`: s31/s32's trained-state oracles and s07's
+  // corpus-derived ANN oracle are built at DUMP time (after the
+  // queries ran — the VectorQueries.all precedent), so the QueryDef
+  // seq must re-evaluate when Verify reads oracleSql.
+  def all: Seq[QueryDef] = Seq(
 
     // Watermarked tumbling window (1h) per event type.
     sql(
@@ -167,18 +171,18 @@ object StreamingQueries {
     // per-request independence makes the answer invariant to the
     // stream's batch slicing, which is exactly what the shared batch
     // oracle (v15's SQL, this query's qid predicate) verifies.
-    sql(
-      "s07_stream_semantic_search",
-      VectorQueries.batchedKnnSqlFor("vec_id % 50 = 0")) { (s, d) =>
+    QueryDef("s07_stream_semantic_search", (s, d) =>
       StreamingRelational.oneShotServe(s,
           StreamingRelational.embeddingsStream(s, d)
             .filter(col("vec_id") % 50 === 0),
           batch => graft.operators.Similarity.lshKnnBatch(
             VectorQueries.servedIndex(s, d), batch,
             col("embedding"), col("vec_id"),
-            dim = VectorQueries.EmbDim, k = 10, nBits = 4))
-        .orderBy(col("qid"), col("rk"))
-    },
+            dim = VectorQueries.EmbDim, k = 10,
+            nBits = VectorQueries.annConfig(s, d).nBits))
+        .orderBy(col("qid"), col("rk")),
+      VectorQueries.soleAnnConfig.map(
+        VectorQueries.batchedKnnSqlFor(_, "vec_id % 50 = 0"))),
 
     // STREAMING incremental-aggregate maintenance: q37's state loop
     // with the increment arriving as a stream — each micro-batch

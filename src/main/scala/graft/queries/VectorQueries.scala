@@ -21,6 +21,46 @@ object VectorQueries {
   /** The embeddings table is 64-wide at every SF (FIXTURES.md §2). */
   private[graft] val EmbDim = 64
 
+  /** Corpus-derived ANN serving parameters per data dir — the
+    * [[graft.operators.AnnParams]] curves evaluated once on a cheap
+    * count (round-13 verdict item #1: no hardcoded nBits/PQ-m/nProbe).
+    * Shared between every query build and its dump-time oracle — the
+    * pqCache pattern, so the two sides cannot disagree. */
+  private[graft] final case class AnnConfig(n: Long, nBits: Int, pqM: Int, pqCodes: Int) {
+    /** Shortlist depth for rerank-style rungs (binary, v18). */
+    def budget(k: Int): Long = graft.operators.AnnParams.candidateBudget(n, k)
+  }
+
+  private val annCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnnConfig]()
+
+  private[graft] def annConfig(s: org.apache.spark.sql.SparkSession, d: String): AnnConfig =
+    annCache.computeIfAbsent(d, _ => {
+      val n = kmBlocking(s, d).n
+      AnnConfig(n, graft.operators.AnnParams.nBits(n),
+        graft.operators.AnnParams.pqM(EmbDim), graft.operators.AnnParams.pqCodes(n))
+    })
+
+  /** Dump-time config for the oracles — unambiguous only when exactly
+    * one dir ran in this JVM (the Verify flow; pqCache precedent). */
+  private[graft] def soleAnnConfig: Option[AnnConfig] = {
+    val cs = new java.util.ArrayList(annCache.values())
+    if (cs.size == 1) Some(cs.get(0)) else None
+  }
+
+  /** Corpus-derived IVF probe width for the v11/v16/v17/v18/v21/v22
+    * family: enough of the trained coarse lists to cover the candidate
+    * budget ([[graft.operators.AnnParams.nProbe]]). */
+  private def ivfNProbe(s: org.apache.spark.sql.SparkSession, d: String, k: Int = 10): Int =
+    graft.operators.AnnParams.nProbe(
+      graft.GngQueries.trained(s, d).centroids.length, annConfig(s, d).n, k)
+
+  /** The oracle twin of [[ivfNProbe]], from the dump-time sole model +
+    * config. */
+  private def soleIvfNProbe(k: Int = 10): Option[Int] =
+    for { cs <- graft.GngQueries.soleTrainedCentroids; cfg <- soleAnnConfig }
+      yield graft.operators.AnnParams.nProbe(cs.length, cfg.n, k)
+
   /** Prebuilt LSH bucket index per data dir — the SERVING shape:
     * [[Similarity.lshBuckets]] output written ONCE as parquet
     * `partitionBy("bucket")`, then read back so every
@@ -36,7 +76,7 @@ object VectorQueries {
         graft.streaming.StreamingRelational.scratchBase, "lsh-index")
       sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
       Similarity.lshBuckets(Tables.embeddings(s, d), col("embedding"), col("vec_id"),
-          nBits = 4, dim = EmbDim)
+          nBits = annConfig(s, d).nBits, dim = EmbDim)
         .write.mode("overwrite").partitionBy("bucket").parquet(dir.toString)
       dir.toString
     })
@@ -129,7 +169,8 @@ object VectorQueries {
         graft.streaming.StreamingRelational.scratchBase, "lsh-del-index")
       sys.addShutdownHook(graft.streaming.StreamingRelational.deleteRecursively(dir))
       val emb = Tables.embeddings(s, d)
-      Similarity.lshBuckets(emb, col("embedding"), col("vec_id"), nBits = 4, dim = EmbDim)
+      Similarity.lshBuckets(emb, col("embedding"), col("vec_id"),
+          nBits = annConfig(s, d).nBits, dim = EmbDim)
         .write.mode("overwrite").partitionBy("bucket").parquet(dir.toString)
       Similarity.lshTombstones(s.read.parquet(dir.toString),
           emb.filter(col("vec_id") % 10 === 3), col("vec_id"))
@@ -172,28 +213,35 @@ object VectorQueries {
 
   /** Shared oracle for v03 (online), v07 (served index), and v14
     * (filtered) — LSH multiprobe kNN with the seeded hyperplanes
-    * inlined as constants and the SAME minimal hamming radius derived
-    * from the bucket histogram (cumulative count by hamming distance,
-    * >= overProbe*k = 30 candidates). `corpusPred` restricts the
+    * inlined as constants (width = the corpus-derived `cfg.nBits`) and
+    * the SAME minimal hamming radius derived from the bucket histogram
+    * (cumulative count by hamming distance reaching the corpus-derived
+    * candidate budget — [[graft.operators.AnnParams.budgetSql]], the
+    * IEEE twin of the Scala derivation). `corpusPred` restricts the
     * CORPUS (histogram AND ranking — the pre-filter must come before
-    * the radius choice or the exact-k guarantee is lost); the query
-    * vector always comes from the unfiltered table. */
-  private def multiprobeKnnSql(corpusPred: String, k: Int = 10): String = {
-    val planes = Similarity.hyperplanes(4, EmbDim)
+    * the radius choice or the exact-k guarantee is lost; the budget's
+    * count(*) sees the same filtered corpus the Scala histogram
+    * totals); the query vector always comes from the unfiltered
+    * table. DUMP-TIME ONLY: needs [[soleAnnConfig]]. */
+  private def multiprobeKnnSql(cfg: AnnConfig, corpusPred: String,
+      k: Int = 10): String = {
+    val planes = Similarity.hyperplanes(cfg.nBits, EmbDim)
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |s AS (SELECT vec_id, label, v, ${sigSql("v", planes)} AS bucket FROM e),
        |q AS (SELECT bucket AS qb, v AS qv FROM s WHERE vec_id = 0),
        |ds AS (SELECT vec_id, v, bit_count(xor(bucket, (SELECT qb FROM q))) AS hd
        |       FROM s WHERE $corpusPred),
        |cum AS (SELECT hd, sum(count(*)) OVER (ORDER BY hd) AS c FROM ds GROUP BY hd),
-       |r AS (SELECT coalesce(min(hd), 4) AS rsel FROM cum WHERE c >= ${3 * k})
+       |r AS (SELECT coalesce(min(hd), ${cfg.nBits}) AS rsel FROM cum
+       |      WHERE c >= (SELECT ${graft.operators.AnnParams.budgetSql(k)} FROM ds))
        |SELECT vec_id AS id,
        |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 4) AS score
        |FROM ds WHERE hd <= (SELECT rsel FROM r)
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
-  private lazy val unfilteredKnnSql: String = multiprobeKnnSql("TRUE")
+  private def unfilteredKnnSql: Option[String] =
+    soleAnnConfig.map(multiprobeKnnSql(_, "TRUE"))
 
   /** v02's exact top-10 — also the ladder eval's truth leg (v36). */
   private val bruteKnnSql: String =
@@ -230,13 +278,19 @@ object VectorQueries {
     * pass if each rung's published oracle agrees with its published
     * query AND the recall arithmetic matches. */
   private def annLadderOracle: Option[String] =
-    for { pq <- pqOracle; ivf <- ivfPqOracle } yield {
+    for { cfg <- soleAnnConfig; pq <- pqOracle; ivf <- ivfPqOracle;
+          rr <- rerankOracle } yield {
       def leg(name: String, sqlStr: String) =
         s"SELECT '$name' AS method, id FROM ($sqlStr) ${name}_leg"
       val legs = Seq(
-        leg("binary", graft.operators.BinaryQuant.oracleSql("vec_id = 0", shortlist = 50, k = 10)),
+        leg("binary", graft.operators.BinaryQuant.oracleSql("vec_id = 0",
+          shortlist = cfg.budget(10).toInt, k = 10)),
         leg("ivfpq", ivf),
-        leg("lsh", unfilteredKnnSql),
+        // the REFINED serving rung (v18's ADC-shortlist → exact-rerank
+        // for query 0) — the config the ladder exists to recommend;
+        // the raw ADC rungs above it publish the memory-bound ceiling
+        leg("ivfpq_rf", s"SELECT id FROM ($rr) rr_all WHERE qid = 0"),
+        leg("lsh", multiprobeKnnSql(cfg, "TRUE")),
         leg("pq", pq),
         leg("sq8", sq8KnnSql)).mkString("\nUNION ALL\n")
       s"""WITH lad_exact AS (SELECT id FROM ($bruteKnnSql) ex_leg),
@@ -256,9 +310,11 @@ object VectorQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
 
   private def pqCodebook(s: org.apache.spark.sql.SparkSession, d: String) =
-    pqCache.computeIfAbsent(d, _ =>
+    pqCache.computeIfAbsent(d, _ => {
+      val cfg = annConfig(s, d)
       graft.operators.Pq.train(Tables.embeddings(s, d), col("embedding"),
-        col("vec_id"), m = 8, k = 16))
+        col("vec_id"), m = cfg.pqM, k = cfg.pqCodes)
+    })
 
   /** Dump-time codebook for the oracle — unambiguous only when exactly
     * one dir trained in this JVM (the Verify flow; GngQueries
@@ -502,17 +558,18 @@ object VectorQueries {
     },
 
     // LSH-bucketed kNN with multiprobe: exact cosine ranking within the
-    // smallest hamming radius of the query's bucket holding >=
-    // overProbe*k = 30 candidates. Fully oracled — the seeded
-    // hyperplanes inline as constants (see sigSql) and the oracle
-    // derives the SAME minimal radius from the bucket histogram
+    // smallest hamming radius of the query's bucket reaching the
+    // corpus-derived candidate budget (AnnParams — signature width and
+    // budget are both curves of n, never constants). Fully oracled —
+    // the seeded hyperplanes inline as constants (see sigSql) and the
+    // oracle derives the SAME minimal radius from the bucket histogram
     // (cumulative count by hamming distance), so the probe set matches
     // deterministically.
-    sql("v03_knn_lsh", unfilteredKnnSql) { (s, d) =>
+    QueryDef("v03_knn_lsh", (s, d) =>
       Similarity.lshKnn(
         Tables.embeddings(s, d), col("embedding"), col("vec_id"),
-        queryVector(s, d), 10, nBits = 4)
-    },
+        queryVector(s, d), 10, nBits = annConfig(s, d).nBits),
+      unfilteredKnnSql),
 
     // The same multiprobe kNN served from the PREBUILT partitioned
     // bucket index (written once per JVM, partitionBy("bucket")): the
@@ -520,24 +577,24 @@ object VectorQueries {
     // prunes to the probed buckets' partitions (PartitionFilters gate
     // in PlanQualitySpec). Same oracle as v03 — the served answer must
     // be indistinguishable from the online one.
-    sql("v07_knn_served", unfilteredKnnSql) { (s, d) =>
-      Similarity.lshKnnOnIndex(servedIndex(s, d), queryVector(s, d), 10, nBits = 4)
-    },
+    QueryDef("v07_knn_served", (s, d) =>
+      Similarity.lshKnnOnIndex(servedIndex(s, d), queryVector(s, d), 10,
+        nBits = annConfig(s, d).nBits),
+      unfilteredKnnSql),
 
     // LSH bucket histogram: shows the signature computation + distribution.
-    sql(
-      "v04_lsh_buckets", {
-        val planes = Similarity.hyperplanes(4, EmbDim)
+    QueryDef("v04_lsh_buckets", (s, d) =>
+      Similarity.lshBuckets(Tables.embeddings(s, d), col("embedding"), col("vec_id"),
+          nBits = annConfig(s, d).nBits, dim = EmbDim)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket")),
+      soleAnnConfig.map { cfg =>
+        val planes = Similarity.hyperplanes(cfg.nBits, EmbDim)
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
            |SELECT ${sigSql("v", planes)} AS bucket, count(*) AS n
            |FROM e GROUP BY 1 ORDER BY bucket""".stripMargin
-      }) { (s, d) =>
-      Similarity.lshBuckets(Tables.embeddings(s, d), col("embedding"), col("vec_id"), nBits = 4,
-          dim = EmbDim)
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("bucket"))
-    },
+      }),
 
     // Embedding cosine near-dup pairs via LSH self-join + exact verify.
     // Threshold calibrated to the synthetic embeddings (max pairwise
@@ -571,21 +628,20 @@ object VectorQueries {
     // (vec_id ⇔ doc_id — FIXTURES §2) — what a retrieval endpoint
     // returns. The 10-row kNN side broadcasts into the metadata join;
     // the corpus is touched only by the kNN scans.
-    sql(
-      "v08_semantic_search",
-      s"""WITH knn AS ($unfilteredKnnSql)
-         |SELECT k.id, k.score, d.lang, d.n_chars
-         |FROM knn k JOIN documents d ON k.id = d.doc_id
-         |ORDER BY k.score DESC, k.id""".stripMargin) { (s, d) =>
+    QueryDef("v08_semantic_search", (s, d) => {
       val knn = Similarity.lshKnn(
         Tables.embeddings(s, d), col("embedding"), col("vec_id"),
-        queryVector(s, d), 10, nBits = 4)
+        queryVector(s, d), 10, nBits = annConfig(s, d).nBits)
       knn.join(
           Tables.documents(s, d).select(col("doc_id").as("id"), col("lang"), col("n_chars")),
           "id")
         .select(col("id"), col("score"), col("lang"), col("n_chars"))
         .orderBy(col("score").desc, col("id"))
-    },
+    }, soleAnnConfig.map(cfg =>
+      s"""WITH knn AS (${multiprobeKnnSql(cfg, "TRUE")})
+         |SELECT k.id, k.score, d.lang, d.n_chars
+         |FROM knn k JOIN documents d ON k.id = d.doc_id
+         |ORDER BY k.score DESC, k.id""".stripMargin)),
 
     // Per-label centroid pooling: elementwise mean embedding per class
     // in ONE aggregate — vectors sum WHOLE through the custom
@@ -634,7 +690,7 @@ object VectorQueries {
       Similarity.ivfKnn(
         Tables.embeddings(s, d), col("embedding"), col("vec_id"),
         graft.GngQueries.trained(s, d).centroids,
-        queryVector(s, d), k = 10, nProbe = 2),
+        queryVector(s, d), k = 10, nProbe = ivfNProbe(s, d)),
       ivfOracle),
 
     // Product-quantization ANN: top-10 by asymmetric (ADC) distance
@@ -657,7 +713,7 @@ object VectorQueries {
       graft.operators.Pq.ivfPqKnn(
         Tables.embeddings(s, d), col("embedding"), col("vec_id"),
         graft.GngQueries.trained(s, d).centroids, pqCodebook(s, d),
-        queryVector(s, d), k = 10, nProbe = 2),
+        queryVector(s, d), k = 10, nProbe = ivfNProbe(s, d)),
       ivfPqOracle),
 
     // IVFADC served from the PREBUILT partitioned-parquet index
@@ -671,7 +727,7 @@ object VectorQueries {
       graft.operators.Pq.ivfPqKnnOnIndex(
         servedIvfPqIndex(s, d),
         graft.GngQueries.trained(s, d).centroids, pqCodebook(s, d),
-        queryVector(s, d), k = 10, nProbe = 2),
+        queryVector(s, d), k = 10, nProbe = ivfNProbe(s, d)),
       ivfPqOracle),
 
     // BATCHED IVFADC serving (the ADC twin of v15): three query
@@ -686,7 +742,7 @@ object VectorQueries {
           Tables.embeddings(s, d).filter(col("vec_id").isin(0L, 17L, 42L)),
           col("embedding"), col("vec_id"),
           graft.GngQueries.trained(s, d).centroids, pqCodebook(s, d),
-          k = 10, nProbe = 2)
+          k = 10, nProbe = ivfNProbe(s, d))
         .orderBy(col("qid"), col("rk")),
       batchedIvfPqOracle),
 
@@ -703,7 +759,8 @@ object VectorQueries {
           Tables.embeddings(s, d).filter(col("vec_id").isin(0L, 17L, 42L)),
           col("embedding"), col("vec_id"),
           graft.GngQueries.trained(s, d).centroids, pqCodebook(s, d),
-          k = 10, shortlist = 50, nProbe = 2)
+          k = 10, shortlist = annConfig(s, d).budget(10).toInt,
+          nProbe = ivfNProbe(s, d))
         .orderBy(col("qid"), col("rk")),
       rerankOracle),
 
@@ -735,12 +792,12 @@ object VectorQueries {
     // the filter bites). The label predicate pushes into the parquet
     // scan (plan-gated); the query vector still comes from the
     // unfiltered table.
-    sql("v14_knn_filtered", multiprobeKnnSql("label >= 5")) { (s, d) =>
+    QueryDef("v14_knn_filtered", (s, d) =>
       Similarity.lshKnn(
         Tables.embeddings(s, d).filter(col("label") >= 5),
         col("embedding"), col("vec_id"),
-        queryVector(s, d), 10, nBits = 4)
-    },
+        queryVector(s, d), 10, nBits = annConfig(s, d).nBits),
+      soleAnnConfig.map(multiprobeKnnSql(_, "label >= 5"))),
 
     // BATCHED ANN serving: three query vectors against the served
     // bucket index in ONE plan — per-query histogram, radius, probe
@@ -748,13 +805,14 @@ object VectorQueries {
     // v03/v07 collect a histogram per call). Oracle: v03's multiprobe
     // SQL applied per query via LATERAL, so each query's answer is the
     // single-query oracle's answer verbatim.
-    sql("v15_knn_batch", batchedKnnSql) { (s, d) =>
+    QueryDef("v15_knn_batch", (s, d) =>
       Similarity.lshKnnBatch(
           servedIndex(s, d),
           Tables.embeddings(s, d).filter(col("vec_id").isin(0L, 17L, 42L)),
-          col("embedding"), col("vec_id"), dim = EmbDim, k = 10, nBits = 4)
-        .orderBy(col("qid"), col("rk"))
-    },
+          col("embedding"), col("vec_id"), dim = EmbDim, k = 10,
+          nBits = annConfig(s, d).nBits)
+        .orderBy(col("qid"), col("rk")),
+      batchedKnnSql),
 
     // HYBRID retrieval: the modern search-engine composition — BM25
     // keyword top-20 (t37's index) and multiprobe ANN top-20 (v03's
@@ -766,21 +824,7 @@ object VectorQueries {
     // moves. RRF is rounded BEFORE the final ranking (t37's
     // k-boundary discipline) and the oracle recomputes both legs and
     // the fusion declaratively.
-    sql(
-      "v27_hybrid_search", {
-        s"""WITH kw AS (
-           |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS kwrank
-           |  FROM (${TextQueries.bm25Sql(20)})),
-           |sem AS (
-           |  SELECT id AS doc_id, row_number() OVER (ORDER BY score DESC, id) AS semrank
-           |  FROM (${multiprobeKnnSql("TRUE", 20)})),
-           |f AS (
-           |  SELECT coalesce(kw.doc_id, sem.doc_id) AS doc_id,
-           |    round(coalesce(1.0 / (60 + kwrank), 0) +
-           |          coalesce(1.0 / (60 + semrank), 0), 6) AS rrf
-           |  FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id)
-           |SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
-      }) { (s, d) =>
+    QueryDef("v27_hybrid_search", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val kw = graft.operators.InvertedIndex.bm25TopK(
           s, TextQueries.invertedIndexDir(s, d), Seq("spark", "merge", "dup"), k = 20)
@@ -789,7 +833,7 @@ object VectorQueries {
         .select(col("doc_id"), col("kwrank"))
       val sem = Similarity.lshKnn(
           Tables.embeddings(s, d), col("embedding"), col("vec_id"),
-          queryVector(s, d), 20, nBits = 4)
+          queryVector(s, d), 20, nBits = annConfig(s, d).nBits)
         .withColumn("semrank",
           row_number().over(Window.orderBy(col("score").desc, col("id"))))
         .select(col("id").as("doc_id"), col("semrank"))
@@ -799,7 +843,19 @@ object VectorQueries {
                 coalesce(lit(1.0) / (lit(60) + col("semrank")), lit(0.0)), 6).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(10)
-    },
+    }, soleAnnConfig.map(cfg =>
+      s"""WITH kw AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS kwrank
+         |  FROM (${TextQueries.bm25Sql(20)})),
+         |sem AS (
+         |  SELECT id AS doc_id, row_number() OVER (ORDER BY score DESC, id) AS semrank
+         |  FROM (${multiprobeKnnSql(cfg, "TRUE", 20)})),
+         |f AS (
+         |  SELECT coalesce(kw.doc_id, sem.doc_id) AS doc_id,
+         |    round(coalesce(1.0 / (60 + kwrank), 0) +
+         |          coalesce(1.0 / (60 + semrank), 0), 6) AS rrf
+         |  FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id)
+         |SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
 
     // Batched RADIUS search: every corpus vector with cosine ≥ 0.2
     // against each of the three queries — the recall-first "all matches
@@ -810,9 +866,15 @@ object VectorQueries {
     // state. Fixed hamming-1 probe radius is the documented recall
     // knob; the oracle is the exact LSH twin (same inlined planes, same
     // radius join, same threshold), v05's discipline.
-    sql(
-      "v26_radius_search", {
-        val planes = Similarity.hyperplanes(4, EmbDim)
+    QueryDef("v26_radius_search", (s, d) =>
+      Similarity.lshRadiusBatch(
+          servedIndex(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id").isin(0L, 17L, 42L)),
+          col("embedding"), col("vec_id"), dim = EmbDim,
+          threshold = 0.2, nBits = annConfig(s, d).nBits, maxHamming = 1)
+        .orderBy(col("qid"), col("id")),
+      soleAnnConfig.map { cfg =>
+        val planes = Similarity.hyperplanes(cfg.nBits, EmbDim)
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |s AS (SELECT vec_id, v, ${sigSql("v", planes)} AS bucket FROM e),
            |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM s
@@ -822,14 +884,7 @@ object VectorQueries {
            |      FROM q JOIN s ON bit_count(xor(s.bucket, q.qb)) <= 1)
            |SELECT qid, id, score FROM m WHERE score >= 0.2
            |ORDER BY qid, id""".stripMargin
-      }) { (s, d) =>
-      Similarity.lshRadiusBatch(
-          servedIndex(s, d),
-          Tables.embeddings(s, d).filter(col("vec_id").isin(0L, 17L, 42L)),
-          col("embedding"), col("vec_id"), dim = EmbDim,
-          threshold = 0.2, nBits = 4, maxHamming = 1)
-        .orderBy(col("qid"), col("id"))
-    },
+      }),
 
     sql(
       "v13_semantic_decontam",
@@ -886,7 +941,7 @@ object VectorQueries {
       graft.operators.Pq.ivfPqKnnOnIndex(
         servedIvfPqIncrementalIndex(s, d),
         graft.GngQueries.trained(s, d).centroids, pqCodebook(s, d),
-        queryVector(s, d), k = 10, nProbe = 2),
+        queryVector(s, d), k = 10, nProbe = ivfNProbe(s, d)),
       ivfPqOracle),
 
     // Index DELETES + compaction (v21's lifecycle complement): the
@@ -901,7 +956,7 @@ object VectorQueries {
       graft.operators.Pq.ivfPqKnnOnIndexLive(
         servedIvfPqDeletedIndex(s, d),
         graft.GngQueries.trained(s, d).centroids, pqCodebook(s, d),
-        queryVector(s, d), k = 10, nProbe = 2),
+        queryVector(s, d), k = 10, nProbe = ivfNProbe(s, d)),
       ivfPqOracleFor("vec_id % 10 NOT IN (3, 7)")),
 
     // The bucket-index delete twin: v07's served LSH index with
@@ -909,10 +964,11 @@ object VectorQueries {
     // radius histogram, probe escalation, and ranking all shrink
     // together, so the answer equals the multiprobe oracle over the
     // corpus minus the deleted ids.
-    sql("v23_knn_served_delete", multiprobeKnnSql("vec_id % 10 <> 3")) { (s, d) =>
+    QueryDef("v23_knn_served_delete", (s, d) =>
       Similarity.lshKnnOnIndex(
-        Similarity.lshLive(servedDeletedIndex(s, d)), queryVector(s, d), 10, nBits = 4)
-    },
+        Similarity.lshLive(servedDeletedIndex(s, d)), queryVector(s, d), 10,
+        nBits = annConfig(s, d).nBits),
+      soleAnnConfig.map(multiprobeKnnSql(_, "vec_id % 10 <> 3"))),
 
     // ANN quality evaluation: recall@10 of the batched LSH path (v15's
     // exact machinery) against brute-force ground truth, per query, in
@@ -924,7 +980,7 @@ object VectorQueries {
     // drift. The oracle recomputes BOTH sides (the v15 multiprobe SQL
     // verbatim as the approximate arm), so a recall regression — not
     // just a wrong recall — fails the hash compare.
-    sql("v20_ann_recall", annRecallOracle) { (s, d) =>
+    QueryDef("v20_ann_recall", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, d)
       val qs = emb.filter(col("vec_id").isin(0L, 17L, 42L))
@@ -938,7 +994,8 @@ object VectorQueries {
         .withColumn("rk", row_number().over(wk))
         .filter(col("rk") <= 10)
       val approx = Similarity.lshKnnBatch(servedIndex(s, d), qs,
-        col("embedding"), col("vec_id"), dim = EmbDim, k = 10, nBits = 4)
+        col("embedding"), col("vec_id"), dim = EmbDim, k = 10,
+        nBits = annConfig(s, d).nBits)
       exact
         .join(approx.select(col("qid"), col("id"), lit(1).as("hit")),
           Seq("qid", "id"), "left")
@@ -947,7 +1004,7 @@ object VectorQueries {
           count(col("hit")).as("n_hit"),
           round(count(col("hit")) / 10.0 + 1e-9, 4).as("recall"))
         .orderBy(col("qid"))
-    },
+    }, annRecallOracle),
 
     // Embedding-space near-dup CLUSTERS: v05's banded cosine pairs
     // closed into connected components (the t21 large-star/small-star
@@ -1080,15 +1137,14 @@ object VectorQueries {
     // rerank. The oracle replays quantization, thresholds, the
     // differing-bit count (== bit_count(xor) of the packs), the
     // (hd, id) shortlist, and the rerank.
-    sql(
-      "v33_knn_binary",
-      graft.operators.BinaryQuant.oracleSql("vec_id = 0", shortlist = 50, k = 10)) { (s, d) =>
+    QueryDef("v33_knn_binary", (s, d) => {
       import graft.operators.BinaryQuant
       val emb = Tables.embeddings(s, d)
       val thr = BinaryQuant.trainThresholds(emb, col("embedding"))
       BinaryQuant.knn(emb, col("embedding"), col("vec_id"),
-        queryVector(s, d), thr, shortlist = 50, k = 10)
-    },
+        queryVector(s, d), thr, shortlist = annConfig(s, d).budget(10).toInt, k = 10)
+    }, soleAnnConfig.map(cfg => graft.operators.BinaryQuant.oracleSql(
+      "vec_id = 0", shortlist = cfg.budget(10).toInt, k = 10))),
 
     // CLUSTER-BALANCED weighted sampling (v34) — the curation move
     // after SemDeDup-style clustering: sample a per-cluster quota so
@@ -1135,9 +1191,13 @@ object VectorQueries {
     QueryDef("v36_ann_recall_ladder", (s, d) => {
       def ids(n: String) = graft.SparkEntry.queries(n)(s, d).select(col("id"))
       val exact = ids("v02_knn_bruteforce").withColumn("hit", lit(1))
-      Seq("binary" -> "v33_knn_binary", "ivfpq" -> "v11_knn_ivfpq",
+      // v18's refined rung (ADC shortlist → exact rerank), query 0's arm
+      val refined = graft.SparkEntry.queries("v18_knn_rerank")(s, d)
+        .filter(col("qid") === 0).select(col("id"))
+        .withColumn("method", lit("ivfpq_rf"))
+      (Seq("binary" -> "v33_knn_binary", "ivfpq" -> "v11_knn_ivfpq",
         "lsh" -> "v03_knn_lsh", "pq" -> "v10_knn_pq", "sq8" -> "v25_knn_sq8")
-        .map { case (m, qn) => ids(qn).withColumn("method", lit(m)) }
+        .map { case (m, qn) => ids(qn).withColumn("method", lit(m)) } :+ refined)
         .reduce(_ unionByName _)
         .join(broadcast(exact), Seq("id"), "left")
         .groupBy(col("method"))
@@ -1171,17 +1231,15 @@ object VectorQueries {
     // per query at 100 TB. Oracle: the v03/v15 multiprobe SQL
     // (k=50) nested as the shortlist leg + v29's token-unnest MaxSim
     // restricted to it.
-    sql(
-      "v30_maxsim_rerank",
-      maxSimOracle(
-        shortlistCtes = s"short AS (SELECT id FROM (${multiprobeKnnSql("TRUE", 50)}) x),\n",
-        candJoin = " JOIN short ON short.id = t.vec_id")) { (s, d) =>
+    QueryDef("v30_maxsim_rerank", (s, d) => {
       val shortlist = Similarity.lshKnnOnIndex(
-        servedIndex(s, d), queryVector(s, d), 50, nBits = 4)
+        servedIndex(s, d), queryVector(s, d), 50, nBits = annConfig(s, d).nBits)
       Similarity.maxSimRerank(Tables.embeddings(s, d), col("embedding"), col("vec_id"),
         shortlist.select(col("id")),
         queryVector(s, d).grouped(MaxSimDim).toArray, tokenDim = MaxSimDim, k = 10)
-    },
+    }, soleAnnConfig.map(cfg => maxSimOracle(
+      shortlistCtes = s"short AS (SELECT id FROM (${multiprobeKnnSql(cfg, "TRUE", 50)}) x),\n",
+      candJoin = " JOIN short ON short.id = t.vec_id"))),
 
     // BATCHED two-stage late interaction — v30 for a query SET in ONE
     // plan (v15's serving shape applied to MaxSim, closing the one
@@ -1194,18 +1252,18 @@ object VectorQueries {
     // streams through broadcast joins — never shuffled. Oracle: the
     // v15 batched multiprobe SQL (k=50) nested as the shortlist leg +
     // v29's token-unnest MaxSim per qid.
-    sql("v31_maxsim_batch", maxSimBatchOracle) { (s, d) =>
+    QueryDef("v31_maxsim_batch", (s, d) => {
       val queries = Tables.embeddings(s, d).filter(col("vec_id").isin(0L, 17L, 42L))
       val shortlist = Similarity.lshKnnBatch(
         servedIndex(s, d), queries, col("embedding"), col("vec_id"),
-        dim = EmbDim, k = 50, nBits = 4)
+        dim = EmbDim, k = 50, nBits = annConfig(s, d).nBits)
       Similarity.maxSimRerankBatch(
           Tables.embeddings(s, d), col("embedding"), col("vec_id"),
           shortlist.select(col("qid"), col("id")),
           queries, col("embedding"), col("vec_id"),
           tokenDim = MaxSimDim, k = 10)
         .orderBy(col("qid"), col("rk"))
-    }
+    }, maxSimBatchOracle)
   )
 
   /** v29's multi-vector view of the 64-wide embeddings: 8 tokens × 8
@@ -1298,7 +1356,7 @@ object VectorQueries {
     * tie-break) LEFT JOINed against the v15 multiprobe SQL verbatim —
     * the approximate arm is the single source of truth shared with
     * v15/s07, so the two oracles cannot drift apart. */
-  private lazy val annRecallOracle: String =
+  private def annRecallOracle: Option[String] = batchedKnnSql.map(bk =>
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 17, 42)),
        |ex AS (SELECT qid, id FROM (
@@ -1306,36 +1364,41 @@ object VectorQueries {
        |    row_number() OVER (PARTITION BY q.qid
        |      ORDER BY round(list_cosine_similarity(c.v, q.qv), 4) DESC, c.vec_id) AS rk
        |  FROM qs q CROSS JOIN e c) WHERE rk <= 10),
-       |ax AS (SELECT qid, id FROM ($batchedKnnSql) b)
+       |ax AS (SELECT qid, id FROM ($bk) b)
        |SELECT ex.qid, CAST(count(ax.id) AS BIGINT) AS n_hit,
        |  round(count(ax.id) / 10.0 + 1e-9, 4) AS recall
        |FROM ex LEFT JOIN ax ON ax.qid = ex.qid AND ax.id = ex.id
-       |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin
+       |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin)
 
   /** v15's oracle: the v03 multiprobe semantics applied PER QUERY —
     * each query's hamming histogram (cumulative count by distance over
-    * the same inlined-plane signatures), minimal radius reaching
-    * overProbe·k = 30, exact-cosine rank within it. Written without
+    * the same inlined-plane signatures), minimal radius reaching the
+    * corpus-derived candidate budget (the same per-qid windowed total
+    * the engine computes), exact-cosine rank within it. Written without
     * LATERAL (DuckDB's binder forbids window functions inside one):
     * the per-query histogram is a qs × s cross join grouped by
     * (qid, hd); radii and ranks are PARTITION BY qid windows — the
     * same per-query stages the Spark plan runs. */
-  private lazy val batchedKnnSql: String = batchedKnnSqlFor("vec_id IN (0, 17, 42)")
+  private def batchedKnnSql: Option[String] =
+    soleAnnConfig.map(batchedKnnSqlFor(_, "vec_id IN (0, 17, 42)"))
 
   /** [[batchedKnnSql]] parameterized by the query-set predicate and
     * fetch depth — shared with s07's streaming-serving oracle and
     * v31's shortlist leg, so the batch, streaming, and rerank
     * contracts cannot drift apart. */
-  private[graft] def batchedKnnSqlFor(qidPred: String, k: Int = 10,
-      overProbe: Int = 3): String = {
-    val planes = Similarity.hyperplanes(4, EmbDim)
+  private[graft] def batchedKnnSqlFor(cfg: AnnConfig, qidPred: String,
+      k: Int = 10): String = {
+    val planes = Similarity.hyperplanes(cfg.nBits, EmbDim)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |s AS (SELECT vec_id, v, ${sigSql("v", planes)} AS bucket FROM e),
        |qs AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM s WHERE $qidPred),
        |hist AS (SELECT q.qid, bit_count(xor(s.bucket, q.qb)) AS hd, count(*) AS n
        |         FROM qs q CROSS JOIN s GROUP BY 1, 2),
-       |radii AS (SELECT qid, coalesce(min(CASE WHEN cum >= ${k * overProbe} THEN hd END), 4) AS radius
-       |          FROM (SELECT qid, hd, sum(n) OVER (PARTITION BY qid ORDER BY hd) AS cum
+       |radii AS (SELECT qid, coalesce(min(CASE WHEN cum >=
+       |            least(greatest(${3 * k}, ceil(6*sqrt(tot * $k))), tot)
+       |            THEN hd END), ${cfg.nBits}) AS radius
+       |          FROM (SELECT qid, hd, sum(n) OVER (PARTITION BY qid ORDER BY hd) AS cum,
+       |                       sum(n) OVER (PARTITION BY qid) AS tot
        |                FROM hist)
        |          GROUP BY qid),
        |ranked AS (SELECT q.qid, s.vec_id AS id,
@@ -1354,8 +1417,8 @@ object VectorQueries {
     * applied PER (qid, shortlisted id): same zero-norm contract, 6-dp
     * pre-round before the max, nudge-rounded sum, per-qid
     * round-then-rank with id tie-break. */
-  private lazy val maxSimBatchOracle: String = {
-    val short = batchedKnnSqlFor("vec_id IN (0, 17, 42)", k = 50)
+  private def maxSimBatchOracle: Option[String] = soleAnnConfig.map { cfg =>
+    val short = batchedKnnSqlFor(cfg, "vec_id IN (0, 17, 42)", k = 50)
     s"""WITH short AS (SELECT qid, id FROM ($short) sx),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |g AS (SELECT vec_id, v, unnest(generate_series(0, ${MaxSimTokens - 1})) AS i FROM e),
@@ -1418,46 +1481,53 @@ object VectorQueries {
   private def pqEncodeCtes(cb: Array[Array[Array[Double]]]): String = {
     val m = cb.length
     val sub = cb(0)(0).length
-    // per (vec, subspace, codeword) encode distances — m×k arms
-    val encodeArms = (for (j <- 0 until m; c <- cb(j).indices) yield
-      s"SELECT vec_id, $j AS j, $c AS c, ${subDistSql("v", j * sub, cb(j)(c))} AS dsq FROM e")
-      .mkString("\nUNION ALL ")
+    // codewords as ONE inline VALUES table (each double CAST so DuckDB
+    // parses it as DOUBLE, not DECIMAL); the per-(vec, subspace,
+    // codeword) encode distance is a single cross join evaluating the
+    // same left-assoc `sub`-term chain as the encode kernel — the old
+    // m×k UNION-ALL-arm form re-scanned `e` once per codeword and
+    // stopped parsing economically past m·k ≈ 128
+    val values = (for (j <- 0 until m; c <- cb(j).indices) yield
+      s"($j, $c, ${cb(j)(c).map(w => s"CAST($w AS DOUBLE)").mkString(", ")})")
+      .mkString(",\n    ")
+    val wcols = (1 to sub).map(t => s"w$t").mkString(", ")
+    val chain = (1 to sub)
+      .map(t => s"(v[j*$sub + $t] - w$t) * (v[j*$sub + $t] - w$t)")
+      .mkString(" + ")
     val pivot = (0 until m)
       .map(j => s"max(CASE WHEN j = $j THEN c END) AS c$j").mkString(", ")
-    s"""pd AS ($encodeArms),
+    s"""cw(j, c, $wcols) AS (SELECT * FROM (VALUES
+       |    $values) cwv(j, c, $wcols)),
+       |pd AS (SELECT vec_id, j, c, $chain AS dsq FROM e CROSS JOIN cw),
        |codes AS (SELECT vec_id, j, c FROM (
        |  SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY dsq, c) AS rk FROM pd)
        |  WHERE rk = 1),
        |pc AS (SELECT vec_id, $pivot FROM codes GROUP BY vec_id)""".stripMargin
   }
 
-  private def pqCtes(cb: Array[Array[Array[Double]]]): String = {
-    val m = cb.length
+  /** The single-query ADC as a per-subspace CASE over `p.c_j` — the
+    * SQL twin of the `pq_adc_direct` kernel with the identical
+    * per-codeword left-assoc term chain and the same subspace-order
+    * accumulation (the batched oracle's form, reused for v10/v11 now
+    * that the codebook is corpus-sized: the old m-way `lut` join
+    * stops being economical past m = 8). */
+  private def adcDirectSql(cb: Array[Array[Array[Double]]], qv: String): String = {
     val sub = cb(0)(0).length
-    // query-side ADC lookup table — the same m×k arms against qv
-    val lutArms = (for (j <- 0 until m; c <- cb(j).indices) yield
-      s"SELECT $j AS j, $c AS c, ${subDistSql("qv", j * sub, cb(j)(c))} AS d FROM q")
-      .mkString("\nUNION ALL ")
-    s"""${pqEncodeCtes(cb)},
-       |lut AS ($lutArms)""".stripMargin
+    cb.indices.map { j =>
+      val arms = cb(j).indices
+        .map(c => s"WHEN $c THEN ${subDistSql(qv, j * sub, cb(j)(c))}")
+        .mkString(" ")
+      s"(CASE p.c$j $arms END)"
+    }.mkString(" + ")
   }
-
-  private def lutJoinsSql(m: Int): String = (0 until m)
-    .map(j => s"JOIN lut l$j ON l$j.j = $j AND l$j.c = p.c$j").mkString("\n")
-
-  /** `l0.d + l1.d + …` — the same left-associated subspace order as
-    * [[graft.expressions.PqOpsImpl.pqAdc]]'s loop. */
-  private def adcChainSql(m: Int): String =
-    (0 until m).map(j => s"l$j.d").mkString(" + ")
 
   private def pqOracle: Option[String] =
     solePqCodebook.map { cb =>
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         |${pqCtes(cb)}
-         |SELECT p.vec_id AS id, round(${adcChainSql(cb.length)} + 1e-9, 4) AS adc_dist
-         |FROM pc p
-         |${lutJoinsSql(cb.length)}
+         |${pqEncodeCtes(cb)}
+         |SELECT p.vec_id AS id, round(${adcDirectSql(cb, "q.qv")} + 1e-9, 4) AS adc_dist
+         |FROM pc p CROSS JOIN q
          |ORDER BY adc_dist, id LIMIT 10""".stripMargin
     }
 
@@ -1472,7 +1542,8 @@ object VectorQueries {
     * the ranked corpus only; the query vector (vec_id 0) must satisfy
     * it. */
   private def ivfPqOracleFor(corpusPred: String): Option[String] =
-    for (cs <- graft.GngQueries.soleTrainedCentroids; cb <- solePqCodebook) yield {
+    for { cs <- graft.GngQueries.soleTrainedCentroids; cb <- solePqCodebook;
+          np <- soleIvfNProbe() } yield {
       val queryDists = cs.zipWithIndex
         .map { case (c, i) => s"SELECT $i AS list, ${graft.GngQueries.distSql("qv", c)} AS d FROM q" }
         .mkString("\nUNION ALL ")
@@ -1483,18 +1554,19 @@ object VectorQueries {
          |           WHERE $corpusPred),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
          |cd AS ($queryDists),
-         |probed AS (SELECT list FROM cd ORDER BY d, list LIMIT 2),
+         |probed AS (SELECT list FROM cd ORDER BY d, list LIMIT $np),
          |vd AS ($vecDists),
          |win AS (SELECT vec_id, list FROM (
          |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, list) AS rk FROM vd)
          |  WHERE rk = 1),
-         |${pqCtes(cb)}
-         |SELECT p.vec_id AS id, round(${adcChainSql(cb.length)} + 1e-9, 4) AS adc_dist
-         |FROM pc p
-         |JOIN win w ON w.vec_id = p.vec_id
-         |${lutJoinsSql(cb.length)}
+         |${pqEncodeCtes(cb)},
+         |adcx AS (SELECT p.vec_id AS id,
+         |  round(${adcDirectSql(cb, "q.qv")} + 1e-9, 4) AS adc_dist
+         |  FROM pc p CROSS JOIN q)
+         |SELECT a.id, a.adc_dist
+         |FROM adcx a JOIN win w ON w.vec_id = a.id
          |WHERE w.list IN (SELECT list FROM probed)
-         |ORDER BY adc_dist, id LIMIT 10""".stripMargin
+         |ORDER BY a.adc_dist, a.id LIMIT 10""".stripMargin
     }
 
   /** The shared WITH-body of the v17/v18 oracles: everything through
@@ -1511,7 +1583,7 @@ object VectorQueries {
     * the identical per-codeword left-assoc term chain and the same
     * subspace-order accumulation. */
   private def batchedIvfPqCtes(cs: Array[Array[Double]],
-      cb: Array[Array[Array[Double]]]): String = {
+      cb: Array[Array[Array[Double]]], np: Int): String = {
     val m = cb.length
     val sub = cb(0)(0).length
     val queryDists = cs.zipWithIndex
@@ -1520,36 +1592,34 @@ object VectorQueries {
     val vecDists = cs.zipWithIndex
       .map { case (c, i) => s"SELECT vec_id, $i AS list, ${graft.GngQueries.distSql("v", c)} AS dsq FROM e" }
       .mkString("\nUNION ALL ")
-    val adcDirect = (0 until m).map { j =>
-      val arms = cb(j).indices
-        .map(c => s"WHEN $c THEN ${subDistSql("qv", j * sub, cb(j)(c))}")
-        .mkString(" ")
-      s"(CASE p.c$j $arms END)"
-    }.mkString(" + ")
+    val adcDirect = adcDirectSql(cb, "qv")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 17, 42)),
        |cd AS ($queryDists),
        |probed AS (SELECT qid, list FROM (
        |  SELECT qid, list, row_number() OVER (PARTITION BY qid ORDER BY d, list) AS rk FROM cd)
-       |  WHERE rk <= 2),
+       |  WHERE rk <= $np),
        |vd AS ($vecDists),
        |win AS (SELECT vec_id, list FROM (
        |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, list) AS rk FROM vd)
        |  WHERE rk = 1),
        |${pqEncodeCtes(cb)},
+       |adcx AS (
+       |  SELECT qs.qid, p.vec_id AS id, round($adcDirect + 1e-9, 4) AS adc_dist
+       |  FROM pc p CROSS JOIN qs),
        |ranked AS (
-       |  SELECT pr.qid, p.vec_id AS id, round($adcDirect + 1e-9, 4) AS adc_dist,
-       |    CAST(row_number() OVER (PARTITION BY pr.qid
-       |      ORDER BY round($adcDirect + 1e-9, 4), p.vec_id) AS INT) AS rk
-       |  FROM pc p
-       |  JOIN win w ON w.vec_id = p.vec_id
-       |  JOIN probed pr ON pr.list = w.list
-       |  JOIN qs ON qs.qid = pr.qid)""".stripMargin
+       |  SELECT a.qid, a.id, a.adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY a.qid
+       |      ORDER BY a.adc_dist, a.id) AS INT) AS rk
+       |  FROM adcx a
+       |  JOIN win w ON w.vec_id = a.id
+       |  JOIN probed pr ON pr.list = w.list AND pr.qid = a.qid)""".stripMargin
   }
 
   private def batchedIvfPqOracle: Option[String] =
-    for (cs <- graft.GngQueries.soleTrainedCentroids; cb <- solePqCodebook) yield
-      s"""WITH ${batchedIvfPqCtes(cs, cb)}
+    for { cs <- graft.GngQueries.soleTrainedCentroids; cb <- solePqCodebook;
+          np <- soleIvfNProbe() } yield
+      s"""WITH ${batchedIvfPqCtes(cs, cb, np)}
          |SELECT qid, id, adc_dist, rk FROM ranked WHERE rk <= 10
          |ORDER BY qid, rk""".stripMargin
 
@@ -1559,12 +1629,13 @@ object VectorQueries {
     * `vec_squared_distance` kernel, +1e-9 nudge before the 4-dp round
     * on both engines. */
   private def rerankOracle: Option[String] =
-    for (cs <- graft.GngQueries.soleTrainedCentroids; cb <- solePqCodebook) yield {
+    for { cs <- graft.GngQueries.soleTrainedCentroids; cb <- solePqCodebook;
+          np <- soleIvfNProbe(); cfg <- soleAnnConfig } yield {
       val exact = (1 to EmbDim)
         .map(i => s"(e.v[$i] - qs.qv[$i]) * (e.v[$i] - qs.qv[$i])")
         .mkString(" + ")
-      s"""WITH ${batchedIvfPqCtes(cs, cb)},
-         |short AS (SELECT qid, id FROM ranked WHERE rk <= 50),
+      s"""WITH ${batchedIvfPqCtes(cs, cb, np)},
+         |short AS (SELECT qid, id FROM ranked WHERE rk <= ${cfg.budget(10)}),
          |rr AS (
          |  SELECT s.qid, s.id, round($exact + 1e-9, 4) AS dist,
          |    CAST(row_number() OVER (PARTITION BY s.qid
@@ -1577,7 +1648,7 @@ object VectorQueries {
     }
 
   private def ivfOracle: Option[String] =
-    graft.GngQueries.soleTrainedCentroids.map { cs =>
+    for { cs <- graft.GngQueries.soleTrainedCentroids; np <- soleIvfNProbe() } yield {
       val queryDists = cs.zipWithIndex
         .map { case (c, i) => s"SELECT $i AS list, ${graft.GngQueries.distSql("qv", c)} AS d FROM q" }
         .mkString("\nUNION ALL ")
@@ -1587,7 +1658,7 @@ object VectorQueries {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
          |cd AS ($queryDists),
-         |probed AS (SELECT list FROM cd ORDER BY d, list LIMIT 2),
+         |probed AS (SELECT list FROM cd ORDER BY d, list LIMIT $np),
          |vd AS ($vecDists),
          |win AS (SELECT vec_id, list FROM (
          |  SELECT vec_id, list, row_number() OVER (PARTITION BY vec_id ORDER BY dsq, list) AS rk FROM vd)
