@@ -51,9 +51,9 @@ if not only and missing_dumps:
 # Oracle-count floor: a piecewise Verify run that shrank oracle_sql.json
 # (round 11 silently lost the 17 dump-time trained-model oracles) must
 # fail here, not be graded rows-only. Keep in lockstep with the real
-# oracled-query count (232 as of round 13 — +s31, +m12, +t79, +m13, +m14, +s32, +v35, +v36; only
+# oracled-query count (239 as of round 14 — +m15; only
 # gng_throughput/gng_scale are legitimately rows-only).
-MIN_ORACLED = 238
+MIN_ORACLED = 239
 if not only and len(oracle) < MIN_ORACLED:
     print(f"PRE-FLIGHT FAIL: only {len(oracle)} oracled queries in oracle_sql.json "
           f"(expected >= {MIN_ORACLED}) — a subset Verify run likely shrank the file")

@@ -371,6 +371,102 @@ object Multimodal {
     writeBytes(img, "png")
   }
 
+  // ---- m15: audio perceptual near-dup fixtures -----------------------
+  //
+  // The same recording encoded twice — exact PCM16 and lossy IMA-ADPCM
+  // (a REAL encoder this time, not m13's pseudorandom nibbles: the
+  // standard sign + 3-comparison-bit quantizer whose internal predictor
+  // state equals the decoder's, so decode(encode(s)) is the encoder's
+  // own valpred walk — the IMA property the oracle's fused
+  // encoder/decoder recursion relies on). The signal is 72 constant
+  // blocks ("tone blocks") of 16 samples, amplitude 256 or 1024 chosen
+  // by a two-modulus hash (so the level vector is NOT additive in d —
+  // ~128k distinct classes, no cross-doc flooding), sign alternating
+  // per block (zero crossings stay on the decode path).
+
+  /** m15 band level (0 = amp 256, 1 = amp 1024) for doc d, band gb —
+    * the two-modulus mix keeps the 72-level vector non-additive in d. */
+  def m15Lvl(d: Long, gb: Int): Int =
+    ((((d % 1009 + 1) * (gb + 3) + (d % 127) * (gb.toLong * gb + 1)) % 101) % 2).toInt
+
+  /** m15 sample k of doc d: constant ±amp per 16-sample band. */
+  def m15Sample(d: Long, k: Int): Int = {
+    val gb = k / 16
+    val amp = if (m15Lvl(d, gb) == 1) 1024 else 256
+    if (gb % 2 == 0) amp else -amp
+  }
+
+  val M15N: Int = graft.expressions.AudioFingerprint.NSamples // 1152
+
+  /** Mono PCM16 WAV of the m15 signal (fmt 1, rate 8000). */
+  def m15WavPcm(d: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def w32(v: Long): Unit = { w8(v.toInt); w8((v >> 8).toInt); w8((v >> 16).toInt); w8((v >> 24).toInt) }
+    def tag(t: String): Unit = t.foreach(c => w8(c.toInt))
+    tag("RIFF"); w32(36L + 2L * M15N); tag("WAVE")
+    tag("fmt "); w32(16L)
+    w16(1); w16(1); w32(8000L); w32(16000L); w16(2); w16(16)
+    tag("data"); w32(2L * M15N)
+    var k = 0
+    while (k < M15N) { w16(m15Sample(d, k) & 0xffff); k += 1 }
+    out.toByteArray
+  }
+
+  /** ONE IMA nibble of the standard encoder: quantize `diff` against
+    * the current step by the three public-spec comparisons. */
+  def imaEncodeNibble(diff: Int, step: Int): Int = {
+    var dd = diff
+    var nib = 0
+    if (dd < 0) { nib = 8; dd = -dd }
+    if (dd >= step) { nib |= 4; dd -= step }
+    if (dd >= (step >> 1)) { nib |= 2; dd -= step >> 1 }
+    if (dd >= (step >> 2)) nib |= 1
+    nib
+  }
+
+  /** Mono IMA-ADPCM WAV of the SAME m15 signal — one block holding all
+    * 1152 samples (header predictor = sample 0, index 0; 1151 data
+    * nibbles + 1 pad). Each nibble is chosen by [[imaEncodeNibble]]
+    * against the RECONSTRUCTED predictor, then state advances through
+    * the same [[graft.expressions.AudioAdpcm.step]] the decoder runs —
+    * encoder and decoder states are identical by construction. */
+  def m15WavAdpcm(d: Long): Array[Byte] = {
+    val nNib = M15N - 1 // 1151 data nibbles
+    val nibBytes = (nNib + 1) / 2 // 576 (last high nibble is pad)
+    val blockAlign = 4 + nibBytes // 580
+    val spb = nibBytes * 2 + 1 // 1153
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def w32(v: Long): Unit = { w8(v.toInt); w8((v >> 8).toInt); w8((v >> 16).toInt); w8((v >> 24).toInt) }
+    def tag(t: String): Unit = t.foreach(c => w8(c.toInt))
+    tag("RIFF"); w32(4L + (8 + 20) + (8 + 4) + (8 + blockAlign)); tag("WAVE")
+    tag("fmt "); w32(20L)
+    w16(0x11); w16(1); w32(8000L)
+    w32(8000L * blockAlign / spb) // nominal byte rate
+    w16(blockAlign); w16(4); w16(2); w16(spb)
+    tag("fact"); w32(4L); w32(M15N.toLong)
+    tag("data"); w32(blockAlign.toLong)
+    var valpred = m15Sample(d, 0)
+    var index = 0
+    w16(valpred & 0xffff); w8(index); w8(0)
+    var j = 0
+    var lo = -1
+    while (j < nNib) {
+      val diff = m15Sample(d, j + 1) - valpred
+      val nib = imaEncodeNibble(diff, graft.expressions.AudioAdpcm.StepTable(index))
+      val (v2, i2) = graft.expressions.AudioAdpcm.step(valpred, index, nib)
+      valpred = v2; index = i2
+      if (lo < 0) lo = nib
+      else { w8(lo | (nib << 4)); lo = -1 }
+      j += 1
+    }
+    if (lo >= 0) w8(lo) // pad high nibble 0
+    out.toByteArray
+  }
+
   /** JPEG of the SAME grid at quality 0.95 — the LOSSY re-encode. */
   def encodeJpeg(d: Long): Array[Byte] = {
     val img = m12Raster(d, new java.awt.image.BufferedImage(

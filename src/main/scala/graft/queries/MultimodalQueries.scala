@@ -329,6 +329,93 @@ object MultimodalQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- m15: audio perceptual near-dup -------------------------------
+
+  /** m15's signal formula as SQL: sample `k` of doc `d` — constant
+    * ±amp per 16-sample band, amp 256/1024 by the two-modulus level
+    * hash (Multimodal.m15Sample verbatim). */
+  private def m15SigSql(d: String, k: String): String = {
+    val gb = s"(($k) // 16)"
+    s"""(CASE WHEN (((($d) % 1009 + 1) * ($gb + 3) + (($d) % 127) * ($gb * $gb + 1)) % 101) % 2 = 1
+       |  THEN 1024 ELSE 256 END
+       | * CASE WHEN $gb % 2 = 0 THEN 1 ELSE -1 END)""".stripMargin.replace("\n", " ")
+  }
+
+  /** m15's DuckDB oracle: ground truth from the SIGNAL formula — the
+    * ADPCM arm re-derives its reconstructed waveform through the fused
+    * IMA encoder/decoder state machine as a recursive CTE (the encoder
+    * quantizes against the reconstructed predictor, so its state IS
+    * the decoder's — no payload bytes appear), the PCM arm is the
+    * formula directly; both then run the same settle-skip band
+    * energies → threshold quantization → Haitsma–Kalker sign bits →
+    * 4×16 banding + popcount verify as the engine. A mis-stepped
+    * nibble, a wrong clamp, a settle-window off-by-one, or a banding
+    * bug all surface as a hash mismatch. */
+  private val m15OracleSql: String = {
+    val stepValues = graft.expressions.AudioAdpcm.StepTable.zipWithIndex
+      .map { case (sz, i) => s"($i, $sz)" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |fx AS (SELECT doc_id AS d FROM documents WHERE CAST(doc_id % 8 AS INT) = 2),
+       |stt(i, sz) AS (SELECT * FROM (VALUES $stepValues) t(i, sz)),
+       |enc(d, r, val, idx) AS (
+       |  SELECT d, 0, ${m15SigSql("d", "0")}, 0 FROM fx
+       |  UNION ALL
+       |  SELECT x.d, x.r + 1,
+       |    least(greatest(CASE WHEN x.diff < 0 THEN x.val - x.vpdiff
+       |                        ELSE x.val + x.vpdiff END, -32768), 32767),
+       |    least(greatest(x.idx + CASE x.delta WHEN 4 THEN 2 WHEN 5 THEN 4
+       |                                        WHEN 6 THEN 6 WHEN 7 THEN 8
+       |                                        ELSE -1 END, 0), 88)
+       |  FROM (
+       |    SELECT d, r, val, idx, diff,
+       |      b4 * 4 + b2 * 2 + b1 AS delta,
+       |      (sz // 8) + b4 * sz + b2 * (sz // 2) + b1 * (sz // 4) AS vpdiff
+       |    FROM (
+       |      SELECT e.d, e.r, e.val, e.idx, t.sz,
+       |        (${m15SigSql("e.d", "e.r + 1")}) - e.val AS diff,
+       |        abs((${m15SigSql("e.d", "e.r + 1")}) - e.val) AS ad,
+       |        CASE WHEN ad >= t.sz THEN 1 ELSE 0 END AS b4,
+       |        ad - (CASE WHEN ad >= t.sz THEN 1 ELSE 0 END) * t.sz AS r4,
+       |        CASE WHEN r4 >= t.sz // 2 THEN 1 ELSE 0 END AS b2,
+       |        r4 - (CASE WHEN r4 >= t.sz // 2 THEN 1 ELSE 0 END) * (t.sz // 2) AS r2,
+       |        CASE WHEN r2 >= t.sz // 4 THEN 1 ELSE 0 END AS b1
+       |      FROM enc e JOIN stt t ON t.i = e.idx
+       |      WHERE e.r + 1 < 1152) y) x),
+       |pcm AS (SELECT d * 4 AS id, k, ${m15SigSql("d", "k")} AS s
+       |        FROM fx, LATERAL (SELECT unnest(generate_series(0, 1151)) AS k) kk),
+       |adp AS (SELECT d * 4 + 1 AS id, r AS k, val AS s FROM enc),
+       |alls AS (SELECT * FROM pcm UNION ALL SELECT * FROM adp),
+       |eng AS (SELECT id, k // 16 AS gb, sum(CAST(s AS BIGINT) * s) AS e
+       |        FROM alls WHERE k % 16 >= 8 GROUP BY 1, 2),
+       |qv AS (SELECT id, gb, CASE WHEN e >= 2097152 THEN 1 ELSE 0 END AS q FROM eng),
+       |bits AS (
+       |  SELECT a.id, (a.gb // 9) * 8 + (a.gb % 9) AS i,
+       |    CASE WHEN (a.q - b2.q) - (COALESCE(pa.q, 0) - COALESCE(pb.q, 0)) > 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM qv a
+       |  JOIN qv b2 ON b2.id = a.id AND b2.gb = a.gb + 1
+       |  LEFT JOIN qv pa ON pa.id = a.id AND pa.gb = a.gb - 9
+       |  LEFT JOIN qv pb ON pb.id = a.id AND pb.gb = a.gb - 8
+       |  WHERE a.gb % 9 < 8),
+       |uh AS (
+       |  SELECT id, CAST(sum(CAST((CAST(1 AS UBIGINT) << CAST(i AS INT)) AS HUGEINT) * bit)
+       |    AS HUGEINT) AS u
+       |  FROM bits GROUP BY id),
+       |banded AS (
+       |  SELECT id, 0 AS b, (u // 1) % 65536 AS chunk FROM uh
+       |  UNION ALL SELECT id, 1, (u // 65536) % 65536 FROM uh
+       |  UNION ALL SELECT id, 2, (u // 4294967296) % 65536 FROM uh
+       |  UNION ALL SELECT id, 3, (u // 281474976710656) % 65536 FROM uh),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+       |  FROM banded a JOIN banded b2 ON a.b = b2.b AND a.chunk = b2.chunk AND a.id < b2.id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(CAST(sa.u AS UBIGINT), CAST(sb.u AS UBIGINT))) AS BIGINT) AS hamming
+       |FROM cand JOIN uh sa ON sa.id = cand.id_a JOIN uh sb ON sb.id = cand.id_b
+       |WHERE bit_count(xor(CAST(sa.u AS UBIGINT), CAST(sb.u AS UBIGINT))) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Perceptual image near-dup over DECODED PIXELS (dHash) — the rung
@@ -564,6 +651,36 @@ object MultimodalQueries {
             .as("rms"),
           col("st.checksum").as("checksum"))
         .orderBy(col("doc_id"))
+    },
+
+    // Audio perceptual near-dup (m15) — the modality-gap closer: image
+    // dedup runs bytes (m05) → pixels (m09/m12) → clusters (m07);
+    // audio previously stopped at decoded features (m10/m13). Every
+    // doc_id % 8 == 2 doc ships the SAME recording twice — exact PCM16
+    // and a REAL IMA-ADPCM encode (standard quantizer, reconstructed-
+    // predictor state) — bytes sharing nothing. The format-blind
+    // fingerprint (settle-skip band energies, threshold-quantized,
+    // Haitsma–Kalker sign bits — see AudioFingerprint) is EQUAL on
+    // both arms by the 4× energy-headroom design, so m09's 4×16
+    // banding catches every re-encode pair deterministically; the
+    // truncated-ADPCM hostile arm decodes to NULL and never pairs.
+    sql("m15_audio_neardup", m15OracleSql) { (s, d) =>
+      import s.implicits._
+      val ids = Tables.documents(s, d)
+        .filter(expr("CAST(doc_id % 8 AS INT) = 2"))
+        .select(col("doc_id")).as[Long]
+      val wavs = ids.flatMap { id =>
+        val base = Seq(
+          (id * 4, Multimodal.m15WavPcm(id)),
+          (id * 4 + 1, Multimodal.m15WavAdpcm(id)))
+        if (id % 16 == 2)
+          base :+ ((id * 4 + 2, Multimodal.m15WavAdpcm(id).take(40)))
+        else base
+      }.toDF("id", "payload")
+      val sigs = wavs.select(col("id"),
+        graft.expressions.AudioFingerprint.audioFp64(col("payload")).as("fp"))
+      graft.operators.Dedup.hamming64Pairs(sigs, "id", "fp", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
     },
 
     // REAL video-container decode for the fourth modality slice
