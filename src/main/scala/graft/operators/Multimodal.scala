@@ -467,6 +467,71 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---- m16: EXIF/TIFF orientation + dimensions fixtures --------------
+
+  def m16Width(d: Long): Int = (16 + d % 2000).toInt
+  def m16Height(d: Long): Int = (16 + (d * 3) % 2000).toInt
+  def m16Orient(d: Long): Int = (1 + d % 8).toInt
+  /** Big-endian (`MM`) on every other fixture doc. */
+  def m16Be(d: Long): Boolean = (d / 8) % 2 == 1
+  /** Width stored as a LONG (type 4) entry instead of SHORT on every
+    * third doc — both inline value-slot layouts stay exercised. */
+  def m16WidthLong(d: Long): Boolean = d % 3 == 0
+
+  /** A bare TIFF head: byte-order marker, magic 42, IFD0 with four
+    * ascending-tag entries (ImageWidth SHORT-or-LONG, ImageLength,
+    * Orientation, and an ExifIFDPointer the walker must SKIP), zero
+    * next-IFD offset. `corrupt` (doc_id % 32 == 0) points IFD0 far
+    * beyond EOF — the adversarial 32-bit offset a LONG-position walk
+    * must reject, not wrap. */
+  def m16Tiff(d: Long): Array[Byte] = {
+    val be = m16Be(d)
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (be) { w8(v >> 8); w8(v) } else { w8(v); w8(v >> 8) }
+    def w32(v: Long): Unit =
+      if (be) { w8((v >> 24).toInt); w8((v >> 16).toInt); w8((v >> 8).toInt); w8(v.toInt) }
+      else { w8(v.toInt); w8((v >> 8).toInt); w8((v >> 16).toInt); w8((v >> 24).toInt) }
+    def entryShort(tag: Int, v: Int): Unit = {
+      w16(tag); w16(3); w32(1L); w16(v); w8(0); w8(0)
+    }
+    def entryLong(tag: Int, v: Long): Unit = { w16(tag); w16(4); w32(1L); w32(v) }
+    if (be) { w8('M'); w8('M') } else { w8('I'); w8('I') }
+    w16(42)
+    w32(if (d % 32 == 0) 0xFFFFFF00L else 8L) // corrupt: IFD far past EOF
+    w16(4) // entry count
+    if (m16WidthLong(d)) entryLong(0x0100, m16Width(d).toLong)
+    else entryShort(0x0100, m16Width(d))
+    entryShort(0x0101, m16Height(d))
+    entryShort(0x0112, m16Orient(d))
+    entryLong(0x8769, 8L) // ExifIFDPointer — unknown to the probe, skipped
+    w32(0L) // no next IFD
+    out.toByteArray
+  }
+
+  /** The same TIFF stream wrapped the camera-JPEG way: FFD8, a COM
+    * segment (the walker must step the chain, not read a fixed
+    * offset), then APP1 `Exif\0\0` + TIFF. The hostile JPEG
+    * (doc_id % 32 == 4) carries NO APP1 — COM straight to SOS. */
+  def m16JpegExif(d: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    w8(0xff); w8(0xd8)
+    val comLen = (4 + d % 5).toInt
+    w8(0xff); w8(0xfe); w8((comLen + 2) >> 8); w8((comLen + 2) & 0xff)
+    (0 until comLen).foreach(_ => w8('J'))
+    if (d % 32 == 4) { w8(0xff); w8(0xda); w8(0); w8(4); w8(0); w8(0) }
+    else {
+      val tiff = m16Tiff(d)
+      val len = 2 + 6 + tiff.length
+      w8(0xff); w8(0xe1); w8(len >> 8); w8(len & 0xff)
+      "Exif".foreach(c => w8(c.toInt)); w8(0); w8(0)
+      tiff.foreach(b => w8(b & 0xff))
+    }
+    out.toByteArray
+  }
+
   /** JPEG of the SAME grid at quality 0.95 — the LOSSY re-encode. */
   def encodeJpeg(d: Long): Array[Byte] = {
     val img = m12Raster(d, new java.awt.image.BufferedImage(

@@ -683,6 +683,47 @@ object MultimodalQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // EXIF/TIFF orientation + dimensions probe (m16) — the one common
+    // container family m02/m03 did not walk: the TIFF IFD, both bare
+    // (.tif head, doc_id % 8 == 0) and embedded in a JPEG APP1
+    // `Exif\0\0` segment (doc_id % 8 == 4, how every camera JPEG
+    // carries its orientation). Both byte orders, SHORT and LONG
+    // width entries, an ExifIFDPointer the walker must skip, a COM
+    // segment before the APP1, and two hostile arms ON the scored
+    // path: an IFD offset far past EOF (doc_id % 32 == 0 — the
+    // adversarial 32-bit offset a LONG walk rejects) and a JPEG with
+    // no APP1 at all (doc_id % 32 == 4) — both rows surface as NULLs,
+    // never a throw. Oracle: ground truth from the formulas that
+    // built the fixtures (m03's builder-parser identity).
+    sql(
+      "m16_exif_meta",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 32 IN (0, 4) THEN NULL
+        |       WHEN (doc_id // 8) % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+        |  CASE WHEN doc_id % 32 IN (0, 4) THEN NULL
+        |       ELSE CAST(16 + doc_id % 2000 AS INT) END AS width,
+        |  CASE WHEN doc_id % 32 IN (0, 4) THEN NULL
+        |       ELSE CAST(16 + (doc_id * 3) % 2000 AS INT) END AS height,
+        |  CASE WHEN doc_id % 32 IN (0, 4) THEN NULL
+        |       ELSE CAST(1 + doc_id % 8 AS INT) END AS orientation
+        |FROM documents WHERE CAST(doc_id % 4 AS INT) = 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ids = Tables.documents(s, d)
+        .filter(expr("CAST(doc_id % 4 AS INT) = 0"))
+        .select(col("doc_id")).as[Long]
+      ids.map(id => (id,
+          if (id % 8 == 0) Multimodal.m16Tiff(id) else Multimodal.m16JpegExif(id)))
+        .toDF("doc_id", "payload")
+        .withColumn("m", graft.expressions.ExifTiff.exifMeta(col("payload")))
+        .select(col("doc_id"),
+          col("m.byte_order").as("byte_order"),
+          col("m.width").as("width"),
+          col("m.height").as("height"),
+          col("m.orientation").as("orientation"))
+        .orderBy(col("doc_id"))
+    },
+
     // REAL video-container decode for the fourth modality slice
     // (doc_id % 4 = 3, plain text elsewhere in the m-family): ISO-BMFF
     // box walk — big-endian sizes, largesize/BE64 mdat form,
