@@ -117,6 +117,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("t80: data card — per-doc kernels consumed inside the one materialized pass, legs broadcast, no cartesian") {
+    val p = plan("t80_source_data_card")
+    // the narrow per-doc feature table is localCheckpoint-materialized
+    // once; nothing downstream may re-derive a per-doc kernel
+    for (k <- Seq("quality_score", "lang_id", "repetition_stats", "ws_token_count"))
+      assert(nodeFree(p, k) == 0, s"per-doc kernel $k re-derived past the checkpoint:\n$p")
+    // the ≤|sources|-row legs join broadcast; no cartesian anywhere
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast leg joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the card plan:\n$p")
+  }
+
   // occurrences of an expression NAME in the detail section (each node
   // detail renders an expression once; the tree section has no exprs)
   private def nodeFree(p: String, expr: String): Int = {
