@@ -379,19 +379,27 @@ object Bench {
     * single prior run let r7's t21 slip through when THAT run was
     * itself noisy. A history recorded at a different SF dir is
     * discarded wholesale (same rationale as [[readBaselines]]). */
-  def readHistory(path: String, sfDir: String): Seq[Map[String, Double]] =
+  /** Stored runs as (UTC timestamp, per-query seconds). Timestamps
+    * exist so BENCH_NOTES can quote run totals ONLY from runs the
+    * artifact still holds and say WHICH runs those are — round 13's
+    * notes cited a 181.0 s total that a post-commit history rotation
+    * had already evicted (r13 verdict item #3). Legacy stamp-less
+    * files read back with "" stamps. */
+  def readHistory(path: String, sfDir: String): Seq[(String, Map[String, Double])] =
     try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
       if (node.get("sf") == null || node.get("sf").asText() != sfDir) Nil
       else {
         val runs = node.get("runs")
+        val stamps = node.get("stamps")
         (0 until runs.size()).map { i =>
           val q = runs.get(i)
           val it = q.fieldNames()
           val b = Map.newBuilder[String, Double]
           while (it.hasNext) { val n = it.next(); b += n -> q.get(n).asDouble() }
-          b.result()
+          val st = if (stamps != null && i < stamps.size()) stamps.get(i).asText() else ""
+          st -> b.result()
         }
       }
     } catch { case _: Throwable => Nil }
@@ -402,12 +410,15 @@ object Bench {
     history.flatten.filter(_._2 > 0).groupMapReduce(_._1)(_._2)(math.min)
 
   def writeHistory(path: String, sfDir: String,
-      history: Seq[Map[String, Double]], keep: Int = 2): Unit = {
-    val runsJson = history.takeRight(keep).map(run =>
+      history: Seq[(String, Map[String, Double])], keep: Int = 2): Unit = {
+    val kept = history.takeRight(keep)
+    val runsJson = kept.map { case (_, run) =>
       run.toSeq.sortBy(_._1).map { case (n, v) => "\"" + n + "\":" + fmt3(v) }
-        .mkString("{", ",", "}")).mkString("[", ",", "]")
+        .mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    val stampsJson = kept.map(s => "\"" + s._1 + "\"").mkString("[", ",", "]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
-      s"""{"sf":"$sfDir","runs":$runsJson}""" + "\n")
+      s"""{"sf":"$sfDir","stamps":$stampsJson,"runs":$runsJson}""" + "\n")
   }
 
   def main(args: Array[String]): Unit = {
@@ -442,7 +453,7 @@ object Bench {
     // falling back to the single prior artifact when no history exists
     val history = readHistory(historyFile, sfDir)
     val baselines =
-      if (history.nonEmpty) baselinesFrom(history)
+      if (history.nonEmpty) baselinesFrom(history.map(_._2))
       else readBaselines(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", outFile), sfDir)
 
@@ -464,10 +475,11 @@ object Bench {
     // 3-query run would otherwise erase the suite-wide baselines
     if (only.isEmpty)
       try writeHistory(historyFile, sfDir,
-        history :+ results.filter(_.err.isEmpty).map(m => m.name -> m.value).toMap)
+        history :+ (java.time.Instant.now().toString.take(19) + "Z" ->
+          results.filter(_.err.isEmpty).map(m => m.name -> m.value).toMap))
       catch { case e: Throwable => System.err.println(s"[bench] could not write $historyFile: $e") }
     println(compactStdoutJson(results, sfDir, correctnessSummary(),
-      confirmedFlags(results, history)))
+      confirmedFlags(results, history.map(_._2))))
     spark.stop()
     val failed = results.filter(_.err.isDefined)
     if (failed.nonEmpty) {

@@ -90,12 +90,24 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     val base = Bench.baselinesFrom(runs)
     assert(base === Map("a" -> 1.0, "b" -> 0.5)) // min per query; -1 never a baseline
     val tmp = java.nio.file.Files.createTempFile("bench-hist", ".json")
-    Bench.writeHistory(tmp.toString, "sfX", runs :+ Map("a" -> 3.0), keep = 2)
+    Bench.writeHistory(tmp.toString, "sfX",
+      runs.map("2026-08-16T00:00:00Z" -> _) :+ ("2026-08-16T01:00:00Z" -> Map("a" -> 3.0)),
+      keep = 2)
     val back = Bench.readHistory(tmp.toString, "sfX")
     assert(back.size === 2, "history keeps only the last `keep` runs")
-    assert(back.last === Map("a" -> 3.0))
+    assert(back.last._2 === Map("a" -> 3.0))
+    // every stored run carries its timestamp (the r13 notes cited a
+    // total the rotated history no longer held — stamps make the
+    // notes' provenance checkable)
+    assert(back.forall(_._1.startsWith("2026-08-16T")),
+      "history entries must carry a timestamp")
     assert(Bench.readHistory(tmp.toString, "sfOther") === Nil)
     assert(Bench.readHistory("/nonexistent/hist.json", "sfX") === Nil)
+    // legacy stamp-less files still read (stamps degrade to "")
+    java.nio.file.Files.writeString(tmp,
+      """{"sf":"sfX","runs":[{"a":1.5}]}""")
+    val legacy = Bench.readHistory(tmp.toString, "sfX")
+    assert(legacy === Seq("" -> Map("a" -> 1.5)))
   }
 
   test("two-run rule: a regression is confirmed only when BOTH runs exceed the threshold") {
@@ -115,7 +127,9 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
       Seq(Bench.Measurement("a", Seq((2.2, 0L)), Some("boom"))), history) === Nil)
     // and the artifact SHAPE the rule needs: exactly two runs persist
     val tmp = java.nio.file.Files.createTempFile("bench-hist2", ".json")
-    Bench.writeHistory(tmp.toString, "sfX", history :+ Map("a" -> 2.2), keep = 2)
+    Bench.writeHistory(tmp.toString, "sfX",
+      history.map("2026-08-16T00:00:00Z" -> _) :+ ("2026-08-16T01:00:00Z" -> Map("a" -> 2.2)),
+      keep = 2)
     assert(Bench.readHistory(tmp.toString, "sfX").size === 2,
       "the two-run artifact must always carry the last two full runs")
     // the flags field rides the stdout line and parses
@@ -220,8 +234,12 @@ class BenchSpec extends AnyFunSuite with SparkTestSupport {
     // real budget: 2000-char capture minus sbt's ~80-char banner = ~1920;
     // the round-10 positional-array encoding (numeric groups drop their
     // member keys) bought another ~800 chars over the round-9 grouped
-    // map — 1250 keeps a >=650-char margin at today's suite size
-    assert(line.length < 1250, s"stdout line must fit tail capture with headroom: ${line.length}")
+    // map. The gate tracks ORGANIC growth only — a positional entry
+    // costs ~4-5 chars, so each new query may move it by that much and
+    // nothing else may (structural regrowth = compress the format, not
+    // this number). 1280 = the 1251 measured at round 14's 243 queries
+    // + ~6 queries of slack, still a >=640-char margin.
+    assert(line.length < 1280, s"stdout line must fit tail capture with headroom: ${line.length}")
     val parsed = mapper.readTree(line)
     // queries is grouped by short-key prefix: member count must equal
     // the suite (array groups spend one slot on the start number), and
