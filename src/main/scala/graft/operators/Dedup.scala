@@ -343,6 +343,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** INCREMENTAL [[hamming64Pairs]] — the 100 TB ingestion shape: the
+    * pairs a NEW shard of signatures completes against the stored
+    * signature table, WITHOUT re-pairing the stored corpus against
+    * itself. Each unordered pair is discovered exactly once, in the
+    * batch its later member arrives in: the band join probes
+    * (stored ∪ new) × new, so old–old pairs can never re-emit, a
+    * new–new pair canonicalizes to one row, and an old–new pair exists
+    * only while the new side is new. Folding this over any slicing of
+    * the corpus yields exactly the one-shot [[hamming64Pairs]] set
+    * (AudioFingerprintSpec pins the invariance; s33 is the streaming
+    * consumer). Same 4×16-band pigeonhole guarantee: complete recall
+    * to hamming ≤ 3. */
+  def hamming64PairsIncrement(stored: DataFrame, fresh: DataFrame,
+      idCol: String, sigCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding guarantees recall only to hamming 3, got $maxHamming")
+    def banded(df: DataFrame) = df
+      .filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("id"), col(sigCol).as("sig"),
+        posexplode(array((0 until 4).map { b =>
+          shiftright(col(sigCol), b * 16).bitwiseAND(lit(0xFFFFL))
+        }: _*)).as(Seq("band", "chunk")))
+    val a = banded(stored.select(col(idCol), col(sigCol))
+      .unionByName(fresh.select(col(idCol), col(sigCol)))).as("a")
+    val b = banded(fresh).as("b")
+    // hamming computed BEFORE the distinct: a new–new pair surfaces in
+    // both orientations with sig_a/sig_b swapped, and only the
+    // symmetric (id_a, id_b, hamming) triple collapses them to one row
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard similarity of two text columns (distinct
     * word-n-gram shingle sets; 0.0 when both sets are empty). */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =

@@ -467,6 +467,44 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** The m15 fixture arms for one doc: (arm id, WAV payload) — exact
+    * PCM16, the IMA-ADPCM re-encode, and (every other fixture doc) a
+    * truncated-ADPCM hostile arm. Shared by m15 and its streaming twin
+    * s33 so both build byte-identical corpora. */
+  def m15Arms(id: Long): Seq[(Long, Array[Byte])] = {
+    val base = Seq((id * 4, m15WavPcm(id)), (id * 4 + 1, m15WavAdpcm(id)))
+    if (id % 16 == 2) base :+ ((id * 4 + 2, m15WavAdpcm(id).take(40)))
+    else base
+  }
+
+  /** ONE micro-batch of the streaming perceptual near-dup fold (s33):
+    * fingerprint ONLY the arriving docs' arms (the stored corpus is
+    * never re-decoded — its state is the narrow (id, fp) signature
+    * table, payload bytes are dropped at the batch boundary), discover
+    * the pairs this batch completes via [[Dedup.hamming64PairsIncrement]]
+    * (each unordered pair exactly once, when its later member
+    * arrives), and fold both into the state table. State rows:
+    * (kind='sig', id_a=id, fp) ∪ (kind='pair', id_a, id_b, hamming).
+    * Folding over ANY slicing of the fixture corpus yields exactly
+    * m15's one-shot pair set (AudioFingerprintSpec pins it). */
+  def audioNeardupFold(state: DataFrame, batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    val sigs = batch.select(col("doc_id")).as[Long]
+      .flatMap(m15Arms).toDF("id", "payload")
+      .select(col("id"),
+        graft.expressions.AudioFingerprint.audioFp64(col("payload")).as("fp"))
+      .filter(col("fp").isNotNull)
+    val stored = state.filter(col("kind") === "sig")
+      .select(col("id_a").as("id"), col("fp"))
+    val pairs = Dedup.hamming64PairsIncrement(stored, sigs, "id", "fp", maxHamming = 3)
+    state
+      .unionByName(sigs.select(lit("sig").as("kind"), col("id").as("id_a"),
+        lit(null).cast("long").as("id_b"), col("fp"),
+        lit(null).cast("long").as("hamming")))
+      .unionByName(pairs.select(lit("pair").as("kind"), col("id_a"), col("id_b"),
+        lit(null).cast("long").as("fp"), col("hamming")))
+  }
+
   // ---- m16: EXIF/TIFF orientation + dimensions fixtures --------------
 
   def m16Width(d: Long): Int = (16 + d % 2000).toInt

@@ -351,7 +351,7 @@ object MultimodalQueries {
     * 4×16 banding + popcount verify as the engine. A mis-stepped
     * nibble, a wrong clamp, a settle-window off-by-one, or a banding
     * bug all surface as a hash mismatch. */
-  private val m15OracleSql: String = {
+  private[queries] val m15OracleSql: String = {
     val stepValues = graft.expressions.AudioAdpcm.StepTable.zipWithIndex
       .map { case (sz, i) => s"($i, $sz)" }.mkString(", ")
     s"""WITH RECURSIVE
@@ -669,14 +669,7 @@ object MultimodalQueries {
       val ids = Tables.documents(s, d)
         .filter(expr("CAST(doc_id % 8 AS INT) = 2"))
         .select(col("doc_id")).as[Long]
-      val wavs = ids.flatMap { id =>
-        val base = Seq(
-          (id * 4, Multimodal.m15WavPcm(id)),
-          (id * 4 + 1, Multimodal.m15WavAdpcm(id)))
-        if (id % 16 == 2)
-          base :+ ((id * 4 + 2, Multimodal.m15WavAdpcm(id).take(40)))
-        else base
-      }.toDF("id", "payload")
+      val wavs = ids.flatMap(Multimodal.m15Arms).toDF("id", "payload")
       val sigs = wavs.select(col("id"),
         graft.expressions.AudioFingerprint.audioFp64(col("payload")).as("fp"))
       graft.operators.Dedup.hamming64Pairs(sigs, "id", "fp", maxHamming = 3)
@@ -974,6 +967,37 @@ object MultimodalQueries {
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
         .orderBy(col("doc_id"))
+    },
+
+    // STREAMING perceptual near-dup (s33) — m15's ingestion twin and
+    // the perceptual family's first: audio payloads arrive as
+    // micro-batches (doc_id % 3 slices, so a pair's members can land
+    // two batches apart and out of id order), each batch fingerprints
+    // ONLY its own blobs (one kernel pass per arriving doc; the stored
+    // corpus is never re-decoded — its state is the narrow (id, fp)
+    // signature table), and Dedup.hamming64PairsIncrement discovers
+    // exactly the pairs the batch completes (each unordered pair once,
+    // when its later member arrives). At 100 TB this is the shape that
+    // matters: a new crawl shard pays its own decode + one band join
+    // against stored signatures, never an old-corpus re-scan. Oracle:
+    // m15's VERBATIM — slicing invariance is the claim.
+    sql("s33_stream_audio_neardup", m15OracleSql) { (s, d) =>
+      import s.implicits._
+      val fx = Tables.documents(s, d)
+        .filter(expr("CAST(doc_id % 8 AS INT) = 2")).select(col("doc_id"))
+      val dir = StreamingQueries.orderedArrivalDir(s, "m15-slices", Seq(
+        fx.filter(col("doc_id") % 3 === 0),
+        fx.filter(col("doc_id") % 3 === 1),
+        fx.filter(col("doc_id") % 3 === 2)))
+      val stream = s.readStream.schema("doc_id BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val init = Seq.empty[(String, Long, Option[Long], Option[Long], Option[Long])]
+        .toDF("kind", "id_a", "id_b", "fp", "hamming")
+      val folded = graft.streaming.StreamingRelational.oneShotFold(s, stream, init,
+        (state, batch) => Multimodal.audioNeardupFold(state, batch))
+      folded.filter(col("kind") === "pair")
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 }

@@ -113,6 +113,35 @@ class AudioFingerprintSpec extends AnyFunSuite with SparkTestSupport {
       "hostile arm paired")
   }
 
+  test("s33 fold: any slicing folds to exactly m15's one-shot pair set; old corpus never re-fingerprints") {
+    import spark.implicits._
+    val ids = sweep.take(48)
+    val oneShot = {
+      val sigs = ids.flatMap(Multimodal.m15Arms).toDF("id", "payload")
+        .select(col("id"),
+          graft.expressions.AudioFingerprint.audioFp64(col("payload")).as("fp"))
+      Dedup.hamming64Pairs(sigs, "id", "fp", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    // two different slicings, including one that delivers SMALL ids
+    // LAST (the later-member discovery must canonicalize, not assume
+    // arrival order == id order)
+    val slicings = Seq(
+      Seq(ids.filter(_ % 3 == 0), ids.filter(_ % 3 == 1), ids.filter(_ % 3 == 2)),
+      Seq(ids.drop(16), ids.take(8), ids.slice(8, 16)))
+    slicings.foreach { slices =>
+      val init = Seq.empty[(String, Long, Option[Long], Option[Long], Option[Long])]
+        .toDF("kind", "id_a", "id_b", "fp", "hamming")
+      val folded = slices.foldLeft(init) { (state, slice) =>
+        Multimodal.audioNeardupFold(state, slice.toDF("doc_id")).localCheckpoint()
+      }
+      val pairs = folded.filter(col("kind") === "pair")
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(pairs === oneShot, s"fold diverged from one-shot for slicing $slices")
+    }
+  }
+
   private def invokeDecode(b: Array[Byte]): Array[Int] = {
     val m = AudioFingerprint.getClass.getDeclaredMethods
       .find(_.getName.endsWith("decodeSamples")).get
