@@ -489,11 +489,19 @@ object Multimodal {
     * m15's one-shot pair set (AudioFingerprintSpec pins it). */
   def audioNeardupFold(state: DataFrame, batch: DataFrame): DataFrame = {
     import batch.sparkSession.implicits._
-    val sigs = batch.select(col("doc_id")).as[Long]
-      .flatMap(m15Arms).toDF("id", "payload")
-      .select(col("id"),
-        graft.expressions.AudioFingerprint.audioFp64(col("payload")).as("fp"))
-      .filter(col("fp").isNotNull)
+    neardupFoldStep(state,
+      batch.select(col("doc_id")).as[Long]
+        .flatMap(m15Arms).toDF("id", "payload")
+        .select(col("id"),
+          graft.expressions.AudioFingerprint.audioFp64(col("payload")).as("fp")))
+  }
+
+  /** The generic perceptual-fold step both s33 (audio) and s34 (image)
+    * share: given this batch's (id, fp) signatures (NULL fps dropped
+    * here), discover the pairs the batch completes against the stored
+    * signature rows and fold both into the state table. */
+  def neardupFoldStep(state: DataFrame, batchSigs: DataFrame): DataFrame = {
+    val sigs = batchSigs.filter(col("fp").isNotNull)
     val stored = state.filter(col("kind") === "sig")
       .select(col("id_a").as("id"), col("fp"))
     val pairs = Dedup.hamming64PairsIncrement(stored, sigs, "id", "fp", maxHamming = 3)

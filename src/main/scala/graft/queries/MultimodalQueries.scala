@@ -998,6 +998,51 @@ object MultimodalQueries {
       folded.filter(col("kind") === "pair")
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // STREAMING perceptual near-dup for IMAGES (s34) — m09's ingestion
+    // twin through the SAME generic fold as s33 (the incremental band
+    // join is modality-blind once payloads become 64-bit signatures):
+    // each arriving doc decodes and hashes only its own containers
+    // (base GPR1 arm; re-encoded GPC1 twin for the %8==1 docs, the
+    // retouch edit on %16==9), the stored corpus contributes narrow
+    // (id, fp) rows only, and every re-encode/retouch pair surfaces
+    // exactly once. Oracle: m09's VERBATIM — slicing invariance.
+    sql("s34_stream_image_neardup", m09OracleSql) { (s, d) =>
+      import s.implicits._
+      val fx = Tables.documents(s, d)
+        .filter(expr("CAST(doc_id % 4 AS INT) IN (0, 1)")).select(col("doc_id"))
+      val dir = StreamingQueries.orderedArrivalDir(s, "m09-slices", Seq(
+        fx.filter(col("doc_id") % 3 === 0),
+        fx.filter(col("doc_id") % 3 === 1),
+        fx.filter(col("doc_id") % 3 === 2)))
+      val stream = s.readStream.schema("doc_id BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val init = Seq.empty[(String, Long, Option[Long], Option[Long], Option[Long])]
+        .toDF("kind", "id_a", "id_b", "fp", "hamming")
+      val folded = graft.streaming.StreamingRelational.oneShotFold(s, stream, init,
+        (state, batch) => {
+          // both arms in ONE pass over the micro-batch (a base∪twins
+          // self-union of the batch relation trips Union's constraint
+          // rewrite on duplicate attribute ids): per doc, an array of
+          // (id, payload) structs — the GPC1 twin slot NULL except on
+          // the %8==1 docs — exploded after a null filter
+          val arms = batch.select(explode(filter(array(
+              struct(col("doc_id").as("id"),
+                m09PayloadA("doc_id", "0").as("payload")),
+              when(expr("CAST(doc_id % 8 AS INT) = 1"),
+                struct((col("doc_id") + 10000000L).as("id"),
+                  m09PayloadB("doc_id",
+                    "CASE WHEN CAST(doc_id % 16 AS INT) = 1 THEN 0 ELSE 1 END")
+                    .as("payload")))),
+            x => x.isNotNull)).as("arm"))
+          Multimodal.neardupFoldStep(state,
+            arms.select(col("arm.id").as("id"),
+              Multimodal.grayDhash64(col("arm.payload")).as("fp")))
+        })
+      folded.filter(col("kind") === "pair")
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 }
