@@ -597,4 +597,88 @@ object Multimodal {
     }
     bos.toByteArray
   }
+
+  // ---- m17/m18: MP4 sample-table fixtures ------------------------------
+
+  /** m17's per-video parameters — ONE arithmetic surface stated three
+    * ways: the builder writes them into real ISO-BMFF stbl boxes, the
+    * kernel ([[graft.expressions.Mp4SampleTable]]) re-derives them by
+    * walking those boxes, and the DuckDB oracle states them directly
+    * (m03's builder-parser identity). 6–10 samples; sizes 20–59 bytes;
+    * stts has TWO runs (delta switches after sample 3); every third
+    * sample is a sync sample. */
+  def mp4SampleCount(d: Long): Int = (6 + d % 5).toInt
+  def mp4SampleSize(d: Long, i: Int): Int = (20 + (d * 31 + i * 17) % 40).toInt
+  def mp4SampleByte(d: Long, i: Int, j: Int): Int = ((d * 31 + i * 17 + j * 7) % 256).toInt
+  def mp4Delta(d: Long, i: Int): Long = {
+    val d1 = 100 + d % 50
+    if (i < 3) d1 else d1 + 40
+  }
+
+  /** A COMPLETE ISO-BMFF file with a REAL sample table —
+    * moov/trak/mdia/minf/stbl{stts,stsz,stsc,stco,stss} + mdat body.
+    * Arm 0 groups 3 samples per chunk, chunks in natural file order.
+    * Arm 1 ("remux") is the SAME media re-containerized: 2 samples per
+    * chunk, chunks written in REVERSE file order (stco points at them
+    * correctly), plus a variable-length `free` box before moov — the
+    * container bytes share almost nothing with arm 0, the frame bytes
+    * are identical, and frame offsets are non-monotone in sample
+    * order, so only a genuine stsc/stco chunk walk extracts the frames
+    * (an "mdat is sequential" shortcut misparses every arm-1 file). */
+  def encodeMp4(d: Long, remux: Boolean): Array[Byte] = {
+    val nS = mp4SampleCount(d)
+    val cpc = if (remux) 2 else 3
+    val nC = (nS + cpc - 1) / cpc
+    val nSync = (nS + 2) / 3
+    val sizes = Array.tabulate(nS)(i => mp4SampleSize(d, i))
+    val rem = nS - (nC - 1) * cpc
+    val scRuns: Seq[(Int, Int)] =
+      if (rem == cpc) Seq((1, cpc)) else Seq((1, cpc), (nC, rem))
+    val sttsSz = 8 + 4 + 4 + 8 * 2
+    val stszSz = 8 + 4 + 4 + 4 + 4 * nS
+    val stscSz = 8 + 4 + 4 + 12 * scRuns.length
+    val stcoSz = 8 + 4 + 4 + 4 * nC
+    val stssSz = 8 + 4 + 4 + 4 * nSync
+    val moovSz = 40 + sttsSz + stszSz + stscSz + stcoSz + stssSz
+    val freeSz = if (remux) (9 + d % 7).toInt else 0
+    val mdatStart = 20 + freeSz + moovSz + 8
+    val chunkSamples = Array.tabulate(nC) { c =>
+      val lo = c * cpc; lo until math.min(nS, lo + cpc)
+    }
+    val chunkBytes = chunkSamples.map(_.map(sizes).sum)
+    val chunkPos = new Array[Long](nC)
+    val fileOrder = if (remux) (nC - 1) to 0 by -1 else 0 until nC
+    var acc = mdatStart.toLong
+    for (c <- fileOrder) { chunkPos(c) = acc; acc += chunkBytes(c) }
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w32(v: Long): Unit = {
+      w8((v >> 24).toInt); w8((v >> 16).toInt); w8((v >> 8).toInt); w8(v.toInt)
+    }
+    def wTag(t: String): Unit = t.foreach(c => w8(c.toInt))
+    w32(20); wTag("ftyp"); wTag("isom"); w32(512); wTag("mp41")
+    if (remux) {
+      w32(freeSz.toLong); wTag("free")
+      (0 until freeSz - 8).foreach(_ => w8(0x4a))
+    }
+    w32(moovSz.toLong); wTag("moov")
+    w32((moovSz - 8).toLong); wTag("trak")
+    w32((moovSz - 16).toLong); wTag("mdia")
+    w32((moovSz - 24).toLong); wTag("minf")
+    w32((moovSz - 32).toLong); wTag("stbl")
+    w32(sttsSz.toLong); wTag("stts"); w32(0); w32(2)
+    w32(3); w32(mp4Delta(d, 0)); w32((nS - 3).toLong); w32(mp4Delta(d, 3))
+    w32(stszSz.toLong); wTag("stsz"); w32(0); w32(0); w32(nS.toLong)
+    sizes.foreach(s => w32(s.toLong))
+    w32(stscSz.toLong); wTag("stsc"); w32(0); w32(scRuns.length.toLong)
+    scRuns.foreach { case (fc, per) => w32(fc.toLong); w32(per.toLong); w32(1) }
+    w32(stcoSz.toLong); wTag("stco"); w32(0); w32(nC.toLong)
+    chunkPos.foreach(w32)
+    w32(stssSz.toLong); wTag("stss"); w32(0); w32(nSync.toLong)
+    (0 until nS).filter(_ % 3 == 0).foreach(i => w32((i + 1).toLong))
+    w32((8L + sizes.sum)); wTag("mdat")
+    for (c <- fileOrder; i <- chunkSamples(c); j <- 0 until sizes(i))
+      w8(mp4SampleByte(d, i, j))
+    out.toByteArray
+  }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 import graft.queries.QueryDef.sql
@@ -416,6 +417,91 @@ object MultimodalQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- m17/m18: sample-table frame extraction + video near-dup ---------
+
+  /** Shared m17/m18 fixture + kernel stage: one MP4 per doc_id % 3 == 2
+    * document (arm 0), plus a re-muxed arm-1 twin for doc_id % 12 == 2
+    * — vid = doc_id·4 + arm (the m12 multiply-don't-offset id
+    * encoding, collision-free at any corpus size). Payloads are built
+    * AND parsed per-row (one codegen pass, no shuffle); the exploded
+    * samples keep their struct under column `s`. */
+  private def m17Frames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, d)
+      .filter(expr("CAST(doc_id % 3 AS INT) = 2"))
+      .select(col("doc_id")).as[Long]
+    val vids = ids.flatMap { id =>
+      val base = Seq((id * 4, id, 0, Multimodal.encodeMp4(id, remux = false)))
+      if (id % 12 == 2)
+        base :+ ((id * 4 + 1, id, 1, Multimodal.encodeMp4(id, remux = true)))
+      else base
+    }.toDF("vid", "doc_id", "arm", "payload")
+    vids.select(col("vid"), col("doc_id"), col("arm"),
+      explode(graft.expressions.Mp4SampleTable.samples(col("payload"))).as("s"))
+  }
+
+  /** The m17/m18 oracles' shared prefix: per-(vid, sample) ground truth
+    * from the fixture formulas. Frame offsets fall out of ONE window
+    * sum over sizes in FILE order — natural chunk order for arm 0,
+    * reversed for arm 1 (samples stay in natural order within a
+    * chunk) — after the layout constants (moov size, free box, mdat
+    * start) are restated arithmetically. */
+  private val m17BaseSql: String =
+    """d17 AS (SELECT doc_id AS d FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+      |vids AS (
+      |  SELECT d, d * 4 AS vid, 0 AS arm FROM d17
+      |  UNION ALL
+      |  SELECT d, d * 4 + 1, 1 FROM d17 WHERE CAST(d % 12 AS INT) = 2),
+      |par AS (
+      |  SELECT vid, d, arm, CAST(6 + d % 5 AS INT) AS ns, 100 + d % 50 AS d1,
+      |    CASE WHEN arm = 0 THEN 3 ELSE 2 END AS cpc
+      |  FROM vids),
+      |lay AS (
+      |  SELECT par.*, (ns + cpc - 1) // cpc AS nc, (ns + 2) // 3 AS nsync,
+      |    CASE WHEN ns % cpc = 0 THEN 1 ELSE 2 END AS ne
+      |  FROM par),
+      |mst AS (
+      |  SELECT lay.*,
+      |    20 + CASE WHEN arm = 1 THEN 9 + d % 7 ELSE 0 END
+      |      + (40 + 32 + (20 + 4 * ns) + (16 + 12 * ne) + (16 + 4 * nc) + (16 + 4 * nsync))
+      |      + 8 AS mdatstart
+      |  FROM lay),
+      |smp AS (
+      |  SELECT mst.*, i, 20 + (d * 31 + i * 17) % 40 AS sz,
+      |    CASE WHEN i < 3 THEN i * d1 ELSE 3 * d1 + (i - 3) * (d1 + 40) END AS pts,
+      |    i % 3 = 0 AS is_sync, i // cpc AS chunk
+      |  FROM mst, LATERAL (SELECT unnest(generate_series(0, ns - 1)) AS i) ii),
+      |soff AS (
+      |  SELECT smp.*,
+      |    mdatstart + COALESCE(SUM(sz) OVER (
+      |      PARTITION BY vid
+      |      ORDER BY (CASE WHEN arm = 0 THEN chunk ELSE -chunk END), i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS foffset
+      |  FROM smp),
+      |ck AS (
+      |  SELECT vid, d, arm, i, sz, pts, is_sync, foffset,
+      |    SUM(((d * 31 + i * 17 + j * 7) % 256) * (j + 1)) % 1000000007 AS checksum
+      |  FROM soff, LATERAL (SELECT unnest(generate_series(0, CAST(sz - 1 AS INT))) AS j) jj
+      |  GROUP BY vid, d, arm, i, sz, pts, is_sync, foffset)""".stripMargin
+
+  private val m17OracleSql: String =
+    s"""WITH $m17BaseSql
+       |SELECT CAST(vid AS BIGINT) AS vid, CAST(d AS BIGINT) AS doc_id,
+       |  CAST(arm AS INT) AS arm, CAST(i AS INT) AS sample_idx,
+       |  CAST(pts AS BIGINT) AS pts, CAST(foffset AS BIGINT) AS frame_offset,
+       |  CAST(sz AS INT) AS frame_bytes, is_sync, CAST(checksum AS BIGINT) AS checksum
+       |FROM ck ORDER BY vid, sample_idx""".stripMargin
+
+  private val m18OracleSql: String =
+    s"""WITH $m17BaseSql,
+       |fp AS (
+       |  SELECT vid, d, SUM(checksum * (i + 1)) % 1000000007 AS f
+       |  FROM ck WHERE is_sync GROUP BY vid, d)
+       |SELECT CAST(a.vid AS BIGINT) AS vid_a, CAST(b.vid AS BIGINT) AS vid_b,
+       |  CAST(a.d AS BIGINT) AS doc_id_a, CAST(b.d AS BIGINT) AS doc_id_b
+       |FROM fp a JOIN fp b ON a.f = b.f AND a.vid < b.vid
+       |ORDER BY vid_a, vid_b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Perceptual image near-dup over DECODED PIXELS (dHash) — the rung
@@ -715,6 +801,52 @@ object MultimodalQueries {
           col("m.height").as("height"),
           col("m.orientation").as("orientation"))
         .orderBy(col("doc_id"))
+    },
+
+    // SAMPLE-TABLE frame extraction (m17) — the tier above m08's head
+    // probe: walk moov/trak/mdia/minf/stbl per ISO/IEC 14496-12
+    // (stts/stsz/stsc/stco/stss) and reconstruct every frame's pts,
+    // absolute byte offset, size, sync flag, and content checksum.
+    // Arm 1 re-muxes the SAME media with 2-per-chunk grouping and
+    // chunks in REVERSE file order, so frame offsets are non-monotone
+    // in sample order — an "mdat is sequential" shortcut misparses
+    // every arm-1 file; only the genuine chunk walk passes. Oracle:
+    // ground truth re-derived from the fixture formulas, including the
+    // reversed-chunk offsets via one window sum in file order
+    // (builder-parser identity).
+    sql("m17_video_frames", m17OracleSql) { (s, d) =>
+      import s.implicits._
+      m17Frames(s, d)
+        .select(col("vid"), col("doc_id"), col("arm"),
+          col("s.sample_idx").as("sample_idx"), col("s.pts").as("pts"),
+          col("s.frame_offset").as("frame_offset"),
+          col("s.frame_bytes").as("frame_bytes"),
+          col("s.is_sync").as("is_sync"), col("s.checksum").as("checksum"))
+        .orderBy(col("vid"), col("sample_idx"))
+    },
+
+    // Video near-dup via KEYFRAME-sampled fingerprints (m18) — the
+    // modality ladder's video rung (image: m05→m09/m12→m07; audio:
+    // m10/m13→m15): extract frames through the m17 sample-table walk,
+    // keep sync samples only (the keyframe sampling a 100 TB pipeline
+    // does before any decode), fold an order-weighted fingerprint over
+    // their content checksums, and group equal fingerprints — one
+    // shuffle on the fingerprint, corpus-linear. Re-muxed arm-1 twins
+    // (different container bytes, byte-identical frames) MUST collide;
+    // distinct docs must not. Oracle replays the identical fold and
+    // self-join semantics.
+    sql("m18_video_neardup", m18OracleSql) { (s, d) =>
+      import s.implicits._
+      val fp = m17Frames(s, d)
+        .filter(col("s.is_sync"))
+        .groupBy(col("vid"), col("doc_id"))
+        .agg((sum(col("s.checksum") * (col("s.sample_idx") + 1)) % lit(1000000007L)).as("fp"))
+      val a = fp.select(col("vid").as("vid_a"), col("doc_id").as("doc_id_a"), col("fp"))
+      val b = fp.select(col("vid").as("vid_b"), col("doc_id").as("doc_id_b"), col("fp"))
+      a.join(b, Seq("fp"))
+        .filter(col("vid_a") < col("vid_b"))
+        .select(col("vid_a"), col("vid_b"), col("doc_id_a"), col("doc_id_b"))
+        .orderBy(col("vid_a"), col("vid_b"))
     },
 
     // REAL video-container decode for the fourth modality slice

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import graft.expressions.Mp4SampleTableImpl
+
+/** m17's ISO-BMFF sample-table walk: builder-parser identity against an
+  * INDEPENDENT offset derivation (file-order window sum, not the
+  * builder's chunk-position loop), the reversed-chunk re-mux layout,
+  * stss-absent default-sync semantics, and the hostile-input NULL
+  * table. */
+class Mp4SampleTableSpec extends AnyFunSuite {
+
+  private val Mod = 1000000007L
+
+  private def parse(b: Array[Byte]): Option[Seq[InternalRow]] =
+    Option(Mp4SampleTableImpl.samples(b)).map { a =>
+      val arr = a.asInstanceOf[ArrayData]
+      (0 until arr.numElements()).map(i =>
+        arr.getStruct(i, 6).copy())
+    }
+
+  /** Ground truth straight from the fixture formulas — offsets via the
+    * sort-by-file-order cumulative sum (the oracle's derivation), NOT
+    * the builder's chunk loop. */
+  private def expected(d: Long, remux: Boolean): Seq[(Int, Long, Long, Int, Boolean, Long)] = {
+    val nS = Multimodal.mp4SampleCount(d)
+    val cpc = if (remux) 2 else 3
+    val nC = (nS + cpc - 1) / cpc
+    val nSync = (nS + 2) / 3
+    val ne = if (nS % cpc == 0) 1 else 2
+    val moovSz = 40 + 32 + (20 + 4 * nS) + (16 + 12 * ne) + (16 + 4 * nC) + (16 + 4 * nSync)
+    val mdatStart = 20 + (if (remux) (9 + d % 7).toInt else 0) + moovSz + 8
+    val sizes = Array.tabulate(nS)(i => Multimodal.mp4SampleSize(d, i))
+    val fileOrder = (0 until nS).sortBy { i =>
+      val chunk = i / cpc
+      (if (remux) -chunk else chunk, i)
+    }
+    val off = new Array[Long](nS)
+    var acc = mdatStart.toLong
+    fileOrder.foreach { i => off(i) = acc; acc += sizes(i) }
+    val d1 = 100 + d % 50
+    (0 until nS).map { i =>
+      val pts = if (i < 3) i * d1 else 3 * d1 + (i - 3) * (d1 + 40)
+      val ck = (0 until sizes(i)).map(j =>
+        Multimodal.mp4SampleByte(d, i, j).toLong * (j + 1)).sum % Mod
+      (i, pts, off(i), sizes(i), i % 3 == 0, ck)
+    }
+  }
+
+  private def check(d: Long, remux: Boolean): Unit = {
+    val rows = parse(Multimodal.encodeMp4(d, remux))
+      .getOrElse(fail(s"NULL at d=$d remux=$remux"))
+    val exp = expected(d, remux)
+    assert(rows.length == exp.length, s"count at d=$d remux=$remux")
+    rows.zip(exp).foreach { case (r, (i, pts, off, sz, sync, ck)) =>
+      assert(r.getInt(0) == i)
+      assert(r.getLong(1) == pts, s"pts d=$d i=$i remux=$remux")
+      assert(r.getLong(2) == off, s"offset d=$d i=$i remux=$remux")
+      assert(r.getInt(3) == sz, s"size d=$d i=$i remux=$remux")
+      assert(r.getBoolean(4) == sync, s"sync d=$d i=$i remux=$remux")
+      assert(r.getLong(5) == ck, s"checksum d=$d i=$i remux=$remux")
+    }
+  }
+
+  test("builder-parser identity vs independent file-order offsets, both arms, all nS/remainder shapes") {
+    // d % 5 covers nS 6..10 (both 1- and 2-run stsc for each cpc);
+    // d % 7 covers every free-box length on the remux arm
+    (0L until 70L).foreach { d => check(d, remux = false); check(d, remux = true) }
+    check(1000003L, remux = true) // large-id arithmetic
+  }
+
+  test("re-muxed twin: identical frame checksums, non-monotone offsets") {
+    val d = 2L
+    val a = parse(Multimodal.encodeMp4(d, remux = false)).get
+    val b = parse(Multimodal.encodeMp4(d, remux = true)).get
+    assert(a.map(_.getLong(5)) == b.map(_.getLong(5))) // same media
+    // reversed chunks: the FIRST sample of the remux sits at a HIGHER
+    // offset than the last — sequential-mdat shortcuts misparse it
+    assert(b.head.getLong(2) > b.last.getLong(2))
+    assert(a.head.getLong(2) < a.last.getLong(2))
+  }
+
+  test("stss absent means every sample is a sync sample") {
+    val b = Multimodal.encodeMp4(5L, remux = false)
+    // retag the stss box as a free box: the walk then finds no stss
+    val i = indexOfTag(b, "stss")
+    b(i) = 'f'; b(i + 1) = 'r'; b(i + 2) = 'e'; b(i + 3) = 'e'
+    val rows = parse(b).getOrElse(fail("NULL after stss retag"))
+    assert(rows.forall(_.getBoolean(4)))
+  }
+
+  private def indexOfTag(b: Array[Byte], t: String): Int = {
+    val bytes = t.getBytes("US-ASCII")
+    (0 to b.length - 4).find(i => bytes.indices.forall(k => b(i + k) == bytes(k)))
+      .getOrElse(fail(s"tag $t not found"))
+  }
+
+  test("hostile inputs: NULL, never a throw") {
+    val good = Multimodal.encodeMp4(7L, remux = false)
+    def patch(tag: String, rel: Int, v: Int): Array[Byte] = {
+      val b = good.clone(); b(indexOfTag(b, tag) + rel) = v.toByte; b
+    }
+    val cases = Seq[Array[Byte]](
+      null,
+      Array.empty[Byte],
+      good.take(12),                        // shorter than ftyp+box header
+      good.take(40),                        // moov truncated
+      good.dropRight(5),                    // mdat body truncated: frame range out
+      patch("stco", 0, 'c'),                // stco gone (co64 unsupported) → NULL
+      patch("stsz", 4 + 8 + 3, 99),         // stsz count ≠ stts total
+      patch("stts", 4 + 4 + 1, 0xff),       // stts entry-count DoS guard
+      patch("stsc", 4 + 12 + 3, 0),         // samples_per_chunk = 0
+      "ftypnotabox".getBytes("US-ASCII"))
+    cases.foreach(b => assert(parse(b).isEmpty))
+  }
+
+  test("uniform stsz form parses (spec default when sample_size != 0)") {
+    // hand-build the stsz-uniform variant: set sample_size = s and keep
+    // the (now unread) per-sample table in place — sizes all equal s
+    val d = 6L // nS = 7, sizes vary normally
+    val b = Multimodal.encodeMp4(d, remux = false)
+    val t = indexOfTag(b, "stsz")
+    // body: ver/flags(4) sample_size(4) count(4); make every size 24
+    b(t + 4 + 4) = 0; b(t + 4 + 5) = 0; b(t + 4 + 6) = 0; b(t + 4 + 7) = 24
+    val rows = parse(b).getOrElse(fail("NULL on uniform stsz"))
+    assert(rows.forall(_.getInt(3) == 24))
+    // offsets become uniform-strided within each chunk
+    assert(rows(1).getLong(2) == rows.head.getLong(2) + 24)
+  }
+}
