@@ -532,17 +532,33 @@ object Dedup {
     * per-item sizes; the corpus runs one kernel pass, and the join
     * output carries bare id pairs — document text never shuffles. */
   def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
-      textCol: Column, idCol: Column, n: Int = 8): DataFrame = {
-    val shingles = array_distinct(TextHash.shingleHashes(textCol, n))
+      textCol: Column, idCol: Column, n: Int = 8): DataFrame =
+    contaminationReportFromShingles(
+      contaminationShingles(corpus, textCol, idCol, n),
+      contaminationShingles(evalSet, textCol, idCol, n))
+
+  /** The per-doc shingle stage of [[contaminationReport]], factored so
+    * a streaming fold can pay the text kernel per arriving batch and
+    * persist only these narrow (id, shs) rows as state (s35's
+    * contamination leg — text dies inside the micro-batch). */
+  def contaminationShingles(df: DataFrame, textCol: Column, idCol: Column,
+      n: Int = 8): DataFrame =
+    df.select(idCol.as("id"),
+      array_distinct(TextHash.shingleHashes(textCol, n)).as("shs"))
+
+  /** [[contaminationReport]]'s join stage over pre-computed
+    * [[contaminationShingles]] rows. */
+  def contaminationReportFromShingles(corpusSh: DataFrame,
+      evalSh: DataFrame): DataFrame = {
     // explode_outer on BOTH sides: plain explode implies a
     // size(·) > 0 pre-condition that pushdown re-derives the kernel
     // into (the t17 gotcha); the outer variant has no such condition,
     // and its null rows drop in the equi-join for free
-    val ev = evalSet
-      .select(idCol.as("eval_id"), shingles.as("shs"))
-      .select($"eval_id", size($"shs").as("eval_shingles"), explode_outer($"shs").as("sh"))
-    corpus
-      .select(idCol.as("id"), explode_outer(shingles).as("sh"))
+    val ev = evalSh
+      .select($"id".as("eval_id"), size($"shs").as("eval_shingles"),
+        explode_outer($"shs").as("sh"))
+    corpusSh
+      .select($"id", explode_outer($"shs").as("sh"))
       .join(broadcast(ev), "sh")
       .groupBy($"eval_id", $"id")
       .agg(first($"eval_shingles").as("eval_shingles"), count(lit(1)).as("shared"))

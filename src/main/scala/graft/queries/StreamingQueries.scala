@@ -837,6 +837,45 @@ object StreamingQueries {
       TextQueries.knScoreIncrement(s, d, folded)
     },
 
+    // STREAMING per-source data card (s35) — t80 maintained at
+    // ingestion cadence, the shape a 100 TB pipeline actually
+    // publishes its datasheet in: each arriving micro-batch pays every
+    // text kernel family ONCE (per-doc features, contamination
+    // shingles for both splits, KN trigrams — the first
+    // oneShotFoldMany consumer: four independent narrow states, text
+    // dies inside the batch that carried it), and serving composes
+    // t80's legs over the accumulated states — aggregations and
+    // source-cardinality joins only, no kernel touches old data ever
+    // again. Every fold is a row-map union and every serve statistic
+    // is computed from the FINAL states (incl. the corpus-wide KN LM
+    // re-derived from merged trigram rows — t79's discipline), so the
+    // answer is slicing-invariant: the oracle is t80's VERBATIM.
+    sql("s35_stream_data_card", TextQueries.dataCardOracle) { (s, d) =>
+      import graft.operators.Dedup
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(documentSliceDir(s, d))
+      val empty = Tables.documents(s, d).limit(0)
+      val inits = Seq(
+        TextQueries.dataCardFeat(empty),
+        Dedup.contaminationShingles(empty, col("text"), col("doc_id"), n = 4),
+        Dedup.contaminationShingles(empty, col("text"), col("doc_id"), n = 4),
+        TextQueries.knTrigrams(empty))
+      val st = StreamingRelational.oneShotFoldMany(s, stream, inits,
+        (states, batch) => {
+          val nz = batch.filter(col("source").isNotNull)
+          Seq(
+            states(0).unionByName(TextQueries.dataCardFeat(nz)),
+            states(1).unionByName(Dedup.contaminationShingles(
+              nz.filter(col("doc_id") % 97 =!= 0), col("text"), col("doc_id"), n = 4)),
+            states(2).unionByName(Dedup.contaminationShingles(
+              nz.filter(col("doc_id") % 97 === 0), col("text"), col("doc_id"), n = 4)),
+            states(3).unionByName(TextQueries.knTrigrams(batch)))
+        })
+      TextQueries.dataCardServe(st(0), st(1), st(2), st(3))
+    },
+
     // The trained classifier SERVED on the stream — the deployment
     // mode a learned filter actually runs in: weights are frozen (one
     // fit per data dir, shared with t53/t54), each micro-batch scores

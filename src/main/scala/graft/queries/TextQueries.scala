@@ -1312,94 +1312,16 @@ object TextQueries {
     // its aggregations plus the leg joins; contamination and KN reuse
     // their families' own one-pass chains; everything after the
     // per-doc tables is source-cardinality and broadcasts.
-    sql(
-      "t80_source_data_card",
-      s"""WITH f AS (SELECT doc_id, source, ${Sql.langId("text")} AS lang_det,
-         |             ${Sql.tokenCount("text")} AS tok, ${Sql.qualityScore("text")} AS q,
-         |             ${Sql.dupTokenFrac("text")} AS dupf, ${Sql.fingerprint("text")} AS fp
-         |           FROM documents WHERE source IS NOT NULL),
-         |a AS (SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens,
-         |        sum(q) AS sq, sum(dupf) AS sdupf, count(DISTINCT fp) AS nuniq
-         |      FROM f GROUP BY source),
-         |ltop AS (SELECT source, lang_det AS top_lang, c FROM (
-         |    SELECT source, lang_det, count(*) AS c,
-         |      row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang_det) AS rn
-         |    FROM f GROUP BY source, lang_det) x WHERE rn = 1),
-         |sh AS (SELECT doc_id, ${Sql.shingleSet("text", 4)} AS s
-         |       FROM documents WHERE source IS NOT NULL),
-         |ev AS (SELECT s AS es FROM sh WHERE doc_id % 97 = 0),
-         |flag AS (SELECT DISTINCT c2.doc_id
-         |         FROM (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0) c2
-         |         CROSS JOIN ev WHERE len(list_intersect(c2.s, ev.es)) > 0),
-         |ctm AS (SELECT f.source, count(*) AS contam_docs
-         |        FROM flag JOIN f USING (doc_id) GROUP BY 1),
-         |ppl AS (SELECT f2.source, count(*) AS scored,
-         |          sum(CASE WHEN b.bucket = 3 THEN 1 ELSE 0 END) AS tail
-         |        FROM (SELECT doc_id,
-         |                CAST(ntile(3) OVER (PARTITION BY lang ORDER BY surprisal, doc_id) AS INT) AS bucket
-         |              FROM ($knOracleSql) kb) b
-         |        JOIN f f2 USING (doc_id) GROUP BY 1)
-         |SELECT a.source, a.n_docs, a.total_tokens, ltop.top_lang,
-         |  floor(ltop.c * 10000.0 / a.n_docs + 0.5) / 10000.0 AS top_lang_pct,
-         |  floor(a.sq / a.n_docs * 10000 + 0.5) / 10000.0 AS mean_quality,
-         |  floor(a.sdupf / a.n_docs * 10000 + 0.5) / 10000.0 AS mean_dup_token_frac,
-         |  floor((a.n_docs - a.nuniq) * 10000.0 / a.n_docs + 0.5) / 10000.0 AS exact_dup_pct,
-         |  COALESCE(ctm.contam_docs, 0) AS contam_docs,
-         |  floor(ppl.tail * 10000.0 / ppl.scored + 0.5) / 10000.0 AS ppl_tail_pct
-         |FROM a LEFT JOIN ltop USING (source) LEFT JOIN ctm USING (source)
-         |       LEFT JOIN ppl USING (source)
-         |ORDER BY a.source""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d).filter(col("source").isNotNull)
-      val rep = TextFunctions.repetitionStats(col("text"))
-      val feat = docs.select(
-          col("doc_id"), col("source"),
-          TextFunctions.langId(col("text")).as("lang_det"),
-          TextFunctions.tokenCount(col("text")).as("tok"),
-          TextFunctions.qualityScore(col("text")).as("q"),
-          element_at(rep, 1).as("dupf"),
-          TextFunctions.fingerprint(col("text")).as("fp"))
-        .localCheckpoint()
-      val a = feat.groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("tok")).as("total_tokens"),
-        sum(col("q")).as("sq"),
-        sum(col("dupf")).as("sdupf"),
-        countDistinct(col("fp")).as("nuniq"))
-      val ltop = feat.groupBy(col("source"), col("lang_det"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("source")).orderBy(col("c").desc, col("lang_det"))))
-        .filter(col("rn") === 1)
-        .select(col("source"), col("lang_det").as("top_lang"), col("c"))
-      val flagged = graft.operators.Dedup.contaminationReport(
-          docs.filter(col("doc_id") % 97 =!= 0),
-          docs.filter(col("doc_id") % 97 === 0),
-          col("text"), col("doc_id"), n = 4)
-        .filter(col("n_shared") > 0)
-        .select(col("id").as("doc_id")).distinct()
-      val ctm = flagged.join(feat.select(col("doc_id"), col("source")), "doc_id")
-        .groupBy(col("source")).agg(count(lit(1)).as("contam_docs"))
-      val ppl = knSurprisal(s, d)
-        .withColumn("bucket", ntile(3).over(
-          Window.partitionBy(col("lang")).orderBy(col("surprisal"), col("doc_id"))))
-        .join(feat.select(col("doc_id"), col("source")), "doc_id")
-        .groupBy(col("source")).agg(
-          count(lit(1)).as("scored"),
-          sum(when(col("bucket") === 3, 1L).otherwise(0L)).as("tail"))
-      a.join(broadcast(ltop), Seq("source"), "left")
-        .join(broadcast(ctm), Seq("source"), "left")
-        .join(broadcast(ppl), Seq("source"), "left")
-        .select(col("source"), col("n_docs"), col("total_tokens"),
-          col("top_lang"),
-          (floor(col("c") * 10000.0 / col("n_docs") + 0.5) / 10000.0).as("top_lang_pct"),
-          (floor(col("sq") / col("n_docs") * 10000 + 0.5) / 10000.0).as("mean_quality"),
-          (floor(col("sdupf") / col("n_docs") * 10000 + 0.5) / 10000.0).as("mean_dup_token_frac"),
-          (floor((col("n_docs") - col("nuniq")) * 10000.0 / col("n_docs") + 0.5) / 10000.0)
-            .as("exact_dup_pct"),
-          coalesce(col("contam_docs"), lit(0L)).as("contam_docs"),
-          (floor(col("tail") * 10000.0 / col("scored") + 0.5) / 10000.0).as("ppl_tail_pct"))
-        .orderBy(col("source"))
+    sql("t80_source_data_card", dataCardOracle) { (s, d) =>
+      val all = Tables.documents(s, d)
+      val nz = all.filter(col("source").isNotNull)
+      dataCardServe(
+        dataCardFeat(nz).localCheckpoint(),
+        graft.operators.Dedup.contaminationShingles(
+          nz.filter(col("doc_id") % 97 =!= 0), col("text"), col("doc_id"), n = 4),
+        graft.operators.Dedup.contaminationShingles(
+          nz.filter(col("doc_id") % 97 === 0), col("text"), col("doc_id"), n = 4),
+        knTrigrams(all).localCheckpoint())
     },
 
     // DSIR data selection (Xie et al. 2023): importance-resample the
@@ -2884,6 +2806,114 @@ object TextQueries {
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("tf")).cast("long").as("n_trigrams"),
         round(sum(col("tf") * col("s")) / sum(col("tf")) + 1e-9, 4).as("surprisal"))
+  }
+
+  // ---- t80/s35: the per-source data card, shared between the batch
+  // ---- registration and its streaming twin ----------------------------
+
+  /** t80/s35's shared oracle (LAZY — the val-after-`all` NPE gotcha:
+    * referenced while `all` initializes). */
+  private[queries] lazy val dataCardOracle: String =
+    s"""WITH f AS (SELECT doc_id, source, ${Sql.langId("text")} AS lang_det,
+       |             ${Sql.tokenCount("text")} AS tok, ${Sql.qualityScore("text")} AS q,
+       |             ${Sql.dupTokenFrac("text")} AS dupf, ${Sql.fingerprint("text")} AS fp
+       |           FROM documents WHERE source IS NOT NULL),
+       |a AS (SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens,
+       |        sum(q) AS sq, sum(dupf) AS sdupf, count(DISTINCT fp) AS nuniq
+       |      FROM f GROUP BY source),
+       |ltop AS (SELECT source, lang_det AS top_lang, c FROM (
+       |    SELECT source, lang_det, count(*) AS c,
+       |      row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang_det) AS rn
+       |    FROM f GROUP BY source, lang_det) x WHERE rn = 1),
+       |sh AS (SELECT doc_id, ${Sql.shingleSet("text", 4)} AS s
+       |       FROM documents WHERE source IS NOT NULL),
+       |ev AS (SELECT s AS es FROM sh WHERE doc_id % 97 = 0),
+       |flag AS (SELECT DISTINCT c2.doc_id
+       |         FROM (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0) c2
+       |         CROSS JOIN ev WHERE len(list_intersect(c2.s, ev.es)) > 0),
+       |ctm AS (SELECT f.source, count(*) AS contam_docs
+       |        FROM flag JOIN f USING (doc_id) GROUP BY 1),
+       |ppl AS (SELECT f2.source, count(*) AS scored,
+       |          sum(CASE WHEN b.bucket = 3 THEN 1 ELSE 0 END) AS tail
+       |        FROM (SELECT doc_id,
+       |                CAST(ntile(3) OVER (PARTITION BY lang ORDER BY surprisal, doc_id) AS INT) AS bucket
+       |              FROM ($knOracleSql) kb) b
+       |        JOIN f f2 USING (doc_id) GROUP BY 1)
+       |SELECT a.source, a.n_docs, a.total_tokens, ltop.top_lang,
+       |  floor(ltop.c * 10000.0 / a.n_docs + 0.5) / 10000.0 AS top_lang_pct,
+       |  floor(a.sq / a.n_docs * 10000 + 0.5) / 10000.0 AS mean_quality,
+       |  floor(a.sdupf / a.n_docs * 10000 + 0.5) / 10000.0 AS mean_dup_token_frac,
+       |  floor((a.n_docs - a.nuniq) * 10000.0 / a.n_docs + 0.5) / 10000.0 AS exact_dup_pct,
+       |  COALESCE(ctm.contam_docs, 0) AS contam_docs,
+       |  floor(ppl.tail * 10000.0 / ppl.scored + 0.5) / 10000.0 AS ppl_tail_pct
+       |FROM a LEFT JOIN ltop USING (source) LEFT JOIN ctm USING (source)
+       |       LEFT JOIN ppl USING (source)
+       |ORDER BY a.source""".stripMargin
+
+  /** The per-doc feature rows every data-card aggregation derives from
+    * — ONE kernel pass over `docs`; narrow enough to be a streaming
+    * fold state (text never leaves the batch that carried it). */
+  private[queries] def dataCardFeat(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rep = TextFunctions.repetitionStats(col("text"))
+    docs.select(
+      col("doc_id"), col("source"),
+      TextFunctions.langId(col("text")).as("lang_det"),
+      TextFunctions.tokenCount(col("text")).as("tok"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      element_at(rep, 1).as("dupf"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+  }
+
+  /** Compose the data card from pre-computed kernel states: per-doc
+    * features (source-non-null docs), contamination shingles for the
+    * train and eval splits, and the per-doc trigram table (ALL docs —
+    * the KN LM trains corpus-wide). Everything here is aggregation and
+    * source-cardinality joins over narrow rows; no text, no kernels —
+    * which is exactly what makes the same serve correct over a
+    * streaming fold's accumulated state (s35). */
+  private[queries] def dataCardServe(feat: org.apache.spark.sql.DataFrame,
+      corpusSh: org.apache.spark.sql.DataFrame,
+      evalSh: org.apache.spark.sql.DataFrame,
+      tg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = feat.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("tok")).as("total_tokens"),
+      sum(col("q")).as("sq"),
+      sum(col("dupf")).as("sdupf"),
+      countDistinct(col("fp")).as("nuniq"))
+    val ltop = feat.groupBy(col("source"), col("lang_det"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("c").desc, col("lang_det"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang_det").as("top_lang"), col("c"))
+    val flagged = graft.operators.Dedup
+      .contaminationReportFromShingles(corpusSh, evalSh)
+      .filter(col("n_shared") > 0)
+      .select(col("id").as("doc_id")).distinct()
+    val ctm = flagged.join(feat.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("contam_docs"))
+    val ppl = knScore(tg, knTriCounts(tg))
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy(col("lang")).orderBy(col("surprisal"), col("doc_id"))))
+      .join(feat.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("scored"),
+        sum(when(col("bucket") === 3, 1L).otherwise(0L)).as("tail"))
+    a.join(broadcast(ltop), Seq("source"), "left")
+      .join(broadcast(ctm), Seq("source"), "left")
+      .join(broadcast(ppl), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("top_lang"),
+        (floor(col("c") * 10000.0 / col("n_docs") + 0.5) / 10000.0).as("top_lang_pct"),
+        (floor(col("sq") / col("n_docs") * 10000 + 0.5) / 10000.0).as("mean_quality"),
+        (floor(col("sdupf") / col("n_docs") * 10000 + 0.5) / 10000.0).as("mean_dup_token_frac"),
+        (floor((col("n_docs") - col("nuniq")) * 10000.0 / col("n_docs") + 0.5) / 10000.0)
+          .as("exact_dup_pct"),
+        coalesce(col("contam_docs"), lit(0L)).as("contam_docs"),
+        (floor(col("tail") * 10000.0 / col("scored") + 0.5) / 10000.0).as("ppl_tail_pct"))
+      .orderBy(col("source"))
   }
 
   /** t77/s29's shared oracle: exact containment over every qualifying

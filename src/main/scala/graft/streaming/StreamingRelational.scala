@@ -297,6 +297,37 @@ object StreamingRelational {
     state
   }
 
+  /** [[oneShotFold]] over SEVERAL independent state tables at once —
+    * for folds where one arriving micro-batch must pay several kernel
+    * families exactly once each (s35's data card: per-doc features,
+    * contamination shingles, KN trigrams), without forcing their
+    * different schemas into one tagged union. `step` receives every
+    * current state plus the batch and returns the same number of new
+    * states; each is localCheckpoint'ed eagerly (the same lineage-cut
+    * memory model as the single-state form). */
+  def oneShotFoldMany(spark: SparkSession, streamed: DataFrame,
+      inits: Seq[DataFrame],
+      step: (Seq[DataFrame], DataFrame) => Seq[DataFrame]): Seq[DataFrame] = {
+    val ckpt = java.nio.file.Files.createTempDirectory(scratchBase, "graft-ckpt")
+    @volatile var states = inits.map(_.localCheckpoint(true))
+    runOneShot(spark, ckpt) { () =>
+      streamed.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val next = step(states, batch)
+            require(next.length == states.length,
+              s"oneShotFoldMany: step returned ${next.length} states for ${states.length}")
+            states = next.map(_.localCheckpoint(true))
+            ()
+          }
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    states
+  }
+
   /** [[oneShotFold]] passing the micro-batch id into `step` — for
     * folds whose step performs EXTERNAL side effects (growing an
     * on-disk index, appending to a table): foreachBatch is

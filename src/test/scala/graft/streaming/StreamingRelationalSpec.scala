@@ -279,4 +279,36 @@ class StreamingRelationalSpec extends AnyFunSuite with SparkTestSupport {
       (snapRows ++ incRows).toDF("k", "v"), Seq(col("k")), col("v"))
     assert(stateOf(state) === stateOf(recompute))
   }
+
+  test("oneShotFoldMany: one arriving batch pays every state's kernel once; arity guarded") {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(Seq((1L, "a"), (2L, "bb")))
+    mem.addData(Seq((3L, "ccc")))
+    var batches = 0
+    val st = StreamingRelational.oneShotFoldMany(
+      spark, mem.toDF().toDF("id", "s"),
+      Seq(Seq.empty[(Long, String)].toDF("id", "s"),
+        Seq.empty[(Long, Int)].toDF("id", "n")),
+      (states, batch) => {
+        batches += 1
+        Seq(states(0).unionByName(batch),
+          states(1).unionByName(batch.select(col("id"), length(col("s")).as("n"))))
+      })
+    // both states accumulated every row exactly once, whatever the slicing
+    assert(st(0).collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "bb"), (3L, "ccc")))
+    assert(st(1).collect().map(r => (r.getLong(0), r.getInt(1))).toSet ===
+      Set((1L, 1), (2L, 2), (3L, 3)))
+    assert(batches >= 1)
+    // a step that loses a state must fail loud, not silently drop it
+    val mem2 = MemoryStream[Long]
+    mem2.addData(Seq(1L))
+    assertThrows[Exception] {
+      StreamingRelational.oneShotFoldMany(
+        spark, mem2.toDF().toDF("id"),
+        Seq(Seq.empty[Long].toDF("id"), Seq.empty[Long].toDF("id")),
+        (_, batch) => Seq(batch))
+    }
+  }
 }
