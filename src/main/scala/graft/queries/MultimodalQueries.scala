@@ -425,20 +425,41 @@ object MultimodalQueries {
     * encoding, collision-free at any corpus size). Payloads are built
     * AND parsed per-row (one codegen pass, no shuffle); the exploded
     * samples keep their struct under column `s`. */
-  private def m17Frames(s: SparkSession, d: String): DataFrame = {
+  private def m17Frames(s: SparkSession, d: String): DataFrame =
+    m17FramesOfArms(m17ArmRows(Tables.documents(s, d)))
+
+  /** The fixture's (doc_id, arm) rows: arm 0 for every doc_id % 3 == 2
+    * document, plus the re-muxed arm 1 for doc_id % 12 == 2 — ARM
+    * granularity so a streaming fixture can land a twin's two arms in
+    * DIFFERENT micro-batches (s36's cross-batch pair discovery). */
+  private def m17ArmRows(docs: DataFrame): DataFrame =
+    docs.filter(expr("CAST(doc_id % 3 AS INT) = 2"))
+      .select(col("doc_id"),
+        explode(when(expr("CAST(doc_id % 12 AS INT) = 2"),
+          array(lit(0), lit(1))).otherwise(array(lit(0)))).as("arm"))
+
+  /** Build + sample-table-walk the container of each (doc_id, arm)
+    * row — the per-batch unit of work s36 pays for its own arrivals. */
+  private def m17FramesOfArms(armRows: DataFrame): DataFrame = {
+    val s = armRows.sparkSession
     import s.implicits._
-    val ids = Tables.documents(s, d)
-      .filter(expr("CAST(doc_id % 3 AS INT) = 2"))
-      .select(col("doc_id")).as[Long]
-    val vids = ids.flatMap { id =>
-      val base = Seq((id * 4, id, 0, Multimodal.encodeMp4(id, remux = false)))
-      if (id % 12 == 2)
-        base :+ ((id * 4 + 1, id, 1, Multimodal.encodeMp4(id, remux = true)))
-      else base
-    }.toDF("vid", "doc_id", "arm", "payload")
+    val vids = armRows
+      .select(col("doc_id").cast("long"), col("arm").cast("int"))
+      .as[(Long, Int)]
+      .map { case (id, arm) =>
+        (id * 4 + arm, id, arm, Multimodal.encodeMp4(id, remux = arm == 1)) }
+      .toDF("vid", "doc_id", "arm", "payload")
     vids.select(col("vid"), col("doc_id"), col("arm"),
       explode(graft.expressions.Mp4SampleTable.samples(col("payload"))).as("s"))
   }
+
+  /** m18/s36's shared fingerprint stage: keyframe-sampled
+    * order-weighted fold per video — (vid, doc_id, fp). */
+  private def m17FingerprintsOfArms(armRows: DataFrame): DataFrame =
+    m17FramesOfArms(armRows)
+      .filter(col("s.is_sync"))
+      .groupBy(col("vid"), col("doc_id"))
+      .agg((sum(col("s.checksum") * (col("s.sample_idx") + 1)) % lit(1000000007L)).as("fp"))
 
   /** The m17/m18 oracles' shared prefix: per-(vid, sample) ground truth
     * from the fixture formulas. Frame offsets fall out of ONE window
@@ -837,10 +858,7 @@ object MultimodalQueries {
     // self-join semantics.
     sql("m18_video_neardup", m18OracleSql) { (s, d) =>
       import s.implicits._
-      val fp = m17Frames(s, d)
-        .filter(col("s.is_sync"))
-        .groupBy(col("vid"), col("doc_id"))
-        .agg((sum(col("s.checksum") * (col("s.sample_idx") + 1)) % lit(1000000007L)).as("fp"))
+      val fp = m17FingerprintsOfArms(m17ArmRows(Tables.documents(s, d)))
       val a = fp.select(col("vid").as("vid_a"), col("doc_id").as("doc_id_a"), col("fp"))
       val b = fp.select(col("vid").as("vid_b"), col("doc_id").as("doc_id_b"), col("fp"))
       a.join(b, Seq("fp"))
@@ -1175,6 +1193,59 @@ object MultimodalQueries {
       folded.filter(col("kind") === "pair")
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // STREAMING video near-dup (s36) — m18's ingestion twin, closing
+    // the modality symmetry (s33 audio, s34 image, s36 video): each
+    // arriving micro-batch builds, sample-table-walks, and
+    // fingerprints ONLY its own containers (both arms of a doc in one
+    // pass — the s34 shape), the stored corpus contributes narrow
+    // (vid, doc_id, fp) rows, and pair discovery is the incremental
+    // exact-key join — (stored ∪ new) × new on the fingerprint, so
+    // old–old pairs can never re-emit and each unordered pair
+    // surfaces exactly once, when its later member arrives. Two fold
+    // states (signatures + discovered pairs) through oneShotFoldMany.
+    // Oracle: m18's VERBATIM — slicing invariance is the claim.
+    sql("s36_stream_video_neardup", m18OracleSql) { (s, d) =>
+      import s.implicits._
+      // ARM-granular arrivals sliced by (doc_id + arm) % 3: every
+      // re-muxed twin's two arms land in DIFFERENT micro-batches, so
+      // each pair genuinely completes across batches (the s33 "out of
+      // id order, batches apart" discipline at video granularity)
+      val fx = m17ArmRows(Tables.documents(s, d))
+      val dir = StreamingQueries.orderedArrivalDir(s, "m17-slices", Seq(
+        fx.filter((col("doc_id") + col("arm")) % 3 === 0),
+        fx.filter((col("doc_id") + col("arm")) % 3 === 2),
+        fx.filter((col("doc_id") + col("arm")) % 3 === 1)))
+      val stream = s.readStream.schema("doc_id BIGINT, arm INT")
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val inits = Seq(
+        Seq.empty[(Long, Long, Long)].toDF("vid", "doc_id", "fp"),
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("vid_a", "vid_b", "doc_id_a", "doc_id_b"))
+      val st = graft.streaming.StreamingRelational.oneShotFoldMany(s, stream, inits,
+        (states, batch) => {
+          // checkpoint the batch's own signatures: they sit on BOTH
+          // sides of the pair join and in the next signature state —
+          // one kernel pass, no self-join attribute aliasing
+          val newSigs = m17FingerprintsOfArms(batch).localCheckpoint(true)
+          val all = states(0).unionByName(newSigs)
+          val a = all.select(col("vid").as("a_vid"), col("doc_id").as("a_doc"), col("fp"))
+          val b = newSigs.select(col("vid").as("b_vid"), col("doc_id").as("b_doc"), col("fp"))
+          val newPairs = a.join(b, Seq("fp"))
+            .filter(col("a_vid") =!= col("b_vid"))
+            .select(
+              least(col("a_vid"), col("b_vid")).as("vid_a"),
+              greatest(col("a_vid"), col("b_vid")).as("vid_b"),
+              when(col("a_vid") < col("b_vid"), col("a_doc"))
+                .otherwise(col("b_doc")).as("doc_id_a"),
+              when(col("a_vid") < col("b_vid"), col("b_doc"))
+                .otherwise(col("a_doc")).as("doc_id_b"))
+            .distinct()
+          Seq(all, states(1).unionByName(newPairs))
+        })
+      st(1).select(col("vid_a"), col("vid_b"), col("doc_id_a"), col("doc_id_b"))
+        .orderBy(col("vid_a"), col("vid_b"))
     }
   )
 }
