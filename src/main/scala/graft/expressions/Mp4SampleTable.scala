@@ -40,8 +40,11 @@ import org.apache.spark.sql.types._
   * allocation), stsz/stts sample-count disagreement, a chunk walk that
   * runs out of stco entries, or a frame byte range outside the buffer
   * (frame extraction needs the media body by definition, unlike the
-  * m08 head probe). 64-bit `co64` offsets and multi-trak files are out
-  * of scope (first trak only) — a NULL, not a misparse.
+  * m08 head probe). Multi-trak files are handled by GENUINE video-trak
+  * selection: the first trak whose `mdia/hdlr` declares handler_type
+  * 'vide' is parsed (audio-first files included), falling back to the
+  * first trak only for legacy hdlr-less containers. 64-bit `co64`
+  * offsets are out of scope — a NULL, not a misparse.
   *
   * Scale: one pass per row, codegen'd like every kernel here; no state
   * beyond the row. Reference provenance: the probe tier it extends is
@@ -119,7 +122,31 @@ object Mp4SampleTableImpl {
 
     val moov = child(bytes, 0L, n, "moov")
     if (moov < 0) return null
-    val trak = child(bytes, hi(moov), lo(moov), "trak")
+    // VIDEO-trak selection per the spec's hdlr box (real files carry an
+    // audio trak too, often first): walk every trak child of moov and
+    // pick the first whose mdia/hdlr declares handler_type 'vide'; fall
+    // back to the FIRST trak only when no trak declares 'vide' at all
+    // (legacy hdlr-less files). A first-trak shortcut lands on the
+    // audio trak of any audio-first file and dies on its missing stbl.
+    var trak = -1L
+    var firstTrak = -1L
+    var tp = hi(moov)
+    while (trak < 0 && tp + 8 <= lo(moov)) {
+      val t = child(bytes, tp, lo(moov), "trak")
+      if (t < 0) tp = lo(moov) // no more traks
+      else {
+        if (firstTrak < 0) firstTrak = t
+        val md = child(bytes, hi(t), lo(t), "mdia")
+        if (md >= 0) {
+          val hd = child(bytes, hi(md), lo(md), "hdlr")
+          // handler_type sits at body + 8 (behind ver/flags + pre_defined)
+          if (hd >= 0 && hi(hd) + 12 <= lo(hd) &&
+              tag(bytes, (hi(hd) + 8).toInt, "vide")) trak = t
+        }
+        tp = lo(t)
+      }
+    }
+    if (trak < 0) trak = firstTrak
     if (trak < 0) return null
     val mdia = child(bytes, hi(trak), lo(trak), "mdia")
     if (mdia < 0) return null

@@ -616,7 +616,7 @@ object Multimodal {
   }
 
   /** A COMPLETE ISO-BMFF file with a REAL sample table —
-    * moov/trak/mdia/minf/stbl{stts,stsz,stsc,stco,stss} + mdat body.
+    * moov/trak/mdia/{hdlr,minf/stbl{stts,stsz,stsc,stco,stss}} + mdat.
     * Arm 0 groups 3 samples per chunk, chunks in natural file order.
     * Arm 1 ("remux") is the SAME media re-containerized: 2 samples per
     * chunk, chunks written in REVERSE file order (stco points at them
@@ -624,7 +624,11 @@ object Multimodal {
     * container bytes share almost nothing with arm 0, the frame bytes
     * are identical, and frame offsets are non-monotone in sample
     * order, so only a genuine stsc/stco chunk walk extracts the frames
-    * (an "mdat is sequential" shortcut misparses every arm-1 file). */
+    * (an "mdat is sequential" shortcut misparses every arm-1 file).
+    * Every d % 6 == 5 document additionally carries a STUB AUDIO trak
+    * (hdlr 'soun', no sample table) BEFORE the video trak — a
+    * first-trak shortcut lands on it and finds no stbl; only genuine
+    * hdlr-based video-trak selection parses those files. */
   def encodeMp4(d: Long, remux: Boolean): Array[Byte] = {
     val nS = mp4SampleCount(d)
     val cpc = if (remux) 2 else 3
@@ -639,7 +643,10 @@ object Multimodal {
     val stscSz = 8 + 4 + 4 + 12 * scRuns.length
     val stcoSz = 8 + 4 + 4 + 4 * nC
     val stssSz = 8 + 4 + 4 + 4 * nSync
-    val moovSz = 40 + sttsSz + stszSz + stscSz + stcoSz + stssSz
+    val hdlrSz = 33 // 8 hdr + ver/flags(4) + pre_defined(4) + handler(4) + reserved(12) + name NUL(1)
+    val audioTrakSz = if (d % 6 == 5) 8 + 8 + hdlrSz else 0 // trak > mdia > hdlr('soun')
+    val stblSz = 8 + sttsSz + stszSz + stscSz + stcoSz + stssSz
+    val moovSz = 8 + audioTrakSz + 8 + (8 + hdlrSz + (8 + stblSz))
     val freeSz = if (remux) (9 + d % 7).toInt else 0
     val mdatStart = 20 + freeSz + moovSz + 8
     val chunkSamples = Array.tabulate(nC) { c =>
@@ -656,16 +663,26 @@ object Multimodal {
       w8((v >> 24).toInt); w8((v >> 16).toInt); w8((v >> 8).toInt); w8(v.toInt)
     }
     def wTag(t: String): Unit = t.foreach(c => w8(c.toInt))
+    def wHdlr(handler: String): Unit = {
+      w32(hdlrSz.toLong); wTag("hdlr"); w32(0); w32(0); wTag(handler)
+      (0 until 12).foreach(_ => w8(0)); w8(0)
+    }
     w32(20); wTag("ftyp"); wTag("isom"); w32(512); wTag("mp41")
     if (remux) {
       w32(freeSz.toLong); wTag("free")
       (0 until freeSz - 8).foreach(_ => w8(0x4a))
     }
     w32(moovSz.toLong); wTag("moov")
-    w32((moovSz - 8).toLong); wTag("trak")
-    w32((moovSz - 16).toLong); wTag("mdia")
-    w32((moovSz - 24).toLong); wTag("minf")
-    w32((moovSz - 32).toLong); wTag("stbl")
+    if (audioTrakSz > 0) { // the decoy: sample-table-less audio trak first
+      w32(audioTrakSz.toLong); wTag("trak")
+      w32((audioTrakSz - 8).toLong); wTag("mdia")
+      wHdlr("soun")
+    }
+    w32((8 + (8 + hdlrSz + (8 + stblSz))).toLong); wTag("trak")
+    w32((8 + hdlrSz + (8 + stblSz)).toLong); wTag("mdia")
+    wHdlr("vide")
+    w32((8 + stblSz).toLong); wTag("minf")
+    w32(stblSz.toLong); wTag("stbl")
     w32(sttsSz.toLong); wTag("stts"); w32(0); w32(2)
     w32(3); w32(mp4Delta(d, 0)); w32((nS - 3).toLong); w32(mp4Delta(d, 3))
     w32(stszSz.toLong); wTag("stsz"); w32(0); w32(0); w32(nS.toLong)

@@ -484,7 +484,8 @@ object MultimodalQueries {
       |mst AS (
       |  SELECT lay.*,
       |    20 + CASE WHEN arm = 1 THEN 9 + d % 7 ELSE 0 END
-      |      + (40 + 32 + (20 + 4 * ns) + (16 + 12 * ne) + (16 + 4 * nc) + (16 + 4 * nsync))
+      |      + (73 + CASE WHEN d % 6 = 5 THEN 49 ELSE 0 END
+      |         + 32 + (20 + 4 * ns) + (16 + 12 * ne) + (16 + 4 * nc) + (16 + 4 * nsync))
       |      + 8 AS mdatstart
       |  FROM lay),
       |smp AS (

@@ -30,7 +30,8 @@ class Mp4SampleTableSpec extends AnyFunSuite {
     val nC = (nS + cpc - 1) / cpc
     val nSync = (nS + 2) / 3
     val ne = if (nS % cpc == 0) 1 else 2
-    val moovSz = 40 + 32 + (20 + 4 * nS) + (16 + 12 * ne) + (16 + 4 * nC) + (16 + 4 * nSync)
+    val moovSz = 73 + (if (d % 6 == 5) 49 else 0) +
+      32 + (20 + 4 * nS) + (16 + 12 * ne) + (16 + 4 * nC) + (16 + 4 * nSync)
     val mdatStart = 20 + (if (remux) (9 + d % 7).toInt else 0) + moovSz + 8
     val sizes = Array.tabulate(nS)(i => Multimodal.mp4SampleSize(d, i))
     val fileOrder = (0 until nS).sortBy { i =>
@@ -95,6 +96,24 @@ class Mp4SampleTableSpec extends AnyFunSuite {
     val bytes = t.getBytes("US-ASCII")
     (0 to b.length - 4).find(i => bytes.indices.forall(k => b(i + k) == bytes(k)))
       .getOrElse(fail(s"tag $t not found"))
+  }
+
+  test("video-trak selection: the decoy audio trak is skipped via hdlr, not position") {
+    // d % 6 == 5 files carry a sample-table-less 'soun' trak FIRST;
+    // the identity sweep already proves they parse — here, break the
+    // video trak's hdlr so no trak declares 'vide': the fallback picks
+    // the FIRST trak (the audio decoy), which has no stbl → NULL.
+    // A first-trak shortcut would behave identically before and after.
+    val decoy = Multimodal.encodeMp4(5L, remux = false)
+    assert(parse(decoy).nonEmpty)
+    val broken = decoy.clone()
+    broken(indexOfTag(broken, "vide")) = 'x'
+    assert(parse(broken).isEmpty)
+    // and a single-trak file with a non-'vide' hdlr still parses via
+    // the legacy first-trak fallback
+    val single = Multimodal.encodeMp4(4L, remux = false)
+    single(indexOfTag(single, "vide")) = 'x'
+    assert(parse(single).nonEmpty)
   }
 
   test("hostile inputs: NULL, never a throw") {
