@@ -20,11 +20,12 @@ import org.apache.spark.sql.types._
   *    table;
   *  - `stsc`  (sample-to-chunk): (first_chunk, samples_per_chunk) runs
   *    — each run applies from its first_chunk until the next run's;
-  *  - `stco`  (chunk offsets): ABSOLUTE file offsets of each chunk —
-  *    chunks need not be contiguous or in sample order (re-muxed files
-  *    interleave or reverse them), which is exactly why frame
-  *    extraction must follow the table instead of assuming
-  *    mdat-sequential layout;
+  *  - `stco` / `co64` (chunk offsets, 32- or 64-bit): ABSOLUTE file
+  *    offsets of each chunk — chunks need not be contiguous or in
+  *    sample order (re-muxed files interleave or reverse them), which
+  *    is exactly why frame extraction must follow the table instead of
+  *    assuming mdat-sequential layout; co64 is what real >4 GiB files
+  *    carry, so both forms parse;
   *  - `stss`  (sync samples): 1-based keyframe numbers; ABSENT means
   *    every sample is a sync sample (the spec's default).
   *
@@ -43,8 +44,7 @@ import org.apache.spark.sql.types._
   * m08 head probe). Multi-trak files are handled by GENUINE video-trak
   * selection: the first trak whose `mdia/hdlr` declares handler_type
   * 'vide' is parsed (audio-first files included), falling back to the
-  * first trak only for legacy hdlr-less containers. 64-bit `co64`
-  * offsets are out of scope — a NULL, not a misparse.
+  * first trak only for legacy hdlr-less containers.
   *
   * Scale: one pass per row, codegen'd like every kernel here; no state
   * beyond the row. Reference provenance: the probe tier it extends is
@@ -218,16 +218,25 @@ object Mp4SampleTableImpl {
     }
     if (scFirst(0) != 1L) return null
 
-    // ---- stco: absolute chunk offsets ---------------------------------
+    // ---- stco / co64: absolute chunk offsets --------------------------
+    // co64 is the 64-bit form real >4 GiB files require — accept either
     val stco = child(bytes, sb, se, "stco")
-    if (stco < 0) return null // co64 unsupported: NULL, never a misparse
-    p = hi(stco); e = lo(stco)
+    val wide = stco < 0
+    val co = if (wide) child(bytes, sb, se, "co64") else stco
+    if (co < 0) return null
+    p = hi(co); e = lo(co)
     if (p + 8 > e) return null
+    val entryW = if (wide) 8 else 4
     val nCo = be32(bytes, (p + 4).toInt)
-    if (nCo <= 0 || nCo > MaxEntries || p + 8 + 4 * nCo > e) return null
+    if (nCo <= 0 || nCo > MaxEntries || p + 8 + entryW * nCo > e) return null
     val chunkOff = new Array[Long](nCo.toInt)
     i = 0
-    while (i < nCo) { chunkOff(i) = be32(bytes, (p + 8 + 4 * i).toInt); i += 1 }
+    while (i < nCo) {
+      chunkOff(i) =
+        if (wide) be64(bytes, (p + 8 + 8 * i).toInt)
+        else be32(bytes, (p + 8 + 4 * i).toInt)
+      i += 1
+    }
 
     // ---- stss: sync (keyframe) samples; absent = all sync -------------
     val stss = child(bytes, sb, se, "stss")

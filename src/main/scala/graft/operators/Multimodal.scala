@@ -641,7 +641,11 @@ object Multimodal {
     val sttsSz = 8 + 4 + 4 + 8 * 2
     val stszSz = 8 + 4 + 4 + 4 + 4 * nS
     val stscSz = 8 + 4 + 4 + 12 * scRuns.length
-    val stcoSz = 8 + 4 + 4 + 4 * nC
+    // every d % 4 == 3 document stores chunk offsets as 64-bit co64 —
+    // the form real >4 GiB files REQUIRE (stco's u32 cannot address
+    // them); the walk must accept both
+    val co64 = d % 4 == 3
+    val stcoSz = 8 + 4 + 4 + (if (co64) 8 else 4) * nC
     val stssSz = 8 + 4 + 4 + 4 * nSync
     val hdlrSz = 33 // 8 hdr + ver/flags(4) + pre_defined(4) + handler(4) + reserved(12) + name NUL(1)
     val audioTrakSz = if (d % 6 == 5) 8 + 8 + hdlrSz else 0 // trak > mdia > hdlr('soun')
@@ -689,8 +693,9 @@ object Multimodal {
     sizes.foreach(s => w32(s.toLong))
     w32(stscSz.toLong); wTag("stsc"); w32(0); w32(scRuns.length.toLong)
     scRuns.foreach { case (fc, per) => w32(fc.toLong); w32(per.toLong); w32(1) }
-    w32(stcoSz.toLong); wTag("stco"); w32(0); w32(nC.toLong)
-    chunkPos.foreach(w32)
+    w32(stcoSz.toLong); wTag(if (co64) "co64" else "stco"); w32(0); w32(nC.toLong)
+    if (co64) chunkPos.foreach { o => w32(o >> 32); w32(o & 0xffffffffL) }
+    else chunkPos.foreach(w32)
     w32(stssSz.toLong); wTag("stss"); w32(0); w32(nSync.toLong)
     (0 until nS).filter(_ % 3 == 0).foreach(i => w32((i + 1).toLong))
     w32((8L + sizes.sum)); wTag("mdat")

@@ -485,7 +485,8 @@ object MultimodalQueries {
       |  SELECT lay.*,
       |    20 + CASE WHEN arm = 1 THEN 9 + d % 7 ELSE 0 END
       |      + (73 + CASE WHEN d % 6 = 5 THEN 49 ELSE 0 END
-      |         + 32 + (20 + 4 * ns) + (16 + 12 * ne) + (16 + 4 * nc) + (16 + 4 * nsync))
+      |         + 32 + (20 + 4 * ns) + (16 + 12 * ne)
+      |         + (16 + CASE WHEN d % 4 = 3 THEN 8 ELSE 4 END * nc) + (16 + 4 * nsync))
       |      + 8 AS mdatstart
       |  FROM lay),
       |smp AS (

@@ -31,7 +31,8 @@ class Mp4SampleTableSpec extends AnyFunSuite {
     val nSync = (nS + 2) / 3
     val ne = if (nS % cpc == 0) 1 else 2
     val moovSz = 73 + (if (d % 6 == 5) 49 else 0) +
-      32 + (20 + 4 * nS) + (16 + 12 * ne) + (16 + 4 * nC) + (16 + 4 * nSync)
+      32 + (20 + 4 * nS) + (16 + 12 * ne) +
+      (16 + (if (d % 4 == 3) 8 else 4) * nC) + (16 + 4 * nSync)
     val mdatStart = 20 + (if (remux) (9 + d % 7).toInt else 0) + moovSz + 8
     val sizes = Array.tabulate(nS)(i => Multimodal.mp4SampleSize(d, i))
     val fileOrder = (0 until nS).sortBy { i =>
@@ -117,7 +118,7 @@ class Mp4SampleTableSpec extends AnyFunSuite {
   }
 
   test("hostile inputs: NULL, never a throw") {
-    val good = Multimodal.encodeMp4(7L, remux = false)
+    val good = Multimodal.encodeMp4(9L, remux = false) // 9 % 4 = 1: stco form
     def patch(tag: String, rel: Int, v: Int): Array[Byte] = {
       val b = good.clone(); b(indexOfTag(b, tag) + rel) = v.toByte; b
     }
@@ -127,12 +128,23 @@ class Mp4SampleTableSpec extends AnyFunSuite {
       good.take(12),                        // shorter than ftyp+box header
       good.take(40),                        // moov truncated
       good.dropRight(5),                    // mdat body truncated: frame range out
-      patch("stco", 0, 'c'),                // stco gone (co64 unsupported) → NULL
+      patch("stco", 0, 'x'),                // offsets box neither stco nor co64
       patch("stsz", 4 + 8 + 3, 99),         // stsz count ≠ stts total
       patch("stts", 4 + 4 + 1, 0xff),       // stts entry-count DoS guard
       patch("stsc", 4 + 12 + 3, 0),         // samples_per_chunk = 0
       "ftypnotabox".getBytes("US-ASCII"))
     cases.foreach(b => assert(parse(b).isEmpty))
+  }
+
+  test("co64 chunk offsets (the >4 GiB form) parse identically to stco") {
+    // d % 4 == 3 fixtures store co64; the identity sweep covers them —
+    // pin the form explicitly: the box tag is present and offsets match
+    val b = Multimodal.encodeMp4(7L, remux = false) // 7 % 4 = 3
+    indexOfTag(b, "co64")
+    assertThrows[org.scalatest.exceptions.TestFailedException](indexOfTag(b, "stco"))
+    val rows = parse(b).getOrElse(fail("NULL on co64"))
+    assert(rows.map(r => (r.getInt(0), r.getLong(2))) ==
+      expected(7L, remux = false).map(e => (e._1, e._3)))
   }
 
   test("uniform stsz form parses (spec default when sample_size != 0)") {
