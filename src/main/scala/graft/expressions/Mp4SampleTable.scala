@@ -15,7 +15,10 @@ import org.apache.spark.sql.types._
   * encodes, per the public ISO/IEC 14496-12 layout:
   *
   *  - `stts`  (decoding time-to-sample): run-length (count, delta)
-  *    pairs → per-sample decode timestamps;
+  *    pairs → per-sample decode timestamps (dts);
+  *  - `ctts`  (composition offsets, optional): run-length (count,
+  *    offset) pairs — pts = dts + offset, how B-frame files express
+  *    display order ≠ decode order; absent means pts == dts;
   *  - `stsz`  (sample sizes): either one uniform size or a per-sample
   *    table;
   *  - `stsc`  (sample-to-chunk): (first_chunk, samples_per_chunk) runs
@@ -29,9 +32,10 @@ import org.apache.spark.sql.types._
   *  - `stss`  (sync samples): 1-based keyframe numbers; ABSENT means
   *    every sample is a sync sample (the spec's default).
   *
-  * Output: `array<struct>` of one row per sample — 0-based index, pts
-  * (sum of stts deltas before it), absolute byte offset, size, sync
-  * flag, and an order-weighted byte checksum Σ (byte_j)·(j+1) mod 1e9+7
+  * Output: `array<struct>` of one row per sample — 0-based index, dts
+  * (sum of stts deltas before it), pts (dts + ctts offset), absolute
+  * byte offset, size, sync flag, and an order-weighted byte checksum
+  * Σ (byte_j)·(j+1) mod 1e9+7
   * over the frame's actual bytes (the cheap content fingerprint the
   * m18 near-dup arm folds; a real pipeline would hand the byte range
   * to a decoder here).
@@ -55,6 +59,7 @@ object Mp4SampleTable {
 
   val sampleType: StructType = StructType(Seq(
     StructField("sample_idx", IntegerType, nullable = false),
+    StructField("dts", LongType, nullable = false),
     StructField("pts", LongType, nullable = false),
     StructField("frame_offset", LongType, nullable = false),
     StructField("frame_bytes", IntegerType, nullable = false),
@@ -176,6 +181,26 @@ object Mp4SampleTableImpl {
     if (nSamplesL <= 0 || nSamplesL > MaxSamples) return null
     val nS = nSamplesL.toInt
 
+    // ---- ctts (optional): composition-time offsets — pts = dts + off;
+    // absent means composition == decode order (no B-frames) ----------
+    val ctts = child(bytes, sb, se, "ctts")
+    var ctCount: Array[Long] = null
+    var ctOff: Array[Long] = null
+    if (ctts >= 0) {
+      p = hi(ctts); e = lo(ctts)
+      if (p + 8 > e) return null
+      val nCt = be32(bytes, (p + 4).toInt)
+      if (nCt <= 0 || nCt > MaxEntries || p + 8 + 8 * nCt > e) return null
+      ctCount = new Array[Long](nCt.toInt)
+      ctOff = new Array[Long](nCt.toInt)
+      i = 0
+      while (i < nCt) {
+        ctCount(i) = be32(bytes, (p + 8 + 8 * i).toInt)
+        ctOff(i) = be32(bytes, (p + 8 + 8 * i + 4).toInt)
+        i += 1
+      }
+    }
+
     // ---- stsz: per-sample sizes ---------------------------------------
     val stsz = child(bytes, sb, se, "stsz")
     if (stsz < 0) return null
@@ -263,9 +288,11 @@ object Mp4SampleTableImpl {
     var chunk = scFirst(0) // 1-based chunk number
     var inChunk = 0L     // samples already placed in this chunk
     var chunkBase = 0L   // byte offset within the chunk
-    var pts = 0L
+    var dts = 0L
     var ttsRun = 0
     var ttsUsed = 0L
+    var ctRun = 0
+    var ctUsed = 0L
     i = 0
     while (i < nS) {
       // advance to next chunk when the current one is full
@@ -288,14 +315,21 @@ object Mp4SampleTableImpl {
         ck += (bytes(o + j) & 0xffL) * (j + 1)
         j += 1
       }
-      rows(i) = InternalRow(i, pts, off, sz, sync(i), ck % ChecksumMod)
+      val pts = dts + (if (ctOff == null) 0L else ctOff(ctRun))
+      rows(i) = InternalRow(i, dts, pts, off, sz, sync(i), ck % ChecksumMod)
       chunkBase += sz
       inChunk += 1
-      // pts advance via the stts runs
+      // dts advance via the stts runs; ctts runs walk in parallel
       ttsUsed += 1
-      pts += ttsDelta(ttsRun)
+      dts += ttsDelta(ttsRun)
       if (ttsUsed >= ttsCount(ttsRun) && ttsRun + 1 < ttsCount.length) {
         ttsRun += 1; ttsUsed = 0L
+      }
+      if (ctOff != null) {
+        ctUsed += 1
+        if (ctUsed >= ctCount(ctRun) && ctRun + 1 < ctCount.length) {
+          ctRun += 1; ctUsed = 0L
+        }
       }
       i += 1
     }

@@ -615,6 +615,13 @@ object Multimodal {
     if (i < 3) d1 else d1 + 40
   }
 
+  /** ctts composition offset for sample i — present on every
+    * d % 5 ∈ {1, 3} document (two runs, switching after sample 2);
+    * 0 (no ctts box) otherwise. pts = dts + this. */
+  def mp4CttsOffset(d: Long, i: Int): Long =
+    if (d % 5 == 1 || d % 5 == 3) { if (i < 2) (d % 4) * 30 else 90 }
+    else 0L
+
   /** A COMPLETE ISO-BMFF file with a REAL sample table —
     * moov/trak/mdia/{hdlr,minf/stbl{stts,stsz,stsc,stco,stss}} + mdat.
     * Arm 0 groups 3 samples per chunk, chunks in natural file order.
@@ -639,6 +646,10 @@ object Multimodal {
     val scRuns: Seq[(Int, Int)] =
       if (rem == cpc) Seq((1, cpc)) else Seq((1, cpc), (nC, rem))
     val sttsSz = 8 + 4 + 4 + 8 * 2
+    // B-frame reality: composition times differ from decode times —
+    // every d % 5 ∈ {1, 3} document carries a two-run ctts box
+    val ctts = d % 5 == 1 || d % 5 == 3
+    val cttsSz = if (ctts) 8 + 4 + 4 + 8 * 2 else 0
     val stszSz = 8 + 4 + 4 + 4 + 4 * nS
     val stscSz = 8 + 4 + 4 + 12 * scRuns.length
     // every d % 4 == 3 document stores chunk offsets as 64-bit co64 —
@@ -649,7 +660,7 @@ object Multimodal {
     val stssSz = 8 + 4 + 4 + 4 * nSync
     val hdlrSz = 33 // 8 hdr + ver/flags(4) + pre_defined(4) + handler(4) + reserved(12) + name NUL(1)
     val audioTrakSz = if (d % 6 == 5) 8 + 8 + hdlrSz else 0 // trak > mdia > hdlr('soun')
-    val stblSz = 8 + sttsSz + stszSz + stscSz + stcoSz + stssSz
+    val stblSz = 8 + sttsSz + cttsSz + stszSz + stscSz + stcoSz + stssSz
     val moovSz = 8 + audioTrakSz + 8 + (8 + hdlrSz + (8 + stblSz))
     val freeSz = if (remux) (9 + d % 7).toInt else 0
     val mdatStart = 20 + freeSz + moovSz + 8
@@ -689,6 +700,10 @@ object Multimodal {
     w32(stblSz.toLong); wTag("stbl")
     w32(sttsSz.toLong); wTag("stts"); w32(0); w32(2)
     w32(3); w32(mp4Delta(d, 0)); w32((nS - 3).toLong); w32(mp4Delta(d, 3))
+    if (ctts) {
+      w32(cttsSz.toLong); wTag("ctts"); w32(0); w32(2)
+      w32(2); w32(mp4CttsOffset(d, 0)); w32((nS - 2).toLong); w32(mp4CttsOffset(d, 2))
+    }
     w32(stszSz.toLong); wTag("stsz"); w32(0); w32(0); w32(nS.toLong)
     sizes.foreach(s => w32(s.toLong))
     w32(stscSz.toLong); wTag("stsc"); w32(0); w32(scRuns.length.toLong)

@@ -485,13 +485,18 @@ object MultimodalQueries {
       |  SELECT lay.*,
       |    20 + CASE WHEN arm = 1 THEN 9 + d % 7 ELSE 0 END
       |      + (73 + CASE WHEN d % 6 = 5 THEN 49 ELSE 0 END
-      |         + 32 + (20 + 4 * ns) + (16 + 12 * ne)
+      |         + 32 + CASE WHEN d % 5 IN (1, 3) THEN 32 ELSE 0 END
+      |         + (20 + 4 * ns) + (16 + 12 * ne)
       |         + (16 + CASE WHEN d % 4 = 3 THEN 8 ELSE 4 END * nc) + (16 + 4 * nsync))
       |      + 8 AS mdatstart
       |  FROM lay),
       |smp AS (
       |  SELECT mst.*, i, 20 + (d * 31 + i * 17) % 40 AS sz,
-      |    CASE WHEN i < 3 THEN i * d1 ELSE 3 * d1 + (i - 3) * (d1 + 40) END AS pts,
+      |    CASE WHEN i < 3 THEN i * d1 ELSE 3 * d1 + (i - 3) * (d1 + 40) END AS dts,
+      |    CASE WHEN i < 3 THEN i * d1 ELSE 3 * d1 + (i - 3) * (d1 + 40) END
+      |      + CASE WHEN d % 5 IN (1, 3)
+      |             THEN CASE WHEN i < 2 THEN (d % 4) * 30 ELSE 90 END
+      |             ELSE 0 END AS pts,
       |    i % 3 = 0 AS is_sync, i // cpc AS chunk
       |  FROM mst, LATERAL (SELECT unnest(generate_series(0, ns - 1)) AS i) ii),
       |soff AS (
@@ -502,16 +507,17 @@ object MultimodalQueries {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS foffset
       |  FROM smp),
       |ck AS (
-      |  SELECT vid, d, arm, i, sz, pts, is_sync, foffset,
+      |  SELECT vid, d, arm, i, sz, dts, pts, is_sync, foffset,
       |    SUM(((d * 31 + i * 17 + j * 7) % 256) * (j + 1)) % 1000000007 AS checksum
       |  FROM soff, LATERAL (SELECT unnest(generate_series(0, CAST(sz - 1 AS INT))) AS j) jj
-      |  GROUP BY vid, d, arm, i, sz, pts, is_sync, foffset)""".stripMargin
+      |  GROUP BY vid, d, arm, i, sz, dts, pts, is_sync, foffset)""".stripMargin
 
   private val m17OracleSql: String =
     s"""WITH $m17BaseSql
        |SELECT CAST(vid AS BIGINT) AS vid, CAST(d AS BIGINT) AS doc_id,
        |  CAST(arm AS INT) AS arm, CAST(i AS INT) AS sample_idx,
-       |  CAST(pts AS BIGINT) AS pts, CAST(foffset AS BIGINT) AS frame_offset,
+       |  CAST(dts AS BIGINT) AS dts, CAST(pts AS BIGINT) AS pts,
+       |  CAST(foffset AS BIGINT) AS frame_offset,
        |  CAST(sz AS INT) AS frame_bytes, is_sync, CAST(checksum AS BIGINT) AS checksum
        |FROM ck ORDER BY vid, sample_idx""".stripMargin
 
@@ -841,7 +847,8 @@ object MultimodalQueries {
       import s.implicits._
       m17Frames(s, d)
         .select(col("vid"), col("doc_id"), col("arm"),
-          col("s.sample_idx").as("sample_idx"), col("s.pts").as("pts"),
+          col("s.sample_idx").as("sample_idx"), col("s.dts").as("dts"),
+          col("s.pts").as("pts"),
           col("s.frame_offset").as("frame_offset"),
           col("s.frame_bytes").as("frame_bytes"),
           col("s.is_sync").as("is_sync"), col("s.checksum").as("checksum"))

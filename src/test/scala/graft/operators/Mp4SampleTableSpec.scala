@@ -18,20 +18,21 @@ class Mp4SampleTableSpec extends AnyFunSuite {
     Option(Mp4SampleTableImpl.samples(b)).map { a =>
       val arr = a.asInstanceOf[ArrayData]
       (0 until arr.numElements()).map(i =>
-        arr.getStruct(i, 6).copy())
+        arr.getStruct(i, 7).copy())
     }
 
   /** Ground truth straight from the fixture formulas — offsets via the
     * sort-by-file-order cumulative sum (the oracle's derivation), NOT
     * the builder's chunk loop. */
-  private def expected(d: Long, remux: Boolean): Seq[(Int, Long, Long, Int, Boolean, Long)] = {
+  private def expected(d: Long, remux: Boolean): Seq[(Int, Long, Long, Long, Int, Boolean, Long)] = {
     val nS = Multimodal.mp4SampleCount(d)
     val cpc = if (remux) 2 else 3
     val nC = (nS + cpc - 1) / cpc
     val nSync = (nS + 2) / 3
     val ne = if (nS % cpc == 0) 1 else 2
     val moovSz = 73 + (if (d % 6 == 5) 49 else 0) +
-      32 + (20 + 4 * nS) + (16 + 12 * ne) +
+      32 + (if (d % 5 == 1 || d % 5 == 3) 32 else 0) +
+      (20 + 4 * nS) + (16 + 12 * ne) +
       (16 + (if (d % 4 == 3) 8 else 4) * nC) + (16 + 4 * nSync)
     val mdatStart = 20 + (if (remux) (9 + d % 7).toInt else 0) + moovSz + 8
     val sizes = Array.tabulate(nS)(i => Multimodal.mp4SampleSize(d, i))
@@ -44,10 +45,11 @@ class Mp4SampleTableSpec extends AnyFunSuite {
     fileOrder.foreach { i => off(i) = acc; acc += sizes(i) }
     val d1 = 100 + d % 50
     (0 until nS).map { i =>
-      val pts = if (i < 3) i * d1 else 3 * d1 + (i - 3) * (d1 + 40)
+      val dts = if (i < 3) i * d1 else 3 * d1 + (i - 3) * (d1 + 40)
+      val pts = dts + Multimodal.mp4CttsOffset(d, i)
       val ck = (0 until sizes(i)).map(j =>
         Multimodal.mp4SampleByte(d, i, j).toLong * (j + 1)).sum % Mod
-      (i, pts, off(i), sizes(i), i % 3 == 0, ck)
+      (i, dts, pts, off(i), sizes(i), i % 3 == 0, ck)
     }
   }
 
@@ -56,13 +58,14 @@ class Mp4SampleTableSpec extends AnyFunSuite {
       .getOrElse(fail(s"NULL at d=$d remux=$remux"))
     val exp = expected(d, remux)
     assert(rows.length == exp.length, s"count at d=$d remux=$remux")
-    rows.zip(exp).foreach { case (r, (i, pts, off, sz, sync, ck)) =>
+    rows.zip(exp).foreach { case (r, (i, dts, pts, off, sz, sync, ck)) =>
       assert(r.getInt(0) == i)
-      assert(r.getLong(1) == pts, s"pts d=$d i=$i remux=$remux")
-      assert(r.getLong(2) == off, s"offset d=$d i=$i remux=$remux")
-      assert(r.getInt(3) == sz, s"size d=$d i=$i remux=$remux")
-      assert(r.getBoolean(4) == sync, s"sync d=$d i=$i remux=$remux")
-      assert(r.getLong(5) == ck, s"checksum d=$d i=$i remux=$remux")
+      assert(r.getLong(1) == dts, s"dts d=$d i=$i remux=$remux")
+      assert(r.getLong(2) == pts, s"pts d=$d i=$i remux=$remux")
+      assert(r.getLong(3) == off, s"offset d=$d i=$i remux=$remux")
+      assert(r.getInt(4) == sz, s"size d=$d i=$i remux=$remux")
+      assert(r.getBoolean(5) == sync, s"sync d=$d i=$i remux=$remux")
+      assert(r.getLong(6) == ck, s"checksum d=$d i=$i remux=$remux")
     }
   }
 
@@ -77,11 +80,11 @@ class Mp4SampleTableSpec extends AnyFunSuite {
     val d = 2L
     val a = parse(Multimodal.encodeMp4(d, remux = false)).get
     val b = parse(Multimodal.encodeMp4(d, remux = true)).get
-    assert(a.map(_.getLong(5)) == b.map(_.getLong(5))) // same media
+    assert(a.map(_.getLong(6)) == b.map(_.getLong(6))) // same media
     // reversed chunks: the FIRST sample of the remux sits at a HIGHER
     // offset than the last — sequential-mdat shortcuts misparse it
-    assert(b.head.getLong(2) > b.last.getLong(2))
-    assert(a.head.getLong(2) < a.last.getLong(2))
+    assert(b.head.getLong(3) > b.last.getLong(3))
+    assert(a.head.getLong(3) < a.last.getLong(3))
   }
 
   test("stss absent means every sample is a sync sample") {
@@ -90,7 +93,7 @@ class Mp4SampleTableSpec extends AnyFunSuite {
     val i = indexOfTag(b, "stss")
     b(i) = 'f'; b(i + 1) = 'r'; b(i + 2) = 'e'; b(i + 3) = 'e'
     val rows = parse(b).getOrElse(fail("NULL after stss retag"))
-    assert(rows.forall(_.getBoolean(4)))
+    assert(rows.forall(_.getBoolean(5)))
   }
 
   private def indexOfTag(b: Array[Byte], t: String): Int = {
@@ -143,8 +146,19 @@ class Mp4SampleTableSpec extends AnyFunSuite {
     indexOfTag(b, "co64")
     assertThrows[org.scalatest.exceptions.TestFailedException](indexOfTag(b, "stco"))
     val rows = parse(b).getOrElse(fail("NULL on co64"))
-    assert(rows.map(r => (r.getInt(0), r.getLong(2))) ==
-      expected(7L, remux = false).map(e => (e._1, e._3)))
+    assert(rows.map(r => (r.getInt(0), r.getLong(3))) ==
+      expected(7L, remux = false).map(e => (e._1, e._4)))
+  }
+
+  test("ctts composition offsets: pts = dts + offset; absent means pts == dts") {
+    // d % 5 ∈ {1, 3} carries the two-run ctts (identity sweep covers
+    // the values); pin the semantics explicitly at both ends
+    val withCtts = parse(Multimodal.encodeMp4(11L, remux = false)).get // 11 % 5 = 1
+    assert(withCtts.exists(r => r.getLong(2) != r.getLong(1)))
+    withCtts.foreach(r => assert(
+      r.getLong(2) - r.getLong(1) == Multimodal.mp4CttsOffset(11L, r.getInt(0))))
+    val noCtts = parse(Multimodal.encodeMp4(5L, remux = false)).get // 5 % 5 = 0
+    assert(noCtts.forall(r => r.getLong(2) == r.getLong(1)))
   }
 
   test("uniform stsz form parses (spec default when sample_size != 0)") {
@@ -156,8 +170,8 @@ class Mp4SampleTableSpec extends AnyFunSuite {
     // body: ver/flags(4) sample_size(4) count(4); make every size 24
     b(t + 4 + 4) = 0; b(t + 4 + 5) = 0; b(t + 4 + 6) = 0; b(t + 4 + 7) = 24
     val rows = parse(b).getOrElse(fail("NULL on uniform stsz"))
-    assert(rows.forall(_.getInt(3) == 24))
+    assert(rows.forall(_.getInt(4) == 24))
     // offsets become uniform-strided within each chunk
-    assert(rows(1).getLong(2) == rows.head.getLong(2) + 24)
+    assert(rows(1).getLong(3) == rows.head.getLong(3) + 24)
   }
 }
