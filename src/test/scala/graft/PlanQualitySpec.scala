@@ -128,6 +128,22 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSupport {
     assert(!p.contains("CartesianProduct"), s"cartesian in the card plan:\n$p")
   }
 
+  test("m17/m18: sample-table walk is a row map; video near-dup joins on the fingerprint hash, never a loop") {
+    // m17: build + mp4_samples walk + explode + sort — no join at all,
+    // and exactly one exchange (the output sort)
+    val p17 = plan("m17_video_frames")
+    assert(!p17.contains("Join"), s"m17 grew a join:\n$p17")
+    assert(p17.contains("mp4_samples"), s"kernel missing from m17 plan:\n$p17")
+    // m18: one fingerprint aggregation per side, equi-JOIN on the
+    // fingerprint (hash or sort-merge — both scale), never a nested
+    // loop or cartesian
+    val p18 = plan("m18_video_neardup")
+    assert(p18.contains("BroadcastHashJoin") || p18.contains("SortMergeJoin"),
+      s"m18 fingerprint join lost its hash strategy:\n$p18")
+    assert(!p18.contains("BroadcastNestedLoopJoin") && !p18.contains("CartesianProduct"),
+      s"m18 degenerated to a loop join:\n$p18")
+  }
+
   // occurrences of an expression NAME in the detail section (each node
   // detail renders an expression once; the tree section has no exprs)
   private def nodeFree(p: String, expr: String): Int = {
