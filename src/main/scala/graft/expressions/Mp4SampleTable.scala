@@ -110,7 +110,10 @@ object Mp4SampleTableImpl {
         size = be64(b, p + 8)
         hdr = 16L
       } else if (size == 0L) size = end - pos
-      if (size < hdr || pos + size > end) return -1L
+      // overflow-safe form: `pos + size > end` wraps for adversarial
+      // BE64 largesizes near Long.MaxValue and would let the walk run
+      // on a negative position — `size > end - pos` cannot wrap
+      if (size < hdr || size > end - pos) return -1L
       if (tag(b, p + 4, t)) return ((pos + hdr) << 32) | (pos + size)
       pos += size
     }
@@ -175,6 +178,10 @@ object Mp4SampleTableImpl {
     while (i < nTts) {
       ttsCount(i) = be32(bytes, (p + 8 + 8 * i).toInt)
       ttsDelta(i) = be32(bytes, (p + 8 + 8 * i + 4).toInt)
+      // the spec requires positive sample_count per run — a count-0 run
+      // would mischarge its delta to one sample (the run advance steps
+      // at most one run per sample): malformed ⇒ NULL, never wrong dts
+      if (ttsCount(i) <= 0) return null
       nSamplesL += ttsCount(i)
       i += 1
     }
@@ -197,6 +204,7 @@ object Mp4SampleTableImpl {
       while (i < nCt) {
         ctCount(i) = be32(bytes, (p + 8 + 8 * i).toInt)
         ctOff(i) = be32(bytes, (p + 8 + 8 * i + 4).toInt)
+        if (ctCount(i) <= 0) return null // the stts count-0 argument
         i += 1
       }
     }
@@ -307,12 +315,18 @@ object Mp4SampleTableImpl {
       if (chunk > nCo) return null // ran out of stco entries
       val off = chunkOff((chunk - 1).toInt) + chunkBase
       val sz = sizes(i)
-      if (off < 0 || sz < 0 || off + sz > n) return null // body must be present
+      // overflow-safe bound: a hostile co64 offset near Long.MaxValue
+      // wraps `off + sz` negative and would index out of bounds —
+      // `off > n - sz` cannot wrap (n, sz bounded by the array length)
+      if (off < 0 || sz < 0 || sz > n || off > n - sz) return null
       var ck = 0L
       var j = 0
       val o = off.toInt
       while (j < sz) {
         ck += (bytes(o + j) & 0xffL) * (j + 1)
+        // periodic reduction: 64K terms of ≤ 255·2^31 stay under 2^62,
+        // so the running sum never wraps even for 2 GB frames
+        if ((j & 0xffff) == 0xffff) ck %= ChecksumMod
         j += 1
       }
       val pts = dts + (if (ctOff == null) 0L else ctOff(ctRun))

@@ -275,36 +275,23 @@ object StreamingRelational {
     * (connectedComponents' idiom) instead of growing a
     * merge-of-merge-of-merge tree. */
   def oneShotFold(spark: SparkSession, streamed: DataFrame, init: DataFrame,
-      step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory(scratchBase, "graft-ckpt")
-    @volatile var state = init.localCheckpoint(true)
-    runOneShot(spark, ckpt) { () =>
-      streamed.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            // superseded rounds' checkpoint blocks are freed by the
-            // ContextCleaner once unreferenced (the connectedComponents
-            // memory model — Dataset.unpersist would be a no-op here,
-            // it only uncaches CacheManager entries, not checkpoints)
-            state = step(state, batch).localCheckpoint(true)
-            ()
-          }
-        }
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    }
-    state
-  }
+      step: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    oneShotFoldMany(spark, streamed, Seq(init),
+      (states, batch) => Seq(step(states.head, batch))).head
 
-  /** [[oneShotFold]] over SEVERAL independent state tables at once —
-    * for folds where one arriving micro-batch must pay several kernel
+  /** The fold over SEVERAL independent state tables at once — for
+    * folds where one arriving micro-batch must pay several kernel
     * families exactly once each (s35's data card: per-doc features,
     * contamination shingles, KN trigrams), without forcing their
     * different schemas into one tagged union. `step` receives every
     * current state plus the batch and returns the same number of new
-    * states; each is localCheckpoint'ed eagerly (the same lineage-cut
-    * memory model as the single-state form). */
+    * states; each is localCheckpoint'ed eagerly — superseded rounds'
+    * checkpoint blocks are freed by the ContextCleaner once
+    * unreferenced (the connectedComponents memory model;
+    * Dataset.unpersist would be a no-op here, it only uncaches
+    * CacheManager entries, not checkpoints). [[oneShotFold]] is the
+    * N=1 delegation, so the skip/checkpoint/lineage-cut logic has ONE
+    * definition (the runOneShot docstring's own rule). */
   def oneShotFoldMany(spark: SparkSession, streamed: DataFrame,
       inits: Seq[DataFrame],
       step: (Seq[DataFrame], DataFrame) => Seq[DataFrame]): Seq[DataFrame] = {

@@ -139,6 +139,31 @@ class Mp4SampleTableSpec extends AnyFunSuite {
     cases.foreach(b => assert(parse(b).isEmpty))
   }
 
+  test("adversarial Long-overflow blobs: NULL, never an out-of-bounds throw") {
+    // (1) hostile co64 offset near Long.MaxValue: off + sz would wrap
+    // negative and pass a naive `off + sz > n` bound — must NULL
+    val wide = Multimodal.encodeMp4(7L, remux = false) // co64 form
+    val t = indexOfTag(wide, "co64")
+    wide(t + 4 + 8) = 0x7f.toByte
+    (1 until 8).foreach(k => wide(t + 4 + 8 + k) = 0xff.toByte)
+    assert(parse(wide).isEmpty)
+    // (2) adversarial BE64 largesize: pos + size wraps negative and a
+    // naive walk keeps running on garbage positions — must NULL
+    val junk = new java.io.ByteArrayOutputStream()
+    junk.write(Multimodal.encodeMp4(4L, remux = false), 0, 20) // the ftyp
+    Seq(0, 0, 0, 1).foreach(junk.write) // size = 1: largesize follows
+    "junk".foreach(c => junk.write(c.toInt))
+    Seq(0x7f, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff).foreach(junk.write)
+    assert(parse(junk.toByteArray).isEmpty)
+    // (3) count-0 stts run with totals still matching stsz: a naive run
+    // walk charges the zero-count run's delta to one sample — must NULL
+    val z = Multimodal.encodeMp4(9L, remux = false) // nS = 10
+    val st = indexOfTag(z, "stts")
+    z(st + 4 + 8 + 3) = 0   // run 1 count 3 → 0
+    z(st + 4 + 16 + 3) = 10 // run 2 count 7 → 10 (total still 10)
+    assert(parse(z).isEmpty)
+  }
+
   test("co64 chunk offsets (the >4 GiB form) parse identically to stco") {
     // d % 4 == 3 fixtures store co64; the identity sweep covers them —
     // pin the form explicitly: the box tag is present and offsets match
