@@ -51,10 +51,10 @@ if not only and missing_dumps:
 # Oracle-count floor: a piecewise Verify run that shrank oracle_sql.json
 # (round 11 silently lost the 17 dump-time trained-model oracles) must
 # fail here, not be graded rows-only. Keep in lockstep with the real
-# oracled-query count (247 as of round 14 — +m15, +m16, +t80, +s33, +s34,
-# +m17, +m18, +s35, +s36; only gng_throughput/gng_scale are legitimately
+# oracled-query count (248 as of round 14 — +m15, +m16, +t80, +s33, +s34,
+# +m17, +m18, +s35, +s36, +t81; only gng_throughput/gng_scale are legitimately
 # rows-only).
-MIN_ORACLED = 247
+MIN_ORACLED = 248
 if not only and len(oracle) < MIN_ORACLED:
     print(f"PRE-FLIGHT FAIL: only {len(oracle)} oracled queries in oracle_sql.json "
           f"(expected >= {MIN_ORACLED}) — a subset Verify run likely shrank the file")

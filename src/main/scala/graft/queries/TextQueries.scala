@@ -1324,6 +1324,97 @@ object TextQueries {
         knTrigrams(all).localCheckpoint())
     },
 
+    // Per-source data-card DIFF between two crawl snapshots (t81) —
+    // the monitoring read a pipeline does per refresh: did a source's
+    // volume / dominant language / quality / duplication move between
+    // crawls? Snapshots are the doc_id parity halves; the whole diff
+    // is ONE kernel pass over the corpus (the half tag rides the same
+    // t80 feature table), per-(source, half) aggregation, and a
+    // source-cardinality FULL OUTER self-join — sources that appear
+    // or vanish between crawls surface as NULL-sided rows instead of
+    // dropping silently. Means are floor-quantized at 4 dp on BOTH
+    // engines (t23's bit-portable rendering).
+    sql(
+      "t81_data_card_diff",
+      s"""WITH f AS (SELECT doc_id, source, doc_id % 2 AS half,
+         |             ${Sql.langId("text")} AS lang_det,
+         |             ${Sql.tokenCount("text")} AS tok, ${Sql.qualityScore("text")} AS q,
+         |             ${Sql.fingerprint("text")} AS fp
+         |           FROM documents WHERE source IS NOT NULL),
+         |a AS (SELECT source, half, count(*) AS n_docs,
+         |        CAST(sum(tok) AS BIGINT) AS tokens, sum(q) AS sq,
+         |        count(DISTINCT fp) AS nuniq
+         |      FROM f GROUP BY source, half),
+         |ltop AS (SELECT source, half, lang_det AS top_lang FROM (
+         |    SELECT source, half, lang_det,
+         |      row_number() OVER (PARTITION BY source, half
+         |        ORDER BY count(*) DESC, lang_det) AS rn
+         |    FROM f GROUP BY source, half, lang_det) x WHERE rn = 1),
+         |card AS (SELECT a.source, a.half, a.n_docs, a.tokens,
+         |           floor(a.sq / a.n_docs * 10000 + 0.5) / 10000.0 AS mq,
+         |           floor((a.n_docs - a.nuniq) * 10000.0 / a.n_docs + 0.5) / 10000.0 AS dup_pct,
+         |           ltop.top_lang
+         |         FROM a JOIN ltop ON ltop.source = a.source AND ltop.half = a.half)
+         |SELECT COALESCE(o.source, n.source) AS source,
+         |  COALESCE(o.n_docs, 0) AS docs_old, COALESCE(n.n_docs, 0) AS docs_new,
+         |  COALESCE(o.tokens, 0) AS tokens_old, COALESCE(n.tokens, 0) AS tokens_new,
+         |  o.mq AS q_old, n.mq AS q_new,
+         |  CASE WHEN o.mq IS NOT NULL AND n.mq IS NOT NULL
+         |       THEN floor((n.mq - o.mq) * 10000 + 0.5) / 10000.0 END AS q_delta,
+         |  o.dup_pct AS dup_old, n.dup_pct AS dup_new,
+         |  o.top_lang AS top_lang_old, n.top_lang AS top_lang_new,
+         |  COALESCE(o.top_lang <> n.top_lang, TRUE) AS lang_changed
+         |FROM (SELECT * FROM card WHERE half = 0) o
+         |FULL JOIN (SELECT * FROM card WHERE half = 1) n ON o.source = n.source
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val feat = dataCardFeat(
+          Tables.documents(s, d).filter(col("source").isNotNull))
+        .withColumn("half", pmod(col("doc_id"), lit(2)))
+        .localCheckpoint() // ONE kernel pass feeds both halves' cards
+      val a = feat.groupBy(col("source"), col("half")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("tokens"),
+        sum(col("q")).as("sq"),
+        countDistinct(col("fp")).as("nuniq"))
+      val ltop = feat.groupBy(col("source"), col("half"), col("lang_det"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"), col("half"))
+            .orderBy(col("c").desc, col("lang_det"))))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("half"), col("lang_det").as("top_lang"))
+      val card = a.join(broadcast(ltop), Seq("source", "half"))
+        .select(col("source"), col("half"), col("n_docs"), col("tokens"),
+          (floor(col("sq") / col("n_docs") * 10000 + 0.5) / 10000.0).as("mq"),
+          (floor((col("n_docs") - col("nuniq")) * 10000.0 / col("n_docs") + 0.5) / 10000.0)
+            .as("dup_pct"),
+          col("top_lang"))
+      val o = card.filter(col("half") === 0)
+        .select(col("source"), col("n_docs").as("o_docs"), col("tokens").as("o_tokens"),
+          col("mq").as("q_old"), col("dup_pct").as("dup_old"),
+          col("top_lang").as("top_lang_old"))
+      val n = card.filter(col("half") === 1)
+        .select(col("source"), col("n_docs").as("n_docs2"), col("tokens").as("n_tokens"),
+          col("mq").as("q_new"), col("dup_pct").as("dup_new"),
+          col("top_lang").as("top_lang_new"))
+      o.join(n, Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("o_docs"), lit(0L)).as("docs_old"),
+          coalesce(col("n_docs2"), lit(0L)).as("docs_new"),
+          coalesce(col("o_tokens"), lit(0L)).as("tokens_old"),
+          coalesce(col("n_tokens"), lit(0L)).as("tokens_new"),
+          col("q_old"), col("q_new"),
+          when(col("q_old").isNotNull && col("q_new").isNotNull,
+            floor((col("q_new") - col("q_old")) * 10000 + 0.5) / 10000.0)
+            .as("q_delta"),
+          col("dup_old"), col("dup_new"),
+          col("top_lang_old"), col("top_lang_new"),
+          coalesce(col("top_lang_old") =!= col("top_lang_new"), lit(true))
+            .as("lang_changed"))
+        .orderBy(col("source"))
+    },
+
     // DSIR data selection (Xie et al. 2023): importance-resample the
     // raw corpus toward a target distribution using hashed-n-gram bag
     // likelihood ratios — the published scale answer to "pick the 20%
