@@ -616,6 +616,36 @@ object Dedup {
       .distinct()
   }
 
+  /** A distinct (src, dst) edge set is a fixed point of the alternating
+    * star contraction iff it is a low-rooted flat functional star
+    * forest: every edge has src > dst (child above root — also rejects
+    * self-edges), no node appears as src twice (each child has one
+    * root), and no node is both a src and a dst (trees have height 1).
+    *
+    * Sufficiency proof (the direction the loop relies on): such a set
+    * is a union of trees {(v_i, r)} with r < v_i, v_i distinct, r
+    * never a src. largeStar: the symmetrized neighborhood of r is
+    * {v_i} so m(r) = r, and N(v_i) = {r} with r < v_i so v_i emits
+    * nothing — output {(v_i, r)}, unchanged. smallStar: every edge is
+    * already high→low, each v_i's min neighbor is r — output
+    * {(v_i, r)}, unchanged. Necessity is not assumed: a non-star
+    * fixed point (impossible for star contraction, but the loop does
+    * not lean on that theorem) would simply keep iterating unchanged
+    * until maxRounds and throw loudly, never return wrong labels.
+    *
+    * Checking this is ONE narrow aggregation over the endpoints (a
+    * single shuffle of (node, bit) rows) versus the full large+small
+    * star round (~6 shuffles + an eager materialization) the round-13
+    * loop spent to observe "nothing changed" — the confirmation round
+    * every invocation paid exactly once, at the end. */
+  private[graft] def isStarForest(e: DataFrame): Boolean =
+    e.select($"src".as("n"), lit(1L).as("s"), lit(0L).as("d"),
+        when($"src" <= $"dst", 1L).otherwise(0L).as("bad"))
+      .union(e.select($"dst".as("n"), lit(0L).as("s"), lit(1L).as("d"), lit(0L).as("bad")))
+      .groupBy($"n").agg(sum($"s").as("ns"), sum($"d").as("nd"), sum($"bad").as("nbad"))
+      .filter($"nbad" > 0 || $"ns" > 1 || ($"ns" > 0 && $"nd" > 0))
+      .isEmpty
+
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // Per-round lineage cut via EAGER localCheckpoint: each star phase
     // multiplies the logical plan (self-union + join re-reference the
@@ -643,16 +673,18 @@ object Dedup {
       .distinct()
     var edges = edges0
     var round = 0
-    var converged = false
-    var prevCount = edges0.count()
+    // Convergence = the edge set IS a star forest ([[isStarForest]]),
+    // checked on each round's OUTPUT — detecting the fixed point the
+    // round it is produced instead of running one more full round to
+    // observe an unchanged edge set (the round-13 loop's count +
+    // exceptAll confirmation). The round-0 check also lets an input
+    // that is already a star forest (incremental maintenance folding
+    // an already-contracted increment) skip contraction entirely.
+    var converged = isStarForest(edges0)
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val nextCount = next.count()
-      // fixed point = identical edge set (both sides are distinct):
-      // equal counts plus an empty difference
-      converged = nextCount == prevCount && next.exceptAll(edges).isEmpty
+      converged = isStarForest(next)
       edges = next
-      prevCount = nextCount
       round += 1
     }
     // no silent caps: exiting unconverged would return a non-star
@@ -712,7 +744,24 @@ object Dedup {
     * O(batch) edges — regardless of corpus size. With daily crawls at
     * 100 TB this turns clustering from a full-corpus O(log d) shuffle
     * cascade per day into a per-increment cost. */
-  def mergeComponents(stored: DataFrame, newPairs: DataFrame): DataFrame = {
+  /** The contracted-increment pieces shared by [[mergeComponents]] and
+    * payload-bearing folds ([[SemDedup.foldStep]]): the increment's
+    * touched endpoints, their stored reps, and the star contraction of
+    * the CONTRACTED increment graph. One definition so the merge
+    * algebra (and its broadcast-only scale shape) cannot drift between
+    * the bare and payload-carrying folds. */
+  private[graft] final case class ContractedMerge(
+      touched: DataFrame, storedTouched: DataFrame, sub: DataFrame) {
+    /** Relabel map keyed by stored rep. A contracted node is either a
+      * stored rep or an id absent from stored entirely (never a
+      * non-rep stored member — those were rewritten to their rep), so
+      * joining on rep touches exactly the merged components. */
+    def repMap: DataFrame =
+      sub.select(col("id").as("rep"), col("rep").as("new_rep"))
+  }
+
+  private[graft] def contractedMerge(stored: DataFrame,
+      newPairs: DataFrame): ContractedMerge = {
     // the increment's pair pipeline (typically incrementalNearDups +
     // a new-new banding pass) is expensive and referenced 3× below —
     // materialize once (Collapse's eager-checkpoint idiom)
@@ -740,22 +789,21 @@ object Dedup {
     // only star contraction in the whole maintenance pass. Nodes are
     // touched stored reps ∪ unclustered endpoints; self-pairs survive
     // distinct() so isolated contracted nodes still surface.
-    val sub = connectedComponents(contracted)
-    // relabel map keyed by stored rep. A contracted node is either a
-    // stored rep or an id absent from stored entirely (never a
-    // non-rep stored member — those were rewritten to their rep), so
-    // joining on rep touches exactly the merged components.
-    val repMap = sub.select($"id".as("rep"), $"rep".as("new_rep"))
+    ContractedMerge(touched, storedTouched, connectedComponents(contracted))
+  }
+
+  def mergeComponents(stored: DataFrame, newPairs: DataFrame): DataFrame = {
+    val cm = contractedMerge(stored, newPairs)
     val updated = stored.select($"id", $"rep")
-      .join(broadcast(repMap), Seq("rep"), "left")
+      .join(broadcast(cm.repMap), Seq("rep"), "left")
       .select($"id", coalesce($"new_rep", $"rep").as("rep"))
     // endpoints not in stored gain their first label from `sub`; every
     // frame here is batch-sized, so both joins broadcast their build
     // side — the only shuffle in the whole merge is the increment's
     // endpoint-distinct aggregation
-    val fresh = touched
-      .join(broadcast(storedTouched.select($"id")), Seq("id"), "left_anti")
-      .join(broadcast(sub), Seq("id"))
+    val fresh = cm.touched
+      .join(broadcast(cm.storedTouched.select($"id")), Seq("id"), "left_anti")
+      .join(broadcast(cm.sub), Seq("id"))
       .select($"id", $"rep")
     updated.unionByName(fresh)
   }

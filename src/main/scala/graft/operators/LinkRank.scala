@@ -74,27 +74,40 @@ object LinkRank {
     // whole run
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val e = edges.join(deg, "src").localCheckpoint(true)
-    val srcs = deg.select(col("src").as("id")).localCheckpoint(true)
+    // Danglingness is a property of the GRAPH, not the round: flag it
+    // once on the node table and let the flag ride the rank vector, so
+    // each round's dangling mass is a bare filter+sum SCAN of the rank
+    // table instead of the round-13 `ranks LEFT ANTI JOIN srcs` — one
+    // whole join (two exchanges) per round, off the hot loop. The
+    // summed row set is identical: ranks covers exactly the node
+    // universe every round, and dang=true ⟺ id ∉ deg's src set.
+    val nFlag = n
+      .join(deg.select(col("src").as("id"), lit(false).as("dang")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("dang"), lit(true)).as("dang"))
+      .localCheckpoint(true)
     // shared scalar shapes (mirrored by the oracle): base = (1−d)/N
     val base = (lit(1.0) - lit(d)) / lit(nN.toDouble)
     var ranks = init
-      .getOrElse(n.select(col("id"), (lit(1.0) / lit(nN.toDouble)).as("r")))
+      .map(_.join(nFlag, Seq("id")).select(col("id"), col("r"), col("dang")))
+      .getOrElse(nFlag.select(col("id"), (lit(1.0) / lit(nN.toDouble)).as("r"),
+        col("dang")))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val contrib = ranks.join(e, ranks("id") === e("src"))
         .select(col("dst"),
           floor((col("r") / col("outdeg")) * lit(Q) + lit(0.5)).cast("long").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inq"))
-      val dang = ranks.join(srcs, Seq("id"), "left_anti")
+      val dang = ranks.filter(col("dang"))
         .agg(coalesce(sum(floor(col("r") * lit(Q) + lit(0.5)).cast("long")), lit(0L))
           .as("dq"))
-      ranks = n
-        .join(contrib, n("id") === contrib("dst"), "left")
+      ranks = nFlag
+        .join(contrib, nFlag("id") === contrib("dst"), "left")
         .crossJoin(broadcast(dang))
-        .select(n("id"),
+        .select(nFlag("id"),
           (base + lit(d) *
             ((coalesce(col("inq"), lit(0L)).cast("double") / lit(Q)) +
-              (col("dq").cast("double") / (lit(Q) * lit(nN.toDouble))))).as("r"))
+              (col("dq").cast("double") / (lit(Q) * lit(nN.toDouble))))).as("r"),
+          nFlag("dang"))
         .localCheckpoint(true)
     }
     ranks.select(col("id"),

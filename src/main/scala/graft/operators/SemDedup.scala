@@ -116,9 +116,21 @@ object SemDedup {
     val all = state.select(col("vec_id"), col("v"), col("cluster"), col("rep"))
       .unionByName(a)
     val pairs = incrementPairs(a, all, bits, dim, eps)
-    val merged = Dedup.mergeComponents(
+    // Relabel the payload-bearing member state IN PLACE with the
+    // increment-sized rep→rep map ([[Dedup.contractedMerge]] — the
+    // exact machinery mergeComponents applies to a bare (id, rep)
+    // table): every endpoint of `pairs` is a member of `all`, so
+    // mergeComponents' "fresh" leg is empty here and its output row
+    // for id is precisely coalesce(repMap[rep], rep). Applying that
+    // map directly keeps (v, cluster) in place — the round-13 version
+    // re-attached them with a corpus-sized state ⨝ merged-components
+    // equi-join EVERY micro-batch, the one full-state shuffle in the
+    // whole fold; now the state is only ever the streamed side of
+    // broadcast joins, exactly the mergeComponents discipline.
+    val cm = Dedup.contractedMerge(
       all.select(col("vec_id").as("id"), col("rep")), pairs)
-    all.select(col("vec_id"), col("v"), col("cluster"))
-      .join(merged.withColumnRenamed("id", "vec_id"), Seq("vec_id"))
+    all.join(broadcast(cm.repMap), Seq("rep"), "left")
+      .select(col("vec_id"), col("v"), col("cluster"),
+        coalesce(col("new_rep"), col("rep")).as("rep"))
   }
 }

@@ -164,6 +164,37 @@ class DedupSpec extends AnyFunSuite with SparkTestSupport {
     assert(got.values.toSet === Set(10L))
   }
 
+  test("isStarForest: exactly the fixed points of the star contraction pass") {
+    import spark.implicits._
+    def sf(edges: Seq[(Long, Long)]): Boolean =
+      Dedup.isStarForest(edges.toDF("src", "dst"))
+    // low-rooted flat functional star forests → fixed points
+    assert(sf(Seq((2L, 1L), (3L, 1L), (5L, 4L))))
+    assert(sf(Seq((7L, 3L))))
+    // violations, one per condition:
+    assert(!sf(Seq((1L, 2L))), "backward edge (src < dst)")
+    assert(!sf(Seq((2L, 2L))), "self edge")
+    assert(!sf(Seq((3L, 1L), (3L, 2L))), "non-functional (two roots for one src)")
+    assert(!sf(Seq((2L, 1L), (3L, 2L))), "non-flat (2 is both src and dst)")
+    // and the claimed sufficiency: a star forest passes one full round
+    // UNCHANGED (it really is a fixed point of smallStar ∘ largeStar)
+    val star = Seq((2L, 1L), (3L, 1L), (5L, 4L)).toDF("src", "dst")
+    val next = Dedup.smallStar(Dedup.largeStar(star))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(next === Set((2L, 1L), (3L, 1L), (5L, 4L)))
+  }
+
+  test("connectedComponents: an already-star input converges without a contraction round") {
+    import spark.implicits._
+    // the incremental-maintenance fast path: pairs that are already a
+    // low-rooted star forest (plus a self-pair, which must NOT take the
+    // fast path — its endpoint only surfaces via the nodes union)
+    val pairs = Seq((20L, 1L), (30L, 1L), (9L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 20L -> 1L, 30L -> 1L, 9L -> 9L))
+  }
+
   test("canonicalPerCluster: best score kept per cluster, ties to lowest id, singletons keep") {
     import spark.implicits._
     // cluster {1,2,3}: 2 has the best score → keep=2
