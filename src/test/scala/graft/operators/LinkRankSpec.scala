@@ -48,6 +48,25 @@ class LinkRankSpec extends AnyFunSuite with SparkTestSupport {
     assert(a === b, "ranks must be bit-identical under any partitioning")
   }
 
+  test("continueFrom: dangling mass intact through the stored-table boundary (memorylessness)") {
+    import spark.implicits._
+    // node 3 dangling (only inbound), node 4 isolated — the
+    // continuation path must re-derive BOTH flags when attaching them
+    // to the stored rank vector (the round-14 dang-flag init join)
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val stored = LinkRank.pagerank(nodes, edges, rounds = 3)
+    val cont = LinkRank.continueFrom(nodes, edges, stored, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(cont.values.sum - 1.0) < 1e-6, s"mass leaked: $cont")
+    // memorylessness: 3 rounds + (grid floor) + 2 rounds ≈ 5 straight
+    // rounds — the boundary floor perturbs each rank by ≤ 1e-9/round
+    val straight = LinkRank.pagerank(nodes, edges, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, r) <- straight)
+      assert(math.abs(cont(id) - r) < 1e-6, s"node $id: ${cont(id)} vs $r")
+  }
+
   test("all-dangling graph degenerates to uniform; empty node set refuses") {
     val ranks = run(Seq(1L, 2L), Seq.empty)
     assert(ranks(1L) === ranks(2L))
